@@ -1,0 +1,1003 @@
+"""Core relational query catalog — the per-operator inventory queries
+from SURVEY.md §2 expressed over the TPC-H-ish testdata star schema.
+
+Each entry is registered as ``QUERIES[name] = (spark_fn, oracle_sql)``:
+``spark_fn(spark, sf_dir) -> pyspark DataFrame`` built with the
+``spear_spark`` facade / functions, and ``oracle_sql`` the equivalent
+ANSI SQL that DuckDB runs on the same parquet views.  The driver (and
+``tests/test_oracle.py``) compares both sides value-for-value.
+
+Cross-engine determinism convention: double aggregations go through
+DECIMAL casts (the source columns are 2-decimal money/rate values, so
+``DECIMAL(12,2)``/``DECIMAL(3,2)`` casts are exact) — decimal sums are
+exact in both engines, and the final ``CAST(... AS DOUBLE)`` of an
+identical decimal value is bit-identical.  Averages are computed as
+``CAST(SUM(decimal) AS DOUBLE) / COUNT`` so no engine-specific decimal
+division rules apply.  FP-order-sensitive aggregates (``product``)
+are rounded.
+
+Scale notes are inlined per query (what the plan looks like at 100 TB).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from spear_spark import functions as sf
+from spear_spark.dataframe import DataFrame
+from spear_spark.sources import load_table, register_tables
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], SDF], str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return DataFrame(load_table(spark, sf_dir, name))
+
+
+# exact decimal views of the 2-decimal money / rate columns
+def D(c, prec: int = 12, scale: int = 2):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def one():
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def dsum(expr):
+    """SUM over exact decimals, surfaced as double (bit-identical in
+    Spark and DuckDB because the decimal value is exact)."""
+    return F.sum(expr).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# q01 — full-table aggregation (Aggregate, LogicalPlan.scala:344-357;
+# HashAggregate, HashAggregate.scala:11-47).  TPC-H Q1 shape.
+# Scale: partial (map-side) aggregation collapses 100 TB to ~8 groups
+# before the shuffle — the exchange moves a few KB per task.
+# ---------------------------------------------------------------------------
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = one() - D("l_discount", 3, 2)
+    charge = D("l_extendedprice") * disc * (one() + D("l_tax", 3, 2))
+    n = F.count(F.lit(1))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(D("l_quantity")).alias("sum_qty"),
+            dsum(D("l_extendedprice")).alias("sum_base_price"),
+            dsum(D("l_extendedprice") * disc).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(D("l_quantity")) / n).alias("avg_qty"),
+            (dsum(D("l_extendedprice")) / n).alias("avg_price"),
+            (dsum(D("l_discount", 3, 2)) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out.df
+
+
+# ---------------------------------------------------------------------------
+# q02 — scan + filter + project + sort + limit (Project/Filter/Sort/Limit).
+# Scale: the l_shipdate filter and 4-column projection push into the
+# parquet scan (PushedFilters / ReadSchema); top-k is TakeOrderedAndProject
+# (per-partition heap, no global sort).
+# ---------------------------------------------------------------------------
+@q(
+    "q02_filter_topk",
+    """
+    SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+           l_extendedprice AS price, l_discount AS discount
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1998-01-01' AND l_quantity > 45.0
+    ORDER BY price DESC, orderkey, partkey
+    LIMIT 25
+    """,
+)
+def q02_filter_topk(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45.0)
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+        )
+        .orderBy(F.col("price").desc(), "orderkey", "partkey")
+        .limit(25)
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — 3-way join + aggregation + top-k (TPC-H Q3 shape).
+# Scale: customer is the small side → broadcast; orders ⋈ lineitem is the
+# big shuffle on orderkey; AQE handles skew.
+# ---------------------------------------------------------------------------
+@q(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey AS orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      o_orderdate AS orderdate, o_orderpriority AS priority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    joined = cust.join(orders, F.col("c_custkey") == F.col("o_custkey")).join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(D("l_extendedprice") * (one() - D("l_discount", 3, 2))).alias("revenue"))
+        .df.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("revenue"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — theta join (equi + range residual).  The reference plans every
+# join as a nested loop (basicOperators.scala:78-100); here the equi part
+# becomes a broadcast-hash join with the range predicate as a post-join
+# filter — the scalable shape of a theta join.
+# ---------------------------------------------------------------------------
+@q(
+    "q04_theta_join",
+    """
+    SELECT p_brand AS brand, COUNT(*) AS n_over,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+    GROUP BY p_brand
+    ORDER BY brand
+    """,
+)
+def q04_theta_join(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (F.col("l_quantity") > F.col("p_size"))
+    return (
+        li.join(part, cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_over"), dsum(D("l_quantity")).alias("qty_sum"))
+        .orderBy("p_brand")
+        .df.withColumnRenamed("p_brand", "brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — self join with alias disambiguation (DeduplicateReferences,
+# Analyzer.scala:151-209; reference test LocalQueryCompilerSuite.scala:119-131).
+# Scale: both sides shuffle on o_custkey once; the pair explosion is
+# bounded by per-key order counts (~10), not table size.
+# ---------------------------------------------------------------------------
+@q(
+    "q05_self_join_pairs",
+    """
+    SELECT o1.o_custkey AS custkey, COUNT(*) AS n_pairs,
+           MIN(o2.o_orderkey) AS first_later_order
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+    GROUP BY o1.o_custkey
+    ORDER BY n_pairs DESC, custkey
+    LIMIT 100
+    """,
+)
+def q05_self_join_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = _t(spark, sf_dir, "orders")
+    o1 = orders.subquery("o1")
+    o2 = orders.subquery("o2")
+    cond = (F.col("o1.o_custkey") == F.col("o2.o_custkey")) & (
+        F.col("o1.o_orderkey") < F.col("o2.o_orderkey")
+    )
+    return (
+        o1.join(o2, cond)
+        .groupBy(F.col("o1.o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("o2.o_orderkey")).alias("first_later_order"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "custkey")
+        .limit(100)
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — selective scan aggregation (TPC-H Q6 shape).  All three predicates
+# push to the parquet reader; no shuffle at all (global agg of partials).
+# ---------------------------------------------------------------------------
+@q(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(D("l_extendedprice") * D("l_discount", 3, 2)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — left outer join + aggregation.  The reference declares LeftOuter
+# (LogicalPlan.scala:259-277) but never implemented it physically
+# (LocalQueryCompiler.scala:63-64) — Spark executes it natively.
+# ---------------------------------------------------------------------------
+@q(
+    "q07_customer_orders_left",
+    """
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    ORDER BY custkey
+    """,
+)
+def q07_customer_orders_left(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.leftJoin(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(D("o_totalprice", 14, 2)), F.lit(0).cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+        .df.withColumnRenamed("c_custkey", "custkey")
+        .withColumnRenamed("c_mktsegment", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — full outer join over two aggregates + CTE.  FullOuter is declared
+# but unimplemented in the reference; Spark's sort-merge join handles it.
+# ---------------------------------------------------------------------------
+@q(
+    "q08_nation_coverage",
+    """
+    WITH s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey),
+         c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey)
+    SELECT COALESCE(s.nk, c.nk) AS nationkey,
+           COALESCE(n_supp, 0) AS n_supp, COALESCE(n_cust, 0) AS n_cust
+    FROM s FULL OUTER JOIN c ON s.nk = c.nk
+    ORDER BY nationkey
+    """,
+)
+def q08_nation_coverage(spark: SparkSession, sf_dir: str) -> SDF:
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .subquery("s")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .subquery("c")
+    )
+    return (
+        supp.outerJoin(cust, F.col("s.nk") == F.col("c.nk"))
+        .select(
+            F.coalesce(F.col("s.nk"), F.col("c.nk")).alias("nationkey"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        )
+        .orderBy("nationkey")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — anti join (extension: the reference has no semi/anti joins or
+# subquery expressions; Spark's left_anti ≡ NOT EXISTS).
+# ---------------------------------------------------------------------------
+@q(
+    "q09_customers_without_orders",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10/q11/q12 — set operators with spear's pinned semantics (SURVEY §2.1 ⚠):
+# UNION is a bag (unionAll), INTERSECT/EXCEPT are multiset
+# (intersectAll/exceptAll ≡ basicOperators.scala:61-76).
+# ---------------------------------------------------------------------------
+@q(
+    "q10_union_bag",
+    """
+    SELECT k, COUNT(*) AS n FROM (
+      SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ) t GROUP BY k ORDER BY n DESC, k LIMIT 100
+    """,
+)
+def q10_union_bag(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k")
+    )
+    return (
+        li.union(orders)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "k")
+        .limit(100)
+        .df
+    )
+
+
+@q(
+    "q11_intersect_multiset",
+    """
+    SELECT suppkey, COUNT(*) AS n FROM (
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) t GROUP BY suppkey ORDER BY suppkey
+    """,
+)
+def q11_intersect_multiset(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    return (
+        a.intersect(r)
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("suppkey")
+        .df
+    )
+
+
+@q(
+    "q12_except_multiset",
+    """
+    SELECT suppkey, COUNT(*) AS n FROM (
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT ALL
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) t GROUP BY suppkey ORDER BY suppkey
+    """,
+)
+def q12_except_multiset(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    return (
+        a.except_(r)
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("suppkey")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — Distinct (LogicalPlan.scala:115-117; rewritten to group-by-all at
+# aggregationAnalysis.scala:25-30 — Spark's Deduplicate does the same with
+# map-side partials).
+# ---------------------------------------------------------------------------
+@q(
+    "q13_distinct",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey, c_mktsegment AS segment
+    FROM customer ORDER BY nationkey, segment
+    """,
+)
+def q13_distinct(spark: SparkSession, sf_dir: str) -> SDF:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"), F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .orderBy("nationkey", "segment")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — aggregate-over-window, spear style (any aggregate OVER a spec,
+# WindowFunction.scala:6-19) with spear's default ROWS frame pinned
+# (SURVEY §2.6 ⚠).
+# ---------------------------------------------------------------------------
+@q(
+    "q14_window_aggregates",
+    """
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice,
+      CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS max_cust_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent,
+      COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+    FROM orders ORDER BY orderkey
+    """,
+)
+def q14_window_aggregates(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.windows import Window as SpearWindow
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_part = W.partitionBy("o_custkey")
+    # spear default frame (ROWS unbounded-preceding → current) via our builder
+    w_run = SpearWindow().partitionBy("o_custkey").orderBy("o_orderkey").to_spark()
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.max(D("o_totalprice", 14, 2)).over(w_part).cast("double").alias("max_cust_price"),
+            F.sum(D("o_totalprice", 14, 2)).over(w_run).cast("double").alias("running_spent"),
+            F.count(F.lit(1)).over(w_part).alias("cust_orders"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — ranking window (extension: the reference has no ranking functions;
+# row_number comes free from Spark).  Top-3 per group pattern.
+# ---------------------------------------------------------------------------
+@q(
+    "q15_top3_per_nation",
+    """
+    SELECT nationkey, custkey, c_acctbal AS acctbal, rnk FROM (
+      SELECT c_nationkey AS nationkey, c_custkey AS custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer) t
+    WHERE rnk <= 3 ORDER BY nationkey, rnk
+    """,
+)
+def q15_top3_per_nation(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("nationkey", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — RANGE frame (RangeFrame, WindowSpec.scala:16-28).
+# Scale note: an unpartitioned ordered window is a single-task bottleneck —
+# real pipelines partition first; kept global here to pin frame semantics.
+# ---------------------------------------------------------------------------
+@q(
+    "q16_range_frame",
+    """
+    SELECT orderkey, nearby_revenue FROM (
+      SELECT o_orderkey AS orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+             (ORDER BY o_orderkey RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_revenue
+      FROM orders) t
+    WHERE orderkey <= 1000 ORDER BY orderkey
+    """,
+)
+def q16_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_orderkey").rangeBetween(-10, W.currentRow)
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.sum(D("o_totalprice", 14, 2)).over(w).cast("double").alias("nearby_revenue"),
+        )
+        .filter(F.col("orderkey") <= 1000)
+        .orderBy("orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — lag over event time (extension; exact integer math via
+# microsecond epochs so both engines agree bit-for-bit).
+# ---------------------------------------------------------------------------
+@q(
+    "q17_event_gaps",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      FROM events)
+    SELECT event_type, COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us,
+           MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q17_event_gaps(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — GROUP BY + HAVING via the Grouped builder (DataFrame.scala:199-220,
+# UnifyFilteredSortedAggregate / ExpandUnresolvedAggregates,
+# aggregationAnalysis.scala:89-323).
+# ---------------------------------------------------------------------------
+@q(
+    "q18_big_spenders",
+    """
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spent
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(CAST(o_totalprice AS DECIMAL(14,2))) > 3000000
+    ORDER BY custkey
+    """,
+)
+def q18_big_spenders(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .having(
+            (F.col("n_orders") >= 12)
+            & (F.col("spent_dec") > F.lit(3000000).cast("decimal(24,2)"))
+        )
+        .orderBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(D("o_totalprice", 14, 2)).alias("spent_dec"),
+        )
+        .df.select("custkey", "n_orders", F.col("spent_dec").cast("double").alias("spent"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — explicit null ordering (SortOrder.scala:16-44; spear default is
+# nulls-larger: ASC → NULLS LAST, pinned in DataFrame.orderBy ⚠).
+# ---------------------------------------------------------------------------
+@q(
+    "q19_sort_nulls",
+    """
+    SELECT o_orderkey AS orderkey, NULLIF(o_orderstatus, 'O') AS status
+    FROM orders ORDER BY status ASC NULLS LAST, orderkey LIMIT 500
+    """,
+)
+def q19_sort_nulls(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("orderkey"),
+            sf.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status"),
+        )
+        .orderBy("status", "orderkey")  # facade default = spear nulls-larger
+        .limit(500)
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — scalar expression library (SURVEY §2.4): null-skipping concat ⚠,
+# coalesce/nullif/case/greatest/least/power(^)/integral div ⚠/in/<=>.
+# ---------------------------------------------------------------------------
+@q(
+    "q20_scalar_functions",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+      concat(l_returnflag, NULLIF(l_linestatus, 'F')) AS flag_concat,
+      COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+      CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
+      GREATEST(l_discount, l_tax) AS max_rate,
+      LEAST(l_discount, l_tax) AS min_rate,
+      POWER(2.0, CAST(l_linenumber AS DOUBLE)) AS pow2,
+      l_orderkey // 100 AS okey_div,
+      l_returnflag IN ('A', 'N') AS is_an,
+      l_discount IS NOT DISTINCT FROM l_tax AS same_rate,
+      length(concat(l_returnflag, l_linestatus)) AS flag_len
+    FROM lineitem WHERE l_orderkey < 300
+    ORDER BY orderkey, linenumber
+    """,
+)
+def q20_scalar_functions(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return (
+        li.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            sf.concat(F.col("l_returnflag"), sf.nullif(F.col("l_linestatus"), F.lit("F"))).alias(
+                "flag_concat"
+            ),
+            sf.coalesce(sf.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+                "flag_or_none"
+            ),
+            sf.case_when(
+                (F.col("l_quantity") < 10, F.lit("low")),
+                (F.col("l_quantity") < 30, F.lit("mid")),
+                else_=F.lit("high"),
+            ).alias("qty_band"),
+            sf.greatest("l_discount", "l_tax").alias("max_rate"),
+            sf.least("l_discount", "l_tax").alias("min_rate"),
+            sf.power(F.lit(2.0), F.col("l_linenumber").cast("double")).alias("pow2"),
+            sf.div(F.col("l_orderkey"), F.lit(100)).alias("okey_div"),
+            sf.in_(F.col("l_returnflag"), "A", "N").alias("is_an"),
+            sf.null_safe_eq(F.col("l_discount"), F.col("l_tax")).alias("same_rate"),
+            sf.length(sf.concat("l_returnflag", "l_linestatus")).alias("flag_len"),
+        )
+        .orderBy("orderkey", "linenumber")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — aggregate function library (SURVEY §2.5): count distinct
+# (extension — the reference *rejects* distinct aggs,
+# aggregationAnalysis.scala:111-121), product, bool_and/bool_or,
+# deterministic first/last via min_by/max_by, order-pinned array_agg ⚠.
+# ---------------------------------------------------------------------------
+def _ordkey():
+    """Deterministic first/last ordering key: l_linenumber has duplicate
+    values within an order, so ties are broken by the picked value itself
+    (identical arithmetic in both engines)."""
+    return (
+        F.col("l_linenumber").cast("bigint") * F.lit(10000000000)
+        + F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    )
+
+
+@q(
+    "q21_aggregate_library",
+    """
+    SELECT l_orderkey AS orderkey,
+      COUNT(DISTINCT l_suppkey) AS n_supps,
+      ROUND(PRODUCT(1 + l_tax), 9) AS tax_factor,
+      bool_and(l_discount > 0.02) AS all_disc,
+      bool_or(l_quantity >= 45) AS any_big,
+      arg_min(l_extendedprice, l_linenumber * 10000000000 + CAST(round(l_extendedprice * 100) AS BIGINT)) AS first_price,
+      arg_max(l_extendedprice, l_linenumber * 10000000000 + CAST(round(l_extendedprice * 100) AS BIGINT)) AS last_price,
+      array_to_string(list_sort(array_agg(l_linenumber)), ',') AS linenums
+    FROM lineitem WHERE l_orderkey < 2000
+    GROUP BY l_orderkey ORDER BY orderkey
+    """,
+)
+def q21_aggregate_library(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("n_supps"),
+            F.round(sf.product(F.lit(1) + F.col("l_tax")), 9).alias("tax_factor"),
+            sf.bool_and(F.col("l_discount") > 0.02).alias("all_disc"),
+            sf.bool_or(F.col("l_quantity") >= 45).alias("any_big"),
+            F.min_by("l_extendedprice", _ordkey()).alias("first_price"),
+            F.max_by("l_extendedprice", _ordkey()).alias("last_price"),
+            F.array_join(sf.array_agg("l_linenumber", sort=True), ",").alias("linenums"),
+        )
+        .orderBy("orderkey")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — CTE + scalar subquery via the SQL entry point (With,
+# LogicalPlan.scala:382-390; TPC-H Q15 shape).  Runs through spark.sql on
+# registered views — the reference's Context.sql path.
+# ---------------------------------------------------------------------------
+_Q22_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey AS suppkey, s_name AS name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier JOIN revenue ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY suppkey
+"""
+
+
+@q("q22_top_supplier_cte", _Q22_SQL)
+def q22_top_supplier_cte(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q23 — FROM-less SELECT (SingleRowRelation, LogicalPlan.scala:89-91 /
+# OneRowRelation in Spark).
+# ---------------------------------------------------------------------------
+_Q23_SQL = """
+    SELECT 1 + 2 AS a, concat('sp', 'ear') AS b,
+           CAST(POWER(2, 10) AS BIGINT) AS c,
+           COALESCE(NULL, 'x') AS d, LEAST(3, 1, 2) AS e,
+           CAST(NULL AS INTEGER) IS NULL AS f
+"""
+
+
+@q("q23_select_no_from", _Q23_SQL)
+def q23_select_no_from(spark: SparkSession, sf_dir: str) -> SDF:
+    return spark.sql(_Q23_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q24 — event-time tumbling window over the batch events table
+# (date_trunc bucketing — the batch twin of the streaming rollup in
+# spear_spark.streaming).
+# ---------------------------------------------------------------------------
+@q(
+    "q24_hourly_rollup",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+    ORDER BY hour_ts, event_type
+    """,
+)
+def q24_hourly_rollup(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(D("value")).alias("value_sum"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("hour_ts", "event_type")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — semi-structured extraction from the JSON props column (regexp-based
+# so both engines share exact semantics; at scale prefer from_json with an
+# explicit schema — JVM-side, no Python).
+# ---------------------------------------------------------------------------
+@q(
+    "q25_json_extract",
+    r"""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS k_min,
+           MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q25_json_extract(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — ROLLUP grouping sets (extension: absent from the reference,
+# SURVEY §2.1 "notably absent"; free in Spark).
+# ---------------------------------------------------------------------------
+@q(
+    "q26_rollup",
+    """
+    SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region NULLS LAST, nation NULLS LAST
+    """,
+)
+def q26_rollup(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum(D("c_acctbal")).alias("bal_sum"))
+        .orderBy(F.col("region").asc_nulls_last(), F.col("nation").asc_nulls_last())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — pivot (extension, absent from the reference).  Explicit value list
+# keeps the output schema static — required for a deterministic plan and
+# a single-pass pivot at scale.
+# ---------------------------------------------------------------------------
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@q(
+    "q27_pivot_segments",
+    """
+    SELECT c_nationkey AS nationkey,
+      COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+      COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+      COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture,
+      COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS household,
+      COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
+    FROM customer GROUP BY c_nationkey ORDER BY nationkey
+    """,
+)
+def q27_pivot_segments(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    pivoted = (
+        cust.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .pivot("c_mktsegment", _SEGMENTS)
+        .count()
+    )
+    return pivoted.select(
+        "nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# q28 — explode / unnest (extension: no lateral views in the reference).
+# Scale: explode fans out ~100 words/doc; partial aggregation absorbs the
+# fan-out before the shuffle.
+# ---------------------------------------------------------------------------
+@q(
+    "q28_word_counts",
+    """
+    SELECT w AS word, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+    GROUP BY w ORDER BY n DESC, word LIMIT 50
+    """,
+)
+def q28_word_counts(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — as-of join (custom operator: Spark lacks it for batch; composed
+# from union + ordered window + last(ignorenulls), the shuffle-once
+# scalable shape — no per-row subqueries).  For each error event, the most
+# recent click by the same user at or before it.
+# ---------------------------------------------------------------------------
+@q(
+    "q29_asof_last_click",
+    """
+    WITH err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id AS event_id, MAX(CAST(c.ts AS TIMESTAMP)) AS prev_click_ts
+    FROM err e LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click' AND CAST(c.ts AS TIMESTAMP) <= e.ts
+    GROUP BY e.event_id ORDER BY event_id
+    """,
+)
+def q29_asof_last_click(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.asof import asof_join_last
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    out = asof_join_last(
+        errors, clicks, on="user_id", ts="ts", value="click_ts", result="prev_click_ts"
+    )
+    return out.select("event_id", "prev_click_ts").orderBy("event_id")

@@ -1,0 +1,74 @@
+"""Sources — table loading for the engine.
+
+The reference has **no file formats and no connectors** (SURVEY §2.3) —
+sources are lifted local collections and catalog lookups.  Spark gives
+us parquet/csv/json/orc plus streaming sources free; this module adds
+the project's testdata conventions.
+
+Scale notes (100 TB design point):
+* ``load_table`` returns the raw scan — filters/projections applied by
+  callers reach the parquet reader via Catalyst pushdown (verify with
+  ``.explain``: ``PushedFilters`` / ``ReadSchema``).
+* ``spark.sql.files.maxPartitionBytes`` (set in ``context.DEFAULT_CONF``)
+  splits large files into ~128 MB input partitions, so a 100 TB table
+  fans out to ~800k tasks — Spark's scheduler handles that; no custom
+  partitioning needed at scan time.
+* For repeated co-located joins (e.g. lineitem ⋈ orders on orderkey at
+  every query), persist bucketed copies via :func:`write_bucketed` —
+  bucket joins skip the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (TESTDATA.md layout).
+
+    The events table carries TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects — read nanos as long and surface microsecond
+    timestamps (matching DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer division — float division would lose precision on
+            # ~1.7e18 nanosecond values (double mantissa is 53 bits)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: tuple = TABLES) -> None:
+    """Expose the testdata star schema as temp views so SQL entry-point
+    queries can reference them by name (the reference's catalog
+    registration, ``Catalog.scala:18-33``)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame, name: str, bucket_col: str, num_buckets: int = 64, path: str | None = None
+) -> None:
+    """Persist a bucketed + sorted copy for shuffle-free co-located joins.
+
+    At 100 TB, lineitem ⋈ orders on orderkey is the dominant shuffle;
+    bucketing both sides on the join key by the same bucket count turns
+    every subsequent sort-merge join into a zero-exchange zipped scan.
+    """
+    writer = df.write.bucketBy(num_buckets, bucket_col).sortBy(bucket_col).mode("overwrite")
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)

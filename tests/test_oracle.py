@@ -1,0 +1,36 @@
+"""The primary correctness layer (SURVEY §5 layer 4, FIXTURES.md):
+every catalog query vs its DuckDB oracle at sf0.001, exact values."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_harness import compare, duck_connection
+
+
+def _catalog():
+    import __spark_entry__ as e
+
+    return e._catalog()
+
+
+CATALOG = _catalog()
+NAMES = sorted(CATALOG)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle(name, spark, sf_dir, duck):
+    fn, oracle = CATALOG[name]
+    df = fn(spark, sf_dir)
+    if oracle is None:
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    problems = compare(df, duck, oracle)
+    assert not problems, f"{name}: " + "; ".join(problems)
