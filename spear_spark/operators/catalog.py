@@ -1,0 +1,355 @@
+"""Pipeline-operator query catalog (dedup / similarity / text /
+multimodal) with generated DuckDB oracles.
+
+The oracle SQL for minhash/simhash is *generated* from the same
+constants as the Spark implementation (``dedup.minhash_perms``), so
+both engines compute the identical md5-based arithmetic — the oracle is
+a genuinely independent second implementation, not a copy of the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from spear_spark.operators import dedup, multimodal, similarity, text
+from spear_spark.sources import load_table
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], SDF], str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# shared SQL fragments ------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+# distinct 3-word shingles via list comprehension (mirrors dedup.shingles)
+_SHINGLES_CTE = rf"""
+  toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+  sh AS (SELECT DISTINCT doc_id,
+                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t)-2)]) AS s
+         FROM toks)
+"""
+_P = dedup.MERSENNE31
+_PERMS = dedup.minhash_perms(12)
+
+_SIG_CTE = (
+    f"WITH {_SHINGLES_CTE}, "
+    f"h AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % {_P} AS hv FROM sh), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"MIN(({a}*hv+{b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS))
+    + " FROM h GROUP BY doc_id)"
+)
+
+
+# ---------------------------------------------------------------------------
+# p01 — exact dedup: one shuffle on the 128-bit content hash; map-side
+# partial agg collapses duplicates before the exchange.
+# ---------------------------------------------------------------------------
+@q(
+    "p01_dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id
+    """,
+)
+def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").orderBy("keep_id")
+
+
+# ---------------------------------------------------------------------------
+# p02 — MinHash signatures: narrow projection, no shuffle; the signature
+# is the doc's reusable sketch for any downstream LSH pass.
+# ---------------------------------------------------------------------------
+@q(
+    "p02_minhash_signatures",
+    _SIG_CTE + " SELECT * FROM sig ORDER BY doc_id",
+)
+def p02_minhash_signatures(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "text", "doc_id", k=12).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p03 — LSH banding: candidate pairs share ≥1 of 4 bands (3 rows each).
+# The O(n²) pair space shrinks to same-bucket pairs.
+# ---------------------------------------------------------------------------
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    f"md5(concat_ws('_', {', '.join(f'CAST(mh{bi*3+j} AS VARCHAR)' for j in range(3))})) AS bh "
+    "FROM sig"
+    for bi in range(4)
+)
+
+
+@q(
+    "p03_minhash_lsh_pairs",
+    _SIG_CTE
+    + f""", bands AS ({_BANDS_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b
+    """,
+)
+def p03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=12, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p04 — SimHash fingerprints: explode + one groupBy; the 32-bit
+# fingerprint doubles as a clustering key for near-dup blocking.
+# ---------------------------------------------------------------------------
+_SIMHASH_SQL = (
+    f"WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents), "
+    "tok AS (SELECT doc_id, unnest(t) AS w FROM toks), "
+    "h AS (SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS th FROM tok), "
+    "v AS (SELECT doc_id, "
+    + ", ".join(f"SUM(((th >> {b}) & 1)*2 - 1) AS v{b}" for b in range(32))
+    + " FROM h GROUP BY doc_id) "
+    "SELECT doc_id, "
+    + " + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(32))
+    + " AS simhash FROM v ORDER BY doc_id"
+)
+
+
+@q("p04_simhash", _SIMHASH_SQL)
+def p04_simhash(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id", bits=32).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p05 — n-gram Jaccard: inverted-index pair join; at 100 TB this runs on
+# LSH candidates only (see dedup.ngram_jaccard_pairs docstring).
+# ---------------------------------------------------------------------------
+@q(
+    "p05_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100
+    """,
+)
+def p05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", top=100)
+
+
+# ---------------------------------------------------------------------------
+# p06 — embedding near-dup: top-1 cosine neighbor per vector within its
+# label block (blocked kNN join — O(Σ block²) instead of O(n²)).
+# ---------------------------------------------------------------------------
+_COS = (
+    "ROUND(SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)) / "
+    "(SQRT(SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))) * "
+    "SQRT(SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))), 6)"
+)
+
+
+@q(
+    "p06_embedding_nn",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_COS} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+      CROSS JOIN range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT va AS vec_id, vb AS nn_id, cos AS cos_sim FROM (
+      SELECT va, vb, cos,
+             ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+      FROM pairs) t
+    WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def p06_embedding_nn(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join_blocked(emb, "embedding", "vec_id", "label", k=1).orderBy(
+        "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p07 — brute-force cosine top-k for a fixed query vector (the exact ANN
+# baseline): one projection over the scan + TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@q(
+    "p07_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe, vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT vec_id, cos_sim FROM (
+      SELECT e.vec_id,
+        ROUND(SUM(CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE)) /
+          (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) *
+           SQRT(SUM(CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE)))), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+      WHERE e.vec_id <> q.qid
+      GROUP BY e.vec_id) t
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def p07_cosine_topk(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    return similarity.cosine_topk(
+        emb, "embedding", "vec_id", list(qrow.embedding), k=10, exclude_id=qrow.vec_id
+    )
+
+
+# ---------------------------------------------------------------------------
+# p08 — language ID (stopword-ratio heuristic, text.lang_id).
+# ---------------------------------------------------------------------------
+def _lang_sql() -> str:
+    hits = {
+        lang: (
+            f"CAST(len(list_filter(t, x -> x IN "
+            f"({', '.join(repr(w) for w in text.STOPWORDS[lang])}))) AS DOUBLE) / greatest(len(t), 1)"
+        )
+        for lang in text.LANG_ORDER
+    }
+    scores = ", ".join(f"{expr} AS s_{lang}" for lang, expr in hits.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in text.LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in text.LANG_ORDER
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    scored AS (SELECT doc_id, lang, {scores} FROM toks)
+    SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang FROM scored ORDER BY doc_id
+    """
+
+
+@q("p08_lang_id", _lang_sql())
+def p08_lang_id(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id("text").alias("detected_lang"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p09 — quality scoring (text.quality_score).
+# ---------------------------------------------------------------------------
+_EN = ", ".join(repr(w) for w in text.STOPWORDS["en"])
+
+
+@q(
+    "p09_quality_score",
+    rf"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS t,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+      FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                 CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits,
+                 nc
+          FROM s)
+    SELECT doc_id,
+           ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+               + 0.4 * (hits / n_tok)
+               + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) AS quality
+    FROM m ORDER BY doc_id
+    """,
+)
+def p09_quality_score(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p10 — token counting: whitespace tokens, distinct tokens, chars, and
+# BPE-ish pre-tokens (letter/digit runs + punctuation).
+# ---------------------------------------------------------------------------
+@q(
+    "p10_token_stats",
+    rf"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_distinct,
+           length(text) AS n_chars,
+           len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS n_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p10_token_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.distinct_token_count("text").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        text.bpe_token_count("text").alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p11 — document fingerprint (md5 of sorted distinct token set) + group
+# sizes: the canonical fuzzy-dedup key.
+# ---------------------------------------------------------------------------
+@q(
+    "p11_fingerprint",
+    rf"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+      FROM documents)
+    SELECT fp AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM fp GROUP BY fp ORDER BY keep_id
+    """,
+)
+def p11_fingerprint(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p12 — multimodal decode plumbing: binary payload through Arrow-batched
+# mapInPandas (real schema/batch machinery; decode backend stubbed with
+# deterministic md5-derived dimensions — see operators.multimodal).
+# ---------------------------------------------------------------------------
+@q(
+    "p12_multimodal_decode",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ('0x'||substr(md5(text),1,4))::BIGINT % 1920 + 1 AS width,
+           ('0x'||substr(md5(text),5,4))::BIGINT % 1080 + 1 AS height,
+           'fake' AS format
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p12_multimodal_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary(docs, "text")
+    return multimodal.decode_images(with_payload, "doc_id", "payload").orderBy("doc_id")

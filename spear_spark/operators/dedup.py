@@ -1,0 +1,201 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All engine-portable (md5-based hashing — identical in Spark and DuckDB)
+and expressed as DataFrame compositions so Catalyst plans the shuffles.
+
+Scale design (the point of each algorithm at 100 TB):
+
+* **exact** — one hash-partition shuffle on a 128-bit content hash;
+  map-side partial aggregation collapses duplicates before the exchange.
+* **MinHash LSH** — per-doc signatures are a narrow projection (no
+  shuffle); banding turns near-dup search from O(n²) into a groupBy on
+  (band, band_hash) buckets: only same-bucket docs are paired.  Bucket
+  skew (a band-hash with millions of docs) is the failure mode — cap
+  bucket size or salt before the pair join.
+* **SimHash** — one 64-bit fingerprint per doc via a single explode +
+  re-aggregate; near-dup = same fingerprint (or small Hamming distance
+  via rotations).  Cheapest of the fuzzy family.
+* **n-gram Jaccard** — exact pairwise similarity via an inverted index
+  (explode shingles → self-join on shingle → count).  Quadratic in the
+  worst case; at scale always run it *after* LSH/SimHash blocking to
+  verify candidates, never standalone.
+
+Hash convention (engine-portable): ``h64(s) = int(md5(s)[:15], 16)``,
+``h32(s) = int(md5(s)[:8], 16)`` — computed in Spark as
+``conv(substring(md5(s),1,N),16,10)`` and in DuckDB as
+``('0x'||substr(md5(s),1,N))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spear_spark.operators.text import tokens
+
+MERSENNE31 = 2147483647  # modulus keeps a*h+b inside int64
+
+
+def h64(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def h32(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_perms(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for k permutations
+    h_i(x) = (a_i * x + b_i) mod 2^31-1, via a fixed LCG so the DuckDB
+    oracle can regenerate the identical constants."""
+    perms, state = [], seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = 1 + state % (MERSENNE31 - 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MERSENNE31
+        perms.append((a, b))
+    return perms
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (token n-grams).  Word-level shingling
+    is the standard unit for document near-dup (vs char k-grams)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(empty))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized content hash: one row per distinct
+    content, keeping the smallest id (canonical representative)."""
+    key = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.groupBy(key.alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 12, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature as k columns mh0..mh{k-1}.  Pure
+    projection — each signature column is array_min over the shingle
+    hashes; no explode, no shuffle."""
+    sh = shingles(text_col, shingle_n)
+
+    def perm_min(a: int, b: int) -> Column:
+        # closure (not lambda default args — PySpark reads lambda arity
+        # as the higher-order function's variable count)
+        return F.array_min(
+            F.transform(sh, lambda s: (F.lit(a) * (h64(s) % MERSENNE31) + F.lit(b)) % MERSENNE31)
+        )
+
+    out = [F.col(id_col)]
+    for i, (a, b) in enumerate(minhash_perms(k)):
+        out.append(perm_min(a, b).alias(f"mh{i}"))
+    return df.select(*out)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket.
+    Returns (doc_a, doc_b, shared_bands).  rows/band = k/bands."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh{bi * r + j}").cast("string") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bh"),
+            )
+        )
+    stacked = band_rows[0]
+    for b in band_rows[1:]:
+        stacked = stacked.unionAll(b)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint over distinct tokens: bit b of the
+    fingerprint is the majority vote of bit b across token hashes.
+    Single explode + one groupBy (partial aggregation collapses the
+    token fan-out map-side)."""
+    toks = F.array_distinct(tokens(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
+        "th", h32(F.col("tok"))
+    )
+    votes = [
+        F.sum(((F.shiftright(F.col("th"), b) % 2) * 2 - 1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, top: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard for all doc pairs sharing ≥1 shingle, via an
+    inverted index (explode → self-join on shingle → count).  Returns
+    (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+
+    Scale: run on LSH candidates, not the full corpus — the shingle
+    join explodes on stop-shingles.  Drop shingles with document
+    frequency above a cap first (df-based pruning) when standalone."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    if top:
+        out = out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top)
+    return out

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine` / :func:`dot` — pure-Column vector math via
+  ``zip_with`` + ``aggregate`` (JVM-side fold, no Python).
+* :func:`cosine_topk` — brute-force top-k against a driver-side query
+  vector: broadcast-by-literal, one narrow projection + TakeOrdered.
+  The exact baseline every ANN variant is measured against.
+* :func:`knn_join_blocked` — top-1 neighbor per vector within a
+  blocking key (label / LSH bucket / IVF cell): turns O(n²) into
+  O(Σ block²).
+* :func:`lsh_bucket` — random-hyperplane LSH (sign bits of fixed
+  seeded projections) for scale-path candidate generation; buckets
+  co-locate likely neighbors so the pair join is block-local.
+
+Scale: brute force is O(n·d) per query — fine for batched scoring
+(broadcast the query batch, one pass over 100 TB).  For repeated
+online queries, LSH/IVF bucketing bounds each lookup to one bucket's
+vectors; the bucket id is computable at write time and used as a
+partition/cluster key so queries prune partitions.
+
+Cosine values are rounded to 6dp before ranking so ordering is stable
+across summation orders (FP addition is not associative; two engines
+or two partitionings may differ in the last ulp).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def vec_lit(v: Sequence[float]) -> Column:
+    """Driver-side query vector as a literal array (broadcast by plan)."""
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k for one query vector.  Plans as a
+    single projection over the scan + TakeOrderedAndProject."""
+    q = vec_lit(query)
+    out = df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join_blocked(
+    df: DataFrame, vec_col: str, id_col: str, block_col: str, k: int = 1
+) -> DataFrame:
+    """Top-k nearest neighbor per vector within its block.
+    Returns (id, nn_id, cos_sim[, rank when k>1])."""
+    a = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("ida"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "blk").filter(F.col("ida") != F.col("idb"))
+    scored = pairs.select(
+        F.col("ida"), F.col("idb"), cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    )
+    w = W.partitionBy("ida").orderBy(F.col("cos_sim").desc(), F.col("idb"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    out = ranked.select(
+        F.col("ida").alias(id_col), F.col("idb").alias("nn_id"), "cos_sim",
+        *(["rnk"] if k > 1 else []),
+    )
+    return out
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1): sign bits of
+    fixed seeded projections.  Deterministic given (dim, n_planes, seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        proj = dot(vec_col, F.array(*[F.lit(float(x)) for x in planes[i]]))
+        bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.  Recall
+    depends on n_planes; at scale the bucket id is precomputed and used
+    as a partition key so this prunes the scan itself."""
+    dim = len(query)
+    bucketed = df.withColumn("_bkt", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qb = sum(2**i for i in range(n_planes) if float(np.dot(planes[i], query)) > 0)
+    return cosine_topk(bucketed.filter(F.col("_bkt") == qb), vec_col, id_col, query, k)

@@ -1,0 +1,96 @@
+"""Text analysis operators for large-scale training-data pipelines:
+language ID (stopword n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), document fingerprinting.
+
+All pure-Column implementations — JVM-side, codegen-eligible, zero
+Python in the hot path.  At 100 TB these run as a single narrow
+projection over the scan: no shuffle, no UDF serialization.
+
+The reference has no text functions beyond concat/rlike/length
+(SURVEY §2.4); this module is a north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# heuristic.  Deterministic and engine-portable (plain IN lists).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "une", "que", "pour", "dans", "est"),
+    "zh": ("的", "了", "是", "我", "不", "在", "人", "有", "他", "这"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens (with repeats) in the language's stopword list."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio in [0, 1]."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    return {lang: stopword_hits(toks, lang).cast("double") / n for lang in LANG_ORDER}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language by stopword ratio, 'und' (undetermined) when all
+    ratios are zero.  Ties resolve in LANG_ORDER — a fixed, documented
+    priority so the operator is deterministic across engines/partitions."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build when-chain in reverse priority so earlier langs win ties
+    for lang in reversed(LANG_ORDER):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0, 1]: length saturation, stopword
+    ratio, mean-word-length saturation.  Fixed double-math formula
+    (identical operation order in the DuckDB oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chars_nospace = F.length(F.regexp_replace(c, r"\s+", "")).cast("double")
+    stop_ratio = stopword_hits(toks, "en").cast("double") / n_tok
+    len_sat = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    awl_sat = F.least((n_chars_nospace / n_tok) / F.lit(8.0), F.lit(1.0))
+    return F.round(F.lit(0.3) * len_sat + F.lit(0.4) * stop_ratio + F.lit(0.3) * awl_sat, 6)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set.  The canonical key for fuzzy-then-exact dedup passes."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
