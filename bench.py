@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice cold-ish (count() to materialize) and the
+minimum is reported, so JVM warmup doesn't dominate single-digit-second
+queries.  The headline set spans the operator families: scan-agg, join,
+window, set-op, self-join, dedup, similarity, text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_self_join_pairs",
+    "q06_forecast_revenue",
+    "q07_customer_orders_left",
+    "q14_window_aggregates",
+    "q21_aggregate_library",
+    "q22_top_supplier_cte",
+    "q24_hourly_rollup",
+    "q29_asof_last_click",
+    "p01_dedup_exact",
+    "p02_minhash_signatures",
+    "p05_ngram_jaccard",
+    "p06_embedding_nn",
+    "p07_cosine_topk",
+    "p09_quality_score",
+]
+
+
+def main() -> None:
+    from spear_spark.context import get_spark
+
+    spark = get_spark(
+        app_name="spear_spark_bench",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # warm the JVM + file-system cache once with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -187,9 +187,12 @@ _COS = (
 )
 def p06_embedding_nn(spark: SparkSession, sf_dir: str) -> SDF:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_join_blocked(emb, "embedding", "vec_id", "label", k=1).orderBy(
-        "vec_id"
-    )
+    # vectorized variant: one BLAS matmul per label block via
+    # applyInPandas (same results as similarity.knn_join_blocked,
+    # which stays as the pure-Column reference implementation)
+    return similarity.knn_join_blocked_vectorized(
+        emb, "embedding", "vec_id", "label", k=1
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -60,14 +60,27 @@ def minhash_perms(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles (token n-grams).  Word-level shingling
-    is the standard unit for document near-dup (vs char k-grams)."""
+    is the standard unit for document near-dup (vs char k-grams).
+
+    Implementation note: built with ``zip_with`` over shifted slices,
+    NOT ``transform`` + ``element_at`` — inside interpreted HOF lambdas
+    each ``element_at(tokens_expr, i)`` re-evaluates the underlying
+    regex split per element access (observed ~100× slowdown on 100-token
+    docs).  ``zip_with`` evaluates each array argument exactly once."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
+    big = F.greatest(F.size(toks), F.lit(1))
+    grams = toks
+    for j in range(1, n):
+        # zip pads the shorter (shifted) side with null; F.concat
+        # null-propagates so overhanging grams become null and are
+        # trimmed by the final slice.
+        shifted = F.slice(toks, j + 1, big)
+        grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    n_grams = F.size(toks) - (n - 1)
     empty = F.array().cast("array<string>")
-    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(empty))
+    return F.array_distinct(
+        F.when(n_grams >= 1, F.slice(grams, 1, n_grams)).otherwise(empty)
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -174,20 +187,52 @@ def ngram_jaccard_pairs(
     Scale: run on LSH candidates, not the full corpus — the shingle
     join explodes on stop-shingles.  Drop shingles with document
     frequency above a cap first (df-based pruning) when standalone."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    # Single-pipeline inverted index, no self-join and no count join:
+    # each exploded row carries its doc's shingle count, the posting
+    # list groups (doc_id, n) structs per shingle, and ordered pair
+    # combinations come straight off the sorted posting list.  Two
+    # shuffles total (shingle, pair); the shingle explode is evaluated
+    # exactly once.  Posting-list length is the skew knob: at corpus
+    # scale, cap document frequency first (stop-shingles contribute ~0
+    # to Jaccard ranking but quadratic pairs).
+    # Materialize the shingle array as a column BEFORE the explode:
+    # referencing the shingle expression twice in the generator's
+    # projection would re-evaluate the whole transform per exploded row
+    # (observed 50× slowdown).  With `shs` as a child-projection column,
+    # Generate keeps it computed once per doc and `size` is O(1).
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("shs")
     )
-    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    sh = base.select(
+        F.struct(F.col("id"), F.size("shs").alias("n")).alias("d"),
+        F.explode("shs").alias("s"),
+    )
+    postings = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     out = (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        pair.groupBy(
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
         .select(
             "doc_a",
             "doc_b",

@@ -94,6 +94,57 @@ def knn_join_blocked(
     return out
 
 
+def knn_join_blocked_vectorized(
+    df: DataFrame, vec_col: str, id_col: str, block_col: str, k: int = 1
+) -> DataFrame:
+    """BLAS-vectorized blocked kNN via applyInPandas: one numpy matmul
+    per block instead of per-pair array allocation.  ~10-100× faster
+    than the Column-fold version — this is the case where built-in
+    operators genuinely can't express the computation efficiently
+    (pairwise dense linear algebra), so an Arrow-batched grouped UDF is
+    the right tool.
+
+    Scale: one shuffle on the block key; per-block work is an in-memory
+    B×B matmul, so the block size must be bounded (that's the job of
+    the blocking key — IVF cell / LSH bucket / category).  Results are
+    identical to the fold version: cosine rounded to 6dp, ties broken
+    by neighbor id.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("nn_id", df.schema[id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+        + ([StructField("rnk", LongType())] if k > 1 else [])
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        cos = np.round((v @ v.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(cos, -np.inf)
+        rows = []
+        for r in range(len(ids)):
+            # order by (-cos, nn_id): lexsort keys are applied last-first
+            order = np.lexsort((ids, -cos[r]))[: min(k, len(ids) - 1)]
+            for rank, c in enumerate(order, start=1):
+                rows.append(
+                    (ids[r], ids[c], float(cos[r, c])) + ((rank,) if k > 1 else ())
+                )
+        cols = [id_col, "nn_id", "cos_sim"] + (["rnk"] if k > 1 else [])
+        return pd.DataFrame(rows, columns=cols)
+
+    return df.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
+        per_block, out_schema
+    )
+
+
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
     """Random-hyperplane LSH bucket id (0..2^n_planes-1): sign bits of
     fixed seeded projections.  Deterministic given (dim, n_planes, seed)."""
