@@ -974,6 +974,78 @@ def q28_word_counts(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q30 — right outer join (JoinType RightOuter, LogicalPlan.scala:259-277;
+# declared but never physically implemented in the reference).
+# ---------------------------------------------------------------------------
+@q(
+    "q30_right_join",
+    """
+    SELECT n_nationkey AS nationkey, n_name AS nation, COUNT(s_suppkey) AS n_supp
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name ORDER BY nationkey
+    """,
+)
+def q30_right_join(spark: SparkSession, sf_dir: str) -> SDF:
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.rightJoin(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").alias("n_supp"))
+        .orderBy("nationkey")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — cross join (bare JOIN without condition; the reference's only
+# physical join is the cartesian nested loop, basicOperators.scala:78-100).
+# Kept small-side × small-side: a cartesian over big tables is a bug,
+# not a query.
+# ---------------------------------------------------------------------------
+@q(
+    "q31_cross_join",
+    """
+    SELECT r_name AS region, n_name AS nation
+    FROM region CROSS JOIN nation
+    ORDER BY region, nation
+    """,
+)
+def q31_cross_join(spark: SparkSession, sf_dir: str) -> SDF:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .orderBy("region", "nation")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — named window via the SQL WINDOW clause (WindowDef,
+# LogicalPlan.scala:392-396; InlineWindowDefinitions,
+# windowAnalysis.scala:56-94).  Spark SQL supports the clause natively;
+# frames pinned explicitly per spear's ROWS default (SURVEY §2.6 ⚠).
+# ---------------------------------------------------------------------------
+_Q32_SQL = """
+    SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_bal,
+           COUNT(*) OVER w AS seen
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY custkey
+"""
+
+
+@q("q32_named_window", _Q32_SQL)
+def q32_named_window(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("customer",))
+    return spark.sql(_Q32_SQL)
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most

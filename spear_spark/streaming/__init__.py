@@ -1,0 +1,106 @@
+"""Structured Streaming extensions over the events table.
+
+The reference has no streaming at all (SURVEY §2.7); these are
+north-star extensions built the Spark-idiomatic way: ``readStream`` →
+declarative transforms → ``writeStream``, watermarks for late data,
+built-in tumbling/session windows for stateful aggregation (no custom
+state management — ``window``/``session_window`` aggregations are
+JVM-native and incremental).
+
+Scale notes:
+* the file source scales by listing — in production this is Kafka/
+  Kinesis with receiver parallelism = topic partitions;
+* watermark delay bounds state size: state per (window × event_type)
+  key is dropped once the watermark passes the window end;
+* session windows keep one state row per active (user, session) —
+  memory is O(active users), not O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema (ts stored as TIMESTAMP(NANOS) which
+# Spark reads as long under nanosAsLong — converted to µs below)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events directory with the explicit
+    schema streaming requires (no inference on streams)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source lists a directory; events is a single file, so
+    # point at the dir and glob-filter (in production: a landing dir
+    # receiving new files, or Kafka)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window rollup with late-data handling: counts + value
+    sum per (hour, event_type).  The streaming twin of the batch
+    q24_hourly_rollup query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("hour_ts"), "event_type", "n", "value_sum")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: built-in ``session_window`` keeps the
+    stateful merge logic JVM-side (vs hand-rolled
+    applyInPandasWithState) — sessions close after ``gap`` of
+    inactivity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> None:
+    """Drain everything currently available into an in-memory table
+    (test/backfill harness; production sinks are kafka/delta/parquet)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

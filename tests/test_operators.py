@@ -1,0 +1,175 @@
+"""Unit tests for the pipeline operators on constructed micro-data
+(the oracle suite covers them on real testdata; these pin semantics on
+hand-built edge cases)."""
+
+from pyspark.sql import functions as F
+
+from spear_spark.operators import dedup, similarity, text
+from spear_spark.operators.asof import asof_join_last
+
+
+class TestExactDedup:
+    def test_keeps_min_id_and_counts(self, ctx):
+        df = ctx.lift(
+            [(1, "Hello  World"), (2, "hello  world"), (3, "other")],
+            "doc_id: long, text: string",
+        ).df
+        # normalization is lower+trim only — internal whitespace is
+        # significant, but case is not
+        got = {
+            r.keep_id: r.n_copies
+            for r in dedup.exact_dedup(df, "text", "doc_id").collect()
+        }
+        assert got == {1: 2, 3: 1}
+
+
+class TestShingles:
+    def test_short_doc_empty(self, ctx):
+        df = ctx.lift([("a b",)], "text: string").df
+        got = df.select(dedup.shingles("text", 3).alias("s")).collect()[0].s
+        assert got == []
+
+    def test_three_tokens_one_shingle(self, ctx):
+        df = ctx.lift([("a b c",)], "text: string").df
+        got = df.select(dedup.shingles("text", 3).alias("s")).collect()[0].s
+        assert got == ["a b c"]
+
+    def test_distinct(self, ctx):
+        df = ctx.lift([("x y x y x y",)], "text: string").df
+        got = sorted(df.select(dedup.shingles("text", 3).alias("s")).collect()[0].s)
+        assert got == ["x y x", "y x y"]
+
+
+class TestMinhash:
+    def test_identical_docs_same_signature(self, ctx):
+        df = ctx.lift(
+            [(1, "the quick brown fox jumps over"), (2, "the quick brown fox jumps over")],
+            "doc_id: long, text: string",
+        ).df
+        sig = dedup.minhash_signatures(df, "text", "doc_id", k=8).collect()
+        assert tuple(sig[0])[1:] == tuple(sig[1])[1:]
+
+    def test_lsh_finds_identical_pair(self, ctx):
+        df = ctx.lift(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "completely different words entirely here now today"),
+            ],
+            "doc_id: long, text: string",
+        ).df
+        pairs = {
+            (r.doc_a, r.doc_b): r.shared_bands
+            for r in dedup.minhash_lsh_pairs(df, "text", "doc_id", k=12, bands=4).collect()
+        }
+        assert pairs.get((1, 2)) == 4  # identical docs share every band
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+class TestSimhash:
+    def test_same_tokens_same_hash(self, ctx):
+        df = ctx.lift(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta epsilon zeta")],
+            "doc_id: long, text: string",
+        ).df
+        got = {r.doc_id: r.simhash for r in dedup.simhash(df, "text", "doc_id").collect()}
+        assert got[1] == got[2]  # order-insensitive (distinct token set)
+        assert got[1] != got[3]
+
+
+class TestJaccard:
+    def test_exact_value(self, ctx):
+        # doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
+        df = ctx.lift(
+            [(1, "a b c d"), (2, "a b c")], "doc_id: long, text: string"
+        ).df
+        got = dedup.ngram_jaccard_pairs(df, "text", "doc_id").collect()
+        assert len(got) == 1
+        assert (got[0].doc_a, got[0].doc_b, got[0].jaccard) == (1, 2, 0.5)
+
+
+class TestSimilarity:
+    def test_vectorized_matches_column_version(self, ctx):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        data = [
+            (i, [float(x) for x in rng.normal(size=8)], int(i % 2)) for i in range(20)
+        ]
+        df = ctx.lift(data, "vec_id: long, embedding: array<double>, label: int").df
+        a = {
+            (r.vec_id, r.nn_id, r.cos_sim)
+            for r in similarity.knn_join_blocked(df, "embedding", "vec_id", "label").collect()
+        }
+        b = {
+            (r.vec_id, r.nn_id, r.cos_sim)
+            for r in similarity.knn_join_blocked_vectorized(
+                df, "embedding", "vec_id", "label"
+            ).collect()
+        }
+        assert a == b
+
+    def test_topk_self_excluded_and_ordered(self, ctx):
+        df = ctx.lift(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "vec_id: long, embedding: array<double>",
+        ).df
+        got = similarity.cosine_topk(
+            df, "embedding", "vec_id", [1.0, 0.0], k=2, exclude_id=1
+        ).collect()
+        assert [(r.vec_id, r.cos_sim) for r in got] == [(2, 1.0), (3, 0.0)]
+
+    def test_ann_lsh_returns_bucket_subset(self, ctx):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        data = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+        df = ctx.lift(data, "vec_id: long, embedding: array<double>").df
+        q = data[0][1]
+        ann = similarity.ann_topk_lsh(df, "embedding", "vec_id", q, k=5, n_planes=4)
+        exact = similarity.cosine_topk(df, "embedding", "vec_id", q, k=5)
+        ann_ids = {r.vec_id for r in ann.collect()}
+        # the query's own bucket contains the query vector itself
+        assert 0 in ann_ids
+        assert len(ann_ids) <= 5
+        # ANN top-1 should usually agree with exact top-1 (same vector)
+        assert exact.collect()[0].vec_id == 0
+
+
+class TestText:
+    def test_lang_id_english(self, ctx):
+        df = ctx.lift([("the cat is in the house",)], "text: string").df
+        assert df.select(text.lang_id("text").alias("l")).collect()[0].l == "en"
+
+    def test_lang_id_und_when_no_stopwords(self, ctx):
+        df = ctx.lift([("zzz qqq xxx",)], "text: string").df
+        assert df.select(text.lang_id("text").alias("l")).collect()[0].l == "und"
+
+    def test_quality_bounds(self, ctx):
+        df = ctx.lift([("the of and to in a is it you that " * 10,)], "text: string").df
+        q = df.select(text.quality_score("text").alias("q")).collect()[0].q
+        assert 0.0 <= q <= 1.0
+
+    def test_fingerprint_order_insensitive(self, ctx):
+        df = ctx.lift(
+            [(1, "alpha beta gamma"), (2, "gamma alpha beta gamma")],
+            "id: long, text: string",
+        ).df
+        fps = [r.f for r in df.select(text.fingerprint("text").alias("f")).collect()]
+        assert fps[0] == fps[1]  # same distinct token set
+
+
+class TestAsof:
+    def test_basic_tie_and_missing(self, ctx):
+        left = ctx.lift(
+            [(1, 10, 100), (1, 5, 101), (2, 10, 102)], "k: int, ts: int, ev: int"
+        ).df
+        right = ctx.lift(
+            [(1, 10, "r@10"), (1, 3, "r@3")], "k: int, ts: int, val: string"
+        ).df
+        got = {
+            r.ev: r.prev
+            for r in asof_join_last(left, right, on="k", ts="ts", value="val", result="prev").collect()
+        }
+        # ev 100 at ts=10: right row at ts=10 counts (inclusive bound)
+        assert got == {100: "r@10", 101: "r@3", 102: None}

@@ -1,0 +1,45 @@
+"""Streaming tests: batch-equivalence of the streaming rollup (the
+driver can't collect a stream, so correctness is pinned by comparing
+the drained availableNow result against the batch q24 aggregation)."""
+
+from pyspark.sql import functions as F
+
+from spear_spark.sources import load_table
+from spear_spark.streaming import (
+    hourly_rollup_stream,
+    run_available_now,
+    sessionize_stream,
+    stream_events,
+)
+
+
+def test_hourly_rollup_matches_batch(spark, sf_dir):
+    stream = hourly_rollup_stream(stream_events(spark, sf_dir))
+    run_available_now(stream, "rollup_test")
+    got = {
+        (r.hour_ts, r.event_type): (r.n, r.value_sum)
+        for r in spark.table("rollup_test").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.hour_ts, r.event_type): (r.n, r.value_sum)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_runs_and_bounds(spark, sf_dir):
+    stream = sessionize_stream(stream_events(spark, sf_dir), gap="10 minutes")
+    run_available_now(stream, "sessions_test")
+    rows = spark.table("sessions_test").collect()
+    assert len(rows) > 0
+    assert all(r.session_end > r.session_start for r in rows)
+    assert all(r.n_events >= 1 for r in rows)

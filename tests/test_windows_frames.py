@@ -1,0 +1,58 @@
+"""Window-frame semantics: spear's default frame is ROWS
+UNBOUNDED PRECEDING → CURRENT ROW (WindowSpec.scala:78-102), Spark's is
+RANGE when ordered — the delta shows on order-by ties (SURVEY §2.6 ⚠)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as SparkW
+
+from spear_spark.windows import CURRENT_ROW, UNBOUNDED_PRECEDING, Window, over
+
+
+def test_default_frame_is_rows_not_range(ctx):
+    # two rows tie on the order key; RANGE puts both in each other's
+    # frame (running sum jumps to 3 for both), ROWS does not.
+    df = ctx.lift([("a", 1, 1), ("a", 1, 2)], "k: string, o: int, v: int").df
+    spear_w = Window().partitionBy("k").orderBy("o", "v").to_spark()
+    got = [
+        r.s
+        for r in df.select(F.sum("v").over(spear_w).alias("s")).orderBy("s").collect()
+    ]
+    assert got == [1, 3]  # ROWS: first row sees only itself
+
+    spark_default = SparkW.partitionBy("k").orderBy(F.lit(1))
+    # (sanity: Spark's RANGE default over a constant order key puts both
+    # rows in one frame)
+    got_range = [
+        r.s
+        for r in df.select(F.sum("v").over(spark_default).alias("s")).collect()
+    ]
+    assert got_range == [3, 3]
+
+
+def test_explicit_rows_frame(ctx):
+    df = ctx.lift([(1, 10), (2, 20), (3, 30)], "o: int, v: int").df
+    w = Window().orderBy("o").rowsBetween(UNBOUNDED_PRECEDING, CURRENT_ROW)
+    got = [r.s for r in df.select(over(F.sum("v"), w).alias("s")).orderBy("s").collect()]
+    assert got == [10, 30, 60]
+
+
+def test_range_frame(ctx):
+    df = ctx.lift([(1, 1), (2, 1), (10, 1)], "o: int, v: int").df
+    w = Window().orderBy("o").rangeBetween(-1, 0)
+    got = [
+        r.s
+        for r in df.select("o", over(F.sum("v"), w).alias("s")).orderBy("o").collect()
+    ]
+    assert got == [1, 2, 1]  # 10 is out of range of 2
+
+
+def test_aggregate_over_window_spear_style(ctx):
+    """Any aggregate OVER a spec (WindowFunction.scala:6-19) — no
+    dedicated ranking functions needed."""
+    df = ctx.lift([("a", 1), ("a", 5), ("b", 7)], "k: string, v: int").df
+    w = Window().partitionBy("k")
+    got = sorted(
+        tuple(r)
+        for r in df.select("k", "v", over(F.max("v"), w).alias("mx")).collect()
+    )
+    assert got == [("a", 1, 5), ("a", 5, 5), ("b", 7, 7)]
