@@ -1,0 +1,89 @@
+"""Plan-shape tests: verify the physical plans have the scale
+properties the engine is designed around (pushdown, pruning, broadcast,
+partial aggregation, top-k heaps).  A correct-but-badly-planned query
+fails here even though its values match the oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spear_spark.plans import (
+    executed_plan,
+    has_broadcast_join,
+    has_partial_aggregation,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+)
+from spear_spark.relational import QUERIES
+
+
+def plan_for(spark, sf_dir, name):
+    df = QUERIES[name][0](spark, sf_dir)
+    return executed_plan(df)
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    """q02: both predicates reach the scan; only the 6 needed columns
+    of lineitem's 11 are read."""
+    plan = plan_for(spark, sf_dir, "q02_filter_topk")
+    pf = " ".join(pushed_filters(plan))
+    assert "GreaterThan(l_shipdate" in pf
+    assert "GreaterThan(l_quantity" in pf
+    cols = read_schemas(plan)[0]
+    assert set(cols) == {
+        "l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = plan_for(spark, sf_dir, "q02_filter_topk")
+    assert has_take_ordered(plan)
+
+
+def test_aggregation_is_two_phase(spark, sf_dir):
+    """q01: map-side partial aggregation collapses rows before the
+    exchange (HashAggregate partial_ → Exchange → HashAggregate)."""
+    plan = plan_for(spark, sf_dir, "q01_pricing_summary")
+    assert has_partial_aggregation(plan)
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    """q03: customer (small side) must broadcast — a shuffle join on a
+    dim table is the classic 100 TB mistake."""
+    plan = plan_for(spark, sf_dir, "q03_shipping_priority")
+    assert has_broadcast_join(plan)
+
+
+def test_theta_join_is_hash_plus_residual(spark, sf_dir):
+    """q04: the equi conjunct becomes the hash join key; the range
+    predicate stays as a residual filter — NOT a nested-loop join."""
+    plan = plan_for(spark, sf_dir, "q04_theta_join")
+    assert has_broadcast_join(plan) or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_count_respects_conf(spark, sf_dir):
+    """AQE coalesces the 32 configured shuffle partitions down for the
+    tiny local input — the same plan fans out on a cluster."""
+    df = QUERIES["q01_pricing_summary"][0](spark, sf_dir)
+    assert df.rdd.getNumPartitions() <= int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
+def test_dedup_exact_partial_aggregates(spark, sf_dir):
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p01_dedup_exact"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+
+
+def test_scalar_projection_reads_minimal_schema(spark, sf_dir):
+    """p09 quality score: a 2-column result must not read the whole
+    documents schema."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p09_quality_score"][0](spark, sf_dir))
+    cols = read_schemas(plan)[0]
+    assert set(cols) == {"doc_id", "text"}

@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) — the analog of the reference's
+ScalaCheck generators (OptimizerSuite.scala:56-91, generators/
+expressions/package.scala): random data + random predicate trees,
+engine results compared against a pure-Python evaluator, plus
+optimizer-law checks (merged filters ≡ conjunction)."""
+
+from __future__ import annotations
+
+import operator
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# -- predicate tree: generate (Column expr, python fn) pairs ----------------
+
+_COMPARES = [
+    ("<", operator.lt), ("<=", operator.le), (">", operator.gt),
+    (">=", operator.ge), ("=", operator.eq), ("!=", operator.ne),
+]
+
+
+@st.composite
+def predicates(draw, depth: int = 2):
+    """A random predicate over columns x, y (nullable ints)."""
+    if depth == 0 or draw(st.booleans()):
+        col = draw(st.sampled_from(["x", "y"]))
+        rhs = draw(st.integers(-5, 5))
+        name, fn = draw(st.sampled_from(_COMPARES))
+        expr_map = {
+            "<": F.col(col) < rhs, "<=": F.col(col) <= rhs,
+            ">": F.col(col) > rhs, ">=": F.col(col) >= rhs,
+            "=": F.col(col) == rhs, "!=": F.col(col) != rhs,
+        }
+
+        def py(row, col=col, fn=fn, rhs=rhs):
+            v = row[0] if col == "x" else row[1]
+            return None if v is None else fn(v, rhs)
+
+        return expr_map[name], py
+    a_expr, a_py = draw(predicates(depth=depth - 1))
+    b_expr, b_py = draw(predicates(depth=depth - 1))
+    kind = draw(st.sampled_from(["and", "or", "not"]))
+    if kind == "and":
+        return a_expr & b_expr, lambda r: _and3(a_py(r), b_py(r))
+    if kind == "or":
+        return a_expr | b_expr, lambda r: _or3(a_py(r), b_py(r))
+    return ~a_expr, lambda r: None if a_py(r) is None else not a_py(r)
+
+
+def _and3(a, b):  # SQL three-valued logic
+    if a is False or b is False:
+        return False
+    if a is None or b is None:
+        return None
+    return True
+
+
+def _or3(a, b):
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return False
+
+
+
+def _key(t):
+    return tuple((v is None, v if v is not None else 0) for v in t)
+
+rows_st = st.lists(
+    st.tuples(st.integers(-5, 5) | st.none(), st.integers(-5, 5) | st.none()),
+    min_size=0,
+    max_size=12,
+)
+
+PROP_SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@given(data=rows_st, pred=predicates())
+@PROP_SETTINGS
+def test_filter_matches_three_valued_logic(ctx, data, pred):
+    expr, py = pred
+    df = ctx.lift(data, "x: int, y: int") if data else ctx.lift([], "x: int, y: int")
+    got = sorted((tuple(r) for r in df.filter(expr).collect()), key=_key)
+    expected = sorted((t for t in data if py(t) is True), key=_key)
+    assert got == expected
+
+
+@given(data=rows_st, pred=predicates(depth=1))
+@PROP_SETTINGS
+def test_merged_filters_equal_conjunction(ctx, data, pred):
+    """Optimizer law (MergeFilters, Optimizer.scala:195-199 — built into
+    Catalyst as CombineFilters): filter(a).filter(b) ≡ filter(a AND b)."""
+    expr, _ = pred
+    df = ctx.lift(data, "x: int, y: int") if data else ctx.lift([], "x: int, y: int")
+    chained = sorted(
+        (tuple(r) for r in df.filter(expr).filter(F.col("x").isNotNull()).collect()),
+        key=_key,
+    )
+    combined = sorted(
+        (tuple(r) for r in df.filter(expr & F.col("x").isNotNull()).collect()),
+        key=_key,
+    )
+    assert chained == combined
+
+
+@given(data=rows_st)
+@PROP_SETTINGS
+def test_union_is_bag(ctx, data):
+    df = ctx.lift(data, "x: int, y: int") if data else ctx.lift([], "x: int, y: int")
+    assert df.union(df).count() == 2 * len(data)
+
+
+@given(data=rows_st, n=st.integers(0, 15))
+@PROP_SETTINGS
+def test_limit_bound(ctx, data, n):
+    df = ctx.lift(data, "x: int, y: int") if data else ctx.lift([], "x: int, y: int")
+    assert df.limit(n).count() == min(n, len(data))
+
+
+@given(data=rows_st)
+@PROP_SETTINGS
+def test_distinct_is_set(ctx, data):
+    df = ctx.lift(data, "x: int, y: int") if data else ctx.lift([], "x: int, y: int")
+    got = sorted(
+        (tuple(r) for r in df.distinct().collect()),
+        key=lambda t: tuple((v is None, v if v is not None else 0) for v in t),
+    )
+    expected = sorted(
+        set(data),
+        key=lambda t: tuple((v is None, v if v is not None else 0) for v in t),
+    )
+    assert got == expected
