@@ -337,6 +337,60 @@ def p11_fingerprint(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# p13 — end-to-end fuzzy dedup decision: pairs ≥ 0.5 Jaccard → drop the
+# larger id, keep the smallest partner (the testdata plants near-dups at
+# jaccard ≈ 0.97 over a ≈ 0.02 background, so 0.5 separates cleanly).
+# ---------------------------------------------------------------------------
+@q(
+    "p13_near_dedup",
+    f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+      FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+    SELECT doc_b AS drop_id, MIN(doc_a) AS keep_id
+    FROM pairs WHERE jaccard >= 0.5
+    GROUP BY doc_b ORDER BY drop_id
+    """,
+)
+def p13_near_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dedup_jaccard(docs, "text", "doc_id", threshold=0.5).orderBy("drop_id")
+
+
+# ---------------------------------------------------------------------------
+# p14 — embedding-cosine near-dedup (label-blocked).  The synthetic
+# embeddings have no true dups (max within-label cosine ≈ 0.47), so the
+# 0.35 threshold exercises the pipeline on the distribution's tail.
+# ---------------------------------------------------------------------------
+@q(
+    "p14_embedding_dedup",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_COS} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      CROSS JOIN range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT vb AS drop_id, MIN(va) AS keep_id
+    FROM pairs WHERE cos >= 0.35
+    GROUP BY vb ORDER BY drop_id
+    """,
+)
+def p14_embedding_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.near_dedup_embedding(
+        emb, "embedding", "vec_id", "label", threshold=0.35
+    ).orderBy("drop_id")
+
+
+# ---------------------------------------------------------------------------
 # p12 — multimodal decode plumbing: binary payload through Arrow-batched
 # mapInPandas (real schema/batch machinery; decode backend stubbed with
 # deterministic md5-derived dimensions — see operators.multimodal).

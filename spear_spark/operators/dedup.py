@@ -244,3 +244,52 @@ def ngram_jaccard_pairs(
     if top:
         out = out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top)
     return out
+
+
+def near_dedup_jaccard(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5, shingle_n: int = 3
+) -> DataFrame:
+    """Near-dedup drop decisions: for every pair with Jaccard ≥
+    threshold, drop the larger id, keeping the smallest partner as the
+    representative.  Returns (drop_id, keep_id).
+
+    This is the greedy smaller-id-wins policy, not full transitive
+    closure — within a genuine duplicate cluster all pairs exceed the
+    threshold, so the greedy policy keeps exactly the minimum id.  Full
+    connected components (for chains a~b~c where a≁c) needs iterative
+    label propagation; at 100 TB that is a handful of self-join rounds
+    over the (tiny) pair set, not over the corpus.
+    """
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_n)
+    return (
+        pairs.filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("doc_b").alias("drop_id"))
+        .agg(F.min("doc_a").alias("keep_id"))
+    )
+
+
+def near_dedup_embedding(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dedup within blocks: drop the larger id of
+    every pair with cosine ≥ threshold.  Returns (drop_id, keep_id).
+    Blocking (label / LSH bucket / IVF cell) bounds the pair space."""
+    from spear_spark.operators.similarity import cosine
+
+    a = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("ida"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs.groupBy(F.col("idb").alias("drop_id")).agg(F.min("ida").alias("keep_id"))
