@@ -173,3 +173,29 @@ class TestAsof:
         }
         # ev 100 at ts=10: right row at ts=10 counts (inclusive bound)
         assert got == {100: "r@10", 101: "r@3", 102: None}
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, ctx, spark):
+        from spear_spark.operators.similarity import ann_topk_ivf, cosine_topk
+        from spear_spark.sources import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.orderBy("vec_id").limit(1).collect()[0]
+        exact = {
+            r.vec_id
+            for r in cosine_topk(
+                emb, "embedding", "vec_id", list(q.embedding), k=10
+            ).collect()
+        }
+        approx = {
+            r.vec_id
+            for r in ann_topk_ivf(
+                emb, "embedding", "vec_id", list(q.embedding),
+                k=10, n_cells=8, n_probe=4,
+            ).collect()
+        }
+        # probing half the cells should recover at least half the true
+        # top-10 on random data (query's own cell always probed first)
+        assert len(exact & approx) >= 5
+        assert q.vec_id in approx  # the query vector itself is its own NN
