@@ -38,7 +38,7 @@ class TestStringCasts:
 
         with pytest.raises(Exception):
             one(ctx, F.lit("abc").cast("int"))
-        assert one(ctx, F.try_cast(F.lit("abc"), "int")) is None
+        assert one(ctx, F.lit("abc").try_cast("int")) is None
 
     def test_string_to_double(self, ctx):
         assert one(ctx, F.lit("1.5").cast("double")) == 1.5
@@ -53,7 +53,7 @@ class TestStringCasts:
         .to_boolean closes (Cast.scala:129-146).  Under ANSI the
         unsupported literal throws; try_cast shows the gap as NULL."""
         assert one(ctx, F.lit("true").cast("boolean")) is True
-        assert one(ctx, F.try_cast(F.lit("on"), "boolean")) is None  # Spark gap
+        assert one(ctx, F.lit("on").try_cast("boolean")) is None  # Spark gap
 
 
 class TestComplexCasts:
