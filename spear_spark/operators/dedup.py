@@ -195,6 +195,13 @@ def ngram_jaccard_pairs(
     # exactly once.  Posting-list length is the skew knob: at corpus
     # scale, cap document frequency first (stop-shingles contribute ~0
     # to Jaccard ranking but quadratic pairs).
+    # The generator stage does ~50× the input's work (shingle explode);
+    # when the scan has fewer splits than cores (small/few files), one
+    # input shuffle buys full-cluster parallelism for the derived work.
+    # At corpus scale inputs arrive in many splits and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     # Materialize the shingle array as a column BEFORE the explode:
     # referencing the shingle expression twice in the generator's
     # projection would re-evaluate the whole transform per exploded row

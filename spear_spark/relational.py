@@ -803,8 +803,30 @@ _Q22_SQL = """
 
 @q("q22_top_supplier_cte", _Q22_SQL)
 def q22_top_supplier_cte(spark: SparkSession, sf_dir: str) -> SDF:
+    # The scalar-subquery formulation (kept verbatim as the oracle)
+    # inlines the CTE twice → two full lineitem aggregations.  The
+    # Spark-side plan uses RANK() OVER () instead: one scan, one
+    # aggregation, and a window over the already-tiny per-supplier
+    # rollup.  `WHERE total_rev = (SELECT MAX...)` ≡ `rnk = 1` with
+    # RANK (ties included in both).
     register_tables(spark, sf_dir, ("lineitem", "supplier"))
-    return spark.sql(_Q22_SQL)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          GROUP BY l_suppkey),
+        ranked AS (
+          SELECT suppkey, total_rev, RANK() OVER (ORDER BY total_rev DESC) AS rnk
+          FROM revenue)
+        SELECT s_suppkey AS suppkey, s_name AS name, CAST(total_rev AS DOUBLE) AS total_rev
+        FROM supplier JOIN ranked ON s_suppkey = suppkey
+        WHERE rnk = 1
+        ORDER BY suppkey
+        """
+    )
 
 
 # ---------------------------------------------------------------------------
