@@ -1,0 +1,91 @@
+"""Sources + scale-machinery tests: file-format round-trips (the
+reference has zero connectors, SURVEY §2.3 — Spark gives them free),
+bucketed shuffle-free joins, and salted skew joins."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from spear_spark.operators.skew import salted_join
+from spear_spark.plans import executed_plan
+from spear_spark.sources import load_table, write_bucketed
+
+
+def test_parquet_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    expected = sorted(tuple(r) for r in nation.collect())
+
+    pq = str(tmp_path / "n.parquet")
+    nation.write.mode("overwrite").parquet(pq)
+    assert sorted(tuple(r) for r in spark.read.parquet(pq).collect()) == expected
+
+    csv = str(tmp_path / "n.csv")
+    nation.write.mode("overwrite").option("header", True).csv(csv)
+    got_csv = spark.read.option("header", True).option("inferSchema", True).csv(csv)
+    assert sorted(tuple(r) for r in got_csv.collect()) == expected
+
+    js = str(tmp_path / "n.json")
+    nation.write.mode("overwrite").json(js)
+    got_js = spark.read.json(js).select("n_nationkey", "n_name", "n_regionkey")
+    assert sorted(tuple(r) for r in got_js.collect()) == expected
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Partition-by write → partition pruning: the filtered read lists
+    only the matching directory."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_by_seg")
+    cust.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+    got = spark.read.parquet(path).filter(F.col("c_mktsegment") == "BUILDING")
+    plan = executed_plan(got)
+    assert "PartitionFilters" in plan
+    assert got.count() == cust.filter(F.col("c_mktsegment") == "BUILDING").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key by the same bucket count →
+    the sort-merge join zips bucket files with NO shuffle exchange —
+    the shape that kills the dominant lineitem ⋈ orders shuffle at
+    100 TB (sources.write_bucketed)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(
+            orders, "orders_b", "o_orderkey", num_buckets=8,
+            path=str(tmp_path / "orders_b"),
+        )
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "li_b", "o_orderkey", 8,
+            path=str(tmp_path / "li_b"),
+        )
+        joined = spark.table("orders_b").join(spark.table("li_b"), "o_orderkey")
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # zero shuffle
+        assert joined.count() == orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % 3)
+    )
+    plain = ev.join(users, "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("tier").alias("t")
+    ).collect()[0]
+    salted = salted_join(ev, users, "user_id", salt=4).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("tier").alias("t")
+    ).collect()[0]
+    assert (plain.n, plain.t) == (salted.n, salted.t)
