@@ -65,13 +65,17 @@ class Context:
 
     # -- entry points (Context.scala:18-40) --------------------------------
 
-    def sql(self, query: str) -> "DataFrame":
-        """SQL entry point (``Context.scala:22``). Spark SQL's dialect is a
-        strict superset of spear's SQL-2006 subset; grammar deltas
-        (``^`` = power, bare ``UNION`` = bag union) are documented in
-        ``functions`` and covered by tests."""
+    def sql(self, query: str, dialect: str = "spear") -> "DataFrame":
+        """SQL entry point (``Context.scala:22``). Spark SQL's dialect is
+        a strict superset of spear's SQL-2006 subset except three grammar
+        deltas handled by ``sql_dialect.to_spark_sql`` (bag ``UNION``,
+        ``^`` rejection, ``TIMESTAMP(p)``).  Pass ``dialect='spark'`` to
+        skip the shim."""
         from spear_spark.dataframe import DataFrame
+        from spear_spark.sql_dialect import to_spark_sql
 
+        if dialect == "spear":
+            query = to_spark_sql(query)
         return DataFrame(self.spark.sql(query))
 
     def table(self, name: str) -> "DataFrame":

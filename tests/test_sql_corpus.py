@@ -1,0 +1,80 @@
+"""SQL-entry golden corpus — spear-style SQL strings through
+Context.sql, compared against DuckDB on the same views (the analog of
+the reference's parser corpus, DirectlyExecutableStatementParserSuite).
+Every statement here is valid in BOTH engines after the dialect shim."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spear_spark.sources import register_tables
+from spear_spark.sql_dialect import to_spark_sql
+from tests.oracle_harness import compare, duck_connection
+
+CORPUS = [
+    # projection + alias + arithmetic
+    "SELECT n_nationkey + 100 AS k, n_name AS name FROM nation ORDER BY k",
+    # filter + IN + LIKE
+    "SELECT r_name FROM region WHERE r_name LIKE 'A%' OR r_name IN ('EUROPE') ORDER BY r_name",
+    # group/having/order/limit, the full spear SELECT shape
+    """SELECT c_nationkey AS nk, COUNT(*) AS n FROM customer
+       GROUP BY c_nationkey HAVING COUNT(*) > 2 ORDER BY n DESC, nk LIMIT 5""",
+    # bag UNION (spear dialect: bare UNION) — dedup would change counts
+    """SELECT k, COUNT(*) AS n FROM (
+         SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region
+       ) t GROUP BY k ORDER BY k""",
+    # join + qualified stars
+    """SELECT n.n_name AS nation, r.r_name AS region FROM nation n
+       JOIN region r ON n.n_regionkey = r.r_regionkey ORDER BY nation""",
+    # FROM-clause subquery + alias scoping
+    """SELECT t.nk, t.n FROM (SELECT s_nationkey AS nk, COUNT(*) AS n
+       FROM supplier GROUP BY s_nationkey) t ORDER BY t.nk""",
+    # CASE + CAST + NULLIF + COALESCE
+    """SELECT n_nationkey AS k,
+              CASE WHEN n_nationkey < 10 THEN 'low' ELSE 'high' END AS band,
+              COALESCE(NULLIF(CAST(n_regionkey AS STRING), '0'), 'zero') AS reg
+       FROM nation ORDER BY k""",
+    # multi-CTE
+    """WITH a AS (SELECT n_regionkey AS k, COUNT(*) AS n FROM nation GROUP BY n_regionkey),
+         b AS (SELECT r_regionkey AS k, r_name FROM region)
+       SELECT b.r_name AS region, a.n AS nations FROM a JOIN b ON a.k = b.k ORDER BY region""",
+    # scalar functions both engines share
+    """SELECT upper(r_name) AS u, length(r_name) AS l, substr(r_name, 1, 2) AS pre
+       FROM region ORDER BY u""",
+    # window over aggregate (spear-style)
+    """SELECT c_nationkey AS nk, COUNT(*) AS n,
+              CAST(SUM(COUNT(*)) OVER (ORDER BY c_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       FROM customer GROUP BY c_nationkey ORDER BY nk""",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS)))
+def test_sql_corpus(i, ctx, spark, sf_dir, duck):
+    register_tables(spark, sf_dir)
+    sql = CORPUS[i]
+    df = ctx.sql(sql)  # spear dialect (bag UNION)
+    problems = compare(df.df, duck, to_spark_sql(sql))  # duck gets UNION ALL too
+    assert not problems, f"corpus[{i}]: " + "; ".join(problems)
+
+
+class TestDialect:
+    def test_bare_union_becomes_bag(self):
+        assert to_spark_sql("a UNION b") == "a UNION ALL b"
+        assert to_spark_sql("a UNION ALL b") == "a UNION ALL b"
+        assert to_spark_sql("a UNION\n ALL b") == "a UNION\n ALL b"
+
+    def test_union_in_string_literal_untouched(self):
+        assert to_spark_sql("SELECT 'UNION' AS x") == "SELECT 'UNION' AS x"
+
+    def test_caret_rejected(self):
+        with pytest.raises(ValueError, match="power"):
+            to_spark_sql("SELECT 2 ^ 3")
+
+    def test_timestamp_precision_dropped(self):
+        assert to_spark_sql("CAST(x AS TIMESTAMP(3))") == "CAST(x AS TIMESTAMP)"
