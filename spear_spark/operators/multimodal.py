@@ -90,3 +90,48 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(decode, DECODED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame sampling plumbing: one input payload → N frame rows,
+    emitted inside the same mapInPandas pass so the fan-out streams
+    through Arrow batches and never materializes per-video.
+
+    STUB backend: without a video codec in the container, the fake
+    derives a deterministic duration from the payload md5 and emits one
+    'frame' (a byte slice) per ``every_ms``.  The contract — iterator of
+    batches in, iterator of exploded batches out, bounded memory — is
+    the real thing."""
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_ts_ms": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                duration_ms = int(hashlib.md5(b).hexdigest()[8:12], 16) % 5000 + 1000
+                for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(i)
+                    out["frame_ts_ms"].append(ts)
+                    lo = (i * 16) % max(len(b) - 16, 1)
+                    out["frame_bytes"].append(b[lo : lo + 16])
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        explode_frames, FRAMES_SCHEMA
+    )

@@ -90,6 +90,45 @@ def quality_score(text: Column | str) -> Column:
     return F.round(F.lit(0.3) * len_sat + F.lit(0.4) * stop_ratio + F.lit(0.3) * awl_sat, 6)
 
 
+def rolling_hash(text: Column | str, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Order-sensitive Karp-Rabin document hash: left fold
+    ``h = (h*base + h32(token)) mod p`` over the token sequence.
+    Distinguishes permuted documents (unlike :func:`fingerprint`);
+    pure-Column fold, no explode."""
+    from spear_spark.operators.dedup import h32
+
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * base + h32(t) % mod) % mod,
+    )
+
+
+def winnow_fingerprints(text: Column | str, window: int = 4) -> Column:
+    """Winnowing (local-minima fingerprint selection, Schleimer et al.):
+    hash each token, take the min hash of every sliding window of
+    ``window`` hashes, return the distinct selected values sorted.  The
+    standard sketch for substring-level near-dup/plagiarism detection —
+    robust to insertions that shift positions."""
+    from spear_spark.operators.dedup import h32
+
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: h32(t))
+    # sliding-window min via iterative zip_with (each array argument
+    # evaluated once — the transform+element_at form re-hashes per
+    # window index, see dedup.shingles' perf note)
+    big = F.greatest(F.size(toks), F.lit(1))
+    mins = hashes
+    for j in range(1, window):
+        mins = F.zip_with(mins, F.slice(hashes, j + 1, big), lambda a, b: F.least(a, b))
+    n_win = F.size(toks) - (window - 1)
+    selected = F.when(n_win >= 1, F.slice(mins, 1, n_win)).otherwise(
+        F.array(F.array_min(hashes))
+    )
+    return F.array_sort(F.array_distinct(selected))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set.  The canonical key for fuzzy-then-exact dedup passes."""

@@ -199,3 +199,60 @@ class TestIVF:
         # top-10 on random data (query's own cell always probed first)
         assert len(exact & approx) >= 5
         assert q.vec_id in approx  # the query vector itself is its own NN
+
+
+class TestRollingHash:
+    def test_order_sensitive(self, ctx):
+        from spear_spark.operators.text import rolling_hash
+
+        df = ctx.lift(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+            "id: long, text: string",
+        ).df
+        got = {r.id: r.h for r in df.select("id", rolling_hash("text").alias("h")).collect()}
+        assert got[1] == got[3]
+        assert got[1] != got[2]  # permutation changes the rolling hash
+
+
+class TestWinnowing:
+    def test_insert_shift_keeps_overlap(self, ctx):
+        from spear_spark.operators.text import winnow_fingerprints
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        shifted = "PREFIX " + base  # insertion shifts every position
+        df = ctx.lift([(1, base), (2, shifted)], "id: long, text: string").df
+        got = {
+            r.id: set(r.w)
+            for r in df.select("id", winnow_fingerprints("text", 4).alias("w")).collect()
+        }
+        inter = got[1] & got[2]
+        # winnowing selects local minima — position shifts keep most
+        assert len(inter) >= len(got[1]) // 2
+
+    def test_short_doc(self, ctx):
+        from spear_spark.operators.text import winnow_fingerprints
+
+        df = ctx.lift([(1, "a b")], "id: long, text: string").df
+        got = df.select(winnow_fingerprints("text", 4).alias("w")).collect()[0].w
+        assert len(got) == 1  # whole-doc min
+
+
+class TestFrameSampling:
+    def test_fanout_and_determinism(self, ctx, spark):
+        from spear_spark.operators.multimodal import attach_binary, sample_frames
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+        frames = sample_frames(attach_binary(docs, "text"), "doc_id", "payload")
+        rows = frames.collect()
+        assert len(rows) > 20  # 1 -> N fan-out
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append((r.frame_no, r.frame_ts_ms))
+        for doc, fs in per_doc.items():
+            fs.sort()
+            assert fs[0] == (0, 0)
+            assert all(b[1] - a[1] == 1000 for a, b in zip(fs, fs[1:]))
+        # deterministic across runs
+        rows2 = frames.collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
