@@ -391,6 +391,91 @@ def p14_embedding_dedup(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# p15 — order-sensitive rolling (Karp-Rabin) document hash: left fold
+# h = (h*257 + h32(tok) mod p) mod p over the token sequence.
+# ---------------------------------------------------------------------------
+_P31 = (1 << 31) - 1
+
+
+@q(
+    "p15_rolling_hash",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    h AS (SELECT doc_id,
+                 [('0x'||substr(md5(w),1,8))::BIGINT for w in t] AS hs
+          FROM toks)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (a, b) -> (a * 257 + b % {_P31}) % {_P31}) AS rhash
+    FROM h ORDER BY doc_id
+    """,
+)
+def p15_rolling_hash(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_hash("text").alias("rhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p16 — winnowing fingerprints (sliding-window local minima, the
+# substring-robust near-dup sketch); surfaced as a joined string so the
+# value compare is array-representation-agnostic.
+# ---------------------------------------------------------------------------
+@q(
+    "p16_winnowing",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    h AS (SELECT doc_id,
+                 [('0x'||substr(md5(w),1,8))::BIGINT for w in t] AS hs
+          FROM toks),
+    sel AS (SELECT doc_id,
+                   CASE WHEN len(hs) >= 4
+                        THEN [list_min(hs[i:i+3]) for i in generate_series(1, len(hs)-3)]
+                        ELSE [list_min(hs)] END AS mins
+            FROM h)
+    SELECT doc_id,
+           len(list_distinct(mins)) AS n_fp,
+           array_to_string(list_sort(list_distinct(mins)), ',') AS fp
+    FROM sel ORDER BY doc_id
+    """,
+)
+def p16_winnowing(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.winnow_fingerprints("text", window=4)
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_fp"),
+        F.array_join(w, ",").alias("fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p17 — band/range join: event pairs by the same user within 10 minutes,
+# via bucket replication (operators.rangejoin) instead of a quadratic
+# residual-filter join.
+# ---------------------------------------------------------------------------
+@q(
+    "p17_range_join",
+    """
+    SELECT a.user_id AS user_id, COUNT(*) AS n_close_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 600000000
+    GROUP BY a.user_id ORDER BY user_id
+    """,
+)
+def p17_range_join(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.rangejoin import range_join_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = range_join_pairs(ev, key="user_id", ts="ts", id_col="event_id", delta_us=600_000_000)
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p12 — multimodal decode plumbing: binary payload through Arrow-batched
 # mapInPandas (real schema/batch machinery; decode backend stubbed with
 # deterministic md5-derived dimensions — see operators.multimodal).

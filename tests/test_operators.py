@@ -256,3 +256,30 @@ class TestFrameSampling:
         # deterministic across runs
         rows2 = frames.collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+class TestRangeJoin:
+    def test_matches_naive_theta_join(self, ctx):
+        from spear_spark.operators.rangejoin import range_join_pairs
+        from pyspark.sql import functions as F
+
+        # timestamps engineered to cross bucket boundaries both ways
+        rows = [
+            (1, 1, 0), (1, 2, 999_999), (1, 3, 1_000_001), (1, 4, 5_000_000),
+            (2, 5, 100), (2, 6, 2_000_200), (1, 7, 1_999_998),
+        ]
+        df = ctx.lift(rows, "k: int, id: long, us: long").df.select(
+            "k", "id", F.timestamp_micros("us").alias("ts")
+        )
+        delta = 1_000_000
+        got = {
+            (r.k, r.id_a, r.id_b)
+            for r in range_join_pairs(df, "k", "ts", "id", delta).collect()
+        }
+        naive = {
+            (a[0], min(a[1], b[1]), max(a[1], b[1]))
+            for a in rows
+            for b in rows
+            if a[0] == b[0] and a[1] < b[1] and abs(a[2] - b[2]) <= delta
+        }
+        assert got == naive
