@@ -1068,6 +1068,102 @@ def q32_named_window(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q33 — TPC-H Q13 shape: outer-join count distribution (histogram of
+# per-customer order counts, including zero after a filtered left join).
+# ---------------------------------------------------------------------------
+@q(
+    "q33_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q33_order_count_distribution(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.leftJoin(orders, cond)
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — TPC-H Q18 shape: IN-subquery over a HAVING aggregate (subquery
+# expressions are an extension — the reference has none, SURVEY §2.1).
+# ---------------------------------------------------------------------------
+_Q34_SQL = """
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(qty_dec AS DOUBLE) AS total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+      FROM lineitem GROUP BY l_orderkey) t ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 100
+"""
+
+
+@q("q34_large_quantity_orders", _Q34_SQL)
+def q34_large_quantity_orders(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q34_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q35 — complex-type constructors + accessors (MakeNamedStruct /
+# MakeArray / MakeMap, complexTypes.scala:7-88) — built, accessed, and
+# surfaced as scalars so the cross-engine compare stays value-based.
+# ---------------------------------------------------------------------------
+@q(
+    "q35_complex_types",
+    """
+    SELECT n_nationkey AS k,
+           struct_pack(name := n_name, region := n_regionkey).name AS s_name,
+           struct_pack(name := n_name, region := n_regionkey).region AS s_region,
+           [n_nationkey, n_regionkey][1] AS arr_first,
+           len([n_nationkey, n_regionkey]) AS arr_len,
+           map(['nk'], [n_nationkey])['nk'][1] AS map_val
+    FROM nation ORDER BY k
+    """,
+)
+def q35_complex_types(spark: SparkSession, sf_dir: str) -> SDF:
+    nation = _t(spark, sf_dir, "nation")
+    s = sf.named_struct("name", F.col("n_name"), "region", F.col("n_regionkey"))
+    arr = sf.array(F.col("n_nationkey"), F.col("n_regionkey"))
+    m = sf.map_(F.lit("nk"), F.col("n_nationkey"))
+    return (
+        nation.select(
+            F.col("n_nationkey").alias("k"),
+            s.getField("name").alias("s_name"),
+            s.getField("region").alias("s_region"),
+            F.element_at(arr, 1).alias("arr_first"),
+            F.size(arr).alias("arr_len"),
+            F.element_at(m, "nk").alias("map_val"),
+        )
+        .orderBy("k")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most
