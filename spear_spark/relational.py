@@ -1164,6 +1164,30 @@ def q35_complex_types(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q36 — correlated scalar subquery (TPC-H Q17 shape): per-part average
+# threshold.  Catalyst decorrelates this into an aggregate + join —
+# exactly the rewrite the reference never got to (no subquery
+# expressions at all, SURVEY §2.1).  The threshold is computed with the
+# exact-decimal convention so the boundary comparison is deterministic.
+# ---------------------------------------------------------------------------
+_Q36_SQL = """
+    SELECT p_brand AS brand, COUNT(*) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (
+      SELECT 0.4 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    GROUP BY p_brand ORDER BY brand
+"""
+
+
+@q("q36_small_quantity_revenue", _Q36_SQL)
+def q36_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q36_SQL)
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most
