@@ -476,6 +476,76 @@ def p17_range_join(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# p18 — the full training-data cleaning pipeline as one composed query:
+# quality gate → exact dedup (keep min id) → fuzzy dedup (drop jaccard
+# ≥ 0.5 partners) → canonical fingerprint.  The flagship composition —
+# every stage is one of the catalog's verified operators; at 100 TB the
+# chain is: narrow projection gate, one content-hash shuffle, the
+# blocked pair join, all orchestrated by Catalyst as a single DAG.
+# ---------------------------------------------------------------------------
+_P18_SHINGLES = r"""
+  toks2 AS (SELECT s2.doc_id, regexp_split_to_array(trim(lower(s2.text)), '\s+') AS t
+            FROM survivors s2),
+  sh2 AS (SELECT DISTINCT doc_id,
+                 unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                         for i in generate_series(1, len(t)-2)]) AS s
+          FROM toks2)
+"""
+
+
+@q(
+    "p18_clean_corpus",
+    rf"""
+    WITH s AS (SELECT doc_id, text, {_TOKS} AS t,
+                      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+               FROM documents),
+    m AS (SELECT doc_id, text,
+                 CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                 CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits, nc
+          FROM s),
+    graded AS (SELECT doc_id, text,
+                      ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+                          + 0.4 * (hits / n_tok)
+                          + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) AS quality
+               FROM m),
+    passed AS (SELECT * FROM graded WHERE quality >= 0.3),
+    exact AS (SELECT MIN(doc_id) AS keep_id FROM passed GROUP BY md5(lower(trim(text)))),
+    survivors AS (SELECT p.doc_id, p.text, p.quality FROM passed p
+                  JOIN exact e ON p.doc_id = e.keep_id),
+    {_P18_SHINGLES},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    drops AS (SELECT DISTINCT doc_b AS drop_id
+              FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+              WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5)
+    SELECT v.doc_id, v.quality,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(lower(v.text)), '\s+'))), ' ')) AS fingerprint
+    FROM survivors v WHERE v.doc_id NOT IN (SELECT drop_id FROM drops)
+    ORDER BY v.doc_id
+    """,
+)
+def p18_clean_corpus(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    graded = docs.select(
+        "doc_id", "text", text.quality_score("text").alias("quality")
+    ).filter(F.col("quality") >= 0.3)
+    keepers = dedup.exact_dedup(graded, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = graded.join(keepers, "doc_id")
+    drops = dedup.near_dedup_jaccard(survivors, "text", "doc_id", threshold=0.5).select(
+        F.col("drop_id").alias("doc_id")
+    )
+    return (
+        survivors.join(drops, "doc_id", "left_anti")
+        .select("doc_id", "quality", text.fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p12 — multimodal decode plumbing: binary payload through Arrow-batched
 # mapInPandas (real schema/batch machinery; decode backend stubbed with
 # deterministic md5-derived dimensions — see operators.multimodal).
