@@ -38,6 +38,8 @@ HEADLINE = [
     "p06_embedding_nn",
     "p07_cosine_topk",
     "p09_quality_score",
+    "p17_range_join",
+    "p18_clean_corpus",
 ]
 
 
