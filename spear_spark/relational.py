@@ -1188,6 +1188,43 @@ def q36_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q37 — string/regex functions: RLike (stringExpressions.scala:24-37)
+# as a filter plus LIKE, substring, upper/lower, length projections.
+# ---------------------------------------------------------------------------
+@q(
+    "q37_string_functions",
+    """
+    SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+           upper(o_orderpriority) AS pri_upper,
+           lower(o_orderpriority) AS pri_lower,
+           substr(o_orderpriority, 1, 1) AS pri_code,
+           length(o_orderpriority) AS pri_len,
+           o_orderpriority LIKE '%URGENT%' AS is_urgentish
+    FROM orders
+    WHERE regexp_matches(o_orderpriority, '^[12]-')
+    ORDER BY orderkey LIMIT 200
+    """,
+)
+def q37_string_functions(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(sf.rlike(F.col("o_orderpriority"), "^[12]-"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.upper("o_orderpriority").alias("pri_upper"),
+            F.lower("o_orderpriority").alias("pri_lower"),
+            F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+            sf.length("o_orderpriority").alias("pri_len"),
+            F.col("o_orderpriority").like("%URGENT%").alias("is_urgentish"),
+        )
+        .orderBy("orderkey")
+        .limit(200)
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most

@@ -93,6 +93,23 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str | None = None
+) -> DataFrame:
+    """Streaming exact dedup.
+
+    * ``watermark=None`` → ``dropDuplicates``: exact global dedup with
+      unbounded state — correct for backfills / bounded streams.
+    * ``watermark='1 hour'`` → ``dropDuplicatesWithinWatermark``: state
+      is dropped once the watermark passes, bounding memory — the 24/7
+      production shape (duplicates arriving farther apart than the
+      watermark both survive, the documented trade-off).
+    """
+    if watermark is None:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> None:
     """Drain everything currently available into an in-memory table
     (test/backfill harness; production sinks are kafka/delta/parquet)."""

@@ -43,3 +43,25 @@ def test_sessionize_runs_and_bounds(spark, sf_dir):
     assert len(rows) > 0
     assert all(r.session_end > r.session_start for r in rows)
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from spear_spark.streaming import dedup_stream
+
+    stream = dedup_stream(stream_events(spark, sf_dir), ["user_id", "event_type"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_test").count()
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == expected
