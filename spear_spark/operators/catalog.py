@@ -115,6 +115,18 @@ def p03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> SDF:
 # p04 — SimHash fingerprints: explode + one groupBy; the 32-bit
 # fingerprint doubles as a clustering key for near-dup blocking.
 # ---------------------------------------------------------------------------
+_SIMHASH_SIG_CTE = (
+    f"toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents), "
+    "tok AS (SELECT doc_id, unnest(t) AS w FROM toks), "
+    "h AS (SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS th FROM tok), "
+    "v AS (SELECT doc_id, "
+    + ", ".join(f"SUM(((th >> {b}) & 1)*2 - 1) AS v{b}" for b in range(32))
+    + " FROM h GROUP BY doc_id), "
+    "sig AS (SELECT doc_id, "
+    + " + ".join(f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(32))
+    + " AS simhash FROM v)"
+)
+
 _SIMHASH_SQL = (
     f"WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents), "
     "tok AS (SELECT doc_id, unnest(t) AS w FROM toks), "
@@ -132,6 +144,29 @@ _SIMHASH_SQL = (
 def p04_simhash(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "text", "doc_id", bits=32).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p19 — SimHash near-pairs via pigeonhole banding (lossless for
+# Hamming ≤ 3 over 4 disjoint byte-bands); oracle is the brute-force
+# all-pairs join, which the banded join must equal exactly.
+# ---------------------------------------------------------------------------
+@q(
+    "p19_simhash_near_pairs",
+    f"""
+    WITH {_SIMHASH_SIG_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def p19_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -177,6 +177,53 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``,
+    via pigeonhole banding: the fingerprint splits into
+    ``max_hamming + 1`` disjoint bands, and any pair within the Hamming
+    budget must agree exactly on ≥1 band — so candidates come from an
+    equi-join on (band, band_value), never an all-pairs scan.  The
+    banding is lossless (pigeonhole), so results equal the brute-force
+    join.  Returns (doc_a, doc_b, hamming)."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash(df, text_col, id_col, bits)
+    bands = None
+    for i in range(n_bands):
+        b = sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several bands
+    )
+    return cand
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, top: int | None = None
 ) -> DataFrame:
