@@ -1225,6 +1225,40 @@ def q37_string_functions(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q38 — multiple DISTINCT aggregates in one grouping (Catalyst plans
+# this with an Expand node — one pass, no per-distinct re-scan; the
+# reference rejects distinct aggregates entirely,
+# aggregationAnalysis.scala:111-121 — extension).
+# ---------------------------------------------------------------------------
+@q(
+    "q38_multi_distinct",
+    """
+    SELECT l_returnflag AS flag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(DISTINCT l_suppkey * 1000000 + l_partkey) AS n_supp_part,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+)
+def q38_multi_distinct(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct("l_partkey").alias("n_part"),
+            F.count_distinct(
+                F.col("l_suppkey") * 1000000 + F.col("l_partkey")
+            ).alias("n_supp_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("flag")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most
