@@ -28,6 +28,7 @@ optimizer / executor are all replaced wholesale by Spark SQL + Catalyst
 
 from spear_spark.context import Context, get_spark
 from spear_spark.dataframe import DataFrame, GroupedData
+from spear_spark.windows import Window
 
-__all__ = ["Context", "DataFrame", "GroupedData", "get_spark"]
+__all__ = ["Context", "DataFrame", "GroupedData", "Window", "get_spark"]
 __version__ = "0.1.0"
