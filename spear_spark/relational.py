@@ -1259,6 +1259,51 @@ def q38_multi_distinct(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q39 — CUBE grouping sets with GROUPING() markers (extension beyond
+# the reference like q26's ROLLUP; grouping-set queries are one Expand
+# pass, not 2^k scans).
+# ---------------------------------------------------------------------------
+@q(
+    "q39_cube",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status NULLS LAST, priority NULLS LAST
+    """,
+)
+def q39_cube(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(D("o_totalprice", 14, 2)).alias("revenue"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+            "revenue",
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("status").asc_nulls_last(),
+            F.col("priority").asc_nulls_last(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most

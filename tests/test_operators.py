@@ -283,3 +283,31 @@ class TestRangeJoin:
             if a[0] == b[0] and a[1] < b[1] and abs(a[2] - b[2]) <= delta
         }
         assert got == naive
+
+
+class TestApproximateAggregates:
+    """Approximate aggregates for 100TB-scale profiling: bounded-error
+    checks vs exact (no oracle possible for sketches — the error bound
+    IS the contract)."""
+
+    def test_approx_count_distinct_within_5pct(self, ctx, spark):
+        from spear_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        exact = li.select("l_partkey").distinct().count()
+        approx = li.agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
+        ).collect()[0].a
+        assert abs(approx - exact) / exact < 0.05
+
+    def test_percentile_approx_close_to_exact(self, ctx, spark):
+        from spear_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        approx = li.agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")
+        ).collect()[0].m
+        exact = li.agg(F.median("l_extendedprice").alias("m")).collect()[0].m
+        assert abs(approx - exact) / exact < 0.01
