@@ -1304,6 +1304,96 @@ def q39_cube(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q40 — batch sessionization: gap-based session assignment via the
+# lag → boundary-flag → running-sum idiom (one shuffle on user_id,
+# two windows over the same (partition, order) spec — Spark evaluates
+# them in a single WindowExec).  Batch twin of
+# streaming.sessionize_stream's session_window.
+# ---------------------------------------------------------------------------
+@q(
+    "q40_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked)
+    SELECT user_id, session_no, COUNT(*) AS n_events, MIN(event_id) AS first_event
+    FROM sess GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def q40_sessionize(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.windows import Window as SpearWindow
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        SpearWindow().partitionBy("user_id").orderBy("ts", "event_id").to_spark()
+    )  # spear default ROWS frame
+    sess = marked.select(
+        "user_id", "event_id", F.sum("new_session").over(w_run).alias("session_no")
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event"))
+        .orderBy("user_id", "session_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — ranking/analytic window library (extensions: the reference has
+# no dedicated ranking functions, SURVEY §2.6; rank fractions are exact
+# rational arithmetic → deterministic cross-engine).
+# ---------------------------------------------------------------------------
+@q(
+    "q41_ranking_functions",
+    """
+    SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           LEAD(c_custkey, 1) OVER w AS next_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY custkey
+    """,
+)
+def q41_ranking_functions(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        cust.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.lead("c_custkey", 1).over(w).alias("next_cust"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most
