@@ -134,3 +134,33 @@ def test_distinct_is_set(ctx, data):
         key=lambda t: tuple((v is None, v if v is not None else 0) for v in t),
     )
     assert got == expected
+
+
+kv_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-10, 10) | st.none()),
+    min_size=0, max_size=15,
+)
+
+
+@given(data=kv_st)
+@PROP_SETTINGS
+def test_grouped_aggregates_match_python(ctx, data):
+    df = ctx.lift(data, "k: int, v: int") if data else ctx.lift([], "k: int, v: int")
+    got = {
+        r.k: (r.s, r.c, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    expected = {}
+    for k, v in data:
+        expected.setdefault(k, [])
+        if v is not None:
+            expected[k].append(v)
+    expected = {
+        k: (sum(vs) if vs else None, len(vs),
+            min(vs) if vs else None, max(vs) if vs else None)
+        for k, vs in expected.items()
+    }
+    assert got == expected
