@@ -1394,6 +1394,46 @@ def q41_ranking_functions(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q42 — arithmetic expression edges (SURVEY §2.4): unary Negate/Positive,
+# Remainder on integral + double operands, IsNaN, plain double division.
+# ---------------------------------------------------------------------------
+@q(
+    "q42_arithmetic_edges",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS ln,
+           -l_quantity AS neg_qty,
+           +l_linenumber AS pos_ln,
+           l_linenumber % 3 AS ln_mod,
+           CAST(CAST(l_quantity AS DOUBLE) % CAST(7 AS DOUBLE) AS DOUBLE) AS qty_mod,
+           isnan(CAST('NaN' AS DOUBLE)) AS nan_true,
+           isnan(l_discount) AS disc_nan,
+           l_extendedprice / 2.0 AS half_price
+    FROM lineitem WHERE l_orderkey < 500
+    ORDER BY orderkey, ln, neg_qty
+    """,
+)
+def q42_arithmetic_edges(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return (
+        li.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("ln"),
+            (-F.col("l_quantity")).alias("neg_qty"),
+            F.col("l_linenumber").alias("pos_ln"),
+            (F.col("l_linenumber") % 3).alias("ln_mod"),
+            (F.col("l_quantity").cast("double") % F.lit(7).cast("double"))
+            .cast("double")
+            .alias("qty_mod"),
+            sf.isnan(F.lit("NaN").cast("double")).alias("nan_true"),
+            sf.isnan(F.col("l_discount")).alias("disc_nan"),
+            (F.col("l_extendedprice") / 2.0).alias("half_price"),
+        )
+        .orderBy("orderkey", "ln", "neg_qty")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most
