@@ -581,6 +581,40 @@ def p18_clean_corpus(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# p20 — batched multi-query top-k: 5 query vectors scored against the
+# corpus in ONE pass (broadcast query set; corpus norms computed once
+# per row).  The production shape for embedding retrieval at 100 TB.
+# ---------------------------------------------------------------------------
+@q(
+    "p20_batch_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+        ROUND(SUM(CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE)) /
+          (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) *
+           SQRT(SUM(CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE)))), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
+      WHERE e.vec_id <> q.qid
+      GROUP BY q.qid, e.vec_id)
+    SELECT qid, vec_id, cos_sim, rnk FROM (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5 ORDER BY qid, rnk
+    """,
+)
+def p20_batch_topk(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return similarity.cosine_topk_batch(
+        emb, "embedding", "vec_id", queries_df, "qid", "qe", k=5
+    ).orderBy("qid", "rnk")
+
+
+# ---------------------------------------------------------------------------
 # p12 — multimodal decode plumbing: binary payload through Arrow-batched
 # mapInPandas (real schema/batch machinery; decode backend stubbed with
 # deterministic md5-derived dimensions — see operators.multimodal).

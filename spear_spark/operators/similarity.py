@@ -70,6 +70,45 @@ def cosine_topk(
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries_df: DataFrame,
+    q_id: str,
+    q_vec: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k per query for a *batch* of query vectors in one corpus
+    pass: broadcast the query set, score every (corpus, query) pair,
+    rank per query.  The realistic 100 TB shape — Q queries cost one
+    scan, not Q scans; corpus norms are computed once per row, not per
+    pair.  Returns (q_id, id, cos_sim, rnk)."""
+    base = df.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"), norm(F.col(vec_col)).alias("_cn")
+    )
+    qs = queries_df.select(
+        F.col(q_id).alias("_qid"), F.col(q_vec).alias("_qv"), norm(F.col(q_vec)).alias("_qn")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select(
+            F.col("_qid"),
+            F.col("_cid"),
+            F.round(dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("_qid").alias(q_id), F.col("_cid").alias(id_col), "cos_sim", "rnk")
+    )
+
+
 def knn_join_blocked(
     df: DataFrame, vec_col: str, id_col: str, block_col: str, k: int = 1
 ) -> DataFrame:
