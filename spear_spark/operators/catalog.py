@@ -615,6 +615,45 @@ def p20_batch_topk(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# p21 — duplicate clusters: connected components over the jaccard ≥ 0.5
+# pair graph (correct representative for chains, vs p13's greedy pair
+# policy).  Oracle: recursive-CTE transitive closure + min-reachable.
+# ---------------------------------------------------------------------------
+@q(
+    "p21_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def p21_dup_clusters(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # p12 — multimodal decode plumbing: binary payload through Arrow-batched
 # mapInPandas (real schema/batch machinery; decode backend stubbed with
 # deterministic md5-derived dimensions — see operators.multimodal).

@@ -300,6 +300,58 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over a pair graph via iterative min-label
+    propagation: every node's label converges to the minimum id in its
+    component.  Returns (doc_id, cluster_id).
+
+    This is the *correct* canonical-representative semantics for
+    duplicate chains a~b~c where a≁c (the greedy smaller-id policy in
+    :func:`near_dedup_jaccard` handles cliques but not chains).
+
+    Scale: iterations = component diameter; each round is two shuffles
+    over the PAIR graph (tiny relative to the corpus — it only contains
+    docs that matched something).  Near-dup graphs have small diameters;
+    for adversarial long chains use the large-star/small-star variant
+    (alternating min-propagation that halves diameter per round) and
+    checkpoint the label frame every ~10 rounds to cut lineage."""
+    sess = pairs.sparkSession
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges.cache()
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(
+                labels.withColumnRenamed("src", "dst").withColumnRenamed("label", "nl"),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neighbor, "src", "left")
+            .select("src", F.least(F.col("label"), F.col("nl")).alias("label"))
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def near_dedup_jaccard(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5, shingle_n: int = 3
 ) -> DataFrame:

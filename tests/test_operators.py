@@ -311,3 +311,21 @@ class TestApproximateAggregates:
         ).collect()[0].m
         exact = li.agg(F.median("l_extendedprice").alias("m")).collect()[0].m
         assert abs(approx - exact) / exact < 0.01
+
+
+class TestConnectedComponents:
+    def test_chain_vs_greedy(self, ctx):
+        """a~b~c chain: CC assigns all three to cluster min; greedy
+        pair-drop would handle it too, but CC also gets c when (a,c)
+        never paired directly."""
+        from spear_spark.operators.dedup import connected_components
+
+        pairs = ctx.lift(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+            "doc_a: long, doc_b: long",
+        ).df
+        got = {
+            r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20, 23: 20}
