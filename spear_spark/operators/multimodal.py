@@ -92,6 +92,76 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: payload → payload at (target_w, target_h).
+    STUB codec: emits a deterministic truncated/cycled byte payload of
+    size proportional to the target area; the real backend swaps into
+    ``_decode_backend``-style libs.  Contract: same row count, bounded
+    Arrow batches, binary-in/binary-out."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bytes = max(target_w * target_h // 128, 16)
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                reps = (n_bytes // max(len(b), 1)) + 1
+                out_payloads.append((b * reps)[:n_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out_payloads,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", dim: int = 16
+) -> DataFrame:
+    """Feature-extraction plumbing: payload → fixed-dim float vector.
+    STUB featurizer: md5-seeded deterministic pseudo-embedding (the
+    real backend is a vision/audio model over the same batch loop).
+    Output feeds directly into operators.similarity (array<float>)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("features", ArrayType(FloatType()))]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                seed = int(hashlib.md5(bytes(p)).hexdigest()[:8], 16)
+                rng = np.random.default_rng(seed)
+                feats.append([float(x) for x in rng.standard_normal(dim)])
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "features": feats})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(featurize, schema)
+
+
 FRAMES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -329,3 +329,33 @@ class TestConnectedComponents:
         }
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                        20: 20, 21: 20, 22: 20, 23: 20}
+
+
+class TestMultimodalPlumbing:
+    def test_resize_and_featurize(self, ctx, spark):
+        from spear_spark.operators.multimodal import (
+            attach_binary, extract_features, resize_images,
+        )
+        from spear_spark.operators.similarity import cosine_topk
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+        payload = attach_binary(docs, "text")
+
+        resized = resize_images(payload, 64, 64).collect()
+        assert len(resized) == 30
+        assert all(r.width == 64 and r.height == 64 for r in resized)
+        assert len({len(bytes(r.payload)) for r in resized}) == 1  # uniform size
+
+        feats = extract_features(payload, dim=8)
+        rows = feats.collect()
+        assert all(len(r.features) == 8 for r in rows)
+        # deterministic: same payload -> same features
+        rows2 = extract_features(payload, dim=8).collect()
+        assert {r.doc_id: tuple(r.features) for r in rows} == {
+            r.doc_id: tuple(r.features) for r in rows2
+        }
+        # features flow straight into the similarity operators
+        q = rows[0]
+        top = cosine_topk(feats, "features", "doc_id", list(q.features), k=3).collect()
+        assert top[0].doc_id == q.doc_id and top[0].cos_sim == 1.0
