@@ -1434,6 +1434,35 @@ def q42_arithmetic_edges(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q43 — hypertable-style multi-granularity rollup: hourly AND daily
+# continuous aggregates in ONE scan via GROUPING SETS over two derived
+# time buckets (the Expand pass computes both grains without a second
+# read — the batch form of a TimescaleDB continuous aggregate).
+# ---------------------------------------------------------------------------
+_Q43_SQL = """
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
+           CAST(date_trunc('day',  CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_ts,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY GROUPING SETS (
+      (CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP), event_type),
+      (CAST(date_trunc('day',  CAST(ts AS TIMESTAMP)) AS TIMESTAMP), event_type))
+    ORDER BY hour_ts NULLS LAST, day_ts NULLS LAST, event_type
+"""
+
+
+@q("q43_multigrain_rollup", _Q43_SQL)
+def q43_multigrain_rollup(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    # Spark SQL over the µs-normalized view; CAST(ts AS TIMESTAMP) is a
+    # no-op there, keeping the statement identical to the oracle.
+    return spark.sql(_Q43_SQL)
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most
