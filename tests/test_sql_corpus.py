@@ -44,6 +44,20 @@ CORPUS = [
     """SELECT c_nationkey AS nk, COUNT(*) AS n,
               CAST(SUM(COUNT(*)) OVER (ORDER BY c_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        FROM customer GROUP BY c_nationkey ORDER BY nk""",
+    # nested CTEs referencing earlier CTEs
+    """WITH base AS (SELECT o_custkey AS ck, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+         big AS (SELECT ck FROM base WHERE n >= 12)
+       SELECT COUNT(*) AS n_big FROM big""",
+    # EXISTS / NOT EXISTS subqueries
+    """SELECT r_name FROM region r
+       WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r.r_regionkey AND n_nationkey < 3)
+       ORDER BY r_name""",
+    # IN subquery + bag UNION combined
+    """SELECT k, COUNT(*) AS n FROM (
+         SELECT n_regionkey AS k FROM nation WHERE n_nationkey IN (SELECT r_regionkey FROM region)
+         UNION
+         SELECT r_regionkey AS k FROM region
+       ) t GROUP BY k ORDER BY k""",
 ]
 
 
