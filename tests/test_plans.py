@@ -87,3 +87,28 @@ def test_scalar_projection_reads_minimal_schema(spark, sf_dir):
     plan = executed_plan(OPS["p09_quality_score"][0](spark, sf_dir))
     cols = read_schemas(plan)[0]
     assert set(cols) == {"doc_id", "text"}
+
+
+def test_relational_catalog_is_python_free(spark, sf_dir):
+    """Every relational query must run entirely JVM-side — no
+    BatchEvalPython / ArrowEvalPython / pandas-group nodes anywhere.
+    (The pipeline ops that *intentionally* use Arrow UDFs are p06, p12,
+    p18's none — multimodal and vectorized kNN only.)"""
+    from spear_spark.relational import QUERIES as REL
+
+    offenders = []
+    for name, (fn, _) in sorted(REL.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if any(tok in plan for tok in ("EvalPython", "InPandas", "PythonUDF")):
+            offenders.append(name)
+    assert not offenders, f"Python in relational plans: {offenders}"
+
+
+def test_text_ops_are_python_free(spark, sf_dir):
+    """Text analysis is pure-Column by design (hot path at 100 TB)."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    for name in ["p08_lang_id", "p09_quality_score", "p10_token_stats",
+                 "p11_fingerprint", "p15_rolling_hash", "p16_winnowing"]:
+        plan = OPS[name][0](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
