@@ -359,3 +359,18 @@ class TestMultimodalPlumbing:
         q = rows[0]
         top = cosine_topk(feats, "features", "doc_id", list(q.features), k=3).collect()
         assert top[0].doc_id == q.doc_id and top[0].cos_sim == 1.0
+
+
+class TestHotShingleStress:
+    def test_hot_posting_list_pairs_exact(self, ctx):
+        """50 docs all sharing one 3-gram: the posting-list pair
+        expansion must produce exactly C(50,2) intersection-1 pairs
+        with correct jaccard — the skew shape the df-cap knob targets."""
+        from spear_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = [(i, f"common one two unique{i} a{i} b{i}") for i in range(50)]
+        df = ctx.lift(docs, "doc_id: long, text: string").df
+        pairs = ngram_jaccard_pairs(df, "text", "doc_id").collect()
+        assert len(pairs) == 50 * 49 // 2
+        # each doc has 4 shingles, shares exactly 1 → jaccard = 1/7
+        assert all(abs(p.jaccard - round(1 / 7, 6)) < 1e-9 for p in pairs)

@@ -164,3 +164,31 @@ def test_grouped_aggregates_match_python(ctx, data):
         for k, vs in expected.items()
     }
     assert got == expected
+
+
+@given(data=kv_st)
+@PROP_SETTINGS
+def test_running_sum_window_matches_prefix_sums(ctx, data):
+    """ROWS unbounded→current running sum (spear default frame) vs
+    python prefix sums per key, ordered by a unique index."""
+    from spear_spark.windows import Window as SW
+
+    indexed = [(k, v, i) for i, (k, v) in enumerate(data)]
+    df = (
+        ctx.lift(indexed, "k: int, v: int, i: int")
+        if indexed
+        else ctx.lift([], "k: int, v: int, i: int")
+    )
+    w = SW().partitionBy("k").orderBy("i").to_spark()
+    got = {
+        r.i: r.s
+        for r in df.df.select("i", F.sum("v").over(w).alias("s")).collect()
+    }
+    acc: dict = {}
+    expected = {}
+    for k, v, i in indexed:
+        prev = acc.get(k)
+        cur = prev if v is None else (v if prev is None else prev + v)
+        acc[k] = cur
+        expected[i] = cur
+    assert got == expected
