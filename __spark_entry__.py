@@ -20,16 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     """Collect the full query catalog (core relational + pipeline ops)."""
+    # Both modules must import — a failure here should surface loudly
+    # rather than silently shrinking the query catalog.
+    from spear_spark.operators.catalog import QUERIES as ops
     from spear_spark.relational import QUERIES as rel
 
-    catalog: dict = dict(rel)
-    try:
-        from spear_spark.operators.catalog import QUERIES as ops
-
-        catalog.update(ops)
-    except ImportError:
-        pass
-    return catalog
+    return {**rel, **ops}
 
 
 def entry(spark: SparkSession) -> DataFrame:
