@@ -1463,6 +1463,58 @@ def q43_multigrain_rollup(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q44 — correlated minimum (TPC-H Q2 shape): rows matching a per-group
+# minimum computed in a correlated subquery; Catalyst decorrelates to
+# an aggregate + join.
+# ---------------------------------------------------------------------------
+_Q44_SQL = """
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           l_extendedprice AS best_price
+    FROM lineitem
+    WHERE l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = lineitem.l_partkey)
+      AND l_partkey < 50
+    ORDER BY partkey, suppkey
+"""
+
+
+@q("q44_min_price_supplier", _Q44_SQL)
+def q44_min_price_supplier(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q44_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q45 — double correlated EXISTS / NOT EXISTS (TPC-H Q21 shape, adapted
+# to available columns): suppliers with a late shipment in a
+# multi-supplier order where no other supplier shipped late.
+# ---------------------------------------------------------------------------
+_Q45_SQL = """
+    SELECT s_name AS name, COUNT(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > TIMESTAMP '1999-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > TIMESTAMP '1999-01-01')
+    GROUP BY s_name
+    ORDER BY numwait DESC, name
+    """
+
+
+@q("q45_waiting_suppliers", _Q45_SQL)
+def q45_waiting_suppliers(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return spark.sql(_Q45_SQL)
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most
