@@ -3,10 +3,11 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice cold-ish (count() to materialize) and the
-minimum is reported, so JVM warmup doesn't dominate single-digit-second
-queries.  The headline set spans the operator families: scan-agg, join,
-window, set-op, self-join, dedup, similarity, text.
+Each query is executed three times (count() to materialize) and the
+MEDIAN is reported — the JVM-warmup first run and transient machine
+load both fall out, so round-over-round numbers are comparable.  The
+headline set spans the operator families: scan-agg, join, window,
+set-op, self-join, dedup, similarity, text.
 """
 
 from __future__ import annotations
@@ -60,15 +61,17 @@ def main() -> None:
     # warm the JVM + file-system cache once with a trivial action
     spark.range(1000).count()
 
+    import statistics
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
