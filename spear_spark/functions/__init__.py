@@ -87,9 +87,12 @@ def power(a: Any, b: Any) -> Column:
 def div(a: Any, b: Any) -> Column:
     """spear ``Divide`` on integral types is integer division
     (``arithmetics.scala:70-80``); Spark ``/`` always returns double —
-    truncate toward zero like Scala's integral ``/`` (⚠ delta).
-    Equivalent to SQL ``a div b`` for in-range longs."""
-    return (_c(a) / _c(b)).cast("long")
+    use the registered ``div`` function (Catalyst ``IntegralDivide``,
+    truncation toward zero like Scala's integral ``/``), which is exact
+    over the full int64 range.  The earlier ``(a / b).cast("long")``
+    routed through double division and silently lost precision for
+    |operands| > 2^53."""
+    return F.call_function("div", _c(a), _c(b))
 
 
 def isnan(c: Any) -> Column:
@@ -171,7 +174,11 @@ def map_(*key_value_pairs: Any) -> Column:
 def count(c: Any = None) -> Column:
     """``Count`` counts non-null; ``count(*)`` → ``Count(1)``
     (``expressionsAnalysis.scala:83-87``)."""
-    return F.count(F.lit(1)) if c is None or c == "*" else F.count(_c(c))
+    # isinstance guard: `c == "*"` on a Column builds a comparison Column
+    # whose truthiness raises — only test equality for real strings.
+    if c is None or (isinstance(c, str) and c == "*"):
+        return F.count(F.lit(1))
+    return F.count(_c(c))
 
 
 def max(c: Any) -> Column:  # noqa: A001 - mirrors the reference's name

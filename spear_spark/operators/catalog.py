@@ -156,7 +156,7 @@ def p04_simhash(spark: SparkSession, sf_dir: str) -> SDF:
     f"""
     WITH {_SIMHASH_SIG_CTE}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY doc_a, doc_b
@@ -328,10 +328,10 @@ def p09_quality_score(spark: SparkSession, sf_dir: str) -> SDF:
     "p10_token_stats",
     rf"""
     SELECT doc_id,
-           len({_TOKS}) AS n_tokens,
-           len(list_distinct({_TOKS})) AS n_distinct,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct,
            length(text) AS n_chars,
-           len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS n_bpe
+           CAST(len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS INTEGER) AS n_bpe
     FROM documents ORDER BY doc_id
     """,
 )
@@ -468,7 +468,7 @@ def p15_rolling_hash(spark: SparkSession, sf_dir: str) -> SDF:
                         ELSE [list_min(hs)] END AS mins
             FROM h)
     SELECT doc_id,
-           len(list_distinct(mins)) AS n_fp,
+           CAST(len(list_distinct(mins)) AS INTEGER) AS n_fp,
            array_to_string(list_sort(list_distinct(mins)), ',') AS fp
     FROM sel ORDER BY doc_id
     """,
@@ -597,7 +597,7 @@ def p18_clean_corpus(spark: SparkSession, sf_dir: str) -> SDF:
       FROM embeddings e CROSS JOIN q CROSS JOIN range(1, 65) r(i)
       WHERE e.vec_id <> q.qid
       GROUP BY q.qid, e.vec_id)
-    SELECT qid, vec_id, cos_sim, rnk FROM (
+    SELECT qid, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT qid, vec_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
       FROM scored) t

@@ -2,11 +2,11 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema contracts,
-batch iteration, partition-preserving projection; the actual media
-decoding is stubbed (the container has no image/audio libs) behind
-:func:`_decode_backend`, which raises ``NotImplementedError`` for real
-codecs and provides a deterministic fake (md5-derived dimensions) so
-the pipeline is end-to-end testable and oracle-checkable.
+batch iteration, partition-preserving projection.  :func:`_decode_backend`
+uses PIL when it is importable and the payload decodes; otherwise (no
+codec in this container, or an undecodable payload) it falls back to a
+deterministic fake (md5-derived dimensions) so the pipeline is
+end-to-end testable and oracle-checkable in any environment.
 
 Scale notes:
 * binary payloads ride the normal columnar path (parquet binary);
@@ -53,22 +53,38 @@ def attach_binary(df: DataFrame, source_col: str, out_col: str = "payload") -> D
     return df.withColumn(out_col, F.encode(F.col(source_col), "utf-8"))
 
 
-def _decode_backend(payload: bytes) -> tuple[int, int, str]:
-    """STUB: real image decode (PIL/libvips) is unavailable in this
-    container.  The deterministic fake derives dimensions from the md5
-    digest of the payload — stable across engines and runs."""
-    try:
-        import PIL.Image  # noqa: F401
+# Set True to bypass any installed codec and always use the deterministic
+# fake (oracle-checkable across engines/environments).
+FORCE_FAKE_CODEC = False
 
-        raise NotImplementedError(
-            "real image decode path not wired yet; deterministic fake below "
-            "defines the contract (width, height, format)"
-        )
-    except ImportError:
-        digest = hashlib.md5(payload).hexdigest()
-        width = int(digest[:4], 16) % 1920 + 1
-        height = int(digest[4:8], 16) % 1080 + 1
-        return width, height, "fake"
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake: dimensions derived from the md5 digest of the
+    payload — stable across engines and runs, DuckDB-oracle-checkable."""
+    digest = hashlib.md5(payload).hexdigest()
+    width = int(digest[:4], 16) % 1920 + 1
+    height = int(digest[4:8], 16) % 1080 + 1
+    return width, height, "fake"
+
+
+def _decode_backend(payload: bytes) -> tuple[int, int, str]:
+    """Real image decode via PIL when it is importable AND the payload is
+    a decodable image; deterministic fake otherwise.  The fallback (not a
+    raise) keeps the pipeline total: a corrupt/non-image payload at 100 TB
+    must degrade to a tagged row, not kill the stage."""
+    if not FORCE_FAKE_CODEC:
+        try:
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(payload)) as img:
+                return img.width, img.height, (img.format or "unknown").lower()
+        except ImportError:
+            pass  # no codec in this container — fake below
+        except Exception:
+            pass  # undecodable payload — fake below
+    return _fake_decode(payload)
 
 
 def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:

@@ -538,7 +538,9 @@ def q14_window_aggregates(spark: SparkSession, sf_dir: str) -> SDF:
 @q(
     "q15_top3_per_nation",
     """
-    SELECT nationkey, custkey, c_acctbal AS acctbal, rnk FROM (
+    SELECT nationkey, custkey, c_acctbal AS acctbal,
+           CAST(rnk AS INTEGER) AS rnk  -- match Spark row_number (int32)
+    FROM (
       SELECT c_nationkey AS nationkey, c_custkey AS custkey, c_acctbal,
              ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
       FROM customer) t
@@ -698,7 +700,7 @@ def q19_sort_nulls(spark: SparkSession, sf_dir: str) -> SDF:
       l_orderkey // 100 AS okey_div,
       l_returnflag IN ('A', 'N') AS is_an,
       l_discount IS NOT DISTINCT FROM l_tax AS same_rate,
-      length(concat(l_returnflag, l_linestatus)) AS flag_len
+      CAST(length(concat(l_returnflag, l_linestatus)) AS INTEGER) AS flag_len
     FROM lineitem WHERE l_orderkey < 300
     ORDER BY orderkey, linenumber
     """,
@@ -836,7 +838,7 @@ def q22_top_supplier_cte(spark: SparkSession, sf_dir: str) -> SDF:
 _Q23_SQL = """
     SELECT 1 + 2 AS a, concat('sp', 'ear') AS b,
            CAST(POWER(2, 10) AS BIGINT) AS c,
-           COALESCE(NULL, 'x') AS d, LEAST(3, 1, 2) AS e,
+           COALESCE(NULL, 'x') AS d, CAST(LEAST(3, 1, 2) AS INTEGER) AS e,
            CAST(NULL AS INTEGER) IS NULL AS f
 """
 
@@ -1139,7 +1141,7 @@ def q34_large_quantity_orders(spark: SparkSession, sf_dir: str) -> SDF:
            struct_pack(name := n_name, region := n_regionkey).name AS s_name,
            struct_pack(name := n_name, region := n_regionkey).region AS s_region,
            [n_nationkey, n_regionkey][1] AS arr_first,
-           len([n_nationkey, n_regionkey]) AS arr_len,
+           CAST(len([n_nationkey, n_regionkey]) AS INTEGER) AS arr_len,
            map(['nk'], [n_nationkey])['nk'][1] AS map_val
     FROM nation ORDER BY k
     """,
@@ -1198,7 +1200,7 @@ def q36_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> SDF:
            upper(o_orderpriority) AS pri_upper,
            lower(o_orderpriority) AS pri_lower,
            substr(o_orderpriority, 1, 1) AS pri_code,
-           length(o_orderpriority) AS pri_len,
+           CAST(length(o_orderpriority) AS INTEGER) AS pri_len,
            o_orderpriority LIKE '%URGENT%' AS is_urgentish
     FROM orders
     WHERE regexp_matches(o_orderpriority, '^[12]-')
@@ -1267,8 +1269,8 @@ def q38_multi_distinct(spark: SparkSession, sf_dir: str) -> SDF:
     "q39_cube",
     """
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
-           GROUPING(o_orderstatus) AS g_status,
-           GROUPING(o_orderpriority) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority,
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
     FROM orders
@@ -1322,8 +1324,11 @@ def q39_cube(spark: SparkSession, sf_dir: str) -> SDF:
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+             -- CAST: DuckDB window SUM over INTEGER yields HUGEINT (int128);
+             -- the driver's serialization hash is type-sensitive, so pin BIGINT
+             -- to match Spark's LongType (CORRECTNESS_r01 q40 hash_match fail).
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
       FROM marked)
     SELECT user_id, session_no, COUNT(*) AS n_events, MIN(event_id) AS first_event
     FROM sess GROUP BY user_id, session_no
@@ -1366,8 +1371,8 @@ def q40_sessionize(spark: SparkSession, sf_dir: str) -> SDF:
     "q41_ranking_functions",
     """
     SELECT c_custkey AS custkey, c_nationkey AS nationkey,
-           DENSE_RANK() OVER w AS drnk,
-           NTILE(4) OVER w AS quartile,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
            PERCENT_RANK() OVER w AS prnk,
            CUME_DIST() OVER w AS cdist,
            LEAD(c_custkey, 1) OVER w AS next_cust

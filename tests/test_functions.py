@@ -31,6 +31,20 @@ class TestArithmetic:
         assert one(ctx, sf.div(F.lit(7), F.lit(2))) == 3
         assert one(ctx, sf.div(F.lit(-7), F.lit(2))) == -3  # trunc toward 0
 
+    def test_integral_div_exact_beyond_2_53(self, ctx):
+        """div must be exact over the full int64 range — the double-division
+        shortcut returns 9007199254740992 for 2^53+1 (ADVICE r1)."""
+        big = 9007199254740993  # 2^53 + 1, not representable as double
+        assert one(ctx, sf.div(F.lit(big), F.lit(1))) == big
+        imax = 9223372036854775807
+        assert one(ctx, sf.div(F.lit(imax), F.lit(3))) == imax // 3
+        assert one(ctx, sf.div(F.lit(-imax), F.lit(7))) == -(imax // 7)  # trunc, not floor
+
+    def test_count_accepts_column(self, ctx):
+        """count(Column) must not evaluate Column truthiness (ADVICE r1)."""
+        df = ctx.lift([(None,), (1,)], "x: int")
+        assert df.agg(sf.count(F.col("x")).alias("n")).collect()[0].n == 1
+
     def test_greatest_least_ignore_nulls(self, ctx):
         assert one(ctx, sf.greatest(F.lit(1), F.lit(None).cast("int"), F.lit(3))) == 3
         assert one(ctx, sf.least(F.lit(1), F.lit(None).cast("int"), F.lit(3))) == 1

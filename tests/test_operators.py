@@ -331,6 +331,65 @@ class TestConnectedComponents:
                        20: 20, 21: 20, 22: 20, 23: 20}
 
 
+class TestDecodeBackendGate:
+    """The codec gate must USE a present PIL (not raise) and fall back
+    to the deterministic fake when PIL is absent or the payload does
+    not decode (ADVICE r1: the original gate raised on successful
+    import)."""
+
+    def _with_fake_pil(self, monkeypatch, open_impl):
+        import sys
+        import types
+
+        pil = types.ModuleType("PIL")
+        image_mod = types.ModuleType("PIL.Image")
+        image_mod.open = open_impl
+        pil.Image = image_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    def test_uses_real_decoder_when_pil_present(self, monkeypatch):
+        from spear_spark.operators import multimodal
+
+        class FakeImg:
+            width, height, format = 320, 240, "PNG"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+        self._with_fake_pil(monkeypatch, lambda buf: FakeImg())
+        assert multimodal._decode_backend(b"anything") == (320, 240, "png")
+
+    def test_falls_back_on_undecodable_payload(self, monkeypatch):
+        from spear_spark.operators import multimodal
+
+        def boom(buf):
+            raise ValueError("not an image")
+
+        self._with_fake_pil(monkeypatch, boom)
+        got = multimodal._decode_backend(b"not an image")
+        assert got == multimodal._fake_decode(b"not an image")
+
+    def test_force_fake_flag_bypasses_codec(self, monkeypatch):
+        from spear_spark.operators import multimodal
+
+        class FakeImg:
+            width, height, format = 1, 1, "PNG"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+        self._with_fake_pil(monkeypatch, lambda buf: FakeImg())
+        monkeypatch.setattr(multimodal, "FORCE_FAKE_CODEC", True)
+        assert multimodal._decode_backend(b"x") == multimodal._fake_decode(b"x")
+
+
 class TestMultimodalPlumbing:
     def test_resize_and_featurize(self, ctx, spark):
         from spear_spark.operators.multimodal import (
