@@ -170,17 +170,29 @@ def p19_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
-# p05 — n-gram Jaccard: inverted-index pair join; at 100 TB this runs on
-# LSH candidates only (see dedup.ngram_jaccard_pairs docstring).
+# p05 — n-gram Jaccard: inverted-index pair join with the df-cap knob
+# active (shingles in > _MAX_DF docs are pruned before pair generation —
+# the quadratic stop-shingle guard).  The cap is far above this corpus's
+# max df (25 at sf0.1), so results equal the uncapped run here, while the
+# oracle mirrors the capped semantics exactly for when it binds.
 # ---------------------------------------------------------------------------
+_MAX_DF = 64
+# shingles surviving the df-cap (df=1 shingles produce no pairs anyway)
+_KEPT_SH_CTE = f"""
+    kept AS (SELECT * FROM sh
+             WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_MAX_DF}))
+"""
+
+
 @q(
     "p05_ngram_jaccard",
     f"""
     WITH {_SHINGLES_CTE},
+    {_KEPT_SH_CTE},
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
@@ -190,7 +202,7 @@ def p19_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", top=100)
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", top=100, max_df=_MAX_DF)
 
 
 # ---------------------------------------------------------------------------
@@ -380,10 +392,11 @@ def p11_fingerprint(spark: SparkSession, sf_dir: str) -> SDF:
     "p13_near_dedup",
     f"""
     WITH {_SHINGLES_CTE},
+    {_KEPT_SH_CTE},
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     pairs AS (
       SELECT doc_a, doc_b,
@@ -396,7 +409,9 @@ def p11_fingerprint(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p13_near_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_dedup_jaccard(docs, "text", "doc_id", threshold=0.5).orderBy("drop_id")
+    return dedup.near_dedup_jaccard(
+        docs, "text", "doc_id", threshold=0.5, max_df=_MAX_DF
+    ).orderBy("drop_id")
 
 
 # ---------------------------------------------------------------------------
@@ -548,9 +563,11 @@ _P18_SHINGLES = r"""
     survivors AS (SELECT p.doc_id, p.text, p.quality FROM passed p
                   JOIN exact e ON p.doc_id = e.keep_id),
     {_P18_SHINGLES},
+    kept2 AS (SELECT * FROM sh2
+              WHERE s IN (SELECT s FROM sh2 GROUP BY s HAVING COUNT(*) <= {_MAX_DF})),
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-              FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM kept2 a JOIN kept2 b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id),
     drops AS (SELECT DISTINCT doc_b AS drop_id
               FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
@@ -570,9 +587,9 @@ def p18_clean_corpus(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("keep_id").alias("doc_id")
     )
     survivors = graded.join(keepers, "doc_id")
-    drops = dedup.near_dedup_jaccard(survivors, "text", "doc_id", threshold=0.5).select(
-        F.col("drop_id").alias("doc_id")
-    )
+    drops = dedup.near_dedup_jaccard(
+        survivors, "text", "doc_id", threshold=0.5, max_df=_MAX_DF
+    ).select(F.col("drop_id").alias("doc_id"))
     return (
         survivors.join(drops, "doc_id", "left_anti")
         .select("doc_id", "quality", text.fingerprint("text").alias("fingerprint"))

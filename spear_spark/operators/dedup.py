@@ -225,15 +225,31 @@ def simhash_near_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, top: int | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    top: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all doc pairs sharing ≥1 shingle, via an
     inverted index (explode → self-join on shingle → count).  Returns
     (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
 
-    Scale: run on LSH candidates, not the full corpus — the shingle
-    join explodes on stop-shingles.  Drop shingles with document
-    frequency above a cap first (df-based pruning) when standalone."""
+    ``max_df`` is the 100 TB safety knob: shingles occurring in more
+    than ``max_df`` documents are dropped *before* pair generation, so a
+    stop-shingle shared by millions of docs can never explode the pair
+    space quadratically (a df-D shingle contributes D·(D−1)/2 pairs).
+    Semantics under the cap: the intersection counts only surviving
+    shingles while denominators keep each doc's full distinct-shingle
+    count — a deterministic underestimate ("pruned-intersection
+    Jaccard").  Hot shingles carry ~no near-dup signal (they are shared
+    by unrelated docs), so near-dup ranking is preserved; pairs whose
+    only overlap was hot shingles drop out entirely.  The DuckDB oracle
+    mirrors the same rule, so capped results stay exactly checkable.
+
+    Scale: run on LSH candidates when possible; standalone, always set
+    ``max_df`` on hostile corpora."""
     # Single-pipeline inverted index, no self-join and no count join:
     # each exploded row carries its doc's shingle count, the posting
     # list groups (doc_id, n) structs per shingle, and ordered pair
@@ -261,6 +277,20 @@ def ngram_jaccard_pairs(
         F.struct(F.col("id"), F.size("shs").alias("n")).alias("d"),
         F.explode("shs").alias("s"),
     )
+    if max_df is not None:
+        # df-cap BEFORE collect_list materializes the posting list — a
+        # df-millions stop-shingle must never become one giant in-memory
+        # array.  count-aggregate (map-side partial) → semi-join back;
+        # the join and the following groupBy share the `s` hash
+        # partitioning, so the cap costs one extra count pass, not an
+        # extra pair-space blowup.
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") > 1) & (F.col("df") <= max_df))
+            .select("s")
+        )
+        sh = sh.join(keep, "s")
     postings = (
         sh.groupBy("s")
         .agg(F.array_sort(F.collect_list("d")).alias("ds"))
@@ -300,60 +330,97 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: for every node u, connect all strictly-larger
+    neighbors to m(u) = min({u} ∪ N(u)).  Expressed as groupBy-min +
+    equi-join — no neighbor-list materialization, so a hub node with
+    millions of neighbors is just a big (skew-splittable) group, never
+    a driver-side or single-row blowup."""
+    bidir = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        bidir.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: direct edges large→small, connect each node's
+    smaller neighbors (and itself) to the minimum of the neighborhood."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    m = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u by construction
+    rewired = (
+        d.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    self_edges = m.select("u", F.col("m").alias("v"))
+    return rewired.unionAll(self_edges).distinct()
+
+
 def connected_components(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
 ) -> DataFrame:
-    """Connected components over a pair graph via iterative min-label
-    propagation: every node's label converges to the minimum id in its
-    component.  Returns (doc_id, cluster_id).
+    """Connected components over a pair graph via alternating
+    large-star / small-star rounds (the MapReduce CC algorithm of
+    Kiveris et al.): each round is two groupBy-min + join passes over
+    the edge set, and the component diameter shrinks geometrically —
+    O(log² n) rounds even for adversarial chains, where plain min-label
+    propagation needs diameter-many rounds.  Returns
+    (doc_id, cluster_id) with cluster_id = min id in the component.
 
     This is the *correct* canonical-representative semantics for
     duplicate chains a~b~c where a≁c (the greedy smaller-id policy in
     :func:`near_dedup_jaccard` handles cliques but not chains).
 
-    Scale: iterations = component diameter; each round is two shuffles
-    over the PAIR graph (tiny relative to the corpus — it only contains
-    docs that matched something).  Near-dup graphs have small diameters;
-    for adversarial long chains use the large-star/small-star variant
-    (alternating min-propagation that halves diameter per round) and
-    checkpoint the label frame every ~10 rounds to cut lineage."""
-    sess = pairs.sparkSession
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    edges = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges.cache()
-    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    Scale: the edge set only contains docs that matched something —
+    tiny relative to the corpus.  Every round ends in an eager
+    ``localCheckpoint()``, so lineage stays flat regardless of round
+    count (no exponentially growing plan, no recomputation storms) and
+    the convergence signature reuses the materialized result."""
+    e = (
+        pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
     for _ in range(max_iter):
-        neighbor = (
-            edges.join(
-                labels.withColumnRenamed("src", "dst").withColumnRenamed("label", "nl"),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nl").alias("nl"))
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # order-independent edge-set signature; bit_xor never overflows
+        # (SUM of hashes would trip ANSI long-overflow on big edge sets)
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.bit_xor(F.xxhash64("u", "v")),
+                F.bit_xor(F.xxhash64(F.col("u") * 31, "v")),
+            ).collect()[0]
         )
-        new_labels = (
-            labels.join(neighbor, "src", "left")
-            .select("src", F.least(F.col("label"), F.col("nl")).alias("label"))
-        )
-        new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
-    edges.unpersist()
-    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("cluster_id"))
+        prev_sig = sig
+    # converged: every edge is (member → component-min root)
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    return members.unionAll(roots).distinct()
 
 
 def near_dedup_jaccard(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dedup drop decisions: for every pair with Jaccard ≥
     threshold, drop the larger id, keeping the smallest partner as the
@@ -366,7 +433,7 @@ def near_dedup_jaccard(
     label propagation; at 100 TB that is a handful of self-join rounds
     over the (tiny) pair set, not over the corpus.
     """
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_n)
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, max_df=max_df)
     return (
         pairs.filter(F.col("jaccard") >= threshold)
         .groupBy(F.col("doc_b").alias("drop_id"))

@@ -330,6 +330,54 @@ class TestConnectedComponents:
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                        20: 20, 21: 20, 22: 20, 23: 20}
 
+    def test_adversarial_chain_100(self, ctx):
+        """Path graph of diameter 100: plain min-propagation needs ~100
+        rounds; large-star/small-star converges in O(log² n).  max_iter=12
+        would time out the old implementation — the chain must still fully
+        collapse to cluster 1, with lineage kept flat by localCheckpoint."""
+        from spear_spark.operators.dedup import connected_components
+
+        pairs = ctx.lift(
+            [(i, i + 1) for i in range(1, 101)], "doc_a: long, doc_b: long"
+        ).df
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, max_iter=12).collect()
+        }
+        assert got == {i: 1 for i in range(1, 102)}
+
+    def test_random_graph_vs_union_find(self, ctx):
+        """Random pair graph vs a driver-side union-find oracle."""
+        import random
+
+        from spear_spark.operators.dedup import connected_components
+
+        rng = random.Random(7)
+        edges = sorted({
+            tuple(sorted(rng.sample(range(1, 61), 2))) for _ in range(55)
+        })
+        parent = {i: i for i in range(1, 61)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        # min-id per component, only nodes that appear in an edge
+        nodes = {n for e in edges for n in e}
+        comp_min = {}
+        for n in nodes:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        expect = {n: comp_min[find(n)] for n in nodes}
+
+        pairs = ctx.lift(list(edges), "doc_a: long, doc_b: long").df
+        got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == expect
+
 
 class TestDecodeBackendGate:
     """The codec gate must USE a present PIL (not raise) and fall back
@@ -433,3 +481,43 @@ class TestHotShingleStress:
         assert len(pairs) == 50 * 49 // 2
         # each doc has 4 shingles, shares exactly 1 → jaccard = 1/7
         assert all(abs(p.jaccard - round(1 / 7, 6)) < 1e-9 for p in pairs)
+
+    def test_df_cap_prunes_hot_shingle(self, ctx):
+        """Same hot-shingle corpus with a binding max_df: the C(50,2)
+        quadratic pair blast from the df-50 shingle must vanish (those
+        pairs' only overlap was the hot shingle), while a genuine
+        near-dup pair sharing RARE shingles survives with its
+        pruned-intersection jaccard."""
+        from spear_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = [(i, f"common one two unique{i} a{i} b{i}") for i in range(50)]
+        # docs 100/101: near-dups sharing 3 rare shingles + the hot one
+        docs += [
+            (100, "common one two same x y z tail100"),
+            (101, "common one two same x y z tail101"),
+        ]
+        df = ctx.lift(docs, "doc_id: long, text: string").df
+        got = {
+            (p.doc_a, p.doc_b): p.jaccard
+            for p in ngram_jaccard_pairs(df, "text", "doc_id", max_df=10).collect()
+        }
+        # all surviving pairs involve the near-dup couple only
+        assert set(got) == {(100, 101)}
+        # 6 shingles each; shared = 5 of which 1 (the hot one) is pruned
+        # → i=4, union denominator stays 6+6-4=8 (pruned-intersection)
+        assert abs(got[(100, 101)] - 0.5) < 1e-9
+
+    def test_df_cap_bounded_time_on_many_hot_shingles(self, ctx):
+        """Hostile corpus where EVERY shingle of 200 docs is hot (all
+        docs identical prefix): uncapped this is 200²/2 pairs × many
+        shingles; capped it must finish fast with zero pairs."""
+        import time
+
+        from spear_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(200)]
+        df = ctx.lift(docs, "doc_id: long, text: string").df
+        t0 = time.monotonic()
+        rows = ngram_jaccard_pairs(df, "text", "doc_id", max_df=20).collect()
+        assert rows == []
+        assert time.monotonic() - t0 < 60
