@@ -49,8 +49,25 @@ def rand(seed: int | None = None) -> Column:
     """``Rand(seed)`` stateful per-row PRNG (``stateful.scala:9-25``).
     Spark's ``rand`` is partition-seeded: deterministic for a fixed
     partitioning, not row-for-row identical to the reference's
-    sequential XORShift — documented divergence."""
+    sequential XORShift — documented divergence.  For an
+    oracle-checkable, partitioning-independent variant see
+    :func:`rand_like`."""
     return F.rand(seed) if seed is not None else F.rand()
+
+
+def rand_like(key: Any, seed: int = 42) -> Column:
+    """Deterministic uniform [0, 1) derived from a key column — the
+    testable stand-in for the reference's sequential ``Rand``
+    (``stateful.scala:9-25``), whose per-row XORShift state cannot be
+    reproduced under distributed execution.  ``u = md5(seed_key)[:13
+    hex] / 2^52``: the 52-bit numerator is exactly representable as a
+    double and the divisor is a power of two, so the value is
+    bit-identical in Spark and DuckDB and independent of partitioning —
+    the property that makes sampling reproducible at any cluster size."""
+    h = F.md5(F.concat_ws("_", F.lit(seed), _c(key).cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint") / F.lit(float(1 << 52))
+    )
 
 
 def length(c: Any) -> Column:
@@ -236,13 +253,24 @@ def last(c: Any, ignore_nulls: bool = False) -> Column:
 last_value = last
 
 
-def array_agg(c: Any, sort: bool = False) -> Column:
+def array_agg(c: Any, sort: bool = False, order_by: Any = None) -> Column:
     """``ArrayAgg`` keeps nulls and arrival order (``basic.scala:110-126``).
     Spark's ``collect_list`` drops nulls (⚠ delta) — wrap each value in
     a struct (never null) and unwrap, which preserves nulls.  Arrival
-    order is nondeterministic under distributed execution, so
-    ``sort=True`` pins a canonical order (nulls last, matching spear's
-    nulls-larger ordering)."""
+    order is nondeterministic under distributed execution, so callers
+    pick a deterministic policy instead:
+
+    * ``sort=True`` — canonical value order (nulls last, matching
+      spear's nulls-larger ordering);
+    * ``order_by=<key column>`` — reproduce a specific arrival order
+      (e.g. an event timestamp or line number): values are collected as
+      (key, value) structs, sorted by key, then unwrapped.  This is how
+      a caller recovers the reference's sequential arrival-order
+      semantics on a cluster, where physical arrival order isn't stable.
+    """
+    if order_by is not None:
+        wrapped = F.collect_list(F.struct(_c(order_by).alias("k"), _c(c).alias("v")))
+        return F.transform(F.array_sort(wrapped), lambda s: s.getField("v"))
     wrapped = F.collect_list(F.struct(_c(c).alias("v")))
     arr = F.transform(wrapped, lambda s: s.getField("v"))
     return F.array_sort(arr) if sort else arr

@@ -1520,6 +1520,39 @@ def q45_waiting_suppliers(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q46 — deterministic key-hash sampling via functions.rand_like: the
+# oracle-checkable stand-in for the reference's sequential Rand
+# (stateful.scala:9-25), whose per-row XORShift state has no
+# order-independent distributed equivalent.  u = md5[:13 hex]/2^52 is
+# bit-identical in both engines and partitioning-independent, so a 10%
+# sample is reproducible at any cluster size — the property that matters
+# for reproducible training-data subsets at 100 TB.
+# ---------------------------------------------------------------------------
+@q(
+    "q46_rand_sample",
+    """
+    WITH r AS (
+      SELECT o_orderkey,
+             ('0x'||substr(md5('42_'||CAST(o_orderkey AS VARCHAR)),1,13))::BIGINT
+               / 4503599627370496.0 AS u
+      FROM orders)
+    SELECT o_orderkey AS okey, u FROM r WHERE u < 0.1 ORDER BY okey
+    """,
+)
+def q46_rand_sample(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("okey"),
+            sf.rand_like("o_orderkey", seed=42).alias("u"),
+        )
+        .filter(F.col("u") < 0.1)
+        .orderBy("okey")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most

@@ -85,6 +85,16 @@ class TestAggregates:
         got = df.agg(sf.array_agg("x", sort=True).alias("a")).collect()[0].a
         assert got == [1, 2, None]  # nulls last per array_sort
 
+    def test_array_agg_order_by_key(self, ctx):
+        """order_by reproduces a specific arrival order deterministically
+        (the reference's ArrayAgg keeps physical arrival order, which has
+        no stable distributed equivalent — a key column does)."""
+        df = ctx.lift(
+            [(3, "c"), (1, "a"), (2, None), (4, "d")], "seq: int, x: string"
+        ).df.repartition(4)
+        got = df.agg(sf.array_agg("x", order_by="seq").alias("a")).collect()[0].a
+        assert got == ["a", None, "c", "d"]
+
     def test_product_bool_and_or(self, ctx):
         df = ctx.lift([(2.0, True), (3.0, False)], "x: double, b: boolean")
         r = df.agg(

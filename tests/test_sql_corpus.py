@@ -38,7 +38,7 @@ CORPUS = [
          b AS (SELECT r_regionkey AS k, r_name FROM region)
        SELECT b.r_name AS region, a.n AS nations FROM a JOIN b ON a.k = b.k ORDER BY region""",
     # scalar functions both engines share
-    """SELECT upper(r_name) AS u, length(r_name) AS l, substr(r_name, 1, 2) AS pre
+    """SELECT upper(r_name) AS u, CAST(length(r_name) AS INTEGER) AS l, substr(r_name, 1, 2) AS pre
        FROM region ORDER BY u""",
     # window over aggregate (spear-style)
     """SELECT c_nationkey AS nk, COUNT(*) AS n,
@@ -58,6 +58,15 @@ CORPUS = [
          UNION
          SELECT r_regionkey AS k FROM region
        ) t GROUP BY k ORDER BY k""",
+    # spear '^' = power: chain folds left-assoc, binds tighter than * and -
+    """SELECT n_nationkey AS k, n_nationkey ^ 2 AS sq,
+              2 ^ n_regionkey ^ 2 AS chain,
+              3 * 2 ^ 2 AS prec, 3 - 2 ^ 2 AS binm
+       FROM nation ORDER BY k""",
+    # '^' over parenthesized / function-call / signed operands
+    """SELECT n_nationkey AS k, (n_nationkey + 1) ^ 2 AS a,
+              abs(n_regionkey) ^ 2 AS b, -2 ^ 2 AS c, 2 ^ -2 AS d
+       FROM nation ORDER BY k""",
 ]
 
 
@@ -86,9 +95,49 @@ class TestDialect:
     def test_union_in_string_literal_untouched(self):
         assert to_spark_sql("SELECT 'UNION' AS x") == "SELECT 'UNION' AS x"
 
-    def test_caret_rejected(self):
+    def test_caret_rewritten_to_power(self):
+        assert to_spark_sql("SELECT 2 ^ 3") == "SELECT power(2, 3)"
+
+    def test_caret_chain_left_associative(self):
+        """Reference grammar: factor = base fold '^' — left fold
+        (ValueExpressionParser.scala:318-319)."""
+        assert to_spark_sql("a ^ b ^ c") == "power(power(a, b), c)"
+
+    def test_caret_binds_tighter_than_term_ops(self):
+        assert to_spark_sql("2 * 3 ^ 4") == "2 * power(3, 4)"
+        assert to_spark_sql("2 ^ 3 * 4") == "power(2, 3) * 4"
+        assert to_spark_sql("1 + 2 ^ 3") == "1 + power(2, 3)"
+
+    def test_caret_operand_shapes(self):
+        assert to_spark_sql("(a + b) ^ 2") == "power((a + b), 2)"
+        assert to_spark_sql("abs(x) ^ 2") == "power(abs(x), 2)"
+        assert to_spark_sql("t.col ^ 2") == "power(t.col, 2)"
+        assert to_spark_sql("2 ^ abs(x)") == "power(2, abs(x))"
+
+    def test_caret_sign_handling(self):
+        """base = sign.? ~ numericPrimary: sign after a keyword/operator
+        is part of the operand; after an operand it is binary."""
+        assert to_spark_sql("SELECT -2 ^ 2") == "SELECT power(-2, 2)"
+        assert to_spark_sql("3 - 2 ^ 2") == "3 - power(2, 2)"
+        assert to_spark_sql("2 ^ -3") == "power(2, -3)"
+
+    def test_caret_unrecognizable_still_loud(self):
         with pytest.raises(ValueError, match="power"):
-            to_spark_sql("SELECT 2 ^ 3")
+            to_spark_sql("SELECT ^ 3")
 
     def test_timestamp_precision_dropped(self):
         assert to_spark_sql("CAST(x AS TIMESTAMP(3))") == "CAST(x AS TIMESTAMP)"
+        assert to_spark_sql("CAST(x AS TIME(3))") == "CAST(x AS TIME)"
+        assert to_spark_sql("CAST(x AS TIMESTAMP(12))") == "CAST(x AS TIMESTAMP)"
+
+    def test_double_quoted_identifier_to_backticks(self):
+        assert to_spark_sql('SELECT "my col" FROM t') == "SELECT `my col` FROM t"
+        # "" escape inside a delimited identifier
+        assert to_spark_sql('SELECT "a""b" FROM t') == "SELECT `a\"b` FROM t"
+        # rewrites must not fire inside the identifier
+        assert to_spark_sql('SELECT "UNION ^" FROM t') == "SELECT `UNION ^` FROM t"
+
+    def test_double_quoted_identifier_executes(self, ctx, spark, sf_dir):
+        register_tables(spark, sf_dir)
+        rows = ctx.sql('SELECT n_name AS "nation name" FROM nation ORDER BY "nation name" LIMIT 1').collect()
+        assert list(rows[0].asDict()) == ["nation name"]
