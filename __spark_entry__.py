@@ -34,9 +34,14 @@ _DRIVER_PRIORITY = [
     "p14_embedding_dedup", "p15_rolling_hash", "p16_winnowing",
     "p17_range_join", "p18_clean_corpus", "p20_batch_topk",
     "p21_dup_clusters",
-    # -- changed in round 2 (q40 was the r01 red row; q46 is new;
-    #    the rest got oracle type-parity casts or operator changes)
-    "q40_sessionize", "q46_rand_sample", "p19_simhash_near_pairs",
+    # -- changed in round 2 (q40 was the r01 red row; q46-q50 are new,
+    #    covering surfaces that previously had only local-test evidence:
+    #    rand, lift/range LocalRelation, cast matrix, UDAF surfaces, SQL
+    #    dialect entry; the rest got oracle type-parity casts or
+    #    operator changes)
+    "q40_sessionize", "q46_rand_sample", "q47_local_relation",
+    "q48_cast_matrix", "q49_udaf_surfaces", "q50_sql_dialect",
+    "p19_simhash_near_pairs",
     "q15_top3_per_nation", "q20_scalar_functions", "q23_select_no_from",
     "q35_complex_types", "q37_string_functions", "q39_cube",
     "q41_ranking_functions",
@@ -48,8 +53,7 @@ _DRIVER_PRIORITY = [
     "q11_intersect_multiset", "q12_except_multiset", "q13_distinct",
     "q14_window_aggregates", "q16_range_frame", "q17_event_gaps",
     "q18_big_spenders", "q19_sort_nulls", "q21_aggregate_library",
-    "q22_top_supplier_cte", "q24_hourly_rollup", "q29_asof_last_click",
-    "p01_dedup_exact", "p03_minhash_lsh_pairs",
+    "q22_top_supplier_cte",
 ]
 
 

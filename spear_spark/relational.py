@@ -1553,6 +1553,166 @@ def q46_rand_sample(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q47 — LocalRelation surfaces: Context.lift (local rows → relation,
+# LogicalPlan.scala:93-113) and Context.range (Context.scala:32-40),
+# joined against a stored table.  At scale a lifted relation is exactly
+# the broadcast-side shape: tiny, driver-resident, shipped to executors
+# once.
+# ---------------------------------------------------------------------------
+@q(
+    "q47_local_relation",
+    """
+    WITH ks AS (SELECT range AS id FROM range(0, 5)),
+         w(k, wt) AS (VALUES (0, 2), (1, 3), (2, 5), (3, 7), (4, 11))
+    SELECT r.r_name AS region_name, w.wt AS wt, ks.id AS id
+    FROM ks JOIN w ON ks.id = w.k JOIN region r ON r.r_regionkey = w.k
+    ORDER BY region_name
+    """,
+)
+def q47_local_relation(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.context import Context
+
+    ctx = Context(spark)
+    weights = ctx.lift([(0, 2), (1, 3), (2, 5), (3, 7), (4, 11)], "k: int, wt: int")
+    ks = ctx.range(0, 5)
+    region = _t(spark, sf_dir, "region")
+    return (
+        ks.join(weights, F.col("id") == F.col("k"))
+        .join(region, F.col("r_regionkey") == F.col("k"))
+        .select(F.col("r_name").alias("region_name"), "wt", "id")
+        .orderBy("region_name")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — cast matrix (Cast.scala:107-146): int→string, timestamp→date,
+# date→string, string→int, int→double, and the spear string→boolean
+# acceptance matrix (yes/no/t/f/on/off — wider than Spark's cast, pinned
+# in functions.to_boolean; the oracle spells out the same matrix).
+# ---------------------------------------------------------------------------
+@q(
+    "q48_cast_matrix",
+    """
+    SELECT o_orderkey AS okey,
+           CAST(o_orderkey AS VARCHAR) AS okey_str,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate_str,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+           CAST(o_custkey AS DOUBLE) AS cust_d,
+           CASE WHEN lower(trim(CASE WHEN o_orderkey % 3 = 0 THEN 'yes'
+                                     WHEN o_orderkey % 3 = 1 THEN 'OFF'
+                                     ELSE 'garbage' END))
+                  IN ('true', 't', 'yes', 'y', 'on', '1') THEN TRUE
+                WHEN lower(trim(CASE WHEN o_orderkey % 3 = 0 THEN 'yes'
+                                     WHEN o_orderkey % 3 = 1 THEN 'OFF'
+                                     ELSE 'garbage' END))
+                  IN ('false', 'f', 'no', 'n', 'off', '0') THEN FALSE
+                ELSE NULL END AS flag
+    FROM orders WHERE o_orderkey < 400 ORDER BY okey
+    """,
+)
+def q48_cast_matrix(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    bool_src = sf.case_when(
+        (F.col("o_orderkey") % 3 == 0, F.lit("yes")),
+        (F.col("o_orderkey") % 3 == 1, F.lit("OFF")),
+        else_=F.lit("garbage"),
+    )
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderkey").cast("string").alias("okey_str"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+            F.col("o_orderdate").cast("date").cast("string").alias("odate_str"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("pri_num"),
+            F.col("o_custkey").cast("double").alias("cust_d"),
+            sf.to_boolean(bool_src).alias("flag"),
+        )
+        .orderBy("okey")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — both UDAF surfaces (SURVEY §2.5, interfaces.scala:20-126) in one
+# grouped aggregation: geometric_mean is the DECLARATIVE pattern (formula
+# over built-in sum/count partials → map-side partial aggregation for
+# free), median_udaf the IMPERATIVE one (Arrow GROUPED_AGG pandas UDF —
+# order-independent, so exact cross-engine).  The geometric mean's
+# float log-sum is order-sensitive → ROUND(…, 6) per convention.
+# ---------------------------------------------------------------------------
+@q(
+    "q49_udaf_surfaces",
+    """
+    SELECT l_returnflag AS flag,
+           ROUND(exp(SUM(ln(l_extendedprice)) / COUNT(l_extendedprice)), 6) AS geo_mean_price,
+           MEDIAN(l_quantity) AS median_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+)
+def q49_udaf_surfaces(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.functions.udaf import geometric_mean, median_udaf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    med = median_udaf()
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT) — run the two
+    # surfaces as separate aggs over the same grouping and join on the
+    # (tiny) group key.  Both aggs share the scan; the join is a few rows.
+    declarative = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(geometric_mean("l_extendedprice"), 6).alias("geo_mean_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    imperative = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        med(F.col("l_quantity")).alias("median_qty")
+    )
+    return (
+        declarative.join(imperative, "flag")
+        .select("flag", "geo_mean_price", "median_qty", "n")
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — SQL entry through the spear dialect shim (Context.sql +
+# sql_dialect.to_spark_sql): bag UNION, '^'-as-power rewrite, and a
+# double-quoted SQL-2006 identifier, all in one statement.  The oracle is
+# the hand-rewritten ANSI form, so this driver row certifies the shim
+# itself.
+# ---------------------------------------------------------------------------
+_Q50_SPEAR_SQL = """
+    SELECT k AS "region key", COUNT(*) AS n, CAST(MAX(2 ^ k) AS DOUBLE) AS max_pow
+    FROM (
+      SELECT n_regionkey AS k FROM nation
+      UNION
+      SELECT r_regionkey AS k FROM region
+    ) t
+    GROUP BY k ORDER BY k
+"""
+
+
+@q(
+    "q50_sql_dialect",
+    """
+    SELECT k AS "region key", COUNT(*) AS n, CAST(MAX(power(2, k)) AS DOUBLE) AS max_pow
+    FROM (
+      SELECT n_regionkey AS k FROM nation
+      UNION ALL
+      SELECT r_regionkey AS k FROM region
+    ) t
+    GROUP BY k ORDER BY k
+    """,
+)
+def q50_sql_dialect(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.context import Context
+
+    register_tables(spark, sf_dir, ("nation", "region"))
+    return Context(spark).sql(_Q50_SPEAR_SQL).df
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most
