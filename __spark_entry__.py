@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     #    operator changes)
     "q40_sessionize", "q46_rand_sample", "q47_local_relation",
     "q48_cast_matrix", "q49_udaf_surfaces", "q50_sql_dialect",
+    "q51_partitioned_range", "p22_salted_join",
     "p19_simhash_near_pairs",
     "q15_top3_per_nation", "q20_scalar_functions", "q23_select_no_from",
     "q35_complex_types", "q37_string_functions", "q39_cube",
@@ -52,8 +53,7 @@ _DRIVER_PRIORITY = [
     "q09_customers_without_orders", "q10_union_bag",
     "q11_intersect_multiset", "q12_except_multiset", "q13_distinct",
     "q14_window_aggregates", "q16_range_frame", "q17_event_gaps",
-    "q18_big_spenders", "q19_sort_nulls", "q21_aggregate_library",
-    "q22_top_supplier_cte",
+    "q18_big_spenders", "q21_aggregate_library",
 ]
 
 

@@ -690,3 +690,35 @@ def p12_multimodal_decode(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary(docs, "text")
     return multimodal.decode_images(with_payload, "doc_id", "payload").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p22 — salted join (operators.skew): the explicit hot-key fallback
+# beyond AQE's runtime skew splitting.  Salting is semantically
+# invisible for inner joins, so the oracle is the PLAIN join+aggregate —
+# this driver row certifies that invisibility, which is the operator's
+# whole contract.
+# ---------------------------------------------------------------------------
+@q(
+    "p22_salted_join",
+    """
+    SELECT s.s_nationkey AS nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY nationkey
+    """,
+)
+def p22_salted_join(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+    supp = load_table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+    joined = salted_join(li, supp.select("suppkey", "s_nationkey"), on="suppkey", salt=8)
+    return (
+        joined.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("nationkey")
+    )

@@ -1713,6 +1713,39 @@ def q50_sql_dialect(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# q51 — PARTITIONED RANGE frame: the scalable twin of q16 (whose global
+# ordered window is deliberately a single-task semantics pin).  Trailing
+# 30-minute value sum per user over event time: partitioning by user_id
+# spreads the window across the cluster, and the frame is computed on
+# exact integer microseconds with DECIMAL value sums — the shape real
+# trailing-metric pipelines use at 100 TB.
+# ---------------------------------------------------------------------------
+@q(
+    "q51_partitioned_range",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_value
+    FROM events ORDER BY event_id
+    """,
+)
+def q51_partitioned_range(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(D("value")).over(w).cast("double").alias("trailing_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # q29 — as-of join (custom operator: Spark lacks it for batch; composed
 # from union + ordered window + last(ignorenulls), the shuffle-once
 # scalable shape — no per-row subqueries).  For each error event, the most

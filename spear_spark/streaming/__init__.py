@@ -110,6 +110,79 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_USER_STATS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+        StructField("maxv", DoubleType()),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for per-key streaming logic the built-in windowed
+    aggregations can't express (running totals that never close, custom
+    eviction, cross-batch detectors).  Emits one updated
+    (user_id, n_events, value_sum, max_value) row per key per batch.
+
+    State design for 100 TB / unbounded keys:
+    * state per key is 3 scalars (24 bytes) — memory is O(active users),
+      like the built-in session window;
+    * the value sum is kept as integer cents in state, so the running
+      total is exact and independent of batch boundaries and arrival
+      order (a float accumulator would drift per partitioning — the
+      same convention as the batch DECIMAL casts);
+    * ``timeout='ProcessingTimeTimeout'`` + ``state.setTimeoutDuration``
+      is the eviction hook for truly unbounded key spaces; NoTimeout
+      keeps lifetime state (backfill / bounded-key shape).
+
+    Batch twin (the convergence contract, tested):
+    ``events.groupBy(user_id).agg(count, sum(cents)/100, max(value))``.
+    """
+    import pandas as pd  # local import: streaming module stays importable without pandas
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, cents, maxv = state.get
+        else:
+            n, cents, maxv = 0, 0, float("-inf")
+        for pdf in pdfs:
+            n += len(pdf)
+            # 2-decimal values → exact integer cents (int64 sum, order-free)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            if len(pdf):
+                maxv = max(maxv, float(pdf["value"].max()))
+        state.update((n, cents, maxv))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [cents / 100.0],
+                "max_value": [maxv],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_conf = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+    }[timeout]
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, USER_STATS_SCHEMA, _USER_STATS_STATE_SCHEMA, "update", timeout_conf
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> None:
     """Drain everything currently available into an in-memory table
     (test/backfill harness; production sinks are kafka/delta/parquet)."""

@@ -45,6 +45,43 @@ def test_sessionize_runs_and_bounds(spark, sf_dir):
     assert all(r.n_events >= 1 for r in rows)
 
 
+def test_running_user_stats_matches_batch(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator: after draining
+    the bounded stream, the last update per user must equal the batch
+    groupBy (count / exact cents sum / max)."""
+    from spear_spark.streaming import running_user_stats
+
+    stream = running_user_stats(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_stats_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per key per batch to the sink; the
+    # LAST row per user is the final state
+    got = {}
+    for r in spark.table("user_stats_test").collect():
+        got[r.user_id] = (r.n_events, r.value_sum, r.max_value)
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        r.user_id: (r.n, r.s, r.m)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("s"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
 def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
     from spear_spark.streaming import dedup_stream
 
