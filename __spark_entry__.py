@@ -43,6 +43,12 @@ _DRIVER_PRIORITY = [
     "q48_cast_matrix", "q49_udaf_surfaces", "q50_sql_dialect",
     "q51_partitioned_range", "p22_salted_join",
     "p19_simhash_near_pairs",
+    # -- new in round 2 (TPC-H Q22 shape, gap-filled rollup, sequence
+    #    packing, stratified sampling, exact group quantiles,
+    #    deterministic IVF ANN)
+    "q52_untapped_segments", "q53_gapfill_hourly",
+    "p23_sequence_packing", "p24_stratified_sample",
+    "p25_group_quantiles", "p26_ann_ivf",
     "q15_top3_per_nation", "q20_scalar_functions", "q23_select_no_from",
     "q35_complex_types", "q37_string_functions", "q39_cube",
     "q41_ranking_functions",
@@ -51,9 +57,7 @@ _DRIVER_PRIORITY = [
     "q04_theta_join", "q05_self_join_pairs", "q06_forecast_revenue",
     "q07_customer_orders_left", "q08_nation_coverage",
     "q09_customers_without_orders", "q10_union_bag",
-    "q11_intersect_multiset", "q12_except_multiset", "q13_distinct",
-    "q14_window_aggregates", "q16_range_frame", "q17_event_gaps",
-    "q18_big_spenders", "q21_aggregate_library",
+    "q11_intersect_multiset", "q12_except_multiset",
 ]
 
 

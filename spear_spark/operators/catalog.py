@@ -722,3 +722,143 @@ def p22_salted_join(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# p23 — sequence packing (operators.packing): documents → fixed-token-
+# budget packs by offset chunking.  One window cumulative sum per shard;
+# the shard key bounds the window partition so packing parallelizes.
+# ---------------------------------------------------------------------------
+@q(
+    "p23_sequence_packing",
+    rf"""
+    WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                      len({_TOKS}) AS n_tokens
+               FROM documents),
+    o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER
+            (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+          FROM t)
+    SELECT doc_id, shard, n_tokens, s // 1024 AS pack_no, s % 1024 AS pack_offset
+    FROM o ORDER BY doc_id
+    """,
+)
+def p23_sequence_packing(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, text.token_count("text"), "doc_id", capacity=1024, n_shards=8
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p24 — deterministic stratified sampling (operators.sampling): rebalance
+# the training mix (downsample dominant 'en' to 10%, keep the rest at
+# 50%) reproducibly — the keep decision is a pure function of
+# (doc_id, seed, lang), independent of partitioning.
+# ---------------------------------------------------------------------------
+@q(
+    "p24_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x'||substr(md5('7_'||CAST(doc_id AS VARCHAR)),1,13))::BIGINT
+               / 4503599627370496.0 AS u
+      FROM documents) t
+    WHERE u < (CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END)
+    ORDER BY doc_id
+    """,
+)
+def p24_stratified_sample(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", "lang", {"en": 0.1}, default_rate=0.5, seed=7)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p25 — exact per-group quantiles (operators.stats): char-length
+# distribution per language.  Exact percentile is per-group-single-task
+# (fine: groups are bounded and parallelize); the approx sketch variant
+# is the documented global-scale path.
+# ---------------------------------------------------------------------------
+@q(
+    "p25_group_quantiles",
+    """
+    SELECT lang,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS q25,
+           ROUND(quantile_cont(n_chars, 0.50), 6) AS q50,
+           ROUND(quantile_cont(n_chars, 0.90), 6) AS q90,
+           COUNT(*) AS n_rows
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def p25_group_quantiles(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import group_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_quantiles(docs, "n_chars", ["lang"], [0.25, 0.5, 0.9]).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# p26 — deterministic IVF ANN (operators.similarity.ann_topk_ivf_fixed):
+# top-5 cosine neighbors of the max-vec_id query, scanning only the 2
+# of 8 cells nearest the query.  Centroids here are the 8 lowest-id
+# vectors (deterministic, so the whole index is oracle-checkable);
+# at scale _cell is the write-partition key and non-probed cells are
+# never read.
+# ---------------------------------------------------------------------------
+_D2 = (
+    "ROUND(SUM((CAST({a}[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * "
+    "(CAST({a}[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), 6)"
+)
+
+
+@q(
+    "p26_ann_ivf",
+    f"""
+    WITH cents AS (
+      SELECT ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci FROM
+        (SELECT vec_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8) c0),
+    qv AS (SELECT embedding AS qe, vec_id AS qid FROM embeddings ORDER BY vec_id DESC LIMIT 1),
+    dist AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM embeddings e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    assigned AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM dist) t WHERE rn = 1),
+    qdist AS (
+      SELECT c.ci, {_D2.format(a='q.qe')} AS d2
+      FROM qv q CROSS JOIN cents c CROSS JOIN range(1, 65) r(i) GROUP BY c.ci),
+    probe AS (SELECT ci FROM
+      (SELECT ci, ROW_NUMBER() OVER (ORDER BY d2, ci) AS rn FROM qdist) t WHERE rn <= 2)
+    SELECT vec_id, cos_sim FROM (
+      SELECT e.vec_id,
+        ROUND(SUM(CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE)) /
+          (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) *
+           SQRT(SUM(CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE)))), 6) AS cos_sim
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN probe p ON a.cell = p.ci
+      CROSS JOIN qv q CROSS JOIN range(1, 65) r(i)
+      WHERE e.vec_id <> q.qid
+      GROUP BY e.vec_id) s
+    ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def p26_ann_ivf(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    centroids = [list(map(float, r["embedding"])) for r in cent_rows]
+    qrow = emb.orderBy(F.col("vec_id").desc()).limit(1).select("vec_id", "embedding").collect()[0]
+    query = list(map(float, qrow["embedding"]))
+    return similarity.ann_topk_ivf_fixed(
+        emb, "embedding", "vec_id", query, centroids,
+        k=5, n_probe=2, exclude_id=int(qrow["vec_id"]),
+    )

@@ -1,0 +1,70 @@
+"""Deterministic sampling operators for training-data curation.
+
+Training-mix rebalancing ("downsample web crawl to 10%, keep books at
+50%") must be *reproducible*: re-running the pipeline on a different
+cluster size, partition count, or row order has to select the same
+rows.  Spark's ``df.sample`` / ``sampleBy`` are partition-seeded and
+therefore not reproducible under repartitioning, so every operator here
+derives its randomness from a key column via
+:func:`spear_spark.functions.rand_like` (md5-based uniform, bit-identical
+in Spark and DuckDB — see functions/__init__.py:58).
+
+Scale: both operators are stateless projection+filter (no shuffle for
+:func:`stratified_sample`; one bounded per-group top-k for
+:func:`bottom_k_sample`), so they compose with any upstream scan and
+stream at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spear_spark.functions import rand_like
+
+
+def _rate_expr(strata_col: str, rates: Mapping[str, float], default_rate: float) -> Column:
+    rate = F.lit(float(default_rate))
+    for value, r in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return rate
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row with a per-stratum probability, deterministically:
+    row kept iff ``rand_like(key, seed) < rate(stratum)``.  The keep
+    decision depends only on (key, seed, stratum), never on
+    partitioning — the property that makes a 100 TB training-mix
+    rebalance reproducible and incrementally recomputable."""
+    return df.filter(rand_like(key_col, seed) < _rate_expr(strata_col, rates, default_rate))
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``k`` uniform rows per group (fewer if the group is
+    smaller): the k smallest ``rand_like`` values per group — the
+    deterministic, order-independent equivalent of per-group reservoir
+    sampling (a bottom-k sketch).  One shuffle on ``group_col``; the
+    per-group sort is bounded by the window top-k."""
+    u = rand_like(key_col, seed)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

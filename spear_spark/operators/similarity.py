@@ -269,3 +269,78 @@ def ann_topk_lsh(
     planes = rng.standard_normal((n_planes, dim))
     qb = sum(2**i for i in range(n_planes) if float(np.dot(planes[i], query)) > 0)
     return cosine_topk(bucketed.filter(F.col("_bkt") == qb), vec_col, id_col, query, k)
+
+
+def l2sq(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Squared L2 distance between two array columns, rounded so the
+    sequential-fold sum is comparable across engines."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+        decimals,
+    )
+
+
+def ivf_assign_fixed(
+    df: DataFrame, vec_col: str, centroids: Sequence[Sequence[float]]
+) -> DataFrame:
+    """IVF cell assignment against *fixed* centroids (vs the KMeans fit
+    in :func:`ivf_assign`): cell = argmin rounded squared L2 distance,
+    ties to the lower centroid index — fully deterministic, so the
+    assignment (and therefore the partition layout it drives) is
+    oracle-checkable and reproducible across runs and engines.
+    Pure-Column: one projection, no shuffle; at scale the ``_cell``
+    column becomes the write-partitioning key so probes prune the scan."""
+    dists = [
+        F.struct(
+            l2sq(F.col(vec_col), vec_lit(c)).alias("d"),
+            F.lit(i).cast("int").alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    # min over (d, i) structs is lexicographic: nearest distance, then
+    # lowest centroid index — the documented tie-break.
+    return df.withColumn("_cell", F.array_min(F.array(*dists))["i"])
+
+
+def nearest_cells(
+    query: Sequence[float], centroids: Sequence[Sequence[float]], n_probe: int
+) -> list[int]:
+    """Driver-side probe selection: indexes of the ``n_probe`` centroids
+    nearest the query, same rounded-L2 + index tie-break as
+    :func:`ivf_assign_fixed` (sequential double sum matches the Column
+    fold bit-for-bit).  Centroids are a KB-scale driver artifact."""
+    def d2(c: Sequence[float]) -> float:
+        acc = 0.0
+        for x, y in zip(query, c):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return round(acc, 6)
+
+    ranked = sorted((d2(c), i) for i, c in enumerate(centroids))
+    return [i for _, i in ranked[:n_probe]]
+
+
+def ann_topk_ivf_fixed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k with deterministic IVF: score only vectors
+    assigned to the ``n_probe`` cells nearest the query.  With
+    cell-partitioned storage the non-probed cells are never read —
+    the scan itself shrinks by ~n_probe/n_cells."""
+    probe = nearest_cells(query, centroids, n_probe)
+    assigned = ivf_assign_fixed(df, vec_col, centroids)
+    return cosine_topk(
+        assigned.filter(F.col("_cell").isin(probe)), vec_col, id_col, query, k,
+        exclude_id=exclude_id,
+    )

@@ -1,0 +1,61 @@
+"""Distribution statistics over grouped data: exact and approximate
+quantiles.
+
+Exact per-group quantiles (``F.percentile``, linear interpolation —
+the same R-7 rule DuckDB's ``quantile_cont`` uses) need the full group
+in memory on one task, which is fine when groups are bounded (per-
+language, per-source, per-day slices of a corpus) — the groups
+parallelize across the cluster even though each is single-task.
+
+For *global* quantiles at 100 TB, exact computation would concentrate
+the whole dataset onto one task: use :func:`group_quantiles_approx`
+(``percentile_approx`` — a mergeable t-digest-style sketch computed
+with map-side partials, constant memory per task) and accept the
+documented rank error.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact per-group quantiles, one output column ``q<pct>`` per
+    requested quantile, plus ``n_rows``.  Rounded so FP interpolation
+    is comparable across engines."""
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(float(q))), decimals).alias(
+            f"q{int(round(q * 100)):02d}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+
+
+def group_quantiles_approx(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate per-group quantiles via the mergeable
+    ``percentile_approx`` sketch (rank error ≤ 1/accuracy) — the scale
+    path: partial sketches merge map-side, so memory per task is
+    O(accuracy), independent of group size."""
+    aggs = [
+        F.percentile_approx(F.col(value_col), F.lit(float(q)), F.lit(accuracy)).alias(
+            f"q{int(round(q * 100)):02d}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs, F.count(F.lit(1)).alias("n_rows"))

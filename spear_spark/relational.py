@@ -1773,3 +1773,111 @@ def q29_asof_last_click(spark: SparkSession, sf_dir: str) -> SDF:
         errors, clicks, on="user_id", ts="ts", value="click_ts", result="prev_click_ts"
     )
     return out.select("event_id", "prev_click_ts").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q52 — TPC-H Q22 shape (global-avg scalar subquery + NOT EXISTS anti
+# join + aggregation; adapted: no phone column, so grouped by market
+# segment): untapped segments — above-average-balance customers with no
+# recent orders.  Scale: the scalar average is a 1-row DataFrame
+# broadcast onto the fact scan (no second scan at the consumer, no
+# driver round-trip); the NOT EXISTS is a left_anti hash join on
+# custkey.  Reference: SubqueryParser EXISTS/scalar-subquery grammar
+# (spear-core parsers), here composed from first-class plans.
+# ---------------------------------------------------------------------------
+@q(
+    "q52_untapped_segments",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q52_untapped_segments(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(D("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(D("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — gap-filled hourly rollup (the hypertable/time_bucket_gapfill
+# shape): a dense hour × event_type grid with zero-filled gaps, built
+# from sequence() + explode over the observed bounds.  Scale: the grid
+# is hours × types (tiny — thousands of rows per year) built from a
+# 1-row min/max aggregate, then LEFT-joined by the aggregated facts;
+# the 100 TB side is collapsed by a partial agg before the join, and
+# the grid side broadcasts.
+# ---------------------------------------------------------------------------
+@q(
+    "q53_gapfill_hourly",
+    """
+    WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, value
+               FROM events),
+    agg AS (SELECT h, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+            FROM e GROUP BY h, event_type),
+    bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM e),
+    grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT g.h AS hour, t.event_type AS event_type,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.sv, 0.0) AS sum_value
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN agg a ON a.h = g.h AND a.event_type = t.event_type
+    ORDER BY hour, event_type
+    """,
+)
+def q53_gapfill_hourly(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    agg = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum(D("value")).alias("sv")
+    )
+    grid = (
+        ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        grid.join(
+            agg,
+            (agg["h"] == grid["hour"]) & (agg["event_type"] == grid["event_type"]),
+            "left",
+        )
+        .select(
+            grid["hour"],
+            grid["event_type"],
+            F.coalesce(agg["n"], F.lit(0)).alias("n_events"),
+            F.coalesce(agg["sv"], F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )

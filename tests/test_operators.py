@@ -521,3 +521,119 @@ class TestHotShingleStress:
         rows = ngram_jaccard_pairs(df, "text", "doc_id", max_df=20).collect()
         assert rows == []
         assert time.monotonic() - t0 < 60
+
+
+class TestSequencePacking:
+    def test_offsets_and_pack_bounds(self, ctx):
+        from spear_spark.operators.packing import pack_sequences
+
+        rows = [(i, "w " * 10) for i in range(12)]  # 10 tokens each
+        df = ctx.lift(rows, "doc_id: long, text: string").df
+        out = pack_sequences(
+            df, text.token_count("text"), "doc_id", capacity=25, n_shards=2
+        ).collect()
+        assert len(out) == 12  # every doc assigned exactly once
+        by_id = {r.doc_id: r for r in out}
+        # shard 0 = even ids, laid out in id order: starts 0,10,20,30...
+        assert by_id[0].pack_no == 0 and by_id[0].pack_offset == 0
+        assert by_id[4].pack_no == 0 and by_id[4].pack_offset == 20
+        assert by_id[6].pack_no == 1 and by_id[6].pack_offset == 5
+        for r in out:
+            assert 0 <= r.pack_offset < 25
+            assert r.n_tokens == 10
+
+    def test_partition_independence(self, ctx, spark):
+        from spear_spark.operators.packing import pack_sequences
+
+        rows = [(i, "tok " * (1 + i % 7)) for i in range(100)]
+        df = ctx.lift(rows, "doc_id: long, text: string").df
+        a = pack_sequences(df, text.token_count("text"), "doc_id").collect()
+        b = pack_sequences(
+            df.repartition(7), text.token_count("text"), "doc_id"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestStratifiedSample:
+    def test_rate_and_determinism(self, ctx):
+        from spear_spark.operators.sampling import stratified_sample
+
+        rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+        df = ctx.lift(rows, "k: long, lang: string").df
+        out = stratified_sample(df, "k", "lang", {"en": 0.1}, default_rate=0.5)
+        got = out.groupBy("lang").count().collect()
+        counts = {r.lang: r["count"] for r in got}
+        # 1000 keys per stratum: md5-uniform keep rates land near target
+        assert 60 <= counts["en"] <= 140
+        assert 420 <= counts["fr"] <= 580
+        # repartitioning must not change the selected set
+        again = stratified_sample(
+            df.repartition(13), "k", "lang", {"en": 0.1}, default_rate=0.5
+        )
+        assert sorted(r.k for r in out.collect()) == sorted(r.k for r in again.collect())
+
+    def test_bottom_k_exact_count_per_group(self, ctx):
+        from spear_spark.operators.sampling import bottom_k_sample
+
+        rows = [(i, i % 3) for i in range(90)] + [(1000, 99)]  # group 99 has 1 row
+        df = ctx.lift(rows, "k: long, g: int").df
+        out = bottom_k_sample(df, "k", "g", k=5).groupBy("g").count().collect()
+        counts = {r.g: r["count"] for r in out}
+        assert counts == {0: 5, 1: 5, 2: 5, 99: 1}
+        # deterministic under repartitioning
+        a = sorted(r.k for r in bottom_k_sample(df, "k", "g", 5).collect())
+        b = sorted(r.k for r in bottom_k_sample(df.repartition(11), "k", "g", 5).collect())
+        assert a == b
+
+
+class TestGroupQuantiles:
+    def test_exact_interpolation(self, ctx):
+        from spear_spark.operators.stats import group_quantiles
+
+        df = ctx.lift([("a", v) for v in [1, 2, 3, 4]], "g: string, v: long").df
+        row = group_quantiles(df, "v", ["g"], [0.5, 0.25]).collect()[0]
+        assert row.q50 == 2.5  # linear interpolation between 2 and 3
+        assert row.q25 == 1.75
+        assert row.n_rows == 4
+
+    def test_approx_tracks_exact(self, ctx, spark, sf_dir):
+        from spear_spark.operators.stats import group_quantiles, group_quantiles_approx
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        exact = {r.lang: r.q50 for r in group_quantiles(docs, "n_chars", ["lang"], [0.5]).collect()}
+        approx = {r.lang: r.q50 for r in group_quantiles_approx(docs, "n_chars", ["lang"], [0.5]).collect()}
+        for lang, ex in exact.items():
+            assert abs(approx[lang] - ex) / max(ex, 1.0) < 0.1
+
+
+class TestIvfFixed:
+    def test_full_probe_equals_brute_force(self, ctx, spark, sf_dir):
+        from spear_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = emb.orderBy("vec_id").limit(4).select("embedding").collect()
+        cents = [list(map(float, r.embedding)) for r in rows]
+        q = cents[0]
+        brute = similarity.cosine_topk(emb, "embedding", "vec_id", q, k=5).collect()
+        ann = similarity.ann_topk_ivf_fixed(
+            emb, "embedding", "vec_id", q, cents, k=5, n_probe=4
+        ).collect()
+        assert [tuple(r) for r in ann] == [tuple(r) for r in brute]
+
+    def test_assignment_deterministic_and_probe_prunes(self, ctx, spark, sf_dir):
+        from spear_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = emb.orderBy("vec_id").limit(4).select("embedding").collect()
+        cents = [list(map(float, r.embedding)) for r in rows]
+        a = similarity.ivf_assign_fixed(emb, "embedding", cents)
+        counts = dict(
+            (r["_cell"], r["count"]) for r in a.groupBy("_cell").count().collect()
+        )
+        assert sum(counts.values()) == emb.count()  # total preserved
+        b = similarity.ivf_assign_fixed(emb.repartition(5), "embedding", cents)
+        assert sorted((r.vec_id, r["_cell"]) for r in a.select("vec_id", "_cell").collect()) == \
+               sorted((r.vec_id, r["_cell"]) for r in b.select("vec_id", "_cell").collect())
+        probe = similarity.nearest_cells(cents[0], cents, 2)
+        assert len(probe) == 2 and probe[0] == 0  # query IS centroid 0
