@@ -862,3 +862,62 @@ def p26_ann_ivf(spark: SparkSession, sf_dir: str) -> SDF:
         emb, "embedding", "vec_id", query, centroids,
         k=5, n_probe=2, exclude_id=int(qrow["vec_id"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# p27 — TF-IDF keyword signatures (operators.relevance): top-3 terms per
+# document by smoothed tf-idf.  One token explode collapsed by partial
+# counts; document frequencies and N broadcast back.
+# ---------------------------------------------------------------------------
+@q(
+    "p27_tfidf_topterms",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (SELECT doc_id, term, tf,
+                 ROUND(tf * (ln((n.n + 1.0) / (dft.dft + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dft USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM w) t
+    WHERE rn <= 3 ORDER BY doc_id, term
+    """,
+)
+def p27_tfidf_topterms(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf(docs, "text", "doc_id", top_terms=3).orderBy("doc_id", "term")
+
+
+# ---------------------------------------------------------------------------
+# p28 — BM25 ranking (operators.relevance): top-10 documents for a
+# 3-term query.  The scoring table is the query-term slice of the
+# (doc, term) aggregate; N/avgdl are 1-row broadcasts — a single
+# filtered aggregate over the corpus scan, no all-pairs stage.
+# ---------------------------------------------------------------------------
+@q(
+    "p28_bm25",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl)
+    SELECT doc_id,
+      ROUND(SUM(ln(1.0 + (n.n - dft.dft + 0.5) / (dft.dft + 0.5)) *
+                (tf.tf * (1.2 + 1.0)) /
+                (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / ad.avgdl))), 6) AS bm25
+    FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def p28_bm25(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25(docs, "text", "doc_id", ["hash", "join", "scan"], top=10)

@@ -1,0 +1,123 @@
+"""Text relevance scoring: TF-IDF term weights and BM25 ranking.
+
+The retrieval half of a training-data pipeline: score documents against
+query terms (quality-targeted sampling, topic bucketing, dedup-aware
+search).  Both operators are built from the same two aggregates —
+per-(doc, term) term frequencies and per-term document frequencies —
+so the token explode is paid once and everything downstream is
+hash-aggregate + broadcast joins.
+
+Scale: the explode fans out ~tokens-per-doc rows, immediately collapsed
+by a map-side partial count into the (doc, term) table; document
+frequencies and the corpus constants (N, avgdl) are tiny aggregates
+that broadcast.  No all-pairs stage anywhere; the one shuffle of the
+(doc, term) table is the floor for any exact TF-IDF at 100 TB.
+
+Determinism: weights are ROUND(·, 6) after fixed double formulas, so
+rankings are reproducible across engines and partitionings (ties break
+on term / doc id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spear_spark.operators.text import tokens
+
+
+def term_doc_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-(doc, term) frequency table: the shared base aggregate.
+    The token array is materialized in its own projection *before* the
+    explode (generator-adjacent expressions re-evaluate per output row
+    otherwise — see dedup.shingles)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return (
+        toks.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_terms: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Smoothed TF-IDF weight per (doc, term):
+    ``tf * (ln((N + 1) / (df_t + 1)) + 1)`` — the sklearn-style smooth
+    idf, always positive.  With ``top_terms``, keeps each document's
+    top-k terms (weight desc, term asc) — its keyword signature."""
+    tf = term_doc_frequencies(df, text_col, id_col)
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("dft") + F.lit(1.0))) + F.lit(1.0)
+    out = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col, "term", "tf",
+            F.round(F.col("tf") * idf, decimals).alias("tfidf"),
+        )
+    )
+    if top_terms is not None:
+        w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= top_terms
+        ).drop("_rn")
+    return out
+
+
+def bm25(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """BM25 document score for a bag of query terms (Robertson/Sparck
+    Jones idf): ``Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) ·
+    tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.  Documents matching
+    no query term are omitted (score would be 0).
+
+    The query-term tf table is a tiny slice of the (doc, term)
+    aggregate; N and avgdl are 1-row broadcasts, so the whole score is
+    one filtered aggregate + broadcast joins over the corpus scan."""
+    tf = term_doc_frequencies(df, text_col, id_col).filter(
+        F.col("term").isin(*[str(t) for t in query_terms])
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    dl = df.select(F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("dl"))
+    corpus = df.agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    out = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), decimals).alias("bm25"))
+    )
+    if top is not None:
+        out = out.orderBy(F.col("bm25").desc(), id_col).limit(top)
+    return out

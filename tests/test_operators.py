@@ -637,3 +637,49 @@ class TestIvfFixed:
                sorted((r.vec_id, r["_cell"]) for r in b.select("vec_id", "_cell").collect())
         probe = similarity.nearest_cells(cents[0], cents, 2)
         assert len(probe) == 2 and probe[0] == 0  # query IS centroid 0
+
+
+class TestRelevance:
+    def test_tfidf_known_values(self, ctx):
+        import math
+
+        from spear_spark.operators.relevance import tf_idf
+
+        df = ctx.lift(
+            [(1, "a a b"), (2, "a c")], "doc_id: long, text: string"
+        ).df
+        got = {
+            (r.doc_id, r.term): (r.tf, r.tfidf)
+            for r in tf_idf(df, "text", "doc_id").collect()
+        }
+        # N=2; 'a' in both docs (dft=2), 'b'/'c' in one (dft=1)
+        idf_a = math.log(3.0 / 3.0) + 1.0
+        idf_b = math.log(3.0 / 2.0) + 1.0
+        assert got[(1, "a")] == (2, round(2 * idf_a, 6))
+        assert got[(1, "b")] == (1, round(idf_b, 6))
+        assert got[(2, "c")] == (1, round(idf_b, 6))
+
+    def test_bm25_orders_by_term_density(self, ctx):
+        from spear_spark.operators.relevance import bm25
+
+        df = ctx.lift(
+            [
+                (1, "hash hash hash pad pad pad"),
+                (2, "hash pad pad pad pad pad"),
+                (3, "pad pad pad pad pad pad"),
+            ],
+            "doc_id: long, text: string",
+        ).df
+        rows = bm25(df, "text", "doc_id", ["hash"]).collect()
+        scores = {r.doc_id: r.bm25 for r in rows}
+        assert 3 not in scores  # no query term -> omitted
+        assert scores[1] > scores[2] > 0
+
+    def test_bm25_partition_independent(self, ctx, spark, sf_dir):
+        from spear_spark.operators.relevance import bm25
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = bm25(docs, "text", "doc_id", ["hash", "join"], top=10).collect()
+        b = bm25(docs.repartition(7), "text", "doc_id", ["hash", "join"], top=10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
