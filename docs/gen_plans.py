@@ -10,6 +10,8 @@ PICKS = [
     "q01_pricing_summary", "q02_filter_topk", "q03_shipping_priority",
     "q04_theta_join", "q29_asof_last_click", "p01_dedup_exact",
     "p05_ngram_jaccard", "p17_range_join",
+    "q52_untapped_segments", "q53_gapfill_hourly",
+    "p23_sequence_packing", "p26_ann_ivf", "p28_bm25",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

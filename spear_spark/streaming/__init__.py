@@ -194,3 +194,33 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def error_click_pairs_stream(
+    events: DataFrame, lookback: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each error paired with every click
+    by the same user in the preceding ``lookback`` — the streaming twin
+    of the batch as-of join (q29), minus the 'last only' reduction.
+
+    Both sides carry watermarks and the join condition bounds event
+    time from BOTH directions, so Spark can expire buffered rows: state
+    per side is O(events within watermark + lookback), not unbounded.
+    The join key (user) hash-partitions state across the cluster."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select("event_id", F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts"))
+        .withWatermark("error_ts", watermark)
+    )
+    cond = F.expr(
+        f"c_user = e_user AND click_ts <= error_ts "
+        f"AND click_ts >= error_ts - INTERVAL {lookback}"
+    )
+    return errors.join(clicks, cond, "inner").select(
+        "event_id", F.col("e_user").alias("user_id"), "error_ts", "click_ts"
+    )

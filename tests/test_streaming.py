@@ -102,3 +102,43 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
         .count()
     )
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from spear_spark.sources import load_table
+    from spear_spark.streaming import error_click_pairs_stream, stream_events
+
+    stream = error_click_pairs_stream(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in spark.table("ss_join_test").collect()
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # same join in batch (no watermarks needed)
+    from pyspark.sql import functions as F
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts")
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 10 minutes"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in errors.join(clicks, cond, "inner")
+        .select("event_id", F.col("e_user").alias("user_id"), "error_ts", "click_ts")
+        .collect()
+    )
+    assert got == want and len(got) > 0
