@@ -41,6 +41,16 @@ HEADLINE = [
     "p09_quality_score",
     "p17_range_join",
     "p18_clean_corpus",
+    # round-2 additions (the first 18 entries are unchanged so
+    # round-over-round per-query comparison stays valid)
+    "q52_untapped_segments",
+    "q53_gapfill_hourly",
+    "p23_sequence_packing",
+    "p24_stratified_sample",
+    "p25_group_quantiles",
+    "p26_ann_ivf",
+    "p27_tfidf_topterms",
+    "p28_bm25",
 ]
 
 

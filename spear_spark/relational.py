@@ -1881,3 +1881,126 @@ def q53_gapfill_hourly(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q54 — TPC-H Q4 shape (correlated EXISTS with date arithmetic): count
+# orders per priority having at least one line shipped > 60 days after
+# the order date.  Scale: Catalyst decorrelates the EXISTS into a
+# left-semi hash join on orderkey; the date condition evaluates at the
+# join, not per-row-subquery.
+# ---------------------------------------------------------------------------
+_Q54_SQL = """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """
+
+
+@q("q54_priority_check", _Q54_SQL)
+def q54_priority_check(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q54_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q55 — TPC-H Q14 shape (conditional aggregation over a fact-dim join):
+# promo revenue share in one month.  Scale: part broadcasts; the two
+# sums come from one pass (CASE inside SUM), two-phase aggregated.
+# ---------------------------------------------------------------------------
+@q(
+    "q55_promo_revenue",
+    """
+    SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                 ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS DOUBLE)
+      AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
+    """,
+)
+def q55_promo_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = D("l_extendedprice") * (one() - D("l_discount", 3, 2))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double"))
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56 — TPC-H Q19 shape (disjunctive multi-clause join predicate):
+# revenue from three OR'd brand/size/quantity clauses.  Scale: the
+# common l_partkey = p_partkey conjunct stays a hash join key with the
+# OR residual as the join filter — NOT a cartesian; the quantity/size
+# bounds push into both scans.
+# ---------------------------------------------------------------------------
+_Q56_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """
+
+
+@q("q56_disjunctive_join", _Q56_SQL)
+def q56_disjunctive_join(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q56_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q57 — TPC-H Q12 shape (two-bucket conditional counts; adapted: no
+# shipmode/receipt columns, so buckets = slow vs fast ship lag): per
+# returnflag, how many high- vs low-priority orders shipped late.
+# Scale: one join orders⋈lineitem (shuffle SMJ at scale), CASE counts
+# fold into the two-phase aggregate.
+# ---------------------------------------------------------------------------
+@q(
+    "q57_ship_lag_buckets",
+    """
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag ORDER BY returnflag
+    """,
+)
+def q57_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
