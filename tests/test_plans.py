@@ -112,3 +112,56 @@ def test_text_ops_are_python_free(spark, sf_dir):
                  "p11_fingerprint", "p15_rolling_hash", "p16_winnowing"]:
         plan = OPS[name][0](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "InPandas" not in plan, name
+
+
+def test_q52_scalar_broadcast_and_anti_join(spark, sf_dir):
+    """Q22 shape: the global-average scalar is a 1-row broadcast (no
+    second scan at the consumer, no driver round-trip) and NOT EXISTS
+    is a broadcast anti hash join — no CartesianProduct node."""
+    plan = plan_for(spark, sf_dir, "q52_untapped_segments")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q56_disjunctive_predicate_keeps_hash_join(spark, sf_dir):
+    """Q19 shape: the common equi conjunct must stay the hash-join key
+    with the OR clauses as residual — a nested-loop/cartesian here is
+    the classic disjunctive-predicate planning failure."""
+    plan = plan_for(spark, sf_dir, "q56_disjunctive_join")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p23_packing_single_window_no_join(spark, sf_dir):
+    """Sequence packing is one windowed cumsum per shard: no join
+    anywhere, and the scan reads only (doc_id, text)."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p23_sequence_packing"][0](spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert set(read_schemas(plan)[0]) == {"doc_id", "text"}
+
+
+def test_p26_ivf_plan_is_join_free(spark, sf_dir):
+    """Deterministic IVF: assignment + probe filter + top-k is a pure
+    projection pipeline — the centroids live in the plan as literals,
+    not a joined relation."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p26_ann_ivf"][0](spark, sf_dir))
+    assert "Join" not in plan
+    assert has_take_ordered(plan)
+
+
+def test_relevance_broadcasts_corpus_constants(spark, sf_dir):
+    """TF-IDF/BM25: document frequencies, N and avgdl must broadcast
+    back onto the (doc, term) table — shuffling the big side against
+    1-row aggregates would be the scale mistake."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    for name in ["p27_tfidf_topterms", "p28_bm25"]:
+        plan = executed_plan(OPS[name][0](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert has_partial_aggregation(plan), name
