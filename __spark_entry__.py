@@ -49,7 +49,7 @@ _DRIVER_PRIORITY = [
     "q52_untapped_segments", "q53_gapfill_hourly",
     "p23_sequence_packing", "p24_stratified_sample",
     "p25_group_quantiles", "p26_ann_ivf",
-    "p27_tfidf_topterms", "p28_bm25",
+    "p27_tfidf_topterms", "p28_bm25", "p29_lsh_verified_dedup",
     "q15_top3_per_nation", "q20_scalar_functions", "q23_select_no_from",
     "q35_complex_types", "q37_string_functions", "q39_cube",
     "q41_ranking_functions",
@@ -57,7 +57,7 @@ _DRIVER_PRIORITY = [
     "q01_pricing_summary", "q02_filter_topk", "q03_shipping_priority",
     "q04_theta_join", "q05_self_join_pairs", "q06_forecast_revenue",
     "q07_customer_orders_left", "q08_nation_coverage",
-    "q09_customers_without_orders", "q10_union_bag",
+    "q09_customers_without_orders",
 ]
 
 

@@ -51,6 +51,7 @@ HEADLINE = [
     "p26_ann_ivf",
     "p27_tfidf_topterms",
     "p28_bm25",
+    "p29_lsh_verified_dedup",
 ]
 
 

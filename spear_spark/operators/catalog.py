@@ -921,3 +921,36 @@ def p28_bm25(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25(docs, "text", "doc_id", ["hash", "join", "scan"], top=10)
+
+
+# ---------------------------------------------------------------------------
+# p29 — LSH-verified near-dedup (dedup.lsh_verified_pairs): the 100 TB
+# composition — MinHash-LSH candidates, exact Jaccard verification on
+# candidates only (array_intersect per pair, no posting-list pair
+# explosion).  Deterministic permutations make the LSH recall trade
+# reproducible, so the oracle computes the identical candidate set.
+# ---------------------------------------------------------------------------
+@q(
+    "p29_lsh_verified_dedup",
+    _SIG_CTE
+    + f""", bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def p29_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_verified_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
