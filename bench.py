@@ -3,11 +3,19 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed three times (count() to materialize) and the
-MEDIAN is reported — the JVM-warmup first run and transient machine
-load both fall out, so round-over-round numbers are comparable.  The
-headline set spans the operator families: scan-agg, join, window,
-set-op, self-join, dedup, similarity, text.
+Each query is executed three times and the MEDIAN is reported — the
+JVM-warmup first run and transient machine load both fall out, so
+round-over-round numbers are comparable.  The headline set spans the
+operator families: scan-agg, join, window, set-op, self-join, dedup,
+similarity, text.
+
+Materialization is a `noop`-sink write, NOT count(): count() lets
+Catalyst prune every column a query computes but nothing consumes, so
+projection-heavy queries (p02's signature columns, p09's score) were
+measured as bare scans in round 1.  The noop sink evaluates the full
+result set.  Round-2 methodology change — round-1 numbers for
+projection-only queries are undercounts; aggregate/sorted queries are
+unaffected.
 """
 
 from __future__ import annotations
@@ -80,7 +88,7 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
 
