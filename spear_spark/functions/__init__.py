@@ -55,6 +55,21 @@ def rand(seed: int | None = None) -> Column:
     return F.rand(seed) if seed is not None else F.rand()
 
 
+def let_(bound: Column, body) -> Column:
+    """Single-assignment let-binding for Column expressions: evaluate
+    ``bound`` once per row and pass the resulting VALUE into ``body``.
+
+    Why this exists: Spark's CollapseProject re-inlines a shared
+    projection column into every consumer, and interpreted
+    (CodegenFallback) expressions — which include every higher-order
+    function — get no common-subexpression elimination, so a subtree
+    referenced k times evaluates k times per row (measured 3-16× on
+    shingle/minhash pipelines).  A HOF lambda argument, by contrast, is
+    a bound evaluated value, so ``transform(array(bound), body)[1]`` is
+    a genuine let.  Overhead: one single-element array per row."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def rand_like(key: Any, seed: int = 42) -> Column:
     """Deterministic uniform [0, 1) derived from a key column — the
     testable stand-in for the reference's sequential ``Rand``

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spear_spark.functions import let_
 from spear_spark.operators.text import tokens
 
 MERSENNE31 = 2147483647  # modulus keeps a*h+b inside int64
@@ -62,25 +63,31 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles (token n-grams).  Word-level shingling
     is the standard unit for document near-dup (vs char k-grams).
 
-    Implementation note: built with ``zip_with`` over shifted slices,
+    Implementation notes: built with ``zip_with`` over shifted slices,
     NOT ``transform`` + ``element_at`` — inside interpreted HOF lambdas
     each ``element_at(tokens_expr, i)`` re-evaluates the underlying
     regex split per element access (observed ~100× slowdown on 100-token
-    docs).  ``zip_with`` evaluates each array argument exactly once."""
-    toks = tokens(text)
-    big = F.greatest(F.size(toks), F.lit(1))
-    grams = toks
-    for j in range(1, n):
-        # zip pads the shorter (shifted) side with null; F.concat
-        # null-propagates so overhanging grams become null and are
-        # trimmed by the final slice.
-        shifted = F.slice(toks, j + 1, big)
-        grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
-    n_grams = F.size(toks) - (n - 1)
-    empty = F.array().cast("array<string>")
-    return F.array_distinct(
-        F.when(n_grams >= 1, F.slice(grams, 1, n_grams)).otherwise(empty)
-    )
+    docs).  ``zip_with`` evaluates each array argument exactly once.
+    The token array is ``let_``-bound: this expression references it
+    ~n+2 times, and interpreted projections have no common-subexpression
+    elimination, so an unbound reference re-runs the split per use."""
+
+    def body(toks: Column) -> Column:
+        big = F.greatest(F.size(toks), F.lit(1))
+        grams = toks
+        for j in range(1, n):
+            # zip pads the shorter (shifted) side with null; F.concat
+            # null-propagates so overhanging grams become null and are
+            # trimmed by the final slice.
+            shifted = F.slice(toks, j + 1, big)
+            grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+        n_grams = F.size(toks) - (n - 1)
+        empty = F.array().cast("array<string>")
+        return F.array_distinct(
+            F.when(n_grams >= 1, F.slice(grams, 1, n_grams)).otherwise(empty)
+        )
+
+    return let_(tokens(text), body)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

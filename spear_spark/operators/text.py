@@ -52,14 +52,24 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 def lang_id(text: Column | str) -> Column:
     """Argmax language by stopword ratio, 'und' (undetermined) when all
     ratios are zero.  Ties resolve in LANG_ORDER — a fixed, documented
-    priority so the operator is deterministic across engines/partitions."""
-    scores = lang_scores(text)
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    # build when-chain in reverse priority so earlier langs win ties
-    for lang in reversed(LANG_ORDER):
-        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
-    return out
+    priority so the operator is deterministic across engines/partitions.
+    The token array is ``let_``-bound: the argmax chain references each
+    score twice (≈10 token-array references total)."""
+    from spear_spark.functions import let_
+
+    def body(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        scores = {
+            lang: stopword_hits(toks, lang).cast("double") / n for lang in LANG_ORDER
+        }
+        best = F.greatest(*scores.values())
+        out = F.lit("und")
+        # build when-chain in reverse priority so earlier langs win ties
+        for lang in reversed(LANG_ORDER):
+            out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+        return out
+
+    return let_(tokens(text), body)
 
 
 def token_count(text: Column | str) -> Column:
@@ -80,14 +90,21 @@ def quality_score(text: Column | str) -> Column:
     """Composite quality score in [0, 1]: length saturation, stopword
     ratio, mean-word-length saturation.  Fixed double-math formula
     (identical operation order in the DuckDB oracle)."""
+    from spear_spark.functions import let_
+
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
-    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     n_chars_nospace = F.length(F.regexp_replace(c, r"\s+", "")).cast("double")
-    stop_ratio = stopword_hits(toks, "en").cast("double") / n_tok
-    len_sat = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    awl_sat = F.least((n_chars_nospace / n_tok) / F.lit(8.0), F.lit(1.0))
-    return F.round(F.lit(0.3) * len_sat + F.lit(0.4) * stop_ratio + F.lit(0.3) * awl_sat, 6)
+
+    def body(toks: Column) -> Column:
+        n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+        stop_ratio = stopword_hits(toks, "en").cast("double") / n_tok
+        len_sat = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        awl_sat = F.least((n_chars_nospace / n_tok) / F.lit(8.0), F.lit(1.0))
+        return F.round(
+            F.lit(0.3) * len_sat + F.lit(0.4) * stop_ratio + F.lit(0.3) * awl_sat, 6
+        )
+
+    return let_(tokens(c), body)
 
 
 def rolling_hash(text: Column | str, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
@@ -111,22 +128,29 @@ def winnow_fingerprints(text: Column | str, window: int = 4) -> Column:
     ``window`` hashes, return the distinct selected values sorted.  The
     standard sketch for substring-level near-dup/plagiarism detection —
     robust to insertions that shift positions."""
+    from spear_spark.functions import let_
     from spear_spark.operators.dedup import h32
 
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: h32(t))
     # sliding-window min via iterative zip_with (each array argument
     # evaluated once — the transform+element_at form re-hashes per
-    # window index, see dedup.shingles' perf note)
-    big = F.greatest(F.size(toks), F.lit(1))
-    mins = hashes
-    for j in range(1, window):
-        mins = F.zip_with(mins, F.slice(hashes, j + 1, big), lambda a, b: F.least(a, b))
-    n_win = F.size(toks) - (window - 1)
-    selected = F.when(n_win >= 1, F.slice(mins, 1, n_win)).otherwise(
-        F.array(F.array_min(hashes))
-    )
-    return F.array_sort(F.array_distinct(selected))
+    # window index, see dedup.shingles' perf note).  The hash array is
+    # ``let_``-bound: the window chain references it ~window+2 times and
+    # re-evaluating it means an md5 per token per reference (measured
+    # 3.5× at sf0.1).
+    def body(hashes: Column) -> Column:
+        big = F.greatest(F.size(hashes), F.lit(1))
+        mins = hashes
+        for j in range(1, window):
+            mins = F.zip_with(
+                mins, F.slice(hashes, j + 1, big), lambda a, b: F.least(a, b)
+            )
+        n_win = F.size(hashes) - (window - 1)
+        selected = F.when(n_win >= 1, F.slice(mins, 1, n_win)).otherwise(
+            F.array(F.array_min(hashes))
+        )
+        return F.array_sort(F.array_distinct(selected))
+
+    return let_(F.transform(tokens(text), lambda t: h32(t)), body)
 
 
 def fingerprint(text: Column | str) -> Column:
