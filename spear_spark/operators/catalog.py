@@ -527,12 +527,44 @@ def p17_range_join(spark: SparkSession, sf_dir: str) -> SDF:
 
 # ---------------------------------------------------------------------------
 # p18 — the full training-data cleaning pipeline as one composed query:
-# quality gate → exact dedup (keep min id) → fuzzy dedup (drop jaccard
-# ≥ 0.5 partners) → canonical fingerprint.  The flagship composition —
-# every stage is one of the catalog's verified operators; at 100 TB the
-# chain is: narrow projection gate, one content-hash shuffle, the
-# blocked pair join, all orchestrated by Catalyst as a single DAG.
+# quality gate → exact dedup (keep min id) → LSH-verified fuzzy dedup
+# (MinHash-LSH candidates, exact Jaccard ≥ 0.5 on candidates — the
+# 100 TB composition, pair space bounded by band collisions) →
+# canonical fingerprint.  The flagship composition — every stage is one
+# of the catalog's verified operators; at 100 TB the chain is: narrow
+# projection gate, one content-hash shuffle, the banded candidate join,
+# all orchestrated by Catalyst as a single DAG.
 # ---------------------------------------------------------------------------
+
+
+def _lsh_drop_ctes(sh: str) -> str:
+    """DuckDB CTE block: MinHash signatures -> LSH bands -> candidate
+    pairs -> verified intersections over shingle CTE ``sh`` (generated
+    from the same permutation constants as the Spark side)."""
+    mins = ", ".join(
+        f"MIN(({a}*hv+{b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws('_', "
+        + ", ".join(f"CAST(mh{bi*3+j} AS VARCHAR)" for j in range(3))
+        + f")) AS bh FROM sig_{sh}"
+        for bi in range(4)
+    )
+    return f"""
+    h_{sh} AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % {_P} AS hv FROM {sh}),
+    sig_{sh} AS (SELECT doc_id, {mins} FROM h_{sh} GROUP BY doc_id),
+    bands_{sh} AS ({bands}),
+    cand_{sh} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands_{sh} a JOIN bands_{sh} b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    cnt_{sh} AS (SELECT doc_id, COUNT(*) AS n FROM {sh} GROUP BY doc_id),
+    inter_{sh} AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                   FROM cand_{sh} c JOIN {sh} x ON x.doc_id = c.doc_a
+                                    JOIN {sh} y ON y.doc_id = c.doc_b AND y.s = x.s
+                   GROUP BY c.doc_a, c.doc_b)
+"""
+
+
 _P18_SHINGLES = r"""
   toks2 AS (SELECT s2.doc_id, regexp_split_to_array(trim(lower(s2.text)), '\s+') AS t
             FROM survivors s2),
@@ -563,14 +595,10 @@ _P18_SHINGLES = r"""
     survivors AS (SELECT p.doc_id, p.text, p.quality FROM passed p
                   JOIN exact e ON p.doc_id = e.keep_id),
     {_P18_SHINGLES},
-    kept2 AS (SELECT * FROM sh2
-              WHERE s IN (SELECT s FROM sh2 GROUP BY s HAVING COUNT(*) <= {_MAX_DF})),
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-              FROM kept2 a JOIN kept2 b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id),
+    {_lsh_drop_ctes('sh2')},
     drops AS (SELECT DISTINCT doc_b AS drop_id
-              FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+              FROM inter_sh2 JOIN cnt_sh2 ca ON doc_a = ca.doc_id
+                             JOIN cnt_sh2 cb ON doc_b = cb.doc_id
               WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5)
     SELECT v.doc_id, v.quality,
            md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(lower(v.text)), '\s+'))), ' ')) AS fingerprint
@@ -587,9 +615,9 @@ def p18_clean_corpus(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("keep_id").alias("doc_id")
     )
     survivors = graded.join(keepers, "doc_id")
-    drops = dedup.near_dedup_jaccard(
-        survivors, "text", "doc_id", threshold=0.5, max_df=_MAX_DF
-    ).select(F.col("drop_id").alias("doc_id"))
+    drops = dedup.near_dedup_lsh(survivors, "text", "doc_id", threshold=0.5).select(
+        F.col("drop_id").alias("doc_id")
+    )
     return (
         survivors.join(drops, "doc_id", "left_anti")
         .select("doc_id", "quality", text.fingerprint("text").alias("fingerprint"))

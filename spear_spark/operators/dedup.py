@@ -547,3 +547,24 @@ def lsh_verified_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_dedup_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Drop decisions from the LSH-verified pair path (same greedy
+    smaller-id-wins policy as :func:`near_dedup_jaccard`, same
+    (drop_id, keep_id) output): candidates from MinHash-LSH banding,
+    exact Jaccard verification per candidate.  This is the composition
+    a 100 TB cleaning pipeline runs — pair space bounded by band
+    collisions instead of shingle document frequency."""
+    pairs = lsh_verified_pairs(df, text_col, id_col, threshold, k, bands, shingle_n)
+    return pairs.groupBy(F.col("doc_b").alias("drop_id")).agg(
+        F.min("doc_a").alias("keep_id")
+    )
