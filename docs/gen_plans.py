@@ -12,6 +12,7 @@ PICKS = [
     "p05_ngram_jaccard", "p17_range_join",
     "q52_untapped_segments", "q53_gapfill_hourly",
     "p23_sequence_packing", "p26_ann_ivf", "p28_bm25",
+    "p29_lsh_verified_dedup",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries
