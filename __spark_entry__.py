@@ -47,6 +47,8 @@ _DRIVER_PRIORITY = [
     #    packing, stratified sampling, exact group quantiles,
     #    deterministic IVF ANN)
     "q52_untapped_segments", "q53_gapfill_hourly",
+    "q54_priority_check", "q55_promo_revenue",
+    "q56_disjunctive_join", "q57_ship_lag_buckets",
     "p23_sequence_packing", "p24_stratified_sample",
     "p25_group_quantiles", "p26_ann_ivf",
     "p27_tfidf_topterms", "p28_bm25", "p29_lsh_verified_dedup",
@@ -55,9 +57,7 @@ _DRIVER_PRIORITY = [
     "q41_ranking_functions",
     # -- unchanged r01-green family representatives
     "q01_pricing_summary", "q02_filter_topk", "q03_shipping_priority",
-    "q04_theta_join", "q05_self_join_pairs", "q06_forecast_revenue",
-    "q07_customer_orders_left", "q08_nation_coverage",
-    "q09_customers_without_orders",
+    "q04_theta_join", "q05_self_join_pairs",
 ]
 
 

@@ -224,3 +224,41 @@ def error_click_pairs_stream(
     return errors.join(clicks, cond, "inner").select(
         "event_id", F.col("e_user").alias("user_id"), "error_ts", "click_ts"
     )
+
+
+def write_batches_idempotent(stream_df: DataFrame, path: str, query_name: str):
+    """foreachBatch parquet sink with exactly-once-per-batch semantics:
+    each micro-batch writes to its own ``_batch_id=<id>`` partition with
+    dynamic partition overwrite, so a replayed batch (restart between
+    sink write and checkpoint commit — the at-least-once window every
+    foreachBatch sink has) OVERWRITES its own partition instead of
+    appending duplicates.  Readers see ``path`` as ordinary partitioned
+    parquet and prune on ``_batch_id`` like any partition column.
+
+    Intended for append-only streams (projections/filters/joins):
+    batches partition the rows, so replay-overwrite is exactly-once.
+    An *aggregation* in append output mode withholds unexpired windows
+    (and in update mode re-emits keys across batches) — sink those to a
+    transactional table or accept last-batch-wins reads instead.
+
+    Scale: one write job per micro-batch, parallel across the batch's
+    partitions; the overwrite touches only the replayed batch's
+    directory.  (Production alternative: transactional table formats —
+    same idea, ledger instead of directory.)"""
+    from pyspark.sql import functions as F
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -142,3 +142,43 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spear_spark.sources import load_table
+    from spear_spark.streaming import stream_events, write_batches_idempotent
+
+    out = str(tmp_path / "events_sink")
+    # append-only stream (projection+filter): every batch's rows land in
+    # that batch's partition exactly once.  (An aggregation in append
+    # mode would withhold unexpired windows — sink aggregations with
+    # update/complete mode or a transactional table instead.)
+    stream = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    q = write_batches_idempotent(stream, out, "sink_test")
+    q.awaitTermination()
+
+    written = spark.read.parquet(out)
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    got = sorted(tuple(r) for r in written.select("event_id", "user_id", "ts", "value").collect())
+    assert got == sorted(tuple(r) for r in want.collect()) and len(got) > 0
+
+    # replaying a batch overwrites its own partition — no duplicates
+    batch = written.drop("_batch_id")
+    (
+        batch.withColumn("_batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out)
+    )
+    again = sorted(tuple(r) for r in spark.read.parquet(out).select("event_id", "user_id", "ts", "value").collect())
+    assert again == got
