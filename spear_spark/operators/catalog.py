@@ -982,3 +982,32 @@ def p29_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.lsh_verified_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# p30 — per-group bottom-k sampling (operators.sampling.bottom_k_sample):
+# exactly k uniform docs per language, deterministically (k smallest
+# key-hash uniforms — order-independent reservoir equivalent).
+# ---------------------------------------------------------------------------
+@q(
+    "p30_bottom_k_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+      FROM (SELECT doc_id, lang,
+                   ('0x'||substr(md5('11_'||CAST(doc_id AS VARCHAR)),1,13))::BIGINT
+                     / 4503599627370496.0 AS u
+            FROM documents) t) s
+    WHERE rn <= 3 ORDER BY doc_id
+    """,
+)
+def p30_bottom_k_sample(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import bottom_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bottom_k_sample(docs, "doc_id", "lang", k=3, seed=11)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
