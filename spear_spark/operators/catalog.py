@@ -882,9 +882,15 @@ _D2 = (
 )
 def p26_ann_ivf(spark: SparkSession, sf_dir: str) -> SDF:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = emb.orderBy("vec_id").limit(8).select("embedding").collect()
-    centroids = [list(map(float, r["embedding"])) for r in cent_rows]
-    qrow = emb.orderBy(F.col("vec_id").desc()).limit(1).select("vec_id", "embedding").collect()[0]
+    # one driver job fetches centroids (8 lowest ids) + query (max id)
+    ends = sorted(
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).unionAll(
+            emb.select("vec_id", "embedding").orderBy(F.col("vec_id").desc()).limit(1)
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )  # row order across union branches is not contractual — sort by id
+    centroids = [list(map(float, r["embedding"])) for r in ends[:8]]
+    qrow = ends[8]
     query = list(map(float, qrow["embedding"]))
     return similarity.ann_topk_ivf_fixed(
         emb, "embedding", "vec_id", query, centroids,
