@@ -60,6 +60,7 @@ HEADLINE = [
     "p27_tfidf_topterms",
     "p28_bm25",
     "p29_lsh_verified_dedup",
+    "p19_simhash_near_pairs",
 ]
 
 
