@@ -466,6 +466,18 @@ def connected_components(
     ``localCheckpoint()``, so lineage stays flat regardless of round
     count (no exponentially growing plan, no recomputation storms) and
     the convergence signature reuses the materialized result."""
+    id_types = {f.name: f.dataType.typeName() for f in pairs.schema.fields}
+    numeric = {"byte", "short", "integer", "long"}
+    for col in (a, b):
+        if id_types.get(col) not in numeric:
+            # a string/md5 id would silently CAST to NULL and yield
+            # empty/garbage output; fail loudly instead.  Callers with
+            # string ids should map them to dense longs first (e.g.
+            # xxhash64 or a zipWithIndex-style id table).
+            raise TypeError(
+                f"connected_components requires integral ids; column {col!r} "
+                f"has type {id_types.get(col)!r} — hash or re-key to long first"
+            )
     e = (
         pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -473,6 +485,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         # order-independent edge-set signature; bit_xor never overflows
@@ -485,12 +498,30 @@ def connected_components(
             ).collect()[0]
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a non-star-shaped edge set would emit conflicting cluster_id
+        # rows per doc_id; never return silently-wrong labels.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (large-star/small-star converges in O(log² n) rounds; "
+            "raise max_iter or check for pathological input)"
+        )
     # converged: every edge is (member → component-min root)
     members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
     return members.unionAll(roots).distinct()
+
+
+#: Default document-frequency cap for :func:`near_dedup_jaccard`.  A
+#: shingle shared by D docs contributes D·(D−1)/2 candidate pairs, so an
+#: uncapped run on a corpus with boilerplate ("click here to subscribe")
+#: goes quadratic.  512 is far above any real near-dup cluster size yet
+#: bounds every posting list; at 512 the worst shingle costs ~131k pairs
+#: — trivially shuffle-safe.
+DEFAULT_MAX_DF = 512
 
 
 def near_dedup_jaccard(
@@ -499,7 +530,7 @@ def near_dedup_jaccard(
     id_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Near-dedup drop decisions: for every pair with Jaccard ≥
     threshold, drop the larger id, keeping the smallest partner as the
@@ -511,6 +542,15 @@ def near_dedup_jaccard(
     connected components (for chains a~b~c where a≁c) needs iterative
     label propagation; at 100 TB that is a handful of self-join rounds
     over the (tiny) pair set, not over the corpus.
+
+    ``max_df`` defaults to :data:`DEFAULT_MAX_DF` so the quadratic
+    stop-shingle blow-up cannot be reached by accident: shingles in more
+    than ``max_df`` docs are pruned before pair generation (see
+    :func:`ngram_jaccard_pairs` for the exact capped semantics — a
+    deterministic Jaccard underestimate that preserves near-dup
+    ranking).  Pass ``max_df=None`` *explicitly* to opt into the exact
+    uncapped path — only safe on corpora known to be boilerplate-free,
+    or downstream of LSH blocking (:func:`lsh_verified_near_dedup`).
     """
     pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, max_df=max_df)
     return (

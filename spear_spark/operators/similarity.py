@@ -313,7 +313,17 @@ def nearest_cells(
     """Driver-side probe selection: indexes of the ``n_probe`` centroids
     nearest the query, same rounded-L2 + index tie-break as
     :func:`ivf_assign_fixed` (sequential double sum matches the Column
-    fold bit-for-bit).  Centroids are a KB-scale driver artifact."""
+    fold bit-for-bit).  Centroids are a KB-scale driver artifact.
+
+    Oracle caveat: the p26 DuckDB oracle computes this distance with an
+    unordered SUM aggregate, while this fold (and the Column ``l2sq``)
+    is a fixed left-to-right sum.  ROUND(..., 6) absorbs the FP
+    association difference in practice, but it is a tolerance, not
+    bit-for-bit parity — a distance landing exactly on a 6-dp rounding
+    boundary could in principle flip a cell/probe choice between
+    engines.  The catalog centroids are well-separated, so no boundary
+    case exists in the checked data; treat the oracle match as
+    epsilon-tolerant, not exact."""
     def d2(c: Sequence[float]) -> float:
         acc = 0.0
         for x, y in zip(query, c):

@@ -378,6 +378,30 @@ class TestConnectedComponents:
         got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
         assert got == expect
 
+    def test_non_numeric_ids_raise(self, ctx):
+        """String/md5 ids would silently CAST to NULL and return
+        garbage (ADVICE r2) — the function must refuse them loudly."""
+        import pytest
+
+        from spear_spark.operators.dedup import connected_components
+
+        pairs = ctx.lift(
+            [("a", "b"), ("b", "c")], "doc_a: string, doc_b: string"
+        ).df
+        with pytest.raises(TypeError, match="integral ids"):
+            connected_components(pairs)
+
+    def test_exhausted_max_iter_raises(self, ctx):
+        """If the loop exits before the edge-set signature stabilizes,
+        labels could conflict — never return silently (ADVICE r2)."""
+        import pytest
+
+        from spear_spark.operators.dedup import connected_components
+
+        pairs = ctx.lift([(1, 2), (2, 3)], "doc_a: long, doc_b: long").df
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iter=1)
+
 
 class TestDecodeBackendGate:
     """The codec gate must USE a present PIL (not raise) and fall back
@@ -520,6 +544,32 @@ class TestHotShingleStress:
         t0 = time.monotonic()
         rows = ngram_jaccard_pairs(df, "text", "doc_id", max_df=20).collect()
         assert rows == []
+        assert time.monotonic() - t0 < 60
+
+    def test_near_dedup_default_cap_binds(self, ctx):
+        """near_dedup_jaccard's DEFAULT must be the capped path (VERDICT
+        r2): 600 identical boilerplate docs (every shingle df=600 >
+        DEFAULT_MAX_DF=512) produce ZERO pairs without the caller
+        passing anything; a genuine near-dup pair built from RARE
+        shingles still gets its drop decision."""
+        import time
+
+        from spear_spark.operators.dedup import DEFAULT_MAX_DF, near_dedup_jaccard
+
+        assert DEFAULT_MAX_DF is not None
+        docs = [(i, "spam spam spam spam spam ham eggs") for i in range(600)]
+        docs += [
+            (1000, "rare tokens that match closely here indeed"),
+            (1001, "rare tokens that match closely here today"),
+        ]
+        df = ctx.lift(docs, "doc_id: long, text: string").df
+        t0 = time.monotonic()
+        got = {(r.drop_id, r.keep_id) for r in near_dedup_jaccard(df, "text", "doc_id").collect()}
+        # hot-shingle docs are identical (jaccard 1.0 uncapped) but the
+        # default cap prunes every df-600 shingle → no pair reaches the
+        # threshold; the rare-shingle near-dup pair (4 of 5 shingles
+        # shared, jaccard 4/6) survives.
+        assert got == {(1001, 1000)}
         assert time.monotonic() - t0 < 60
 
 

@@ -171,11 +171,14 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in written.select("event_id", "user_id", "ts", "value").collect())
     assert got == sorted(tuple(r) for r in want.collect()) and len(got) > 0
 
-    # replaying a batch overwrites its own partition — no duplicates
-    batch = written.drop("_batch_id")
+    # replaying ONE batch overwrites only its own partition — no
+    # duplicates, regardless of how many micro-batches the availableNow
+    # run produced (replaying all rows as batch 0 would only test the
+    # single-batch case and duplicate rows otherwise).
+    replay_id = written.agg(F.min("_batch_id")).collect()[0][0]
+    one_batch = written.filter(F.col("_batch_id") == replay_id)
     (
-        batch.withColumn("_batch_id", F.lit(0))
-        .write.mode("overwrite")
+        one_batch.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch_id")
         .parquet(out)
