@@ -3,10 +3,11 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema contracts,
 batch iteration, partition-preserving projection.  :func:`_decode_backend`
-uses PIL when it is importable and the payload decodes; otherwise (no
-codec in this container, or an undecodable payload) it falls back to a
-deterministic fake (md5-derived dimensions) so the pipeline is
-end-to-end testable and oracle-checkable in any environment.
+is three-tier: PIL when it is importable and the payload decodes; else
+the vendored pure-Python PNG codec (``_png.py`` — real decode/encode
+via stdlib zlib, so the non-fake branch executes in CI even without
+PIL); else a deterministic fake (md5-derived dimensions) so the
+pipeline stays end-to-end testable and oracle-checkable anywhere.
 
 Scale notes:
 * binary payloads ride the normal columnar path (parquet binary);
@@ -68,10 +69,12 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 
 
 def _decode_backend(payload: bytes) -> tuple[int, int, str]:
-    """Real image decode via PIL when it is importable AND the payload is
-    a decodable image; deterministic fake otherwise.  The fallback (not a
-    raise) keeps the pipeline total: a corrupt/non-image payload at 100 TB
-    must degrade to a tagged row, not kill the stage."""
+    """Real image decode, three-tier: PIL when it is importable AND the
+    payload decodes; else the vendored pure-Python PNG codec
+    (``_png.py``, stdlib zlib — CI-executable in this container); else
+    the deterministic fake.  The fallback (not a raise) keeps the
+    pipeline total: a corrupt/non-image payload at 100 TB must degrade
+    to a tagged row, not kill the stage."""
     if not FORCE_FAKE_CODEC:
         try:
             import io
@@ -81,9 +84,16 @@ def _decode_backend(payload: bytes) -> tuple[int, int, str]:
             with PIL.Image.open(io.BytesIO(payload)) as img:
                 return img.width, img.height, (img.format or "unknown").lower()
         except ImportError:
-            pass  # no codec in this container — fake below
+            pass  # no PIL in this container — vendored codec below
         except Exception:
-            pass  # undecodable payload — fake below
+            pass  # undecodable payload — vendored codec below
+        try:
+            from spear_spark.operators import _png
+
+            width, height = _png.png_size(payload)
+            return width, height, "png"
+        except Exception:
+            pass  # not a PNG — fake below
     return _fake_decode(payload)
 
 
@@ -126,17 +136,33 @@ def resize_images(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Resize plumbing: payload → payload at (target_w, target_h).
-    STUB codec: emits a deterministic truncated/cycled byte payload of
-    size proportional to the target area; the real backend swaps into
-    ``_decode_backend``-style libs.  Contract: same row count, bounded
-    Arrow batches, binary-in/binary-out."""
+    PNG payloads take the REAL path — vendored decode → nearest-neighbor
+    resample → re-encode (``_png.py``, deterministic, stdlib-only); any
+    other payload gets the stub (a deterministic truncated/cycled byte
+    payload proportional to the target area).  Contract either way:
+    same row count, bounded Arrow batches, binary-in/binary-out."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spear_spark.operators import _png
+
         n_bytes = max(target_w * target_h // 128, 16)
         for pdf in batches:
             out_payloads = []
             for p in pdf[payload_col]:
                 b = bytes(p)
+                try:
+                    w, h, ch, pixels = _png.decode_png(b)
+                    out_payloads.append(
+                        _png.encode_png(
+                            _png.resize_nearest(pixels, w, h, ch, target_w, target_h),
+                            target_w,
+                            target_h,
+                            ch,
+                        )
+                    )
+                    continue
+                except Exception:
+                    pass  # non-PNG payload — stub path below
                 reps = (n_bytes // max(len(b), 1)) + 1
                 out_payloads.append((b * reps)[:n_bytes])
             yield pd.DataFrame(
