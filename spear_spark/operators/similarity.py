@@ -257,18 +257,28 @@ def ann_topk_lsh(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 7,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only the query's LSH bucket.  Recall
-    depends on n_planes; at scale the bucket id is precomputed and used
-    as a partition key so this prunes the scan itself."""
-    dim = len(query)
-    bucketed = df.withColumn("_bkt", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    """Approximate top-k: score only vectors sharing the query's LSH
+    bucket in at least one of ``n_tables`` independent hash tables
+    (standard OR-amplification: per-table miss probability is
+    independent, so recall ≈ 1-(1-p)^L while the candidate set stays
+    ~L·n/2^n_planes).  At scale the per-table bucket ids are
+    precomputed write-time columns used as partition keys, so a query
+    reads only its L buckets.  The candidate filter is one OR-of-
+    equalities projection — no explode, no shuffle."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    qb = sum(2**i for i in range(n_planes) if float(np.dot(planes[i], query)) > 0)
-    return cosine_topk(bucketed.filter(F.col("_bkt") == qb), vec_col, id_col, query, k)
+    dim = len(query)
+    cond = None
+    for t in range(n_tables):
+        table_seed = seed + 7919 * t  # distinct deterministic seed per table
+        rng = np.random.default_rng(table_seed)
+        planes = rng.standard_normal((n_planes, dim))
+        qb = sum(2**i for i in range(n_planes) if float(np.dot(planes[i], query)) > 0)
+        eq = lsh_bucket(F.col(vec_col), dim, n_planes, table_seed) == qb
+        cond = eq if cond is None else (cond | eq)
+    return cosine_topk(df.filter(cond), vec_col, id_col, query, k)
 
 
 def l2sq(a: Column, b: Column, decimals: int = 6) -> Column:
