@@ -27,37 +27,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Entries past 50 are all r01-green and unchanged; their evidence is the
 # CORRECTNESS_r01 row.
 _DRIVER_PRIORITY = [
-    # -- never driver-checked (no CORRECTNESS row before round 2)
-    "p05_ngram_jaccard", "p06_embedding_nn", "p07_cosine_topk",
-    "p08_lang_id", "p09_quality_score", "p10_token_stats",
-    "p11_fingerprint", "p12_multimodal_decode", "p13_near_dedup",
-    "p14_embedding_dedup", "p15_rolling_hash", "p16_winnowing",
-    "p17_range_join", "p18_clean_corpus", "p20_batch_topk",
+    # ---- round 3 window ----
+    # -- never driver-checked (p30 landed after the r2 window froze —
+    #    VERDICT r2 Missing #1) and new this round (dialect extensions)
+    "p30_bottom_k_sample", "q58_dialect_extensions",
+    # -- operators changed in round 3: SQL dialect shim extensions
+    #    (q50), three-tier codec gate (p12), near-dedup default cap
+    #    (p13), connected-components hardening (p21)
+    "q50_sql_dialect", "p12_multimodal_decode", "p13_near_dedup",
     "p21_dup_clusters",
-    # -- changed in round 2 (q40 was the r01 red row; q46-q50 are new,
-    #    covering surfaces that previously had only local-test evidence:
-    #    rand, lift/range LocalRelation, cast matrix, UDAF surfaces, SQL
-    #    dialect entry; the rest got oracle type-parity casts or
-    #    operator changes)
-    "q40_sessionize", "q46_rand_sample", "q47_local_relation",
-    "q48_cast_matrix", "q49_udaf_surfaces", "q50_sql_dialect",
-    "q51_partitioned_range", "p22_salted_join",
-    "p19_simhash_near_pairs",
-    # -- new in round 2 (TPC-H Q22 shape, gap-filled rollup, sequence
-    #    packing, stratified sampling, exact group quantiles,
-    #    deterministic IVF ANN)
-    "q52_untapped_segments", "q53_gapfill_hourly",
-    "q54_priority_check", "q55_promo_revenue",
-    "q56_disjunctive_join", "q57_ship_lag_buckets",
-    "p23_sequence_packing", "p24_stratified_sample",
-    "p25_group_quantiles", "p26_ann_ivf",
-    "p27_tfidf_topterms", "p28_bm25", "p29_lsh_verified_dedup",
-    "q15_top3_per_nation", "q20_scalar_functions", "q23_select_no_from",
-    "q35_complex_types", "q37_string_functions", "q39_cube",
-    "q41_ranking_functions",
-    # -- unchanged r01-green family representatives
-    "q01_pricing_summary", "q02_filter_topk", "q03_shipping_priority",
-    "q04_theta_join", "q05_self_join_pairs",
+    # -- evidence refresh: every query whose only driver evidence is
+    #    CORRECTNESS_r01 (green there, unchanged since) — rotating all
+    #    36 through keeps no row older than one round
+    "q06_forecast_revenue", "q07_customer_orders_left",
+    "q08_nation_coverage", "q09_customers_without_orders",
+    "q10_union_bag", "q11_intersect_multiset", "q12_except_multiset",
+    "q13_distinct", "q14_window_aggregates", "q16_range_frame",
+    "q17_event_gaps", "q18_big_spenders", "q19_sort_nulls",
+    "q21_aggregate_library", "q22_top_supplier_cte", "q24_hourly_rollup",
+    "q25_json_extract", "q26_rollup", "q27_pivot_segments",
+    "q28_word_counts", "q29_asof_last_click", "q30_right_join",
+    "q31_cross_join", "q32_named_window",
+    "q33_order_count_distribution", "q34_large_quantity_orders",
+    "q36_small_quantity_revenue", "q38_multi_distinct",
+    "q42_arithmetic_edges", "q43_multigrain_rollup",
+    "q44_min_price_supplier", "q45_waiting_suppliers",
+    "p01_dedup_exact", "p02_minhash_signatures", "p03_minhash_lsh_pairs",
+    "p04_simhash",
+    # -- r2-green re-checks filling the window: the flagship +
+    #    bench-delta watch (q01) and the heavy dedup/ANN family
+    "q01_pricing_summary", "p05_ngram_jaccard", "p18_clean_corpus",
+    "p19_simhash_near_pairs", "p29_lsh_verified_dedup",
+    "q51_partitioned_range", "q53_gapfill_hourly", "p26_ann_ivf",
 ]
 
 

@@ -2004,3 +2004,53 @@ def q57_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .orderBy("returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — round-3 dialect extensions through the spear SQL entry, one
+# statement exercising every new shim rewrite: bare INTERSECT (multiset,
+# basicOperators.scala:61-70), multi-valued simple CASE
+# (CaseWhenParser simple-when-clause), adjacent string literals
+# (SQL-2006 §5.3), a U&"..." Unicode identifier (IdentifierParser), and
+# named-window inheritance (WINDOW w1 AS (w0 ...)).  The oracle is the
+# hand-rewritten ANSI form, so this driver row certifies the rewrites
+# themselves.  nation has 5 rows per region key and region 1, so the
+# multiset INTERSECT keeps exactly min(5, 1) = 1 row per key.
+# ---------------------------------------------------------------------------
+_Q58_SPEAR_SQL = """
+    WITH both_keys AS (
+      SELECT n_regionkey AS k FROM nation
+      INTERSECT
+      SELECT r_regionkey AS k FROM region
+    )
+    SELECT k AS U&"\\006b\\0065\\0079",
+           CASE k WHEN 0, 1 THEN 'low' WHEN 2, 3 THEN 'mid' ELSE 'high' END AS band,
+           'region' ' ' 'bucket' AS tag,
+           COUNT(*) OVER w1 AS cnt_below
+    FROM both_keys
+    WINDOW w0 AS (ORDER BY k), w1 AS (w0 ROWS UNBOUNDED PRECEDING)
+    ORDER BY U&"\\006b\\0065\\0079"
+"""
+
+
+@q(
+    "q58_dialect_extensions",
+    """
+    WITH both_keys AS (
+      SELECT n_regionkey AS k FROM nation
+      INTERSECT ALL
+      SELECT r_regionkey AS k FROM region
+    )
+    SELECT k AS "key",
+           CASE WHEN k IN (0, 1) THEN 'low' WHEN k IN (2, 3) THEN 'mid' ELSE 'high' END AS band,
+           'region bucket' AS tag,
+           COUNT(*) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_below
+    FROM both_keys
+    ORDER BY "key"
+    """,
+)
+def q58_dialect_extensions(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.context import Context
+
+    register_tables(spark, sf_dir, ("nation", "region"))
+    return Context(spark).sql(_Q58_SPEAR_SQL).df
