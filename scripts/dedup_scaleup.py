@@ -1,0 +1,113 @@
+"""One-off scale-up timing for the banded dedup family (VERDICT r2 #8).
+
+Replicates the sf0.1 documents table 10x in memory (5,000 -> 50,000
+docs) with shifted ids and a PER-REPLICA ALPHABET ROTATION
+(``translate`` with a shifted alphabet): a character bijection
+preserves every replica's internal dup/near-dup structure exactly
+(exact dups stay exact, Jaccard values and shingle document
+frequencies are invariant), while making replicas mutually
+uncorrelated — so 10x really means "10x more corpus", not "every doc
+gains 9 planted near-dups".  (A first version appended one
+perturbation token instead; that left replicas ~identical, cross-
+replica candidates exploded quadratically in the replica count, and
+p29 measured 15x at 10x — a workload change, not a scaling flaw.)
+
+Times p05 (df-capped n-gram Jaccard), p19 (SimHash pigeonhole
+near-pairs) and p29 (LSH-verified near-dedup) at 1x and 10x and prints
+the wall-time ratio per op.  Linear-ish growth (ratio ~= 10, modulo
+fixed per-query overhead which deflates the ratio at these sizes)
+means the banded pair spaces are binding; a super-linear ratio would
+flag a quadratic stage.  Results are recorded in docs/DESIGN.md.
+
+Run: python scripts/dedup_scaleup.py  (quiet machine; ~2 min)
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spear_spark.context import get_spark
+from spear_spark.operators import dedup
+from spear_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SCALEUP_REPS", "10"))
+
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def replicate(docs, reps: int):
+    """reps isomorphic copies: ids shifted into disjoint ranges, text
+    passed through a per-replica alphabet rotation (a char bijection —
+    replica-internal structure preserved, cross-replica token/shingle
+    overlap destroyed)."""
+    copies = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("rep"),
+                F.translate(F.col("text"), ALPHA, ALPHA[i:] + ALPHA[:i]).alias("t"),
+            )
+            for i in range(reps)
+        ]
+    )
+    return (
+        docs.withColumn("_c", F.explode(copies))
+        .select(
+            (F.col("doc_id") + F.col("_c.rep") * F.lit(10_000_000)).alias("doc_id"),
+            F.col("_c.t").alias("text"),
+        )
+    )
+
+
+OPS = {
+    "p05_ngram_jaccard(max_df=64)": lambda d: dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", max_df=64
+    ),
+    "p19_simhash_near_pairs": lambda d: dedup.simhash_near_pairs(
+        d, "text", "doc_id", max_hamming=3
+    ),
+    "p29_lsh_verified_pairs": lambda d: dedup.lsh_verified_pairs(
+        d, "text", "doc_id", threshold=0.5
+    ),
+}
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="dedup_scaleup",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = replicate(docs, 1).localCheckpoint()  # isolate op time from scan/gen
+    big = replicate(docs, REPS).localCheckpoint()
+    print(f"rows: base={base.count()} big={big.count()}")
+
+    for name, op in OPS.items():
+        times = {}
+        for label, d in (("1x", base), (f"{REPS}x", big)):
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                op(d).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times[label] = statistics.median(runs)
+        ratio = times[f"{REPS}x"] / times["1x"]
+        print(
+            f"{name}: 1x={times['1x']:.2f}s {REPS}x={times[f'{REPS}x']:.2f}s "
+            f"ratio={ratio:.1f} ({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

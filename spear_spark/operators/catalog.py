@@ -614,7 +614,13 @@ def p18_clean_corpus(spark: SparkSession, sf_dir: str) -> SDF:
     keepers = dedup.exact_dedup(graded, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
-    survivors = graded.join(keepers, "doc_id")
+    # Materialize the filtered corpus ONCE before the fuzzy stage: the
+    # composition references `survivors` five times (minhash path, two
+    # shingle-verify sides, final anti-join probe+build) and pruning
+    # specializes each copy past ReuseExchange — without this the
+    # quality regexes re-run per reference.  On a real cluster this is
+    # the stage-out write between pipeline stages.
+    survivors = graded.join(keepers, "doc_id").localCheckpoint(eager=False)
     drops = dedup.near_dedup_lsh(survivors, "text", "doc_id", threshold=0.5).select(
         F.col("drop_id").alias("doc_id")
     )

