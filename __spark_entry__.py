@@ -54,11 +54,15 @@ _DRIVER_PRIORITY = [
     "q44_min_price_supplier", "q45_waiting_suppliers",
     "p01_dedup_exact", "p02_minhash_signatures", "p03_minhash_lsh_pairs",
     "p04_simhash",
-    # -- r2-green re-checks filling the window: the flagship +
-    #    bench-delta watch (q01) and the heavy dedup/ANN family
-    "q01_pricing_summary", "p05_ngram_jaccard", "p18_clean_corpus",
-    "p19_simhash_near_pairs", "p29_lsh_verified_dedup",
-    "q51_partitioned_range", "q53_gapfill_hourly", "p26_ann_ivf",
+    # -- changed in round 3: signature/corpus stage-out (lazy
+    #    localCheckpoint) in the simhash and clean-corpus plans
+    "p18_clean_corpus", "p19_simhash_near_pairs",
+    # -- NEW in round 3 (no evidence yet): repetition metrics,
+    #    Count-Min heavy hitters, HLL distinct sketch with linear-
+    #    counting correction, z-order key, priority sampling,
+    #    token typicality
+    "p31_repetition_stats", "p32_heavy_hitters", "p33_distinct_sketch",
+    "p34_zorder_key", "p35_priority_sample", "p36_token_typicality",
 ]
 
 

@@ -61,6 +61,13 @@ HEADLINE = [
     "p28_bm25",
     "p29_lsh_verified_dedup",
     "p19_simhash_near_pairs",
+    # round-3 additions (earlier entries unchanged for comparability)
+    "p31_repetition_stats",
+    "p32_heavy_hitters",
+    "p33_distinct_sketch",
+    "p34_zorder_key",
+    "p35_priority_sample",
+    "p36_token_typicality",
 ]
 
 

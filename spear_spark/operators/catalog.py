@@ -1023,3 +1023,233 @@ def p30_bottom_k_sample(spark: SparkSession, sf_dir: str) -> SDF:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p31 — repetition quality metrics (operators.text.repetition_stats):
+# Gopher-style top-token / duplicate-token / top-bigram fractions, all
+# exact rationals rounded once.  Two explode->two-phase-agg pipelines
+# joined on doc_id — the exchange carries (doc, term, cnt) partials.
+# ---------------------------------------------------------------------------
+@q(
+    "p31_repetition_stats",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+    tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk),
+    ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                  CAST(MAX(c) AS BIGINT) AS top_c,
+                  COUNT(*) AS n_distinct
+           FROM tc GROUP BY doc_id),
+    bi AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                  for i in generate_series(1, len(t)-1)]) AS b
+           FROM toks),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY doc_id, b),
+    bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi,
+                  CAST(MAX(c) AS BIGINT) AS top_bi
+           FROM bc GROUP BY doc_id)
+    SELECT ts.doc_id, ts.n_tok,
+           ROUND(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_tok_frac,
+           ROUND(CAST(n_tok - n_distinct AS DOUBLE) / n_tok, 6) AS dup_tok_frac,
+           COALESCE(ROUND(CAST(top_bi AS DOUBLE) / n_bi, 6), 0.0) AS top_bigram_frac
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    ORDER BY ts.doc_id
+    """,
+)
+def p31_repetition_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p32 — Count-Min heavy hitters (operators.sketch): tokens whose sketch
+# estimate reaches 1% of all occurrences (integer comparison est*100 >=
+# N — no FP threshold), with the exact count alongside.  The sketch is
+# a bounded d*w-cell aggregate; the oracle rebuilds the identical
+# md5-hashed sketch in SQL.
+# ---------------------------------------------------------------------------
+@q(
+    "p32_heavy_hitters",
+    rf"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tk FROM documents),
+    cells AS (SELECT g.r,
+                     ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tk),1,15))::BIGINT
+                       % 1024 AS bucket
+              FROM tok, generate_series(0, 3) g(r)),
+    sketch AS (SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY r, bucket),
+    exact AS (SELECT tk, COUNT(*) AS exact FROM tok GROUP BY tk),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok),
+    probes AS (SELECT tk, exact, g.r,
+                      ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tk),1,15))::BIGINT
+                        % 1024 AS bucket
+               FROM exact, generate_series(0, 3) g(r)),
+    est AS (SELECT tk, exact, CAST(MIN(cnt) AS BIGINT) AS est
+            FROM probes JOIN sketch USING (r, bucket) GROUP BY tk, exact)
+    SELECT tk AS tok, est, CAST(exact AS BIGINT) AS exact
+    FROM est, tot WHERE est * 100 >= n_total
+    ORDER BY est DESC, tok
+    """,
+)
+def p32_heavy_hitters(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    hh = sketch.cm_heavy_hitters(docs, "text", min_count=1)
+    return (
+        hh.crossJoin(F.broadcast(total))
+        .filter(F.col("est") * 100 >= F.col("n_total"))
+        .select("tok", "est", "exact")
+        .orderBy(F.desc("est"), "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p33 — HLL-style distinct-user estimate over events (operators.sketch):
+# 64 integer-exact registers, merge-by-MAX, one final IEEE division —
+# the oracle computes the identical bit math, so an approximate sketch
+# still gets an EXACT cross-engine check.  alpha*m^2 is interpolated
+# from the same Python float both sides.
+# ---------------------------------------------------------------------------
+from spear_spark.operators.sketch import (  # noqa: E402
+    HLL_ALPHA as _HLL_A,
+    HLL_M as _HLL_M,
+    linear_counting_table as _lc_table,
+)
+
+_HLL_NUM = repr(_HLL_A * _HLL_M * _HLL_M)  # e.g. 2904.064 — same literal both engines
+_POW40 = 1 << 40
+# linear-counting lookup: the SAME Python float literals as the Spark
+# plan, so neither engine evaluates ln()
+_LC_LIST = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _lc_table(_HLL_M)) + "]"
+
+
+@q(
+    "p33_distinct_sketch",
+    f"""
+    WITH h AS (SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+               FROM events),
+    r AS (SELECT hv % {_HLL_M} AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 40
+                      ELSE LEAST(bit_count(((hv >> 6) & -(hv >> 6)) - 1) + 1, 40)
+                 END AS rho
+          FROM h),
+    regs AS (SELECT reg, MAX(rho) AS max_rho FROM r GROUP BY reg),
+    s AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (40 - max_rho)) AS BIGINT) AS s_present,
+                 COUNT(*) AS n_present
+          FROM regs),
+    est AS (SELECT CAST({_HLL_NUM} AS DOUBLE) * CAST({float(_POW40)!r} AS DOUBLE)
+                   / CAST(s_present + ({_HLL_M} - n_present) * {_POW40} AS DOUBLE) AS raw,
+                   {_HLL_M} - n_present AS v
+            FROM s)
+    SELECT ROUND(CASE WHEN v > 0 AND raw <= {2.5 * _HLL_M!r}
+                      THEN ({_LC_LIST})[v + 1] ELSE raw END, 3) AS est_distinct
+    FROM est
+    """,
+)
+def p33_distinct_sketch(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.hll_distinct(ev, F.col("user_id").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# p34 — Z-order clustering key (operators.layout.zvalue): Morton
+# interleave of (custkey mod 2^16, order date day-number mod 2^16); the
+# 100 lowest keys with a deterministic tiebreak.  The same magic-number
+# bit spread runs in both engines; write_zordered uses this key for a
+# data-skipping parquet layout (file-level min/max pruning on BOTH
+# dimensions).
+# ---------------------------------------------------------------------------
+def _spread_sql(e: str) -> str:
+    x = f"({e} & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = f"((({x}) | (({x}) << {shift})) & {mask})"
+    return x
+
+
+@q(
+    "p34_zorder_key",
+    f"""
+    WITH base AS (SELECT o_orderkey,
+                         CAST(o_custkey % 65536 AS BIGINT) AS x,
+                         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) % 65536 AS BIGINT) AS y
+                  FROM orders),
+    z AS (SELECT o_orderkey, x, y,
+                 CAST({_spread_sql('x')} | ({_spread_sql('y')} << 1) AS BIGINT) AS zval
+          FROM base)
+    SELECT o_orderkey, x, y, zval FROM z
+    ORDER BY zval, o_orderkey LIMIT 100
+    """,
+)
+def p34_zorder_key(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.layout import zvalue
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 65536).cast("bigint")
+    y = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 65536).cast("bigint")
+    return (
+        orders.select(
+            "o_orderkey",
+            x.alias("x"),
+            y.alias("y"),
+            zvalue(x, y).alias("zval"),
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# p35 — weighted priority sample (operators.sampling.priority_sample):
+# top-100 orders by priority w/u (Duffield-Lund-Thorup) — division-only
+# scoring, so selection is bit-identical cross-engine with NO rounding
+# in the selection path.
+# ---------------------------------------------------------------------------
+@q(
+    "p35_priority_sample",
+    """
+    WITH pri AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(o_totalprice AS DOUBLE)
+               / ((('0x'||substr(md5('42_'||CAST(o_orderkey AS VARCHAR)),1,13))::BIGINT
+                   + 1) / 4503599627370496.0) AS p
+      FROM orders)
+    SELECT o_orderkey, o_totalprice, ROUND(p, 6) AS priority
+    FROM pri ORDER BY p DESC, o_orderkey LIMIT 100
+    """,
+)
+def p35_priority_sample(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import priority_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return priority_sample(orders, "o_orderkey", "o_totalprice", k=100).select(
+        "o_orderkey", "o_totalprice", "priority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p36 — token typicality (operators.text.token_typicality): per-doc dot
+# product with the corpus unigram distribution, integer numerator +
+# one division (the ln-free, cross-engine-exact outlier score).
+# ---------------------------------------------------------------------------
+@q(
+    "p36_token_typicality",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    dc AS (SELECT doc_id, t, COUNT(*) AS dc FROM toks GROUP BY doc_id, t),
+    cc AS (SELECT t, COUNT(*) AS cc FROM toks GROUP BY t),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    agg AS (SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_doc,
+                   CAST(SUM(dc * cc) AS BIGINT) AS num
+            FROM dc JOIN cc USING (t) GROUP BY doc_id)
+    SELECT doc_id, n_doc,
+           ROUND(CAST(num AS DOUBLE) / CAST(n_doc * n_total AS DOUBLE), 9) AS typicality
+    FROM agg, tot ORDER BY doc_id
+    """,
+)
+def p36_token_typicality(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_typicality(docs, "text", "doc_id").orderBy("doc_id")

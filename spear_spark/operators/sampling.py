@@ -68,3 +68,52 @@ def bottom_k_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted-without-replacement sampling via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 2007): each row gets priority
+    ``q = w / u`` with u uniform in (0, 1], and the k highest
+    priorities win — inclusion probability grows with weight, and the
+    resulting sample supports unbiased subset-sum estimation with
+    ``w_hat = max(w, tau)`` (tau = the (k+1)-th priority).
+
+    The ES exponential-key scheme (``-ln(u)/w``) is equivalent for
+    selection but needs ``ln``, whose last ulp differs between JVM and
+    C libm; ``w / u`` is one IEEE division of exactly-representable
+    inputs (u = (md5_52bits + 1) / 2^52), so priorities — and
+    therefore the selected set — are bit-identical in any engine and
+    independent of partitioning.
+
+    Scale: priorities are a stateless projection; global top-k plans
+    as per-partition heaps + single merge (TakeOrderedAndProject), the
+    grouped variant as a bounded window top-k.  Returns the sampled
+    rows plus ``priority`` (rounded for display; selection uses the
+    un-rounded value).  Ties (astronomically unlikely with 52-bit u)
+    break on the key column for determinism.
+    """
+    h52 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed), F.col(key_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h52 + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    pri = F.col(weight_col).cast("double") / u
+    scored = df.withColumn("_pri", pri)
+    if group_col is None:
+        picked = scored.orderBy(F.desc("_pri"), F.col(key_col)).limit(k)
+    else:
+        w = Window.partitionBy(group_col).orderBy(F.desc("_pri"), F.col(key_col))
+        picked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        ).drop("_rn")
+    return picked.withColumn("priority", F.round(F.col("_pri"), 6)).drop("_pri")

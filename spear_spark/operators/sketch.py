@@ -1,0 +1,205 @@
+"""Mergeable frequency/cardinality sketches for 100 TB corpus profiling:
+Count-Min heavy hitters and an HLL-style distinct counter.
+
+Both are DETERMINISTIC by construction — every hash derives from md5 and
+every estimate is computed in exact integer arithmetic with a single
+final IEEE division — so the DuckDB oracle reproduces them bit-for-bit
+(no engine-specific HLL++ registers, no libm transcendentals whose last
+ulp differs between the JVM and C: the HLL register exponents sum as
+exact ``2^(40-M)`` integers, and trailing zeros come from
+``bit_count((x & -x) - 1)``, never ``floor(log2(x))`` which can land on
+39.999... in double math).
+
+Scale structure (the reason sketches exist): both sketches are built by
+a single explode + two-phase aggregate whose GROUPED STATE IS BOUNDED —
+Count-Min at d*w cells, HLL at m registers — regardless of input size.
+Partial aggregation collapses each partition to <= that many rows
+map-side, the exchange moves only sketch cells, and sketches from
+disjoint shards MERGE (cell-wise SUM / register-wise MAX), which is the
+100 TB contract: profile each partition, merge the tiny sketches.
+Spark's own approx_count_distinct is the same idea but its HLL++
+register layout is engine-internal and can't be oracle-checked exactly.
+
+Reference parity: the reference engine has no sketch operators
+(spear-core SURVEY §2.4 ends at scalar/agg functions); this module is a
+north-star extension for training-data profiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spear_spark.operators.dedup import h64
+from spear_spark.operators.text import tokens
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 1024  # buckets per row
+
+
+def _cm_bucket(tok: Column, row: int, width: int) -> Column:
+    """Row-specific bucket: md5 of a row-tagged token, mod width.
+    Tagging with ``row:`` gives CM_DEPTH independent hash functions
+    from one md5."""
+    return h64(F.concat(F.lit(f"{row}:"), tok)) % width
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build the (row, bucket, cnt) sketch table over all token
+    OCCURRENCES in the corpus (not distinct tokens — Count-Min counts
+    frequencies).  At most depth*width rows regardless of corpus size:
+    the explode fans out tokens, the struct-array explode replicates
+    each token into its ``depth`` (row, bucket) cells, and the groupBy
+    collapses to the bounded cell grid with map-side partials."""
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cm_bucket(F.col("tok"), r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    min_count: int,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Tokens whose Count-Min estimate (min over rows of the bucket
+    count — an overestimate, never an undercount) reaches ``min_count``,
+    with the exact count alongside so the one-sided error is visible:
+    ``est >= exact`` always, and no true heavy hitter is missed.
+
+    The candidate set here is the corpus's distinct tokens (exact
+    streaming top-k candidate tracking is a different operator); the
+    join probes the bounded sketch per (token, row) and takes the
+    row-wise MIN.  Returns (tok, est, exact) ordered by est desc.
+    """
+    sketch = count_min_sketch(df, text_col, depth, width)
+    occurrences = df.select(F.explode(tokens(text_col)).alias("tok"))
+    exact = occurrences.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select(
+        "tok",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(F.col("tok"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select("tok", "exact", F.col("_p.row").alias("row"), F.col("_p.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("tok", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.filter(F.col("est") >= min_count)
+        .select("tok", "est", "exact")
+        .orderBy(F.desc("est"), "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL-style distinct counter (deterministic, integer-exact registers)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (power of two)
+HLL_ALPHA = 0.709  # alpha_64 from the HLL paper (m = 64)
+_RHO_CAP = 40  # clamp so 2^(40 - rho) sums stay far inside int64
+
+
+def hll_register_table(df: DataFrame, key: Column, m: int = HLL_M) -> DataFrame:
+    """Per-register max rank: idx = h % m picks the register, and the
+    rank is trailing-zeros(h // m) + 1 (the 'position of the first 1
+    bit' statistic), computed with exact bit math:
+    ``bit_count((x & -x) - 1)`` — ``x & -x`` isolates the lowest set
+    bit and the popcount of (that - 1) is its index.  GROUPED STATE =
+    m rows; register tables from disjoint shards merge by MAX."""
+    hv = h64(key)
+    rest = F.shiftright(hv, 6) if m == 64 else (hv / m).cast("bigint")
+    lowbit = rest.bitwiseAND(-rest)
+    rho = F.when(rest == 0, F.lit(_RHO_CAP)).otherwise(
+        F.least(F.bit_count(lowbit - 1) + 1, F.lit(_RHO_CAP))
+    )
+    return (
+        df.select((hv % m).alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def linear_counting_table(m: int = HLL_M) -> list[float]:
+    """m * ln(m / V) for V = 0..m, precomputed in Python: the HLL
+    small-range (linear counting) correction as a LOOKUP TABLE, so no
+    engine ever evaluates ln() — the JVM's and C's libm can disagree in
+    the last ulp, but interpolating the same Python float literal into
+    both the Spark plan and the DuckDB oracle is exact by construction
+    (V has only m+1 possible values).  V=0 slot is a placeholder (the
+    raw estimate is used there)."""
+    import math
+
+    return [0.0] + [m * math.log(m / v) for v in range(1, m + 1)]
+
+
+def hll_distinct(df: DataFrame, key: Column, m: int = HLL_M) -> DataFrame:
+    """Single-row DataFrame (est_distinct double): the HLL estimate
+    alpha * m^2 / sum_j 2^(-M_j) with the standard small-range
+    correction (linear counting m*ln(m/V) over V empty registers when
+    the raw estimate is <= 2.5m — without it the raw estimator is ~3x
+    high when n << m).
+
+    Exactness: the denominator is the integer sum_j 2^(40 - M_j)
+    (missing registers contribute M_j = 0), so the raw estimate is one
+    IEEE division of exact integers — bit-identical in any engine —
+    and the correction branch compares that deterministic double
+    against the exact literal 2.5m, then reads a precomputed float
+    from :func:`linear_counting_table`; the oracle interpolates the
+    identical literals, so even the approximate estimator is
+    hash-exact cross-engine."""
+    regs = hll_register_table(df, key, m)
+    # missing registers (never hit) count as M_j = 0 -> 2^40 each
+    present = regs.agg(
+        # shiftleft with a Column shift amount needs the SQL form (the
+        # Python wrapper only takes a literal int)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - max_rho)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA * m * m)
+        * F.lit(float(2**_RHO_CAP))
+        / (
+            F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**_RHO_CAP)
+        ).cast("double")
+    )
+    v = F.lit(m) - F.col("n_present")  # empty registers
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in linear_counting_table(m)]), (v + 1).cast("int")
+    )
+    est = F.when((v > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    return present.select(F.round(est, 3).alias("est_distinct"))

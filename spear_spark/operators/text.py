@@ -157,3 +157,122 @@ def fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set.  The canonical key for fuzzy-then-exact dedup passes."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / typicality profiling (DataFrame-level: these need corpus
+# or per-doc grouped aggregates, not just a per-row projection)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition quality metrics, adapted to line-less
+    corpora: per document, the fraction of tokens belonging to the
+    single most frequent token (``top_tok_frac``), the fraction of
+    token occurrences beyond each type's first (``dup_tok_frac`` =
+    (n - distinct)/n), and the same top-fraction over word bigrams
+    (``top_bigram_frac``).  High values flag boilerplate / degenerate
+    repetition that perplexity filters miss.
+
+    Scale shape: one explode per granularity feeding a two-phase
+    (doc, term) count whose second phase re-groups by doc — the
+    exchange carries (doc, term, cnt) partials, never raw tokens.  No
+    HOF mode-finding (an interpreted array-mode lambda is O(n^2) per
+    doc — the pitfalls lesson).  All outputs are exact rationals
+    rounded once, so the DuckDB oracle matches bit-for-bit.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    tok_stats = (
+        toks.groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.max("c").alias("top_c"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    # non-distinct word bigrams via zip_with over the shifted slice
+    # (each array argument evaluates exactly once — never transform +
+    # element_at, which re-evaluates the split per element)
+    def bigram_arr(c):
+        big = F.greatest(F.size(c), F.lit(1))
+        grams = F.zip_with(
+            c, F.slice(c, 2, big), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+        n = F.size(c) - 1
+        return F.when(n >= 1, F.slice(grams, 1, n)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    from spear_spark.functions import let_
+
+    bigrams = df.select(
+        F.col(id_col), F.explode(let_(tokens(text_col), bigram_arr)).alias("b")
+    )
+    bi_stats = (
+        bigrams.groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bi"), F.max("c").alias("top_bi"))
+    )
+    return (
+        tok_stats.join(bi_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.round(F.col("top_c").cast("double") / F.col("n_tok"), 6).alias(
+                "top_tok_frac"
+            ),
+            F.round(
+                (F.col("n_tok") - F.col("n_distinct")).cast("double") / F.col("n_tok"),
+                6,
+            ).alias("dup_tok_frac"),
+            F.coalesce(
+                F.round(F.col("top_bi").cast("double") / F.col("n_bi"), 6), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def token_typicality(df, text_col: str, id_col: str):
+    """Per-document typicality: the dot product between the document's
+    token distribution and the corpus's, computed as the exact integer
+    numerator sum_t(doc_cnt_t * corpus_cnt_t) divided once by
+    (n_doc * N_corpus).  Low typicality = rare-token-heavy outlier
+    documents; high = documents made of the corpus's most common
+    tokens.  The rational form is deliberate: a unigram log-likelihood
+    needs ln(), whose last ulp differs between JVM and C libm — this
+    statistic ranks documents the same way for filtering purposes and
+    is bit-exact cross-engine (integer sums, one IEEE division).
+
+    Scale shape: corpus counts are a bounded-vocabulary aggregate
+    (broadcast to the join); the per-doc numerator is a two-phase SUM
+    over the (doc, token, cnt) partials.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    doc_cnt = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("dc"))
+    corpus_cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cc"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        doc_cnt.join(F.broadcast(corpus_cnt), "t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("dc").alias("n_doc"),
+            F.sum(F.col("dc") * F.col("cc")).alias("num"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n_doc"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n_doc") * F.col("n_total")).cast("double"),
+                9,
+            ).alias("typicality"),
+        )
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from spear_spark.operators import dedup, similarity, text
 from spear_spark.operators.asof import asof_join_last
+from spear_spark.sources import load_table
 
 
 class TestExactDedup:
@@ -873,3 +874,192 @@ class TestRelevance:
         a = bm25(docs, "text", "doc_id", ["hash", "join"], top=10).collect()
         b = bm25(docs.repartition(7), "text", "doc_id", ["hash", "join"], top=10).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+class TestSketches:
+    def test_count_min_one_sided(self, spark, sf_dir):
+        """CM never undercounts: est >= exact for every token."""
+        from spear_spark.operators.sketch import cm_heavy_hitters
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = cm_heavy_hitters(docs, "text", min_count=1).collect()
+        assert rows and all(r.est >= r.exact for r in rows)
+
+    def test_count_min_mergeable(self, spark, sf_dir):
+        """Sketch(shard A) cell-wise + Sketch(shard B) == Sketch(A u B):
+        the property that lets 100 TB shards be profiled independently
+        and merged as tiny cell grids."""
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.sketch import count_min_sketch
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        merged = (
+            count_min_sketch(a, "text")
+            .unionAll(count_min_sketch(b, "text"))
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = count_min_sketch(docs, "text")
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+
+    def test_hll_registers_bounded_and_mergeable(self, spark, sf_dir):
+        """Register table never exceeds m rows (bounded grouped state),
+        and shard register tables merge by MAX to the whole-corpus one."""
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.sketch import HLL_M, hll_register_table
+
+        ev = load_table(spark, sf_dir, "events")
+        key = F.col("user_id").cast("string")
+        whole = hll_register_table(ev, key)
+        assert whole.count() <= HLL_M
+        a = hll_register_table(ev.filter(F.col("event_id") % 2 == 0), key)
+        b = hll_register_table(ev.filter(F.col("event_id") % 2 == 1), key)
+        merged = (
+            a.unionAll(b).groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+        )
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+
+    def test_hll_estimate_in_sane_range(self, spark, sf_dir):
+        """Raw HLL-style estimator on the events user population lands
+        within a loose factor of truth (raw estimator, no small-range
+        correction — documented bias; this guards gross breakage, the
+        oracle guards the exact arithmetic)."""
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.sketch import hll_distinct
+
+        ev = load_table(spark, sf_dir, "events")
+        exact = ev.select("user_id").distinct().count()
+        est = hll_distinct(ev, F.col("user_id").cast("string")).collect()[0][0]
+        assert 0.4 * exact <= est <= 2.5 * exact
+
+
+class TestZOrder:
+    def test_zvalue_matches_python_reference(self, spark):
+        """Bit-interleave equals an independent per-bit Python spread."""
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.layout import zvalue
+
+        def ref_z(x, y):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 256)]
+        df = spark.createDataFrame(pts, "x int, y int")
+        rows = df.select(
+            "x", "y", zvalue(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+        for r in rows:
+            assert r.z == ref_z(r.x, r.y), (r.x, r.y)
+
+    def test_zordered_files_cover_disjoint_ranges(self, spark, sf_dir, tmp_path):
+        """Range partitioning on the Morton key means each output file
+        owns a contiguous, non-overlapping z-range — the precondition
+        for parquet min/max stats to prune scans on either dimension."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.layout import write_zordered, zvalue
+
+        orders = load_table(spark, sf_dir, "orders")
+        x = (F.col("o_custkey") % 65536).cast("bigint")
+        y = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 65536).cast(
+            "bigint"
+        )
+        out = str(tmp_path / "zord")
+        write_zordered(orders, x, y, out, num_files=4)
+        ranges = []
+        for f in sorted(glob.glob(out + "/part-*.parquet")):
+            part = spark.read.parquet(f)
+            zz = part.select(
+                zvalue(
+                    (F.col("o_custkey") % 65536).cast("bigint"),
+                    (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 65536).cast(
+                        "bigint"
+                    ),
+                ).alias("z")
+            ).agg(F.min("z"), F.max("z")).collect()[0]
+            ranges.append((zz[0], zz[1]))
+        ranges.sort()
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, ranges
+
+
+class TestPrioritySample:
+    def test_partition_independent(self, spark, sf_dir):
+        """The selected set depends only on (key, weight, seed) — never
+        on partitioning: the reproducibility contract for training-mix
+        sampling at any cluster size."""
+        from spear_spark.operators.sampling import priority_sample
+
+        orders = load_table(spark, sf_dir, "orders")
+        a = priority_sample(orders, "o_orderkey", "o_totalprice", k=50)
+        b = priority_sample(orders.repartition(13), "o_orderkey", "o_totalprice", k=50)
+        ka = sorted(r.o_orderkey for r in a.collect())
+        kb = sorted(r.o_orderkey for r in b.collect())
+        assert ka == kb
+
+    def test_weight_bias(self, spark, sf_dir):
+        """Higher-weight rows must be overrepresented: the sampled mean
+        weight exceeds the population mean (the point of weighting)."""
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.sampling import priority_sample
+
+        orders = load_table(spark, sf_dir, "orders")
+        pop_mean = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+        samp = priority_sample(orders, "o_orderkey", "o_totalprice", k=100)
+        samp_mean = samp.agg(F.avg("o_totalprice")).collect()[0][0]
+        assert samp_mean > pop_mean
+
+    def test_grouped_variant_bounded(self, spark, sf_dir):
+        """Grouped sampling returns at most k rows per group."""
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.sampling import priority_sample
+
+        orders = load_table(spark, sf_dir, "orders")
+        samp = priority_sample(
+            orders, "o_orderkey", "o_totalprice", k=5, group_col="o_orderpriority"
+        )
+        sizes = samp.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        assert all(r.n <= 5 for r in sizes.collect())
+
+
+class TestRepetitionTypicality:
+    def test_repetition_known_doc(self, spark):
+        """Hand-built doc: 'a a a b' -> top_tok 3/4, dup (4-2)/4,
+        top bigram 'a a' 2/3."""
+        from spear_spark.operators.text import repetition_stats
+
+        df = spark.createDataFrame([(1, "a a a b"), (2, "x")], "doc_id int, text string")
+        rows = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+        r1 = rows[1]
+        assert r1.n_tok == 4
+        assert abs(r1.top_tok_frac - 0.75) < 1e-9
+        assert abs(r1.dup_tok_frac - 0.5) < 1e-9
+        assert abs(r1.top_bigram_frac - round(2 / 3, 6)) < 1e-9
+        r2 = rows[2]
+        assert r2.n_tok == 1 and r2.top_bigram_frac == 0.0
+
+    def test_typicality_common_beats_rare(self, spark):
+        """A doc of corpus-common tokens scores higher than a doc of
+        corpus-unique tokens."""
+        from spear_spark.operators.text import token_typicality
+
+        df = spark.createDataFrame(
+            [(1, "the the the"), (2, "the the the"), (3, "qq zz ww")],
+            "doc_id int, text string",
+        )
+        t = {r.doc_id: r.typicality for r in token_typicality(df, "text", "doc_id").collect()}
+        assert t[1] > t[3]
