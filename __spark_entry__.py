@@ -39,15 +39,15 @@ _DRIVER_PRIORITY = [
     # -- evidence refresh: every query whose only driver evidence is
     #    CORRECTNESS_r01 (green there, unchanged since) — rotating all
     #    36 through keeps no row older than one round
-    "q06_forecast_revenue", "q07_customer_orders_left",
+    "q07_customer_orders_left",
     "q08_nation_coverage", "q09_customers_without_orders",
     "q10_union_bag", "q11_intersect_multiset", "q12_except_multiset",
-    "q13_distinct", "q14_window_aggregates", "q16_range_frame",
+    "q14_window_aggregates", "q16_range_frame",
     "q17_event_gaps", "q18_big_spenders", "q19_sort_nulls",
     "q21_aggregate_library", "q22_top_supplier_cte", "q24_hourly_rollup",
     "q25_json_extract", "q26_rollup", "q27_pivot_segments",
     "q28_word_counts", "q29_asof_last_click", "q30_right_join",
-    "q31_cross_join", "q32_named_window",
+    "q32_named_window",
     "q33_order_count_distribution", "q34_large_quantity_orders",
     "q36_small_quantity_revenue", "q38_multi_distinct",
     "q42_arithmetic_edges", "q43_multigrain_rollup",
@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = [
     #    token typicality
     "p31_repetition_stats", "p32_heavy_hitters", "p33_distinct_sketch",
     "p34_zorder_key", "p35_priority_sample", "p36_token_typicality",
+    "p37_incremental_dedup", "p38_decontaminate", "p39_embedding_outliers",
 ]
 
 

@@ -68,6 +68,9 @@ HEADLINE = [
     "p34_zorder_key",
     "p35_priority_sample",
     "p36_token_typicality",
+    "p37_incremental_dedup",
+    "p38_decontaminate",
+    "p39_embedding_outliers",
 ]
 
 

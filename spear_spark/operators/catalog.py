@@ -1253,3 +1253,110 @@ def p35_priority_sample(spark: SparkSession, sf_dir: str) -> SDF:
 def p36_token_typicality(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return text.token_typicality(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p37 — incremental dedup (operators.dedup.incremental_dedup): a new
+# shard (doc_id >= 250, simulating today's ingest) deduped within
+# itself then anti-joined against the existing corpus's content
+# hashes.  The daily-ingest shape: corpus touched only as a narrow
+# hash projection.
+# ---------------------------------------------------------------------------
+@q(
+    "p37_incremental_dedup",
+    """
+    WITH batch AS (SELECT md5(lower(trim(text))) AS content_hash,
+                          MIN(doc_id) AS keep_id
+                   FROM documents WHERE doc_id >= 250
+                   GROUP BY md5(lower(trim(text)))),
+    existing AS (SELECT DISTINCT md5(lower(trim(text))) AS content_hash
+                 FROM documents WHERE doc_id < 250)
+    SELECT keep_id, content_hash FROM batch
+    WHERE content_hash NOT IN (SELECT content_hash FROM existing)
+    ORDER BY keep_id
+    """,
+)
+def p37_incremental_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") >= 250)
+    existing = docs.filter(F.col("doc_id") < 250)
+    return dedup.incremental_dedup(new_batch, existing, "text", "doc_id").orderBy(
+        "keep_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p38 — test-set decontamination (operators.dedup.ngram_contamination):
+# corpus docs sharing >= 8 distinct 3-gram shingles with any of the
+# first 10 docs (standing in for an eval benchmark).  Benchmark
+# shingles broadcast; corpus side is one explode + map-side join.
+# ---------------------------------------------------------------------------
+@q(
+    "p38_decontaminate",
+    rf"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 10),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10)
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS overlap
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id, b.bench_id
+    HAVING COUNT(*) >= 8
+    ORDER BY c.doc_id, b.bench_id
+    """,
+)
+def p38_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return dedup.ngram_contamination(
+        corpus, bench, "text", "doc_id", min_overlap=8
+    ).orderBy("doc_id", "bench_id")
+
+
+# ---------------------------------------------------------------------------
+# p39 — embedding outliers (operators.similarity.embedding_outliers):
+# top-3 per label by squared L2 to the label centroid.  Centroid sums
+# are floor-quantized int64 (order-independent, engine-exact); the
+# distance folds sequentially in index order in BOTH engines
+# (zip_with+aggregate / list comprehension+list_reduce), pinning FP
+# association.
+# ---------------------------------------------------------------------------
+_QS = float(1 << 20)
+
+
+@q(
+    "p39_embedding_outliers",
+    f"""
+    WITH per_dim AS (
+      SELECT label, r.i,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * {_QS!r}) AS BIGINT))
+                  AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM embeddings CROSS JOIN range(1, 65) r(i)
+      GROUP BY label, r.i),
+    cents AS (
+      SELECT label,
+             list(CAST(s AS DOUBLE) / {_QS!r} / CAST(n AS DOUBLE) ORDER BY i) AS c
+      FROM per_dim GROUP BY label),
+    dist AS (
+      SELECT e.label, e.vec_id,
+             ROUND(list_reduce(
+               [ (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                 for i in generate_series(1, 64) ],
+               (acc, v) -> acc + v), 6) AS d2
+      FROM embeddings e JOIN cents USING (label)),
+    ranked AS (
+      SELECT label, vec_id, d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id)
+                  AS INTEGER) AS rnk
+      FROM dist)
+    SELECT label, vec_id, d2, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY label, rnk
+    """,
+)
+def p39_embedding_outliers(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(
+        emb, "embedding", "vec_id", "label", dim=64, k=3
+    ).orderBy("label", "rnk")

@@ -671,3 +671,68 @@ def near_dedup_lsh(
     return pairs.groupBy(F.col("doc_b").alias("drop_id")).agg(
         F.min("doc_a").alias("keep_id")
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dedup an incoming shard against an already-deduped corpus: keep
+    one representative per content hash within the new batch (smallest
+    id), then anti-join those against the existing corpus's hashes.
+    Returns (keep_id, content_hash) for the genuinely new content.
+
+    This is the daily-ingest shape at 100 TB: the existing side is
+    only ever touched as a hash projection (a narrow column scan), the
+    within-batch dedup is one shuffle on the batch (small), and the
+    anti join is an equi-join on the 128-bit hash — with the corpus
+    hash table maintained as a bucketed table
+    (:func:`spear_spark.sources.write_bucketed` on content_hash) the
+    anti join needs no corpus-side shuffle at all; a bloom filter on
+    batch hashes pushed to the corpus scan cuts it further."""
+    key = F.md5(F.lower(F.trim(F.col(text_col))))
+    batch_keep = (
+        new_df.groupBy(key.alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    existing_hashes = existing_df.select(key.alias("content_hash")).distinct()
+    return batch_keep.join(existing_hashes, "content_hash", "left_anti").select(
+        "keep_id", "content_hash"
+    )
+
+
+def ngram_contamination(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_overlap: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing >=
+    ``min_overlap`` distinct n-gram shingles with any benchmark
+    document (the n-gram-overlap contamination rule used for LLM
+    training corpora).  Returns (doc_id, bench_id, overlap), one row
+    per contaminated (corpus doc, benchmark doc) pair.
+
+    Scale: the benchmark side is tiny by definition (eval sets are
+    thousands of docs), so its exploded shingle set BROADCASTS — the
+    corpus side stays a single explode + broadcast-hash-join + count
+    aggregate, no corpus-side pair explosion and no shuffle of corpus
+    shingles.  At 100 TB this is a map-side join over the scan."""
+    c = corpus_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("s"),
+    )
+    b = benchmark_df.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("s"),
+    )
+    return (
+        c.join(F.broadcast(b), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )

@@ -364,3 +364,80 @@ def ann_topk_ivf_fixed(
         assigned.filter(F.col("_cell").isin(probe)), vec_col, id_col, query, k,
         exclude_id=exclude_id,
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str, dim: int, scale_bits: int = 20
+) -> DataFrame:
+    """Per-label centroid as an array<double>, computed EXACTLY: each
+    component is quantized with FLOOR(x * 2^scale_bits) to int64 (floor,
+    not round — round-half ties can resolve differently across engines;
+    floor of a double is bit-deterministic), the per-label per-dimension
+    integer sums are exact regardless of aggregation order, and the
+    centroid component is one IEEE division.  Quantization error
+    (<= 2^-scale_bits per component) is a fixed, documented property of
+    the operator, not engine drift.
+
+    Scale: posexplode -> two-phase (label, pos) SUM — the exchange
+    carries labels * dim partial rows; the centroid table is labels *
+    dim, broadcastable to any downstream distance pass."""
+    q = F.floor(F.col("_x").cast("double") * F.lit(float(1 << scale_bits))).cast(
+        "bigint"
+    )
+    per_dim = (
+        df.select(F.col(label_col), F.posexplode(vec_col).alias("_pos", "_x"))
+        .select(F.col(label_col), F.col("_pos"), q.alias("_q"))
+        .groupBy(label_col, "_pos")
+        .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    comp = (
+        F.col("_s").cast("double")
+        / F.lit(float(1 << scale_bits))
+        / F.col("_n").cast("double")
+    )
+    return (
+        per_dim.select(F.col(label_col), F.struct("_pos", comp.alias("_c")).alias("_pc"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("_pc")), lambda s: s.getField("_c")
+            ).alias("centroid")
+        )
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    dim: int,
+    k: int = 3,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Top-k outliers per label by squared L2 distance to the label's
+    (quantized-exact) centroid — the embedding-space mislabel / junk
+    detector for a labeled corpus.  Returns (label, vec_id, d2, rnk).
+
+    Distances fold sequentially in index order (``zip_with`` +
+    ``aggregate`` — a left fold, NOT an unordered SUM), so the FP
+    association is pinned and both engines produce identical doubles;
+    d2 is rounded once for the ranking.  Scale: centroids broadcast
+    (labels * dim doubles), the distance is a narrow projection over
+    the scan, and per-label top-k is a bounded window."""
+    cents = label_centroids(df, vec_col, label_col, dim, scale_bits)
+    sq = F.zip_with(
+        F.col(vec_col),
+        F.col("centroid"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    d2 = F.round(
+        F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v), 6
+    )
+    w = W.partitionBy(label_col).orderBy(F.desc("d2"), F.col(id_col))
+    return (
+        df.join(F.broadcast(cents), label_col)
+        .select(F.col(label_col), F.col(id_col), d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

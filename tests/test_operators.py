@@ -1063,3 +1063,102 @@ class TestRepetitionTypicality:
         )
         t = {r.doc_id: r.typicality for r in token_typicality(df, "text", "doc_id").collect()}
         assert t[1] > t[3]
+
+
+class TestIncrementalDedup:
+    def test_no_survivor_matches_existing(self, spark, sf_dir):
+        """Survivors' hashes are disjoint from the existing corpus and
+        unique within the batch."""
+        from spear_spark.operators.dedup import incremental_dedup
+
+        docs = load_table(spark, sf_dir, "documents")
+        new_b = docs.filter(F.col("doc_id") >= 250)
+        old = docs.filter(F.col("doc_id") < 250)
+        out = incremental_dedup(new_b, old, "text", "doc_id")
+        old_hashes = {
+            r[0]
+            for r in old.select(F.md5(F.lower(F.trim("text")))).distinct().collect()
+        }
+        rows = out.collect()
+        hashes = [r.content_hash for r in rows]
+        assert len(hashes) == len(set(hashes))
+        assert not (set(hashes) & old_hashes)
+
+    def test_empty_existing_reduces_to_exact_dedup(self, spark, sf_dir):
+        """With an empty corpus the result equals plain exact dedup of
+        the batch."""
+        from spear_spark.operators.dedup import exact_dedup, incremental_dedup
+
+        docs = load_table(spark, sf_dir, "documents")
+        empty = docs.filter(F.lit(False))
+        inc = incremental_dedup(docs, empty, "text", "doc_id")
+        plain = exact_dedup(docs, "text", "doc_id").select("keep_id", "content_hash")
+        assert inc.exceptAll(plain).count() == 0
+        assert plain.exceptAll(inc).count() == 0
+
+
+class TestDecontamination:
+    def test_planted_contamination_found(self, spark):
+        """A corpus doc that copies a benchmark doc's text must be
+        flagged; an unrelated doc must not."""
+        from spear_spark.operators.dedup import ngram_contamination
+
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+            "doc_id int, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (101, "one two three four five six seven eight nine ten"),
+            ],
+            "doc_id int, text string",
+        )
+        rows = ngram_contamination(corpus, bench, "text", "doc_id", min_overlap=5).collect()
+        assert {r.doc_id for r in rows} == {100}
+
+    def test_benchmark_side_broadcast(self, spark, sf_dir):
+        """The contamination join must broadcast the benchmark side —
+        no shuffle of corpus shingles."""
+        from spear_spark.operators.dedup import ngram_contamination
+
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") < 10)
+        corpus = docs.filter(F.col("doc_id") >= 10)
+        df = ngram_contamination(corpus, bench, "text", "doc_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestEmbeddingOutliers:
+    def test_centroid_matches_numpy(self, spark, sf_dir):
+        """Quantized centroid is within quantization error (2^-20) of
+        the float mean per component."""
+        import numpy as np
+
+        from spear_spark.operators.similarity import label_centroids
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = {
+            r.label: r.centroid
+            for r in label_centroids(emb, "embedding", "label", dim=64).collect()
+        }
+        pdf = emb.toPandas()
+        for label, grp in pdf.groupby("label"):
+            ref = np.mean(np.stack(grp["embedding"].to_numpy()), axis=0)
+            got = np.array(cents[label])
+            assert np.max(np.abs(ref - got)) < 2e-6, label
+
+    def test_outliers_partition_independent(self, spark, sf_dir):
+        """Same outlier set under repartitioning (the quantized-integer
+        centroid makes the whole pipeline order-independent)."""
+        from spear_spark.operators.similarity import embedding_outliers
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = embedding_outliers(emb, "embedding", "vec_id", "label", dim=64, k=3)
+        b = embedding_outliers(
+            emb.repartition(17), "embedding", "vec_id", "label", dim=64, k=3
+        )
+        ka = sorted((r.label, r.vec_id, r.d2) for r in a.collect())
+        kb = sorted((r.label, r.vec_id, r.d2) for r in b.collect())
+        assert ka == kb
