@@ -43,10 +43,10 @@ _DRIVER_PRIORITY = [
     "q08_nation_coverage", "q09_customers_without_orders",
     "q10_union_bag", "q11_intersect_multiset", "q12_except_multiset",
     "q14_window_aggregates", "q16_range_frame",
-    "q17_event_gaps", "q18_big_spenders", "q19_sort_nulls",
+    "q18_big_spenders",
     "q21_aggregate_library", "q22_top_supplier_cte", "q24_hourly_rollup",
-    "q25_json_extract", "q26_rollup", "q27_pivot_segments",
-    "q28_word_counts", "q29_asof_last_click", "q30_right_join",
+    "q26_rollup", "q27_pivot_segments",
+    "q28_word_counts", "q29_asof_last_click",
     "q32_named_window",
     "q33_order_count_distribution", "q34_large_quantity_orders",
     "q36_small_quantity_revenue", "q38_multi_distinct",
@@ -64,6 +64,9 @@ _DRIVER_PRIORITY = [
     "p31_repetition_stats", "p32_heavy_hitters", "p33_distinct_sketch",
     "p34_zorder_key", "p35_priority_sample", "p36_token_typicality",
     "p37_incremental_dedup", "p38_decontaminate", "p39_embedding_outliers",
+    # -- NEW in round 3: TPC-H Q5/Q7/Q8/Q10 shapes
+    "q59_local_supplier_volume", "q60_volume_shipping",
+    "q61_market_share", "q62_returned_items",
 ]
 
 

@@ -71,6 +71,8 @@ HEADLINE = [
     "p37_incremental_dedup",
     "p38_decontaminate",
     "p39_embedding_outliers",
+    "q59_local_supplier_volume",
+    "q62_returned_items",
 ]
 
 

@@ -2054,3 +2054,249 @@ def q58_dialect_extensions(spark: SparkSession, sf_dir: str) -> SDF:
 
     register_tables(spark, sf_dir, ("nation", "region"))
     return Context(spark).sql(_Q58_SPEAR_SQL).df
+
+
+# ---------------------------------------------------------------------------
+# q59 — TPC-H Q5 shape (local supplier volume): 6-way join where the
+# customer and the supplier must share a nation.  Scale: region/nation/
+# supplier/customer are dims (broadcast); orders ⋈ lineitem is the one
+# big shuffle on orderkey; the c_nationkey = s_nationkey residual rides
+# the supplier join.
+# ---------------------------------------------------------------------------
+@q(
+    "q59_local_supplier_volume",
+    """
+    SELECT n_name AS nation,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q59_local_supplier_volume(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(D("l_extendedprice") * (one() - D("l_discount", 3, 2))).alias("revenue"))
+        .df.select(F.col("n_name").alias("nation"), "revenue")
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60 — TPC-H Q7 shape (volume shipping between two nations, both
+# directions, by ship year).  Scale: both nation-filtered dim chains
+# broadcast; the fact-side shuffle is orders ⋈ lineitem only.
+# ---------------------------------------------------------------------------
+@q(
+    "q60_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue
+    FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+        OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q60_volume_shipping(spark: SparkSession, sf_dir: str) -> SDF:
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_11"))
+            | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_12"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(D("l_extendedprice") * (one() - D("l_discount", 3, 2))).alias("revenue"))
+        .df.orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — TPC-H Q8 shape (market share): one nation's fraction of a
+# region's PROMO revenue per order year — a ratio of two conditional
+# decimal sums, divided once in double.  Scale: the CASE rides the
+# aggregate (no second pass); all dims broadcast.
+# ---------------------------------------------------------------------------
+@q(
+    "q61_market_share",
+    """
+    SELECT o_year,
+      ROUND(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        SUM(CASE WHEN n2.n_name = 'NATION_6'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS nation_rev,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY year(o_orderdate)) t
+    ORDER BY o_year
+    """,
+)
+def q61_market_share(spark: SparkSession, sf_dir: str) -> SDF:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nat")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    joined = (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(reg, F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+    )
+    vol = D("l_extendedprice") * (one() - D("l_discount", 3, 2))
+    zero = F.lit(0).cast("decimal(12,2)")
+    agged = joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nat") == "NATION_6", vol).otherwise(zero)).alias(
+            "nation_rev"
+        ),
+        F.sum(vol).alias("total_rev"),
+    )
+    return agged.df.select(
+        "o_year",
+        F.round(
+            F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 6
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+# ---------------------------------------------------------------------------
+# q62 — TPC-H Q10 shape (returned-item reporting): top 20 customers by
+# revenue lost to returns in a quarter.  Scale: orders date filter
+# pushes to the scan; nation broadcasts; top-k is
+# TakeOrderedAndProject (per-partition heaps, no full sort).
+# ---------------------------------------------------------------------------
+@q(
+    "q62_returned_items",
+    """
+    SELECT c_custkey AS custkey, c_name AS name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS revenue,
+      CAST(c_acctbal AS DOUBLE) AS acctbal, n_name AS nation
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q62_returned_items(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(D("l_extendedprice") * (one() - D("l_discount", 3, 2))).alias("revenue"))
+        .df.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )

@@ -165,3 +165,18 @@ def test_relevance_broadcasts_corpus_constants(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert has_partial_aggregation(plan), name
+
+
+def test_q59_six_way_join_broadcasts_dims(spark, sf_dir):
+    """q59 (Q5 shape): supplier/nation/region must broadcast; the only
+    shuffle join is the orders-lineitem fact join; no cartesian."""
+    plan = plan_for(spark, sf_dir, "q59_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q62_topk_is_take_ordered(spark, sf_dir):
+    """q62 (Q10 shape): LIMIT 20 over ORDER BY revenue must plan as
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    plan = plan_for(spark, sf_dir, "q62_returned_items")
+    assert has_take_ordered(plan)
