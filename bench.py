@@ -73,6 +73,7 @@ HEADLINE = [
     "p39_embedding_outliers",
     "q59_local_supplier_volume",
     "q62_returned_items",
+    "p40_redact_pii",
 ]
 
 

@@ -1360,3 +1360,41 @@ def p39_embedding_outliers(spark: SparkSession, sf_dir: str) -> SDF:
     return similarity.embedding_outliers(
         emb, "embedding", "vec_id", "label", dim=64, k=3
     ).orderBy("label", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# p40 — PII redaction audit (operators.text.redact_pii): scrub emails
+# then digit runs from the events props payload, with the match-count
+# audit column.  Narrow projection — the at-scale shape of a corpus
+# scrub pass.  Oracle counts via regexp_extract_all on the same
+# sequential intermediates.
+# ---------------------------------------------------------------------------
+@q(
+    "p40_redact_pii",
+    r"""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '[0-9]+', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(
+                    regexp_replace(props,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                    '[0-9]+')) AS BIGINT) AS n_redactions
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+)
+def p40_redact_pii(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            text.redact_pii("props").alias("redacted"),
+            text.pii_match_count("props").alias("n_redactions"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )

@@ -276,3 +276,39 @@ def token_typicality(df, text_col: str, id_col: str):
             ).alias("typicality"),
         )
     )
+
+
+# default redaction patterns: email first (emails contain digits), then
+# digit runs.  Plain character-class regexes only — no backreferences
+# or lookaround — so Java (Spark) and RE2-style (DuckDB) engines match
+# identically.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def redact_pii(text: Column | str, patterns=PII_PATTERNS) -> Column:
+    """Chained regex scrubbing for training-data PII hygiene: each
+    (pattern, replacement) applies in order (order matters — the email
+    pattern must fire before its digits are eaten by the number rule).
+    Pure-Column ``regexp_replace`` chain: JVM-side, no shuffle, runs as
+    a narrow projection over the scan at any scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_match_count(text: Column | str, patterns=PII_PATTERNS) -> Column:
+    """Total matches the redaction pass would replace — the audit
+    metric logged next to every scrub job.  Counted on the SAME
+    sequentially-redacted intermediates as :func:`redact_pii` (count,
+    then replace, then count the next pattern), so overlapping
+    patterns are not double-counted."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.lit(0)
+    for pat, repl in patterns:
+        total = total + F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, repl)
+    return total.cast("bigint")

@@ -262,3 +262,33 @@ def write_batches_idempotent(stream_df: DataFrame, path: str, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def count_min_stream(
+    events: DataFrame, key: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Streaming Count-Min sketch over a key column: continuous heavy-
+    hitter profiling with state BOUNDED BY CONSTRUCTION at depth*width
+    cells — the rare streaming aggregation that needs no watermark to
+    stay finite, because the grouped domain itself is capped.  Emits
+    (row, bucket, cnt) updates; counts are monotone, so a reader takes
+    the latest (or max) per cell and probes it exactly like the batch
+    sketch (:func:`spear_spark.operators.sketch.cm_heavy_hitters`).
+    Batch-equivalence: draining a bounded stream yields cell-for-cell
+    the batch sketch of the same rows (tested)."""
+    from spear_spark.operators.sketch import _cm_bucket
+
+    k = F.col(key).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cm_bucket(k, r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        events.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1162,3 +1162,24 @@ class TestEmbeddingOutliers:
         ka = sorted((r.label, r.vec_id, r.d2) for r in a.collect())
         kb = sorted((r.label, r.vec_id, r.d2) for r in b.collect())
         assert ka == kb
+
+
+class TestPiiRedaction:
+    def test_email_then_digits(self, spark):
+        from spear_spark.operators.text import pii_match_count, redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "contact bob42@example.com or call 5551234"), (2, "clean text")],
+            "id int, text string",
+        )
+        rows = {
+            r.id: r
+            for r in df.select(
+                "id",
+                redact_pii("text").alias("red"),
+                pii_match_count("text").alias("n"),
+            ).collect()
+        }
+        assert rows[1].red == "contact <EMAIL> or call <NUM>"
+        assert rows[1].n == 2  # the email counts once, not per digit run
+        assert rows[2].red == "clean text" and rows[2].n == 0

@@ -185,3 +185,41 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
     )
     again = sorted(tuple(r) for r in spark.read.parquet(out).select("event_id", "user_id", "ts", "value").collect())
     assert again == got
+
+
+def test_count_min_stream_matches_batch_sketch(spark, sf_dir):
+    """Draining the bounded stream yields cell-for-cell the batch
+    Count-Min sketch of the same rows — so continuous profiling and
+    offline profiling are interchangeable (bounded d*w state, no
+    watermark needed)."""
+    from spear_spark.streaming import count_min_stream, stream_events
+    from spear_spark.operators.sketch import _cm_bucket
+
+    stream = count_min_stream(stream_events(spark, sf_dir), "user_id")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cm_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.row, r.bucket): r.cnt for r in spark.table("cm_stream_test").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    k = F.col("user_id").cast("string")
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), _cm_bucket(k, r, 1024).alias("bucket"))
+            for r in range(4)
+        ]
+    )
+    expected = {
+        (r.row, r.bucket): r.cnt
+        for r in ev.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
