@@ -13,6 +13,10 @@ PICKS = [
     "q52_untapped_segments", "q53_gapfill_hourly",
     "p23_sequence_packing", "p26_ann_ivf", "p28_bm25",
     "p29_lsh_verified_dedup",
+    # round-3 additions
+    "q59_local_supplier_volume", "q62_returned_items",
+    "p32_heavy_hitters", "p33_distinct_sketch", "p34_zorder_key",
+    "p35_priority_sample", "p38_decontaminate", "p39_embedding_outliers",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries
