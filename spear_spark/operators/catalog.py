@@ -1136,7 +1136,8 @@ _LC_LIST = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _lc_table(_HLL_M)) 
                  END AS rho
           FROM h),
     regs AS (SELECT reg, MAX(rho) AS max_rho FROM r GROUP BY reg),
-    s AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (40 - max_rho)) AS BIGINT) AS s_present,
+    s AS (SELECT CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (40 - max_rho)), 0) AS BIGINT)
+                   AS s_present,
                  COUNT(*) AS n_present
           FROM regs),
     est AS (SELECT CAST({_HLL_NUM} AS DOUBLE) * CAST({float(_POW40)!r} AS DOUBLE)
@@ -1398,3 +1399,26 @@ def p40_redact_pii(spark: SparkSession, sf_dir: str) -> SDF:
         .orderBy("event_id")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# p41 — join-key skew profile (operators.stats.skew_profile): the top
+# heaviest o_custkey values with row share — the pre-join diagnostic
+# that decides salting / AQE skew handling.  Two-phase count + top-k
+# heap; the full histogram never reaches the driver.
+# ---------------------------------------------------------------------------
+@q(
+    "p41_skew_profile",
+    """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+    t AS (SELECT COUNT(*) AS n_total FROM orders)
+    SELECT o_custkey, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+    FROM c, t ORDER BY cnt DESC, o_custkey LIMIT 20
+    """,
+)
+def p41_skew_profile(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import skew_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return skew_profile(orders, "o_custkey", top=20)

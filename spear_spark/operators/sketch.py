@@ -184,10 +184,14 @@ def hll_distinct(df: DataFrame, key: Column, m: int = HLL_M) -> DataFrame:
     # missing registers (never hit) count as M_j = 0 -> 2^40 each
     present = regs.agg(
         # shiftleft with a Column shift amount needs the SQL form (the
-        # Python wrapper only takes a literal int)
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - max_rho)")).alias(
-            "s_present"
-        ),
+        # Python wrapper only takes a literal int); COALESCE: SUM over
+        # an empty register table is NULL, which must read as 0 so an
+        # empty input estimates 0.0 (v = m -> linear counting ln(1))
+        # instead of NULL
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - max_rho)")),
+            F.lit(0).cast("bigint"),
+        ).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     raw = (

@@ -59,3 +59,31 @@ def group_quantiles_approx(
         for q in qs
     ]
     return df.groupBy(*group_cols).agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+
+
+def skew_profile(df, key_col: str, top: int = 20):
+    """Join-key skew diagnostic: the ``top`` heaviest keys with their
+    row counts and share of the table — the first thing to run before
+    a 100 TB shuffle join misbehaves.  A key holding >1% of rows
+    (share column) is a salting / AQE-skew-join candidate; the
+    suggested salt factor is ceil(cnt / median_partition_target).
+
+    Scale: one two-phase count on the key, then a global top-k that
+    plans as per-partition heaps (TakeOrderedAndProject) — the profile
+    never materializes the full key histogram on the driver."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col(key_col),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.col(key_col))
+        .limit(top)
+    )

@@ -292,3 +292,28 @@ def count_min_stream(
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def hll_register_stream(events: DataFrame, key: str, m: int = 64) -> DataFrame:
+    """Streaming HLL register table over a key column: like
+    :func:`count_min_stream`, state is bounded by construction (m
+    register rows, merge-by-MAX), so continuous distinct-count
+    profiling needs no watermark.  Drain, then feed the registers to
+    the same estimate formula as the batch sketch
+    (:func:`spear_spark.operators.sketch.hll_distinct`); register
+    maxima are monotone, so the latest update per register is the
+    answer."""
+    from spear_spark.operators.dedup import h64
+
+    hv = h64(F.col(key).cast("string"))
+    rest = F.shiftright(hv, 6) if m == 64 else None
+    assert rest is not None, "streaming variant pins m=64 (shift by 6)"
+    lowbit = rest.bitwiseAND(-rest)
+    rho = F.when(rest == 0, F.lit(40)).otherwise(
+        F.least(F.bit_count(lowbit - 1) + 1, F.lit(40))
+    )
+    return (
+        events.select((hv % m).alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )

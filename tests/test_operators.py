@@ -1183,3 +1183,42 @@ class TestPiiRedaction:
         assert rows[1].red == "contact <EMAIL> or call <NUM>"
         assert rows[1].n == 2  # the email counts once, not per digit run
         assert rows[2].red == "clean text" and rows[2].n == 0
+
+
+class TestSkewProfile:
+    def test_shares_and_order(self, spark, sf_dir):
+        from spear_spark.operators.stats import skew_profile
+
+        orders = load_table(spark, sf_dir, "orders")
+        rows = skew_profile(orders, "o_custkey", top=10).collect()
+        assert len(rows) <= 10
+        cnts = [r.cnt for r in rows]
+        assert cnts == sorted(cnts, reverse=True)
+        assert all(0 < r.share <= 1 for r in rows)
+
+    def test_topk_plans_as_heap(self, spark, sf_dir):
+        from spear_spark.operators.stats import skew_profile
+
+        orders = load_table(spark, sf_dir, "orders")
+        plan = skew_profile(orders, "o_custkey")._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestSketchEmptyInputs:
+    def test_sketches_on_empty_input(self, spark):
+        """Empty corpus: CM sketch has no cells, heavy hitters empty,
+        HLL estimates 0.0 (all registers empty -> linear counting
+        m*ln(m/m) = 0)."""
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.sketch import (
+            cm_heavy_hitters,
+            count_min_sketch,
+            hll_distinct,
+        )
+
+        empty = spark.createDataFrame([], "doc_id int, text string")
+        assert count_min_sketch(empty, "text").count() == 0
+        assert cm_heavy_hitters(empty, "text", min_count=1).count() == 0
+        est = hll_distinct(empty, F.col("doc_id").cast("string")).collect()[0][0]
+        assert est == 0.0

@@ -223,3 +223,27 @@ def test_count_min_stream_matches_batch_sketch(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_hll_register_stream_matches_batch(spark, sf_dir):
+    """Drained streaming HLL registers equal the batch register table —
+    continuous and offline distinct profiling are interchangeable."""
+    from spear_spark.operators.sketch import hll_register_table
+    from spear_spark.streaming import hll_register_stream, stream_events
+
+    stream = hll_register_stream(stream_events(spark, sf_dir), "user_id")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hll_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.reg, r.max_rho) for r in spark.table("hll_stream_test").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.reg, r.max_rho)
+        for r in hll_register_table(ev, F.col("user_id").cast("string")).collect()
+    }
+    assert got == expected
