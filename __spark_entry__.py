@@ -45,8 +45,7 @@ _DRIVER_PRIORITY = [
     "q14_window_aggregates", "q16_range_frame",
     "q18_big_spenders",
     "q21_aggregate_library", "q22_top_supplier_cte", "q24_hourly_rollup",
-    "q27_pivot_segments",
-    "q28_word_counts", "q29_asof_last_click",
+    "q29_asof_last_click",
     "q33_order_count_distribution", "q34_large_quantity_orders",
     "q36_small_quantity_revenue", "q38_multi_distinct",
     "q42_arithmetic_edges", "q43_multigrain_rollup",
@@ -66,8 +65,10 @@ _DRIVER_PRIORITY = [
     # -- NEW in round 3: TPC-H Q5/Q7/Q8/Q10 shapes
     "q59_local_supplier_volume", "q60_volume_shipping",
     "q61_market_share", "q62_returned_items",
-    # -- NEW in round 3: PII redaction audit + skew profiler
+    # -- NEW in round 3: PII redaction audit, skew profiler,
+    #    chunking, scalable global ids
     "p40_redact_pii", "p41_skew_profile",
+    "p42_chunk_documents", "p43_global_row_numbers",
 ]
 
 

@@ -74,6 +74,8 @@ HEADLINE = [
     "q59_local_supplier_volume",
     "q62_returned_items",
     "p40_redact_pii",
+    "p42_chunk_documents",
+    "p43_global_row_numbers",
 ]
 
 

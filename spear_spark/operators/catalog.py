@@ -1422,3 +1422,54 @@ def p41_skew_profile(spark: SparkSession, sf_dir: str) -> SDF:
 
     orders = load_table(spark, sf_dir, "orders")
     return skew_profile(orders, "o_custkey", top=20)
+
+
+# ---------------------------------------------------------------------------
+# p42 — sliding-window chunking (operators.text.chunk_documents):
+# 16-token windows every 8 tokens.  Named-column token array before the
+# explode, per-row slice of the stored array — one narrow pass.
+# ---------------------------------------------------------------------------
+@q(
+    "p42_chunk_documents",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    st AS (SELECT doc_id, t,
+                  unnest(generate_series(1, greatest(len(t), 1), 8)) AS start,
+                  generate_subscripts(generate_series(1, greatest(len(t), 1), 8), 1) - 1
+                    AS chunk_id
+           FROM toks)
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(t[start : start + 15]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(t[start : start + 15], ' ') AS chunk_text
+    FROM st ORDER BY doc_id, chunk_id
+    """,
+)
+def p42_chunk_documents(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "text", "doc_id", window=16, stride=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p43 — scalable global row numbers (operators.ids.global_row_numbers):
+# ROW_NUMBER() OVER (ORDER BY key) without the single-task global
+# window — fixed-width buckets + bounded driver prefix sums + a
+# bucket-PARTITIONED (parallel) window.  The documented fix for the
+# q16-class bottleneck.
+# ---------------------------------------------------------------------------
+@q(
+    "p43_global_row_numbers",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS global_id
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p43_global_row_numbers(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.ids import global_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_row_numbers(spark, docs, "doc_id").select(
+        "doc_id", F.col("global_id").cast("bigint")
+    ).orderBy("doc_id")

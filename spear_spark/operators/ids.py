@@ -1,0 +1,62 @@
+"""Scalable global id assignment.
+
+``ROW_NUMBER() OVER (ORDER BY key)`` with no PARTITION BY plans as a
+single-task window — the one plan shape in this repo deliberately
+flagged as a 100 TB bottleneck (q16's global RANGE frame).  This module
+is the fix pattern: fixed-width key buckets turn the global ordering
+into (a) a tiny per-bucket count pass, (b) exact prefix offsets
+computed driver-side over <= n_buckets rows (the p26 precedent: a
+bounded driver fetch is fine; an unbounded one is not), and (c) a
+bucket-PARTITIONED window — parallel across buckets — plus the
+broadcast offset.  Output is identical to the single-task form for
+unique keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_row_numbers(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Dense contiguous 1-based ids in ``key_col`` order (keys must be
+    unique integers — doc ids, event ids), equivalent to
+    ``ROW_NUMBER() OVER (ORDER BY key)`` but bucket-parallel.
+
+    Fixed-width buckets (derived from min/max, NOT sampled range
+    partitioning — sampling makes boundaries nondeterministic) keep
+    the assignment reproducible across runs and cluster sizes."""
+    row = df.agg(
+        F.min(key_col).alias("mn"), F.max(key_col).alias("mx")
+    ).collect()[0]
+    if row.mn is None:
+        return df.select(
+            F.col(key_col), F.lit(None).cast("bigint").alias("global_id")
+        ).filter(F.lit(False))
+    width = max(1, (int(row.mx) - int(row.mn)) // n_buckets + 1)
+    bucket = ((F.col(key_col) - F.lit(int(row.mn))) / width).cast("bigint")
+    counts = (
+        df.select(bucket.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    offset = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r._b):
+        offsets.append((int(r._b), offset))
+        offset += r._n
+    off_df = spark.createDataFrame(offsets, "_b bigint, _off bigint")
+    w = Window.partitionBy("_b").orderBy(key_col)
+    return (
+        df.withColumn("_b", bucket)
+        .join(F.broadcast(off_df), "_b")
+        .withColumn("global_id", F.row_number().over(w) + F.col("_off"))
+        .drop("_b", "_off")
+    )

@@ -312,3 +312,36 @@ def pii_match_count(text: Column | str, patterns=PII_PATTERNS) -> Column:
         total = total + F.regexp_count(c, F.lit(pat))
         c = F.regexp_replace(c, pat, repl)
     return total.cast("bigint")
+
+
+def chunk_documents(
+    df, text_col: str, id_col: str, window: int = 16, stride: int = 8
+):
+    """Sliding-window chunking for training/RAG pipelines: token
+    windows of ``window`` tokens every ``stride`` tokens (overlap =
+    window - stride), emitted as (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text).  The final chunk may be shorter; empty documents
+    produce one empty chunk (chunk_id 0) so no document silently
+    disappears from the corpus.
+
+    Scale shape: the token array is materialized as a NAMED COLUMN
+    before the explode (generator-adjacent expressions re-evaluate per
+    output row — the round-1 pitfall), the chunk starts are a
+    ``sequence`` explode, and each chunk is a per-row ``slice`` of the
+    stored array — one narrow pass, no shuffle, no Python."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).withColumn("_n", F.greatest(F.size("_t"), F.lit(1)))
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(stride))
+    exploded = base.select(
+        F.col(id_col), "_t", F.posexplode(starts).alias("_ci", "_start")
+    )
+    chunk = F.slice(F.col("_t"), F.col("_start"), F.lit(window))
+    return exploded.select(
+        F.col(id_col),
+        F.col("_ci").cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -1222,3 +1222,90 @@ class TestSketchEmptyInputs:
         assert cm_heavy_hitters(empty, "text", min_count=1).count() == 0
         est = hll_distinct(empty, F.col("doc_id").cast("string")).collect()[0][0]
         assert est == 0.0
+
+
+class TestChunking:
+    def test_known_chunks(self, spark):
+        from spear_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(20)))], "doc_id int, text string"
+        )
+        rows = sorted(
+            chunk_documents(df, "text", "doc_id", window=16, stride=8).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # starts at tokens 1, 9, 17 -> lengths 16, 12, 4
+        assert [r.n_chunk_tokens for r in rows] == [16, 12, 4]
+        assert rows[0].chunk_text.startswith("t0 t1")
+        assert rows[1].chunk_text.startswith("t8 t9")
+        assert rows[2].chunk_text == "t16 t17 t18 t19"
+
+    def test_overlap_invariant(self, spark, sf_dir):
+        """Consecutive chunks overlap by window - stride tokens: the
+        suffix of chunk i equals the prefix of chunk i+1 whenever
+        chunk i is full."""
+        from spear_spark.operators.text import chunk_documents
+
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        rows = chunk_documents(docs, "text", "doc_id", window=16, stride=8).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+        checked = 0
+        for chunks in by_doc.values():
+            for ci in range(len(chunks) - 1):
+                a, b = chunks[ci], chunks[ci + 1]
+                if a.n_chunk_tokens == 16:
+                    assert a.chunk_text.split()[8:] == b.chunk_text.split()[: 16 - 8]
+                    checked += 1
+        assert checked > 0
+
+
+class TestGlobalRowNumbers:
+    def test_matches_single_task_window(self, spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from spear_spark.operators.ids import global_row_numbers
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        got = {
+            r.doc_id: r.global_id
+            for r in global_row_numbers(spark, docs, "doc_id").collect()
+        }
+        expected = {
+            r.doc_id: r.gid
+            for r in docs.withColumn(
+                "gid", F.row_number().over(Window.orderBy("doc_id"))
+            ).collect()
+        }
+        assert got == expected
+
+    def test_no_single_partition_exchange(self, spark, sf_dir):
+        """The point of the operator: the window must be bucket-
+        partitioned, never a SinglePartition exchange."""
+        from spear_spark.operators.ids import global_row_numbers
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        plan = (
+            global_row_numbers(spark, docs, "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange SinglePartition" not in plan
+        assert "Window" in plan
+
+    def test_partition_independent(self, spark, sf_dir):
+        from spear_spark.operators.ids import global_row_numbers
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        a = sorted(
+            (r.doc_id, r.global_id)
+            for r in global_row_numbers(spark, docs, "doc_id").collect()
+        )
+        b = sorted(
+            (r.doc_id, r.global_id)
+            for r in global_row_numbers(spark, docs.repartition(13), "doc_id").collect()
+        )
+        assert a == b
