@@ -36,12 +36,15 @@ _DRIVER_PRIORITY = [
     #    (p13), connected-components hardening (p21)
     "q50_sql_dialect", "p12_multimodal_decode", "p13_near_dedup",
     "p21_dup_clusters",
-    # -- evidence refresh: every query whose only driver evidence is
-    #    CORRECTNESS_r01 (green there, unchanged since) — rotating all
-    #    36 through keeps no row older than one round
-    "q07_customer_orders_left",
-    "q08_nation_coverage", "q09_customers_without_orders",
-    "q10_union_bag", "q11_intersect_multiset", "q12_except_multiset",
+    # -- NEW in round 3: TPC-H Q9/Q11/Q16/Q20 shapes — complete the
+    #    22-query TPC-H shape coverage (no driver evidence yet, so they
+    #    take window slots from unchanged r1-green refresh entries)
+    "q63_product_profit", "q64_important_stock",
+    "q65_parts_supplier_relationship", "q66_part_promotion",
+    # -- evidence refresh: queries whose only driver evidence is
+    #    CORRECTNESS_r01 (green there, unchanged since); entries pushed
+    #    past the window keep their r1 rows
+    "q11_intersect_multiset", "q12_except_multiset",
     "q14_window_aggregates", "q16_range_frame",
     "q18_big_spenders",
     "q21_aggregate_library", "q22_top_supplier_cte", "q24_hourly_rollup",

@@ -2300,3 +2300,212 @@ def q62_returned_items(spark: SparkSession, sf_dir: str) -> SDF:
         .orderBy(F.col("revenue").desc(), "custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — TPC-H Q9 shape (product-type profit): nation × order-year profit
+# for parts matching a name token, profit = revenue − cost.  The testdata
+# has no partsupp table, so supply cost is proxied as 1% of
+# p_retailprice × quantity (exact decimal arithmetic end-to-end).
+# Scale: part name filter prunes the part side before the fact join;
+# part/supplier/nation broadcast; the only big shuffle is
+# lineitem ⋈ orders on orderkey.
+# ---------------------------------------------------------------------------
+@q(
+    "q63_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(0.01 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+    FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q63_product_profit(spark: SparkSession, sf_dir: str) -> SDF:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    rev = D("l_extendedprice") * (one() - D("l_discount", 3, 2))
+    cost = D("p_retailprice") * D("l_quantity") * F.lit(0.01).cast("decimal(3,2)")
+    joined = (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(dsum(rev - cost).alias("profit"))
+        .df.orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — TPC-H Q11 shape (important stock): parts whose inventory value
+# held by one nation's suppliers exceeds a fixed fraction of that
+# nation's total — a scalar aggregate subquery in HAVING.  No partsupp
+# table, so value is proxied as Σ extendedprice × quantity.
+# Scale: the per-part aggregate is one shuffle; the global threshold is
+# a 1-row aggregate of the SAME staged result (lazy localCheckpoint so
+# the base aggregate computes once), broadcast into the filter —
+# no second scan, no driver round-trip.  Threshold arithmetic is kept
+# exact by capping the decimal widths (Spark and DuckDB both hit
+# precision-38 truncation rules if SUM(dec25) is multiplied directly).
+# ---------------------------------------------------------------------------
+@q(
+    "q64_important_stock",
+    """
+    WITH vals AS (
+      SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS v
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS value
+    FROM vals
+    WHERE v > (SELECT CAST(SUM(v) AS DECIMAL(18,4)) * CAST(0.002 AS DECIMAL(6,4)) FROM vals)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q64_important_stock(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    vals = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(D("l_extendedprice") * D("l_quantity")).alias("v"))
+        .df.localCheckpoint(eager=False)
+    )
+    threshold = vals.agg(
+        (
+            F.sum("v").cast("decimal(18,4)") * F.lit(0.002).cast("decimal(6,4)")
+        ).alias("thr")
+    )
+    return (
+        vals.crossJoin(F.broadcast(threshold))
+        .filter(F.col("v") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — TPC-H Q16 shape (supplier-part relationship): distinct supplier
+# counts per (brand, type, size) bucket, excluding a NOT-IN supplier
+# denylist (suppliers with negative balance stand in for the spec's
+# complaint-comment scan; the testdata has no comment columns).
+# Scale: the denylist is a tiny broadcast anti join; count(DISTINCT)
+# is a two-shuffle expand-aggregate; part attributes ride the
+# broadcast part join.
+# ---------------------------------------------------------------------------
+@q(
+    "q65_parts_supplier_relationship",
+    """
+    SELECT p_brand AS brand, p_type AS type, p_size AS size,
+      COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      AND p_size IN (1,9,14,19,23,36,45,49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, brand, type, size
+    """,
+)
+def q65_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    denylist = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).df.select("s_suppkey")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .df.join(
+            F.broadcast(denylist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "type", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — TPC-H Q20 shape (potential part promotion): suppliers in a
+# nation set who shipped more than a threshold quantity of any one
+# 'small%' part in 1996 — an IN subquery over a grouped HAVING.
+# (The spec compares partsupp availqty to half the shipped volume; with
+# no partsupp table the grouped-shipment threshold keeps the same
+# semi-join-over-aggregate shape.)  Scale: the aggregate shuffles on
+# (suppkey, partkey); the surviving supplier set is tiny → broadcast
+# LeftSemi into the dim-side supplier ⋈ nation.
+# ---------------------------------------------------------------------------
+@q(
+    "q66_part_promotion",
+    """
+    SELECT s_name AS name, n_name AS nation
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1','NATION_5','NATION_9')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 45)
+    ORDER BY name
+    """,
+)
+def q66_part_promotion(spark: SparkSession, sf_dir: str) -> SDF:
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy_shippers = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .df.select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .df.join(
+            F.broadcast(heavy_shippers),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select(F.col("s_name").alias("name"), F.col("n_name").alias("nation"))
+        .orderBy("name")
+    )
