@@ -76,6 +76,8 @@ HEADLINE = [
     "p40_redact_pii",
     "p42_chunk_documents",
     "p43_global_row_numbers",
+    "q63_product_profit",
+    "q64_important_stock",
 ]
 
 

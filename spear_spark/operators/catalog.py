@@ -1473,3 +1473,39 @@ def p43_global_row_numbers(spark: SparkSession, sf_dir: str) -> SDF:
     return global_row_numbers(spark, docs, "doc_id").select(
         "doc_id", F.col("global_id").cast("bigint")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p44 — temperature-based source mix (operators.sampling.temperature_mix):
+# α=0.5 source rebalancing by char budget — each source kept at
+# min(1, sqrt(ref/T)) so its contribution grows like sqrt(T).  The
+# per-source rate uses only division + sqrt of exact operands (both
+# IEEE correctly rounded → bit-identical across engines; a normalised
+# Σ T^α constant would depend on float aggregation order), and the
+# keep decision is the usual partition-independent md5 uniform.
+# ---------------------------------------------------------------------------
+@q(
+    "p44_source_mix",
+    """
+    WITH tot AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, LEAST(1.0, sqrt(4000.0 / CAST(t AS DOUBLE))) AS rate
+      FROM tot)
+    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS mix_rate
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x'||substr(md5('11_'||CAST(d.doc_id AS VARCHAR)),1,13))::BIGINT
+            / 4503599627370496.0 < r.rate
+    ORDER BY d.doc_id
+    """,
+)
+def p44_source_mix(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mix(docs, "doc_id", "source", "n_chars", ref_weight=4000.0, seed=11)
+        .select("doc_id", "source", "mix_rate")
+        .orderBy("doc_id")
+    )

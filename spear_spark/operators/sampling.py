@@ -70,6 +70,51 @@ def bottom_k_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weight_col: str,
+    ref_weight: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based source rebalancing (α = 0.5), the mix used by
+    multi-corpus training sets: a source with total weight ``T`` (token
+    or char count) is downsampled at ``rate = min(1, sqrt(ref_weight /
+    T))`` — keep-probability ∝ T^(α−1), so sources contribute ∝ sqrt(T)
+    instead of ∝ T and the head corpus stops drowning the tail.
+
+    ``ref_weight`` replaces the usual global normalisation constant
+    (Σ T_i^α): normalising requires summing *doubles across groups*,
+    whose result depends on aggregation order and therefore diverges
+    between engines; ``sqrt(ref/T)`` is one IEEE division of exact
+    operands followed by one correctly-rounded sqrt, bit-identical
+    everywhere.  The keep decision — ``rand_like(key, seed) < rate`` —
+    is a pure function of (key, seed, source totals), independent of
+    partitioning.
+
+    Scale: two passes over the input, both cheap — the stats pass reads
+    only (source, weight) columns (column pruning) and collapses
+    map-side to |sources| rows; the filter pass broadcasts the tiny
+    rate table.  No unbounded shuffle anywhere.
+    """
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("_tot")
+    )
+    rates = totals.select(
+        source_col,
+        F.least(
+            F.lit(1.0), F.sqrt(F.lit(float(ref_weight)) / F.col("_tot").cast("double"))
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(rand_like(key_col, seed) < F.col("_rate"))
+        .withColumn("mix_rate", F.round(F.col("_rate"), 6))
+        .drop("_rate")
+    )
+
+
 def priority_sample(
     df: DataFrame,
     key_col: str,

@@ -1309,3 +1309,47 @@ class TestGlobalRowNumbers:
             for r in global_row_numbers(spark, docs.repartition(13), "doc_id").collect()
         )
         assert a == b
+
+
+class TestTemperatureMix:
+    def test_rates_and_monotonicity(self, spark, sf_dir):
+        from spear_spark.operators.sampling import temperature_mix
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = temperature_mix(
+            docs, "doc_id", "source", "n_chars", ref_weight=4000.0, seed=11
+        )
+        rates = {
+            r.source: r.mix_rate
+            for r in out.select("source", "mix_rate").distinct().collect()
+        }
+        totals = {
+            r.source: r.t
+            for r in docs.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+        }
+        assert all(0.0 < v <= 1.0 for v in rates.values())
+        # heavier source -> lower (or equal, if both capped at 1) keep rate
+        seen = [(totals[s], rates[s]) for s in rates]
+        for (t1, r1) in seen:
+            for (t2, r2) in seen:
+                if t1 < t2:
+                    assert r1 >= r2
+
+    def test_partition_independent(self, spark, sf_dir):
+        from spear_spark.operators.sampling import temperature_mix
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(
+            r.doc_id
+            for r in temperature_mix(
+                docs, "doc_id", "source", "n_chars", ref_weight=4000.0, seed=11
+            ).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in temperature_mix(
+                docs.repartition(13), "doc_id", "source", "n_chars",
+                ref_weight=4000.0, seed=11,
+            ).collect()
+        )
+        assert a == b
