@@ -41,12 +41,12 @@ _DRIVER_PRIORITY = [
     #    take window slots from unchanged r1-green refresh entries)
     "q63_product_profit", "q64_important_stock",
     "q65_parts_supplier_relationship", "q66_part_promotion",
-    # -- NEW in round 3: temperature-based source mix balancing
-    "p44_source_mix",
+    # -- NEW in round 3: temperature-based source mix balancing,
+    #    nearest as-of join
+    "p44_source_mix", "p45_asof_nearest",
     # -- evidence refresh: queries whose only driver evidence is
     #    CORRECTNESS_r01 (green there, unchanged since); entries pushed
     #    past the window keep their r1 rows
-    "q12_except_multiset",
     "q14_window_aggregates", "q16_range_frame",
     "q18_big_spenders",
     "q21_aggregate_library", "q22_top_supplier_cte", "q24_hourly_rollup",

@@ -1509,3 +1509,48 @@ def p44_source_mix(spark: SparkSession, sf_dir: str) -> SDF:
         .select("doc_id", "source", "mix_rate")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p45 — nearest as-of join (operators.asof.asof_join_nearest): for each
+# error event, the nearest click by the same user within ±3 days —
+# both directions, unlike the backward-only q29.  The oracle is the
+# per-row LATERAL nearest-neighbour subquery (quadratic per key);
+# the Spark side is the union + one-shuffle + two-frame window shape,
+# with distance/direction/id tie-breaks pinned identically.
+# ---------------------------------------------------------------------------
+@q(
+    "p45_asof_nearest",
+    """
+    WITH err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'error'),
+         clk AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE event_type = 'click')
+    SELECT e.event_id AS event_id, s.nearest_id AS nearest_id,
+           s.nearest_value AS nearest_value
+    FROM err e LEFT JOIN LATERAL (
+      SELECT c.event_id AS nearest_id, c.value AS nearest_value
+      FROM clk c
+      WHERE c.user_id = e.user_id
+        AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 259200000000
+      ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)) ASC,
+               (epoch_us(c.ts) > epoch_us(e.ts)) ASC,
+               CASE WHEN epoch_us(c.ts) <= epoch_us(e.ts)
+                    THEN -c.event_id ELSE c.event_id END ASC
+      LIMIT 1) s ON true
+    ORDER BY event_id
+    """,
+)
+def p45_asof_nearest(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_nearest(
+        errors, clicks, on="user_id", ts="ts", value="value",
+        id_col="event_id", tolerance_us=259_200_000_000,
+    )
+    return out.select("event_id", "nearest_id", "nearest_value").orderBy("event_id")

@@ -1353,3 +1353,66 @@ class TestTemperatureMix:
             ).collect()
         )
         assert a == b
+
+
+class TestAsofNearest:
+    def _mk(self, ctx, rows, cols):
+        df = ctx.lift(rows, cols).df
+        return df.withColumn("ts", F.timestamp_micros(F.col("t"))).drop("t")
+
+    def test_tiebreaks_pinned(self, ctx):
+        from spear_spark.operators.asof import asof_join_nearest
+
+        left = self._mk(
+            ctx,
+            [(1, 100, 10), (1, 300, 11), (2, 100, 12)],
+            "k: long, t: long, event_id: long",
+        )
+        right = self._mk(
+            ctx,
+            [
+                (1, 90, 1, 1.0),   # backward, |dt|=10
+                (1, 110, 2, 2.0),  # forward,  |dt|=10 -> backward wins tie
+                (1, 290, 3, 3.0),  # equal-ts backward pair: max id wins
+                (1, 290, 4, 4.0),
+                (2, 150, 5, 5.0),  # forward-only pair at same ts: min id wins
+                (2, 150, 6, 6.0),
+            ],
+            "k: long, t: long, event_id: long, v: double",
+        )
+        out = asof_join_nearest(
+            left, right, on="k", ts="ts", value="v",
+            id_col="event_id", tolerance_us=1000,
+        )
+        got = {r.event_id: r.nearest_id for r in out.collect()}
+        assert got == {10: 1, 11: 4, 12: 5}
+
+    def test_tolerance_excludes(self, ctx):
+        from spear_spark.operators.asof import asof_join_nearest
+
+        left = self._mk(ctx, [(1, 100, 10)], "k: long, t: long, event_id: long")
+        right = self._mk(ctx, [(1, 90, 1, 1.0)], "k: long, t: long, event_id: long, v: double")
+        out = asof_join_nearest(
+            left, right, on="k", ts="ts", value="v", id_col="event_id", tolerance_us=5
+        )
+        assert [r.nearest_id for r in out.collect()] == [None]
+
+    def test_tolerance_boundaries(self, ctx):
+        from spear_spark.operators.asof import asof_join_nearest
+
+        # tol=0 excludes both sides; tol=4 admits both and the nearer
+        # (backward) candidate wins
+        left = self._mk(ctx, [(1, 100, 10)], "k: long, t: long, event_id: long")
+        right = self._mk(
+            ctx,
+            [(1, 99, 1, 1.0), (1, 104, 2, 2.0)],
+            "k: long, t: long, event_id: long, v: double",
+        )
+        out = asof_join_nearest(
+            left, right, on="k", ts="ts", value="v", id_col="event_id", tolerance_us=0
+        )
+        assert [r.nearest_id for r in out.collect()] == [None]
+        out2 = asof_join_nearest(
+            left, right, on="k", ts="ts", value="v", id_col="event_id", tolerance_us=4
+        )
+        assert [r.nearest_id for r in out2.collect()] == [1]
