@@ -1554,3 +1554,53 @@ def p45_asof_nearest(spark: SparkSession, sf_dir: str) -> SDF:
         id_col="event_id", tolerance_us=259_200_000_000,
     )
     return out.select("event_id", "nearest_id", "nearest_value").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# p46 — interval overlap join (operators.rangejoin.interval_overlap_join):
+# per-user pairs of overlapping activity windows (each event opens a
+# window of `value` hours).  The oracle is the residual-predicate join
+# (quadratic per key); the Spark side replicates each interval across
+# the buckets it spans and emits each pair exactly once via the
+# overlap-start-bucket predicate — no distinct, no pair explosion.
+# Interval arithmetic stays exact: 2-decimal value × 3.6e9 µs/h is an
+# exact integer, so the DECIMAL product casts identically in both
+# engines (a double multiply would round differently).
+# ---------------------------------------------------------------------------
+@q(
+    "p46_interval_overlap",
+    """
+    WITH a AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                      epoch_us(CAST(ts AS TIMESTAMP))
+                        + CAST(CAST(value AS DECIMAL(8,2)) * 3600000000 AS BIGINT) AS e
+               FROM events WHERE event_type = 'error'),
+         b AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                      epoch_us(CAST(ts AS TIMESTAMP))
+                        + CAST(CAST(value AS DECIMAL(8,2)) * 3600000000 AS BIGINT) AS e
+               FROM events WHERE event_type = 'purchase')
+    SELECT a.user_id AS user_id, a.event_id AS error_id, b.event_id AS purchase_id
+    FROM a JOIN b ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+    ORDER BY user_id, error_id, purchase_id
+    """,
+)
+def p46_interval_overlap(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dur_us = (F.col("value").cast("decimal(8,2)") * F.lit(3_600_000_000)).cast("bigint")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + dur_us).alias("e"),
+    )
+    a = base.filter(F.col("event_type") == "error")
+    b = base.filter(F.col("event_type") == "purchase")
+    pairs = interval_overlap_join(
+        a, b, key="user_id", start="s", end="e", id_col="event_id",
+        bucket_width=1_800_000_000_000,  # 500 h ≥ the max interval length
+    )
+    return pairs.select(
+        "user_id",
+        F.col("id_a").alias("error_id"),
+        F.col("id_b").alias("purchase_id"),
+    ).orderBy("user_id", "error_id", "purchase_id")

@@ -52,3 +52,59 @@ def range_join_pairs(
     return joined.select(
         F.col("k").alias(key), F.col("id").alias("id_a"), F.col("id2").alias("id_b")
     )
+
+
+def interval_overlap_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    id_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """All (id_a, id_b) pairs with ``a.key = b.key`` whose CLOSED
+    intervals ``[start, end]`` overlap (``a.start <= b.end AND
+    b.start <= a.end``; requires ``start <= end``).  ``start``/``end``
+    are numeric (e.g. epoch microseconds).
+
+    Scalable shape (generalizes :func:`range_join_pairs` from points to
+    intervals): each interval is replicated to every
+    ``bucket_width``-wide bucket it spans, candidates equi-join on
+    (key, bucket), and the exact overlap predicate filters.  A true
+    pair co-occurs in every bucket covered by BOTH intervals, so it is
+    emitted exactly once by keeping only the bucket that contains the
+    overlap's start, ``max(a.start, b.start)`` — a predicate, not a
+    ``distinct``, so no extra shuffle.
+
+    Cost at scale: one shuffle of both sides with replication factor
+    ``len/bucket_width + 1`` — pick ``bucket_width`` near the typical
+    interval length so replication stays ~2× while each row meets only
+    candidates within one bucket of it.
+    """
+    B = int(bucket_width)
+
+    def spread(df: DataFrame, suffix: str) -> DataFrame:
+        bkts = F.sequence(
+            F.floor(F.col(start) / B).cast("bigint"),
+            F.floor(F.col(end) / B).cast("bigint"),
+        )
+        return df.select(
+            F.col(key).alias("k"),
+            F.col(id_col).alias(f"id{suffix}"),
+            F.col(start).alias(f"s{suffix}"),
+            F.col(end).alias(f"e{suffix}"),
+            F.explode(bkts).alias("bkt"),
+        )
+    a = spread(df_a, "_a")
+    b = spread(df_b, "_b")
+    overlap_start_bkt = F.floor(F.greatest(F.col("s_a"), F.col("s_b")) / B).cast("bigint")
+    return (
+        a.join(b, ["k", "bkt"])
+        .filter(
+            (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+            & (F.col("bkt") == overlap_start_bkt)
+        )
+        .select(F.col("k").alias(key), "id_a", "id_b")
+    )

@@ -1416,3 +1416,35 @@ class TestAsofNearest:
             left, right, on="k", ts="ts", value="v", id_col="event_id", tolerance_us=4
         )
         assert [r.nearest_id for r in out2.collect()] == [1]
+
+
+class TestIntervalOverlapJoin:
+    def test_exactly_once_across_buckets(self, ctx):
+        from spear_spark.operators.rangejoin import interval_overlap_join
+
+        # both intervals span many 10-wide buckets; the pair must be
+        # emitted exactly once despite co-occurring in several buckets
+        a = ctx.lift([(1, 101, 5, 95)], "k: long, id: long, s: long, e: long").df
+        b = ctx.lift([(1, 201, 40, 120)], "k: long, id: long, s: long, e: long").df
+        out = interval_overlap_join(
+            a, b, key="k", start="s", end="e", id_col="id", bucket_width=10
+        ).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(101, 201)]
+
+    def test_overlap_semantics(self, ctx):
+        from spear_spark.operators.rangejoin import interval_overlap_join
+
+        a = ctx.lift(
+            [(1, 1, 0, 10), (1, 2, 50, 60), (2, 3, 0, 10)],
+            "k: long, id: long, s: long, e: long",
+        ).df
+        b = ctx.lift(
+            [(1, 101, 10, 20),   # touches id=1 at endpoint -> overlap (closed)
+             (1, 102, 61, 70),   # disjoint from id=2
+             (3, 103, 0, 100)],  # different key -> never pairs
+            "k: long, id: long, s: long, e: long",
+        ).df
+        out = interval_overlap_join(
+            a, b, key="k", start="s", end="e", id_col="id", bucket_width=7
+        ).collect()
+        assert sorted((r.id_a, r.id_b) for r in out) == [(1, 101)]
