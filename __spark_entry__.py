@@ -44,10 +44,10 @@ _DRIVER_PRIORITY = [
     # -- NEW in round 3: temperature-based source mix balancing,
     #    nearest as-of join
     "p44_source_mix", "p45_asof_nearest", "p46_interval_overlap",
+    "q67_grouping_sets",
     # -- evidence refresh: queries whose only driver evidence is
     #    CORRECTNESS_r01 (green there, unchanged since); entries pushed
     #    past the window keep their r1 rows
-    "q16_range_frame",
     "q18_big_spenders",
     "q21_aggregate_library", "q22_top_supplier_cte", "q24_hourly_rollup",
     "q29_asof_last_click",

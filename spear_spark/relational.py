@@ -2509,3 +2509,49 @@ def q66_part_promotion(spark: SparkSession, sf_dir: str) -> SDF:
         .select(F.col("s_name").alias("name"), F.col("n_name").alias("nation"))
         .orderBy("name")
     )
+
+# ---------------------------------------------------------------------------
+# q67 — explicit GROUPING SETS + GROUPING() markers (the general form
+# behind q26 rollup / q39 cube; spear's UnresolvedAggregate grouping
+# extension, Aggregate in LogicalPlan.scala:344-357).  Scale: Spark
+# plans one Expand (3× row multiply) + one two-phase aggregate — the
+# multiply happens map-side before the partial agg collapses it, so
+# the shuffle still carries only group rows.
+# ---------------------------------------------------------------------------
+@q(
+    "q67_grouping_sets",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, status, priority
+    """,
+)
+def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = _t(spark, sf_dir, "orders").df
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(D("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
