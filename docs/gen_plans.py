@@ -17,6 +17,8 @@ PICKS = [
     "q59_local_supplier_volume", "q62_returned_items",
     "p32_heavy_hitters", "p33_distinct_sketch", "p34_zorder_key",
     "p35_priority_sample", "p38_decontaminate", "p39_embedding_outliers",
+    "q63_product_profit", "q64_important_stock", "q67_grouping_sets",
+    "p44_source_mix", "p45_asof_nearest", "p46_interval_overlap",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

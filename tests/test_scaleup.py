@@ -139,3 +139,82 @@ def test_df_cap_binds_under_replication(spark, sf_dir):
         )).alias("s")).distinct().count()
     )
     assert n_pairs <= distinct_shingles * cap * (cap - 1) // 2
+
+
+def test_cm_heavy_hitters_scale_invariant(spark, sf_dir):
+    """10 identical-text replicas (ids shifted): every token count is
+    exactly 10x, so with a 10x threshold the heavy-hitter SET and the
+    per-token (est, exact) pairs must all scale exactly 10x — the
+    sketch is linear in its input and the one-sided error structure
+    does not depend on volume."""
+    from spear_spark.operators.sketch import cm_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs10 = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text")
+    base = {
+        r.tok: (r.est, r.exact)
+        for r in cm_heavy_hitters(docs, "text", min_count=100).collect()
+    }
+    big = {
+        r.tok: (r.est, r.exact)
+        for r in cm_heavy_hitters(docs10, "text", min_count=1000).collect()
+    }
+    assert set(big) == set(base)
+    for tok, (est, exact) in base.items():
+        assert big[tok] == (10 * est, 10 * exact)
+
+
+def test_interval_overlap_scales_linearly(spark, sf_dir):
+    """Replicas with disjoint user-id ranges cannot pair across
+    replicas, so the overlap-pair count must be exactly 10x — catches
+    any bucket arithmetic that would leak pairs between key spaces."""
+    from spear_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base_iv = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(3_600_000_000)).alias("e"),
+        "event_type",
+    )
+    a = base_iv.filter(F.col("event_type") == "error")
+    b = base_iv.filter(F.col("event_type") == "purchase")
+
+    def rep10(df):
+        return df.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+        ).select(
+            (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+            "s",
+            "e",
+        )
+
+    kw = dict(key="user_id", start="s", end="e", id_col="event_id",
+              bucket_width=3_600_000_000)
+    base_n = interval_overlap_join(a, b, **kw).count()
+    big_n = interval_overlap_join(rep10(a), rep10(b), **kw).count()
+    assert big_n == 10 * base_n
+
+
+def test_global_row_numbers_scale(spark, sf_dir):
+    """Ids stay dense and contiguous at 10x: the bucket offsets must
+    compose correctly whatever the key range looks like."""
+    from spear_spark.operators.ids import global_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs10 = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"))
+    n = docs10.count()
+    out = global_row_numbers(spark, docs10, "doc_id")
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("global_id").alias("mn"),
+        F.max("global_id").alias("mx"),
+        F.count_distinct("global_id").alias("d"),
+    ).collect()[0]
+    assert (stats.n, stats.mn, stats.mx, stats.d) == (n, 1, n, n)
