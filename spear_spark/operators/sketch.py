@@ -92,10 +92,34 @@ def cm_heavy_hitters(
     streaming top-k candidate tracking is a different operator); the
     join probes the bounded sketch per (token, row) and takes the
     row-wise MIN.  Returns (tok, est, exact) ordered by est desc.
+
+    One corpus pass, not two: the sketch is built FROM the per-token
+    counts (Count-Min is linear, so summing counts into cells equals
+    counting occurrences into cells), and the counts relation — used
+    by both the sketch and the probes — is staged with a lazy
+    ``localCheckpoint`` so the token explode + shuffle runs once.
+    The sketch-side explode then fans out depth × |vocab| rows, not
+    depth × |occurrences|.
     """
-    sketch = count_min_sketch(df, text_col, depth, width)
-    occurrences = df.select(F.explode(tokens(text_col)).alias("tok"))
-    exact = occurrences.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    exact = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .localCheckpoint(eager=False)
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cm_bucket(F.col("tok"), r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    sketch = (
+        exact.select(F.col("exact").alias("_c"), F.explode(cells).alias("_cell"))
+        .groupBy(F.col("_cell.row").alias("row"), F.col("_cell.bucket").alias("bucket"))
+        .agg(F.sum("_c").alias("cnt"))
+    )
     probes = exact.select(
         "tok",
         "exact",
