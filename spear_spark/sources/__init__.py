@@ -40,14 +40,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps (matching DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet written with isAdjustedToUTC=false would be inferred as
+    # TIMESTAMP_NTZ (Spark 4 default), which unix_micros()/range frames
+    # reject — and which broke every events query in CORRECTNESS_r03 /
+    # BENCH_r03.  Reading it as plain TIMESTAMP keeps the stored micros
+    # as a UTC instant (exactly what DuckDB's epoch_us(ts) sees), keeps
+    # ts predicates pushable into the parquet scan (an expression
+    # wrapper like to_utc_timestamp() would block pushdown — a real
+    # cost at 100 TB where ts range filters prune row groups), and
+    # needs no per-row conversion.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            from pyspark.sql import functions as F
-
             # integer division — float division would lose precision on
             # ~1.7e18 nanosecond values (double mantissa is 53 bits)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # fallback if the conf above ever stops applying (e.g. a
+            # fixed reader plan): pin the NTZ wall clock to UTC —
+            # session-timezone-independent and epoch-identical to
+            # DuckDB — at the cost of pushdown on this column.
+            df = df.withColumn(
+                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
+            )
     return df
 
 

@@ -28,8 +28,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet physical schema (ts stored as TIMESTAMP(NANOS) which
-# Spark reads as long under nanosAsLong — converted to µs below)
+# legacy events.parquet physical schema (older testdata stored ts as
+# TIMESTAMP(NANOS), which Spark reads as long under nanosAsLong —
+# converted to µs in stream_events when present)
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -44,18 +45,32 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events directory with the explicit
-    schema streaming requires (no inference on streams)."""
+    schema streaming requires (no inference on streams).
+
+    The schema comes from a one-time batch footer read under the same
+    reader conf as :func:`spear_spark.sources.load_table` (nanos→long,
+    NTZ inference off), so the stream sees the identical ts type the
+    batch path does regardless of which writer produced the files —
+    TIMESTAMP(NANOS) testdata arrives as long (converted to µs below),
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file source lists a directory; events is a single file, so
     # point at the dir and glob-filter (in production: a landing dir
     # receiving new files, or Kafka)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -89,3 +89,30 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.sum("tier").alias("t")
     ).collect()[0]
     assert (plain.n, plain.t) == (salted.n, salted.t)
+
+
+def test_events_ts_normalized_to_ltz(spark, sf_dir):
+    """Regression (CORRECTNESS_r03 p45/p46, BENCH_r03): testdata parquet
+    written with isAdjustedToUTC=false is inferred as TIMESTAMP_NTZ, which
+    unix_micros() rejects.  load_table must normalize ts to TIMESTAMP with
+    the epoch DuckDB's epoch_us(ts) sees, independent of session timezone."""
+    import duckdb
+    from pyspark.sql.types import TimestampType
+
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+
+    got = dict(
+        ev.orderBy("event_id")
+        .limit(5)
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    path = os.path.join(sf_dir, "events.parquet")
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) FROM '{path}' "
+            "ORDER BY event_id LIMIT 5"
+        ).fetchall()
+    )
+    assert got == want
