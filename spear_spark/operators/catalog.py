@@ -1604,3 +1604,161 @@ def p46_interval_overlap(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("id_a").alias("error_id"),
         F.col("id_b").alias("purchase_id"),
     ).orderBy("user_id", "error_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# p47 — one k-means Lloyd iteration (operators.similarity.
+# kmeans_lloyd_step): deterministic assignment to fixed centroids (the
+# p26 IVF cells) followed by per-cell mean recomputation.  Scale: the
+# per-dimension means come from ONE two-phase (cell, dim) aggregate
+# over a posexplode — the shuffle carries 64 partials per cell, never
+# vector lists; reassembly is a k×64 micro-aggregate.
+# ---------------------------------------------------------------------------
+@q(
+    "p47_kmeans_step",
+    f"""
+    WITH cents AS (
+      SELECT ce, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci FROM
+        (SELECT vec_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8) c0),
+    dist AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM embeddings e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    assigned AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM dist) t WHERE rn = 1),
+    dimmeans AS (
+      SELECT a.cell, r.i, ROUND(AVG(CAST(e.embedding[i] AS DOUBLE)), 6) AS m,
+             COUNT(*) AS n
+      FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+      CROSS JOIN range(1, 65) r(i)
+      GROUP BY a.cell, r.i)
+    SELECT cell, MAX(n) AS n_assigned, list(m ORDER BY i) AS centroid
+    FROM dimmeans GROUP BY cell ORDER BY cell
+    """,
+)
+def p47_kmeans_step(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    centroids = [list(map(float, r["embedding"])) for r in cents]
+    return similarity.kmeans_lloyd_step(emb, "embedding", centroids).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# p48 — segment-level dedup (operators.dedup.segment_dedup): remove
+# every 8-token segment already seen at a lower (doc, position) and
+# reassemble the surviving text.  The span-removal pass that catches
+# boilerplate/license blocks surviving document-level dedup.  Scale:
+# one explode + one segment-hash shuffle (whole-partition window min),
+# no self-join, reassembly rides the same partitioning.
+# ---------------------------------------------------------------------------
+@q(
+    "p48_segment_dedup",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    segs AS (SELECT doc_id,
+                    unnest([{{'pos': i - 1,
+                             'seg': array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' ')}}
+                            for i in generate_series(1, CAST(ceil(len(t)/8.0) AS BIGINT))],
+                           recursive := true)
+             FROM toks),
+    fs AS (SELECT doc_id, pos, seg,
+                  ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+           FROM segs)
+    SELECT doc_id, COUNT(*) AS n_segments,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           CASE WHEN COUNT(*) FILTER (WHERE rn = 1) > 0
+                THEN string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1)
+           END AS clean_text
+    FROM fs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def p48_segment_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.segment_dedup(docs, "text", "doc_id", seg_tokens=8).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p49 — lexical diversity (operators.text.token_entropy): per-doc
+# unigram Shannon entropy, type/token ratio, token count.  Scale: two
+# stacked two-phase aggregates over one token explode; shuffles carry
+# counts, not instances.
+# ---------------------------------------------------------------------------
+@q(
+    "p49_token_entropy",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+                   SUM(c * log2(c)) AS clogc
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(log2(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 6) AS entropy_bits,
+           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+    FROM agg ORDER BY doc_id
+    """,
+)
+def p49_token_entropy(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_entropy(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p50 — corpus length histogram (operators.stats.fixed_width_histogram):
+# 64-char buckets over n_chars with per-bucket share and cumulative
+# share.  Scale: projection + two-phase count on a tiny key domain; the
+# windows run over the aggregated histogram (O(buckets) rows), never
+# the data.
+# ---------------------------------------------------------------------------
+@q(
+    "p50_length_histogram",
+    """
+    WITH h AS (SELECT CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket, COUNT(*) AS n
+               FROM documents GROUP BY 1)
+    SELECT bucket, CAST(bucket * 64.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 64.0 AS DOUBLE) AS hi, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+           ROUND(CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE) / SUM(n) OVER (), 6)
+             AS cum_share
+    FROM h ORDER BY bucket
+    """,
+)
+def p50_length_histogram(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import fixed_width_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fixed_width_histogram(docs, "n_chars", 64.0).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# p51 — changelog compaction (operators.cdc.cdc_latest_state): events
+# as a CDC stream keyed by user — latest change wins, 'error' as the
+# tombstone op.  Scale: ONE two-phase max_by aggregate (map-side keeps
+# a single running pair per key) vs the textbook row_number window's
+# full-history shuffle + per-key sort — the oracle is that window
+# formulation, so the cheap plan is checked against the expensive one.
+# ---------------------------------------------------------------------------
+@q(
+    "p51_cdc_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, ts, event_id, event_type, value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def p51_cdc_upsert(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.cdc import cdc_latest_state
+
+    ev = load_table(spark, sf_dir, "events")
+    return cdc_latest_state(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+        delete_expr=F.col("event_type") == "error",
+    ).select("user_id", "ts", "event_id", "event_type", "value").orderBy("user_id")

@@ -736,3 +736,75 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("overlap"))
         .filter(F.col("overlap") >= min_overlap)
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Segment-level (sub-document) exact dedup: split every document
+    into consecutive ``seg_tokens``-token segments and keep only each
+    segment's FIRST corpus-wide occurrence (lowest ``(id, position)``),
+    then reassemble the surviving text per document.
+
+    This is the span-removal pass large training pipelines run after
+    document-level dedup (boilerplate headers, license blocks, quoted
+    replies survive document dedup because the *containing* docs
+    differ).  Returns one row per input document:
+    ``id, n_segments, n_kept, clean_text`` (``clean_text`` null when
+    every segment was seen earlier — the fully-derivative-doc case).
+
+    Scale shape: one explode to (doc × segment) rows, then a single
+    hash shuffle on the segment text for a whole-partition window
+    ``min(struct(id, pos))`` — no self-join back, no second shuffle
+    (the keep filter and the per-doc reassembly aggregate both consume
+    the window's partitioning).  Segment rows are ~tokens/seg_tokens
+    per doc, so the exchange carries roughly the corpus token volume
+    once — the same cost class as the shingle passes above.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = W.partitionBy("seg")
+    first_seen = exploded.withColumn(
+        "_first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    )
+    kept = first_seen.withColumn(
+        "_keep",
+        (F.col("_first")[id_col] == F.col(id_col))
+        & (F.col("_first")["pos"] == F.col("pos")),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .withColumn(
+            "clean_text",
+            F.when(F.col("n_kept") > 0, F.col("clean_text")),
+        )
+    )

@@ -441,3 +441,50 @@ def embedding_outliers(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def kmeans_lloyd_step(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    decimals: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration over fixed centroids: assign every vector to
+    its nearest centroid (:func:`ivf_assign_fixed` — deterministic
+    rounded-L2 argmin, ties to the lower index) and return the updated
+    per-cell mean vectors with assignment counts.
+
+    This is the refit step IVF partitioning needs when the corpus
+    drifts (the reference has no clustering operator; SURVEY §2.7
+    extension).  Scale shape: the per-dimension mean is computed by
+    exploding (vector → dim index) and running ONE two-phase aggregate
+    on (cell, dim) — the shuffle carries 64 partial (sum, count) pairs
+    per cell regardless of corpus size, then a second tiny aggregate
+    reassembles the k×64 centroid table.  No collect_list of vectors,
+    no driver-side math, no per-row Python.
+
+    Empty cells simply produce no row (Lloyd's "dead centroid" case —
+    the caller decides whether to reseed); means are rounded so the
+    unordered double sum is comparable across engines (epsilon
+    tolerance, same caveat as :func:`nearest_cells`).
+    """
+    assigned = ivf_assign_fixed(df, vec_col, centroids)
+    by_dim = assigned.select(
+        F.col("_cell").alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    dim_means = by_dim.groupBy("cell", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), decimals).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        dim_means.groupBy("cell")
+        .agg(
+            F.max("n").alias("n_assigned"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid"),
+        )
+        .select("cell", "n_assigned", "centroid")
+    )

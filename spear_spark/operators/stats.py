@@ -87,3 +87,41 @@ def skew_profile(df, key_col: str, top: int = 20):
         .orderBy(F.desc("cnt"), F.col(key_col))
         .limit(top)
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    decimals: int = 6,
+) -> DataFrame:
+    """Fixed-width histogram with cumulative shares: bucket =
+    ``floor(value / width)``, returning per-bucket ``lo, hi, n, share,
+    cum_share``.  The corpus-profiling primitive behind length /
+    score distribution dashboards and pre-packing capacity planning.
+
+    Scale shape: the bucketing is a pure projection, the count a
+    two-phase aggregate on a small key domain, and the cumulative sum
+    a window over the bucket axis — O(buckets) rows, safe to compute
+    on a single task regardless of input size (the window input IS the
+    aggregated histogram, not the data).
+    """
+    from pyspark.sql.window import Window as W
+
+    total = W.partitionBy()
+    order = W.partitionBy().orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        df.select(F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(width)).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * F.lit(width)).cast("double").alias("hi"),
+            "n",
+            F.round(F.col("n") / F.sum("n").over(total), decimals).alias("share"),
+            F.round(
+                F.sum("n").over(order) / F.sum("n").over(total), decimals
+            ).alias("cum_share"),
+        )
+    )

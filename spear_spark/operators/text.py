@@ -345,3 +345,47 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def token_entropy(df, text_col: str, id_col: str):
+    """Per-document unigram statistics: Shannon entropy of the token
+    distribution (bits), type/token ratio, and token count — the
+    lexical-diversity trio quality filters threshold on (low entropy =
+    boilerplate/repetition, TTR near 0 = stuck generation loops).
+
+    Entropy is computed in the count domain,
+    ``log2(n) - sum(c*log2(c))/n``, so there is exactly one division
+    and one rounding at the end; the unordered double sum is rounded
+    to 6 dp for cross-engine comparability (same epsilon convention as
+    the tf-idf / distance operators).
+
+    Scale shape: one token explode collapsed by a two-phase (id, token)
+    count, then a two-phase per-id aggregate — the shuffles carry token
+    counts, not token instances, after map-side partials.  Pure Column
+    math, no Python in the hot path.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c").cast("double")
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(c * F.log2(c)).alias("_clogc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("_clogc") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("type_token_ratio"),
+        )
+    )

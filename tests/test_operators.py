@@ -1448,3 +1448,97 @@ class TestIntervalOverlapJoin:
             a, b, key="k", start="s", end="e", id_col="id", bucket_width=7
         ).collect()
         assert sorted((r.id_a, r.id_b) for r in out) == [(1, 101)]
+
+
+# ---- round 4: kmeans step / segment dedup / entropy / histogram / CDC ----
+
+
+def test_kmeans_lloyd_step_two_clusters(spark):
+    from spear_spark.operators.similarity import kmeans_lloyd_step
+
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(4)]
+    rows += [(10 + i, [10.0 + i * 0.01, 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["cell"]: r
+        for r in kmeans_lloyd_step(
+            df, "embedding", [[0.0, 0.0], [10.0, 1.0], [100.0, 100.0]]
+        ).collect()
+    }
+    assert set(out) == {0, 1}  # the far centroid gets no row (dead cell)
+    assert out[0]["n_assigned"] == 4 and out[1]["n_assigned"] == 4
+    assert out[0]["centroid"] == [0.015, 0.0]
+    assert out[1]["centroid"] == [10.015, 1.0]
+
+
+def test_segment_dedup_removes_repeats_and_nulls_fully_dup_doc(spark):
+    from spear_spark.operators.dedup import segment_dedup
+
+    a = "w1 w2 w3 w4"  # one 4-token segment
+    b = "x1 x2 x3 x4 w1 w2 w3 w4"  # novel + copy of a's segment
+    c = "w1 w2 w3 w4"  # fully derivative of doc 1
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, "text", "doc_id", 4).collect()}
+    assert out[1]["n_kept"] == 1 and out[1]["clean_text"] == a
+    assert out[2]["n_kept"] == 1 and out[2]["clean_text"] == "x1 x2 x3 x4"
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] is None
+    assert out[3]["n_segments"] == 1
+
+
+def test_cdc_latest_state_tombstone_and_revive(spark):
+    from pyspark.sql import functions as F
+
+    from spear_spark.operators.cdc import cdc_latest_state
+
+    rows = [
+        (1, 100, 1, "upsert", 10.0),
+        (1, 200, 2, "delete", 0.0),   # key 1 ends deleted
+        (2, 100, 3, "delete", 0.0),
+        (2, 300, 4, "upsert", 42.0),  # key 2 deleted then revived
+        (3, 100, 5, "upsert", 7.0),
+        (3, 100, 6, "upsert", 8.0),   # same ts: higher change id wins
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, cid long, op string, v double"
+    )
+    out = {
+        r["k"]: r
+        for r in cdc_latest_state(
+            df, ["k"], ["ts", "cid"], ["op", "v"],
+            delete_expr=F.col("op") == "delete",
+        ).collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2]["v"] == 42.0
+    assert out[3]["cid"] == 6 and out[3]["v"] == 8.0
+
+
+def test_fixed_width_histogram_shares(spark):
+    from spear_spark.operators.stats import fixed_width_histogram
+
+    df = spark.createDataFrame([(v,) for v in [1, 2, 65, 66, 67, 200]], "v long")
+    out = sorted(
+        fixed_width_histogram(df, "v", 64.0).collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"] for r in out] == [0, 1, 3]
+    assert [r["n"] for r in out] == [2, 3, 1]
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
+    assert out[-1]["cum_share"] == 1.0
+    assert (out[0]["lo"], out[0]["hi"]) == (0.0, 64.0)
+
+
+def test_token_entropy_bounds(spark):
+    import math
+
+    from spear_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in token_entropy(df, "text", "doc_id").collect()}
+    assert abs(out[1]["entropy_bits"] - 2.0) < 1e-6  # uniform over 4 types
+    assert out[1]["type_token_ratio"] == 1.0
+    assert out[2]["entropy_bits"] == 0.0
+    assert out[2]["type_token_ratio"] == 0.25
