@@ -2555,3 +2555,122 @@ def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .orderBy("g_status", "g_priority", "status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — LATERAL correlated subquery join (SQL-2011 LATERAL; a dialect
+# extension — the reference grammar has table subqueries but no
+# LATERAL).  Top-2 customers per nation via a correlated ordered-LIMIT
+# subquery.  Scale: Spark decorrelates this into a ranked join — for
+# very large "per-row top-k" the window form (q15) is the plan to
+# prefer; this entry pins the LATERAL surface itself.
+# ---------------------------------------------------------------------------
+_Q68_SQL = """
+    SELECT n_name AS nation, t.custkey, t.acctbal
+    FROM nation JOIN LATERAL (
+      SELECT c_custkey AS custkey, c_acctbal AS acctbal
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2) t {on}
+    ORDER BY nation, acctbal DESC, custkey
+"""
+
+
+@q("q68_lateral_topn", _Q68_SQL.format(on="ON true"))
+def q68_lateral_topn(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_Q68_SQL.format(on=""))  # Spark's JOIN LATERAL takes no ON
+
+
+# ---------------------------------------------------------------------------
+# q69 — UNPIVOT / melt (wide → long; the inverse of q27's pivot).
+# DataFrame ``unpivot`` is Spark-native (TungstenExpand, one pass, no
+# shuffle beyond the feeding aggregate); the oracle states the same
+# relation as the textbook UNION ALL.
+# ---------------------------------------------------------------------------
+@q(
+    "q69_unpivot",
+    """
+    WITH s AS (SELECT l_returnflag AS flag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT flag, 'sum_qty' AS metric, sum_qty AS val FROM s
+    UNION ALL
+    SELECT flag, 'sum_price' AS metric, sum_price AS val FROM s
+    ORDER BY flag, metric
+    """,
+)
+def q69_unpivot(spark: SparkSession, sf_dir: str) -> SDF:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            dsum(D("l_quantity")).alias("sum_qty"),
+            dsum(D("l_extendedprice")).alias("sum_price"),
+        )
+        .df
+    )
+    return wide.unpivot(["flag"], ["sum_qty", "sum_price"], "metric", "val").orderBy(
+        "flag", "metric"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — QUALIFY window filtering (Snowflake/DuckDB-style; dialect
+# extension rewritten by sql_dialect._rewrite_qualify into the triple
+# wrap Spark accepts).  The SAME statement text runs natively on
+# DuckDB as the oracle — grammar parity demonstrated, not asserted.
+# Scale: the rewrite keeps the window inside one stage; filtering on
+# rank is the standard top-k-per-group shuffle.
+# ---------------------------------------------------------------------------
+_Q70_SQL = """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey)
+             AS INTEGER) AS rn
+    FROM orders
+    WHERE o_custkey <= 200
+    QUALIFY rn <= 2
+    ORDER BY custkey, rn, orderkey
+"""
+
+
+@q("q70_qualify", _Q70_SQL)
+def q70_qualify(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.context import Context
+
+    register_tables(spark, sf_dir, ("orders",))
+    return Context(spark).sql(_Q70_SQL).df
+
+
+# ---------------------------------------------------------------------------
+# q71 — ordered string aggregation: SQL-2016 LISTAGG ... WITHIN GROUP
+# (Spark 4 native) vs DuckDB string_agg with ORDER BY.  DISTINCT +
+# explicit order makes the result deterministic across engines and
+# partitionings — the only safe way to emit concatenated groups at
+# scale.
+# ---------------------------------------------------------------------------
+@q(
+    "q71_listagg",
+    """
+    SELECT o_orderstatus AS status,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def q71_listagg(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               listagg(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus ORDER BY status
+        """
+    )

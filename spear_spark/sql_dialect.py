@@ -583,6 +583,87 @@ def _rewrite_row_types(text: str) -> str:
     )
 
 
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_QUALIFY_END_RE = re.compile(
+    r"\b(ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE
+)
+_LAST_SELECT_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+
+
+def _depth0_spans(text: str):
+    """Yield (start, end) character spans that sit at paren depth 0."""
+    depth, start = 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            if depth == 0:
+                yield (start, i)
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                start = i + 1
+    if depth == 0:
+        yield (start, len(text))
+
+
+def _find_depth0(text: str, regex: re.Pattern, from_pos: int = 0) -> int:
+    for lo, hi in _depth0_spans(text):
+        if hi <= from_pos:
+            continue
+        m = regex.search(text, max(lo, from_pos), hi)
+        if m:
+            return m.start()
+    return -1
+
+
+def _rewrite_qualify(text: str) -> str:
+    """``QUALIFY <pred>`` (Snowflake/DuckDB-style window filtering; a
+    dialect *extension* — the reference grammar has no QUALIFY) → a
+    triple wrap Spark accepts::
+
+        SELECT * EXCEPT (__qualify__) FROM (
+          SELECT *, (<pred>) AS __qualify__ FROM ( <original select> )
+        ) WHERE __qualify__ <tail>
+
+    The inner level materializes the select list (so ``<pred>`` can
+    reference select aliases, including window-function aliases), the
+    middle level may itself contain window expressions (evaluated over
+    the select's output — the documented constraint: QUALIFY windows
+    see *selected* columns, not pre-projection ones), and the outer
+    level drops the helper column and keeps ORDER BY/LIMIT semantics.
+
+    Only a depth-0 QUALIFY in the outermost query block is rewritten
+    (CTE bodies/subqueries sit inside parens); set-operation branches
+    with QUALIFY are rejected by Spark downstream, loudly.
+    """
+    qpos = _find_depth0(text, _QUALIFY_RE)
+    if qpos < 0:
+        return text
+    # owning SELECT = last depth-0 SELECT before the QUALIFY (CTE
+    # bodies are parenthesized, so WITH prefixes are skipped naturally)
+    sel = -1
+    pos = 0
+    while True:
+        nxt = _find_depth0(text, _LAST_SELECT_RE, pos)
+        if nxt < 0 or nxt >= qpos:
+            break
+        sel, pos = nxt, nxt + 6
+    if sel < 0:
+        return text
+    pend = _find_depth0(text, _QUALIFY_END_RE, qpos + 7)
+    if pend < 0:
+        pend = len(text)
+    body = text[sel:qpos].strip()
+    pred = text[qpos + 7 : pend].strip()
+    tail = text[pend:]
+    return (
+        text[:sel]
+        + "SELECT * EXCEPT (__qualify__) FROM ("
+        + "SELECT *, (" + pred + ") AS __qualify__ FROM (" + body + ")"
+        + ") WHERE __qualify__ " + tail
+    )
+
+
 def to_spark_sql(sql: str) -> str:
     """Rewrite a spear-dialect SQL string into Spark SQL."""
     parts = _merge_adjacent_strings(_strip_strings(sql))
@@ -619,6 +700,10 @@ def to_spark_sql(sql: str) -> str:
         r"\bINTERSECT\b(?!\s+ALL\b)", "INTERSECT ALL", text, flags=re.IGNORECASE
     )
     text = re.sub(r"\bEXCEPT\b(?!\s+ALL\b)", "EXCEPT ALL", text, flags=re.IGNORECASE)
+    # QUALIFY window filtering (dialect extension) → triple wrap.  Runs
+    # AFTER the set-operator pass so the emitted star-EXCEPT projection
+    # is not mangled into the multiset EXCEPT ALL.
+    text = _rewrite_qualify(text)
     # TIMESTAMP(p)/TIME(p) type precision has no Spark analog — drop
     text = re.sub(
         r"\b(TIMESTAMP|TIME)\s*\(\s*\d+\s*\)", r"\1", text, flags=re.IGNORECASE

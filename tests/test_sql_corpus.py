@@ -141,3 +141,54 @@ class TestDialect:
         register_tables(spark, sf_dir)
         rows = ctx.sql('SELECT n_name AS "nation name" FROM nation ORDER BY "nation name" LIMIT 1').collect()
         assert list(rows[0].asDict()) == ["nation name"]
+
+
+class TestQualifyRewrite:
+    """QUALIFY (dialect extension, round 4): rewritten to the
+    star-EXCEPT triple wrap; same statement runs natively on DuckDB."""
+
+    def test_alias_predicate(self):
+        out = to_spark_sql(
+            "SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t QUALIFY rn = 1"
+        )
+        assert out == (
+            "SELECT * EXCEPT (__qualify__) FROM (SELECT *, (rn = 1) AS __qualify__ "
+            "FROM (SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t)) "
+            "WHERE __qualify__ "
+        )
+
+    def test_direct_window_predicate_with_tail(self):
+        out = to_spark_sql(
+            "SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) <= 2 ORDER BY a LIMIT 5"
+        )
+        assert out.startswith("SELECT * EXCEPT (__qualify__) FROM (")
+        assert out.endswith("WHERE __qualify__ ORDER BY a LIMIT 5")
+
+    def test_cte_prefix_stays_outside(self):
+        out = to_spark_sql(
+            "WITH c AS (SELECT a FROM t) SELECT a, rank() OVER (ORDER BY a) AS r FROM c QUALIFY r = 1"
+        )
+        assert out.startswith("WITH c AS (SELECT a FROM t) SELECT * EXCEPT (__qualify__)")
+
+    def test_subquery_qualify_untouched(self):
+        # only a depth-0 QUALIFY is rewritten; quoted content never is
+        sql = "SELECT 'QUALIFY rn = 1' AS s FROM t"
+        assert to_spark_sql(sql) == sql
+
+    def test_executes_both_engines(self, ctx, spark, sf_dir):
+        import duckdb
+
+        register_tables(spark, sf_dir, ("nation",))
+        stmt = (
+            "SELECT n_regionkey AS rk, n_name AS name, "
+            "CAST(row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS INTEGER) AS rn "
+            "FROM nation QUALIFY rn = 1 ORDER BY rk"
+        )
+        got = [tuple(r) for r in ctx.sql(stmt).collect()]
+        import os
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW nation AS SELECT * FROM '{os.path.join(sf_dir, 'nation.parquet')}'"
+        )
+        want = [tuple(r) for r in con.sql(stmt).fetchall()]
+        assert got == want and len(got) > 0
