@@ -27,52 +27,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Entries past 50 are all r01-green and unchanged; their evidence is the
 # CORRECTNESS_r01 row.
 _DRIVER_PRIORITY = [
-    # ---- round 3 window ----
-    # -- never driver-checked (p30 landed after the r2 window froze —
-    #    VERDICT r2 Missing #1) and new this round (dialect extensions)
-    "p30_bottom_k_sample", "q58_dialect_extensions",
-    # -- operators changed in round 3: SQL dialect shim extensions
-    #    (q50), three-tier codec gate (p12), near-dedup default cap
-    #    (p13), connected-components hardening (p21)
-    "q50_sql_dialect", "p12_multimodal_decode", "p13_near_dedup",
-    "p21_dup_clusters",
-    # -- NEW in round 3: TPC-H Q9/Q11/Q16/Q20 shapes — complete the
-    #    22-query TPC-H shape coverage (no driver evidence yet, so they
-    #    take window slots from unchanged r1-green refresh entries)
-    "q63_product_profit", "q64_important_stock",
-    "q65_parts_supplier_relationship", "q66_part_promotion",
-    # -- NEW in round 3: temperature-based source mix balancing,
-    #    nearest as-of join
-    "p44_source_mix", "p45_asof_nearest", "p46_interval_overlap",
-    "q67_grouping_sets",
+    # ---- round 4 window ----
+    # -- RED in CORRECTNESS_r03 (TIMESTAMP_NTZ regression from the
+    #    regenerated testdata; fixed in sources.load_table) — must
+    #    re-evidence first
+    "p45_asof_nearest", "p46_interval_overlap",
+    # -- NEW in round 4 (no driver evidence yet)
+    "p47_kmeans_step", "p48_segment_dedup", "p49_token_entropy",
+    "p50_length_histogram", "p51_cdc_upsert",
+    "q68_lateral_topn", "q69_unpivot", "q70_qualify", "q71_listagg",
+    # -- events-table queries: the ts read path changed this round
+    #    (NTZ inference off), so every consumer re-evidences even if
+    #    green in r3 under the old type
+    "q16_range_frame", "q17_event_gaps", "q24_hourly_rollup",
+    "q25_json_extract", "q29_asof_last_click", "q40_sessionize",
+    "q43_multigrain_rollup", "q51_partitioned_range",
+    "q53_gapfill_hourly", "p17_range_join", "p33_distinct_sketch",
+    "p40_redact_pii",
+    # -- dialect shim changed this round (QUALIFY pass) — re-evidence
+    #    its SQL-entry consumers
+    "q50_sql_dialect", "q58_dialect_extensions",
     # -- evidence refresh: queries whose only driver evidence is
-    #    CORRECTNESS_r01 (green there, unchanged since); entries pushed
-    #    past the window keep their r1 rows
-    "q18_big_spenders",
-    "q21_aggregate_library", "q22_top_supplier_cte", "q24_hourly_rollup",
-    "q29_asof_last_click",
-    "q33_order_count_distribution", "q34_large_quantity_orders",
-    "q36_small_quantity_revenue", "q38_multi_distinct",
-    "q42_arithmetic_edges", "q43_multigrain_rollup",
-    "q44_min_price_supplier", "q45_waiting_suppliers",
-    "p01_dedup_exact", "p02_minhash_signatures", "p03_minhash_lsh_pairs",
-    "p04_simhash",
-    # -- changed in round 3: signature/corpus stage-out (lazy
-    #    localCheckpoint) in the simhash and clean-corpus plans
-    "p18_clean_corpus", "p19_simhash_near_pairs",
-    # -- NEW in round 3 (no evidence yet): repetition metrics,
-    #    Count-Min heavy hitters, HLL distinct sketch with linear-
-    #    counting correction, z-order key, priority sampling,
-    #    token typicality
-    "p31_repetition_stats", "p32_heavy_hitters", "p33_distinct_sketch",
-    "p34_zorder_key", "p35_priority_sample", "p36_token_typicality",
-    "p37_incremental_dedup", "p38_decontaminate", "p39_embedding_outliers",
-    # -- NEW in round 3: TPC-H Q5/Q7/Q8/Q10 shapes
-    "q59_local_supplier_volume", "q60_volume_shipping",
-    "q61_market_share", "q62_returned_items",
-    # -- NEW in round 3: PII redaction audit, skew profiler,
-    #    chunking, scalable global ids
-    "p40_redact_pii", "p41_skew_profile",
+    #    CORRECTNESS_r01 (green there, unchanged since)
+    "q06_forecast_revenue", "q07_customer_orders_left",
+    "q08_nation_coverage", "q09_customers_without_orders",
+    "q10_union_bag", "q11_intersect_multiset", "q12_except_multiset",
+    "q13_distinct", "q14_window_aggregates", "q19_sort_nulls",
+    "q26_rollup", "q27_pivot_segments", "q28_word_counts",
+    "q30_right_join", "q31_cross_join", "q32_named_window",
+    # -- refresh of r2-latest representatives (oldest remaining)
+    "q01_pricing_summary", "p05_ngram_jaccard", "p06_embedding_nn",
+    "p07_cosine_topk", "p08_lang_id", "p09_quality_score",
+    "p10_token_stats", "p11_fingerprint", "p14_embedding_dedup",
+    # ---- round 3 window (kept below for catalog completeness) ----
+    "p30_bottom_k_sample", "p12_multimodal_decode", "p13_near_dedup",
+    "p21_dup_clusters", "q63_product_profit", "q64_important_stock",
+    "q65_parts_supplier_relationship", "q66_part_promotion", "p44_source_mix",
+    "q67_grouping_sets", "q18_big_spenders", "q21_aggregate_library",
+    "q22_top_supplier_cte", "q33_order_count_distribution", "q34_large_quantity_orders",
+    "q36_small_quantity_revenue", "q38_multi_distinct", "q42_arithmetic_edges",
+    "q44_min_price_supplier", "q45_waiting_suppliers", "p01_dedup_exact",
+    "p02_minhash_signatures", "p03_minhash_lsh_pairs", "p04_simhash",
+    "p18_clean_corpus", "p19_simhash_near_pairs", "p31_repetition_stats",
+    "p32_heavy_hitters", "p34_zorder_key", "p35_priority_sample",
+    "p36_token_typicality", "p37_incremental_dedup", "p38_decontaminate",
+    "p39_embedding_outliers", "q59_local_supplier_volume", "q60_volume_shipping",
+    "q61_market_share", "q62_returned_items", "p41_skew_profile",
     "p42_chunk_documents", "p43_global_row_numbers",
 ]
 

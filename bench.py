@@ -78,6 +78,17 @@ HEADLINE = [
     "p43_global_row_numbers",
     "q63_product_profit",
     "q64_important_stock",
+    # round-4 additions (earlier entries unchanged for comparability)
+    "p45_asof_nearest",
+    "p46_interval_overlap",
+    "p47_kmeans_step",
+    "p48_segment_dedup",
+    "p49_token_entropy",
+    "p50_length_histogram",
+    "p51_cdc_upsert",
+    "q68_lateral_topn",
+    "q70_qualify",
+    "q71_listagg",
 ]
 
 

@@ -19,6 +19,9 @@ PICKS = [
     "p35_priority_sample", "p38_decontaminate", "p39_embedding_outliers",
     "q63_product_profit", "q64_important_stock", "q67_grouping_sets",
     "p44_source_mix", "p45_asof_nearest", "p46_interval_overlap",
+    # round-4 additions
+    "p47_kmeans_step", "p48_segment_dedup", "p49_token_entropy",
+    "p51_cdc_upsert", "q68_lateral_topn", "q70_qualify",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries
