@@ -2674,3 +2674,126 @@ def q71_listagg(spark: SparkSession, sf_dir: str) -> SDF:
         FROM orders GROUP BY o_orderstatus ORDER BY status
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — WITH RECURSIVE (SQL-1999 recursive query; Spark 4 native).  The
+# reference's CTE support (`WITH`, QueryExpressionParser) is
+# non-recursive — this is the dialect extension completing it.  A
+# binary-heap parent tree derived from nation keys is walked from the
+# root, yielding (key, depth) — the same statement text runs on DuckDB.
+# FLOOR before CAST: DuckDB CAST(double AS BIGINT) rounds half-to-even
+# while Spark truncates, so the parent arithmetic must floor explicitly.
+# Scale: each recursion step is one self-join on the frontier — Spark
+# plans it as an iterative union with the loop bounded by data depth
+# (log n for this tree), the same shape iterative label-propagation
+# (dedup.connected_components) uses.
+# ---------------------------------------------------------------------------
+_Q72_SQL = """
+    WITH RECURSIVE chain(key, depth) AS (
+      SELECT n_nationkey AS key, 0 AS depth FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, c.depth + 1
+      FROM nation n JOIN chain c
+        ON CAST(FLOOR((n.n_nationkey - 1) / 2.0) AS BIGINT) = c.key
+      WHERE n.n_nationkey > 0)
+    SELECT key, depth, CAST(COUNT(*) OVER (PARTITION BY depth) AS BIGINT)
+             AS level_width
+    FROM chain ORDER BY depth, key
+"""
+
+
+@q("q72_recursive_cte", _Q72_SQL)
+def q72_recursive_cte(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("nation",))
+    return spark.sql(_Q72_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q73 — array higher-order functions as a user surface (transform /
+# filter / exists / aggregate / sort over the token array; spear's
+# complex-type constructors are q35 — this exercises the *lambda*
+# library on real data).  Engine-specific lambda syntax → DataFrame API
+# on the Spark side, list_* functions in the oracle.  Scale: pure
+# projection, no shuffle except the output sort; HOFs evaluate
+# per-row JVM-side.
+# ---------------------------------------------------------------------------
+@q(
+    "q73_array_functions",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(list_filter(toks, x -> strlen(x) > 4)) AS n_long,
+           CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT) AS total_len,
+           list_contains(toks, 'the') AS has_the,
+           list_sort(list_distinct(toks))[1:3] AS first3
+    FROM t ORDER BY doc_id
+    """,
+)
+def q73_array_functions(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e,
+            ).alias("total_len"),
+            F.array_contains(toks, "the").alias("has_the"),
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — SQL-2016 statistical + bitwise aggregate library per group:
+# stddev_samp / var_samp / corr / covar_samp / regr_slope /
+# regr_intercept (rounded — unordered FP sums) and bit_and / bit_or /
+# bit_xor (integer-exact).  Skewness/kurtosis are deliberately absent:
+# Spark computes population g-statistics, DuckDB sample G-statistics —
+# a genuine engine divergence, documented here rather than papered
+# over.  Scale: all are mergeable one-pass aggregates (two-phase with
+# map-side partials).
+# ---------------------------------------------------------------------------
+@q(
+    "q74_stats_aggregates",
+    """
+    SELECT o_orderpriority AS priority,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+           ROUND(var_samp(o_totalprice), 4) AS var_price,
+           ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS corr_pc,
+           ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS cov_pc,
+           ROUND(regr_slope(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(o_totalprice, CAST(o_custkey AS DOUBLE)), 4)
+             AS intercept,
+           bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor,
+           bit_xor(o_orderkey) AS bxor
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def q74_stats_aggregates(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = load_table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("double")
+    price = F.col("o_totalprice")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.stddev_samp(price), 4).alias("sd_price"),
+            F.round(F.var_samp(price), 4).alias("var_price"),
+            F.round(F.corr(price, ck), 6).alias("corr_pc"),
+            F.round(F.covar_samp(price, ck), 4).alias("cov_pc"),
+            F.round(F.regr_slope(price, ck), 6).alias("slope"),
+            F.round(F.regr_intercept(price, ck), 4).alias("intercept"),
+            F.bit_and(F.col("o_orderkey")).alias("band"),
+            F.bit_or(F.col("o_orderkey")).alias("bor"),
+            F.bit_xor(F.col("o_orderkey")).alias("bxor"),
+        )
+        .orderBy("priority")
+    )
