@@ -89,6 +89,9 @@ HEADLINE = [
     "q68_lateral_topn",
     "q70_qualify",
     "q71_listagg",
+    "q72_recursive_cte",
+    "q73_array_functions",
+    "q74_stats_aggregates",
 ]
 
 

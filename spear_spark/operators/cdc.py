@@ -33,6 +33,7 @@ def cdc_latest_state(
     order_cols: Sequence[str],
     payload_cols: Sequence[str],
     delete_expr=None,
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Compact a changelog to current state.
 
@@ -41,6 +42,12 @@ def cdc_latest_state(
     evaluated on the *latest* change row — when true the key is dropped
     from the state (tombstone).  Output: key columns + order columns of
     the winning change + payload columns.
+
+    ``keep_tombstones=True`` keeps deleted keys as rows with a
+    ``_tombstone`` flag instead of filtering them — required when the
+    result is merged against OLDER state (streaming micro-batches): the
+    delete must survive compaction to cancel a key the previous state
+    still carries.
     """
     ordk = F.struct(*[F.col(c) for c in order_cols])
     carried = F.struct(
@@ -53,8 +60,11 @@ def cdc_latest_state(
     latest = changes.groupBy(*key_cols).agg(
         F.max_by(carried, ordk).alias("_last")
     )
-    return latest.filter(~F.col("_last")["_tombstone"]).select(
+    out_cols = [
         *key_cols,
         *[F.col("_last")[c].alias(c) for c in order_cols],
         *[F.col("_last")[c].alias(c) for c in payload_cols],
-    )
+    ]
+    if keep_tombstones:
+        return latest.select(*out_cols, F.col("_last")["_tombstone"].alias("_tombstone"))
+    return latest.filter(~F.col("_last")["_tombstone"]).select(*out_cols)

@@ -332,3 +332,98 @@ def hll_register_stream(events: DataFrame, key: str, m: int = 64) -> DataFrame:
         .groupBy("reg")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def _latest_cdc_version(state_path: str) -> int | None:
+    import glob
+    import os
+
+    vs = []
+    for p in glob.glob(os.path.join(state_path, "v=*")):
+        try:
+            vs.append(int(os.path.basename(p).split("=", 1)[1]))
+        except ValueError:
+            continue
+    return max(vs) if vs else None
+
+
+def read_cdc_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Read the latest compacted CDC state written by
+    :func:`cdc_state_stream` (None before the first batch commits)."""
+    import os
+
+    v = _latest_cdc_version(state_path)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(state_path, f"v={v}"))
+
+
+def cdc_state_stream(
+    changes: DataFrame,
+    state_path: str,
+    key_cols: list,
+    order_cols: list,
+    payload_cols: list,
+    delete_col: str,
+    query_name: str,
+):
+    """Streaming changelog compaction — the incremental twin of
+    ``operators.cdc.cdc_latest_state``: each micro-batch is compacted
+    (tombstones KEPT, so a delete can cancel a key the previous state
+    carries), merged latest-wins against the previous state version,
+    filtered of dead keys, and written to ``state_path/v=<batch_id>``.
+
+    Exactly-once: the merge input is the PREVIOUS version directory and
+    the replayable micro-batch, and the output overwrites this batch's
+    own version directory — a replayed batch recomputes byte-identical
+    state (same contract as :func:`write_batches_idempotent`).  Readers
+    take the max version (:func:`read_cdc_state`).
+
+    Scale: per batch, one max_by aggregate over (batch ∪ state-delta
+    keys) — state is re-written per version here for the local file
+    sink; at warehouse scale the same merge is one ``MERGE INTO`` on a
+    transactional table keyed identically, and the compaction aggregate
+    is unchanged.  ``delete_col`` names a BOOLEAN column already on the
+    stream (an expression would not survive the micro-batch boundary
+    deterministically).
+    """
+    import os
+
+    from spear_spark.operators.cdc import cdc_latest_state
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_latest = cdc_latest_state(
+            batch_df,
+            key_cols,
+            order_cols,
+            payload_cols,
+            delete_expr=F.col(delete_col),
+            keep_tombstones=True,
+        )
+        prev_v = _latest_cdc_version(state_path)
+        if prev_v is not None and prev_v < batch_id:
+            prev = spark.read.parquet(os.path.join(state_path, f"v={prev_v}"))
+            merged_in = prev.withColumn("_tombstone", F.lit(False)).unionByName(
+                batch_latest
+            )
+        else:  # first batch, or replay of batch 0
+            merged_in = batch_latest
+        state = cdc_latest_state(
+            merged_in,
+            key_cols,
+            order_cols,
+            payload_cols,
+            delete_expr=F.col("_tombstone"),
+            keep_tombstones=False,
+        )
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"v={batch_id}")
+        )
+
+    return (
+        changes.writeStream.foreachBatch(merge)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

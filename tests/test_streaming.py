@@ -247,3 +247,50 @@ def test_hll_register_stream_matches_batch(spark, sf_dir):
         for r in hll_register_table(ev, F.col("user_id").cast("string")).collect()
     }
     assert got == expected
+
+
+def test_cdc_state_stream_matches_batch_multibatch(spark, sf_dir, tmp_path):
+    """Streaming changelog compaction across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a two-file split) must converge to the
+    batch cdc_latest_state of the full changelog — including deletes in
+    a later batch cancelling keys upserted in an earlier one."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.operators.cdc import cdc_latest_state
+    from spear_spark.sources import load_table
+    from spear_spark.streaming import cdc_state_stream, read_cdc_state
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_delete", F.col("event_type") == "error"
+    )
+    src = str(tmp_path / "changes")
+    # two files split by time: the second batch carries later changes
+    med = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= med).coalesce(1).write.parquet(src + "/f1")
+    ev.filter(F.col("event_id") > med).coalesce(1).write.parquet(src + "/f2")
+
+    schema = spark.read.parquet(src + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f*")
+    )
+    state_path = str(tmp_path / "state")
+    q = cdc_state_stream(
+        stream, state_path,
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"], delete_col="is_delete",
+        query_name="cdc_test",
+    )
+    q.awaitTermination()
+
+    got = read_cdc_state(spark, state_path).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    want = cdc_latest_state(
+        ev, ["user_id"], ["ts", "event_id"], ["event_type", "value"],
+        delete_expr=F.col("is_delete"),
+    ).select("user_id", "ts", "event_id", "event_type", "value")
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) > 0
