@@ -218,3 +218,70 @@ def test_global_row_numbers_scale(spark, sf_dir):
         F.count_distinct("global_id").alias("d"),
     ).collect()[0]
     assert (stats.n, stats.mn, stats.mx, stats.d) == (n, 1, n, n)
+
+
+def test_segment_dedup_scales_linearly(spark, sf_dir):
+    """Rotated replicas share no segments, so per-replica keep/drop
+    structure must replicate exactly: total kept segments = 10x base.
+    Catches any first-occurrence logic that quietly depends on global
+    ordering or partition count rather than (id, pos)."""
+    from spear_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = segment_dedup(docs, "text", "doc_id").agg(
+        F.sum("n_kept").alias("k"), F.sum("n_segments").alias("s")
+    ).collect()[0]
+    big = segment_dedup(_replicate_docs(docs, 10), "text", "doc_id").agg(
+        F.sum("n_kept").alias("k"), F.sum("n_segments").alias("s")
+    ).collect()[0]
+    assert big.s == 10 * base.s
+    assert big.k == 10 * base.k
+
+
+def test_cdc_state_scales_linearly(spark, sf_dir):
+    """10 key-shifted replicas of the changelog -> exactly 10x the live
+    state rows: the max_by compaction must stay per-key regardless of
+    volume, and tombstone filtering must not leak across shifted keys."""
+    from spear_spark.operators.cdc import cdc_latest_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev10 = ev.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select(
+        (F.col("user_id") + F.col("rep") * F.lit(10_000_000)).alias("user_id"),
+        "ts",
+        (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias("event_id"),
+        "event_type", "value",
+    )
+    args = dict(
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+    )
+    base = cdc_latest_state(ev, delete_expr=F.col("event_type") == "error", **args).count()
+    big = cdc_latest_state(ev10, delete_expr=F.col("event_type") == "error", **args).count()
+    assert big == 10 * base
+
+
+def test_kmeans_step_counts_scale_linearly(spark, sf_dir):
+    """Replicating every vector 10x must multiply each cell's
+    n_assigned by exactly 10 and leave the recomputed centroids
+    unchanged (the mean is replication-invariant) — catches any
+    assignment or averaging step sensitive to data volume."""
+    from spear_spark.operators.similarity import kmeans_lloyd_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        list(map(float, r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    emb10 = emb.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    )
+    base = {r["cell"]: r for r in kmeans_lloyd_step(emb, "embedding", cents).collect()}
+    big = {r["cell"]: r for r in kmeans_lloyd_step(emb10, "embedding", cents).collect()}
+    assert set(base) == set(big)
+    for cell, b in base.items():
+        assert big[cell]["n_assigned"] == 10 * b["n_assigned"]
+        assert big[cell]["centroid"] == b["centroid"]
