@@ -92,6 +92,9 @@ HEADLINE = [
     "q72_recursive_cte",
     "q73_array_functions",
     "q74_stats_aggregates",
+    "p52_corpus_surprisal",
+    "p53_balanced_shards",
+    "q75_datetime_functions",
 ]
 
 

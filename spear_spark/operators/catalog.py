@@ -1762,3 +1762,57 @@ def p51_cdc_upsert(spark: SparkSession, sf_dir: str) -> SDF:
         payload_cols=["event_type", "value"],
         delete_expr=F.col("event_type") == "error",
     ).select("user_id", "ts", "event_id", "event_type", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# p52 — corpus-model surprisal (operators.relevance.corpus_surprisal):
+# per-doc cross-entropy under the corpus unigram MLE, the unigram form
+# of CCNet-style perplexity filtering.  Scale: one explode feeds both
+# count grains (two-phase each); the (doc,term)⋈(term) join shuffles
+# posting lists; C broadcasts.
+# ---------------------------------------------------------------------------
+@q(
+    "p52_corpus_surprisal",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    dc AS (SELECT doc_id, tok, COUNT(*) AS c_dt FROM toks GROUP BY doc_id, tok),
+    cc AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS c FROM toks)
+    SELECT doc_id, CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(CAST(c_dt AS DOUBLE)
+                      * log2(CAST(c_t AS DOUBLE) / CAST(tot.c AS DOUBLE)))
+                 / SUM(c_dt), 6) AS surprisal_bits
+    FROM dc JOIN cc USING (tok) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def p52_corpus_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import corpus_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_surprisal(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p53 — balanced shard packing (operators.ids.balanced_shards):
+# size-DESC round-robin (LPT) assignment to 8 shards so per-shard
+# token budgets stay within one max-doc of each other.  The global
+# size rank reuses the p43 bucket-parallel pattern via a composite
+# integer key — no SinglePartition window anywhere.
+# ---------------------------------------------------------------------------
+@q(
+    "p53_balanced_shards",
+    """
+    SELECT doc_id, n_chars,
+           CAST((ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
+                AS INTEGER) AS shard
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p53_balanced_shards(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.ids import balanced_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return balanced_shards(spark, docs, "doc_id", "n_chars", n_shards=8).orderBy(
+        "doc_id"
+    )

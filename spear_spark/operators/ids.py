@@ -60,3 +60,44 @@ def global_row_numbers(
         .withColumn("global_id", F.row_number().over(w) + F.col("_off"))
         .drop("_b", "_off")
     )
+
+
+def balanced_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_shards: int = 8,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Size-balanced shard assignment: rank rows by (size DESC, id) and
+    deal them round-robin — ``shard = (rank - 1) % n_shards`` — the
+    classic longest-processing-time-first approximation that keeps
+    per-shard totals within one max-item of each other.  The output
+    layout step training pipelines run before writing shards of
+    roughly equal token budgets.
+
+    The global size rank reuses :func:`global_row_numbers`'s
+    bucket-parallel pattern via a composite integer sort key
+    ``(max_size - size) * 2^33 + id`` (ascending = size DESC, id ASC;
+    ids must fit 33 bits) — no SinglePartition window.  Fixed-width
+    buckets over the composite key can be population-skewed when many
+    rows share a size, which degrades parallelism, never correctness.
+    """
+    row = df.agg(F.max(size_col).alias("mx")).collect()[0]
+    if row.mx is None:
+        return df.select(
+            F.col(id_col), F.col(size_col),
+            F.lit(None).cast("int").alias("shard"),
+        ).filter(F.lit(False))
+    composite = (
+        (F.lit(int(row.mx)) - F.col(size_col)).cast("bigint") * F.lit(1 << 33)
+        + F.col(id_col)
+    ).alias("_ck")
+    keyed = df.select(F.col(id_col), F.col(size_col), composite)
+    ranked = global_row_numbers(spark, keyed, "_ck", n_buckets=n_buckets)
+    return ranked.select(
+        id_col,
+        size_col,
+        ((F.col("global_id") - 1) % n_shards).cast("int").alias("shard"),
+    )

@@ -121,3 +121,45 @@ def bm25(
     if top is not None:
         out = out.orderBy(F.col("bm25").desc(), id_col).limit(top)
     return out
+
+
+def corpus_surprisal(df, text_col: str, id_col: str, decimals: int = 6):
+    """Per-document cross-entropy under the corpus unigram MLE
+    (bits/token): ``H(d) = -(1/|d|) Σ_t c_dt · log2(c_t / C)`` — the
+    unigram version of the perplexity filters (CCNet-style) that rank
+    documents by how surprising they are under a corpus language model.
+    Low = stereotypical/boilerplate, high = rare-token-heavy (often
+    noise).  No smoothing needed: every scored token is by construction
+    in the corpus, so c_t >= 1.
+
+    Scale shape: one token explode feeding BOTH grains — per-doc counts
+    and corpus counts — each a two-phase aggregate; the (doc,term) ⋈
+    (term) join shuffles on the term key (posting-list sized, like
+    tf-idf); C rides in as a broadcast 1-row literal.  Pure Column
+    math; the unordered double sum rounds at the end (epsilon
+    convention).
+    """
+    from pyspark.sql import functions as F
+
+    from spear_spark.operators.text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    doc_counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c_dt"))
+    corpus_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    total = toks.agg(F.count(F.lit(1)).alias("C"))
+    joined = doc_counts.join(corpus_counts, "tok").crossJoin(F.broadcast(total))
+    lp = F.log2(F.col("c_t").cast("double") / F.col("C").cast("double"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.sum(F.col("c_dt").cast("double") * lp).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(-F.col("_s") / F.col("n_tokens").cast("double"), decimals).alias(
+                "surprisal_bits"
+            ),
+        )
+    )

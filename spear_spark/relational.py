@@ -2797,3 +2797,52 @@ def q74_stats_aggregates(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — temporal function library (the reference's TIME/TIMESTAMP type
+# surface, SURVEY §1.2, exercised as functions): extraction, ISO
+# day-of-week/week, truncation, month-end, date arithmetic, epoch
+# days, formatting.  Engine deltas pinned by casts: Spark extraction
+# returns INT where DuckDB returns BIGINT, and Spark date_trunc
+# returns TIMESTAMP where DuckDB's week-grain returns DATE; Spark
+# weekday (0=Mon) maps to ISO dow as weekday+1.  Scale: pure
+# projection over the scan + output sort.
+# ---------------------------------------------------------------------------
+@q(
+    "q75_datetime_functions",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y, CAST(quarter(ts) AS INTEGER) AS q,
+           CAST(month(ts) AS INTEGER) AS mo, CAST(day(ts) AS INTEGER) AS d,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(week(ts) AS INTEGER) AS wk,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(ts AS DATE) + 30 AS plus30,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)
+             AS days_since_ny,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER)
+             AS epoch_days,
+           strftime(ts, '%Y-%m') AS ym
+    FROM events WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def q75_datetime_functions(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"), F.quarter("ts").alias("q"),
+        F.month("ts").alias("mo"), F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        (F.weekday("ts") + 1).alias("dow"),
+        F.weekofyear("ts").alias("wk"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("plus30"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_ny"),
+        F.unix_date(d).alias("epoch_days"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+    ).orderBy("event_id")

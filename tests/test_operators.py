@@ -1542,3 +1542,24 @@ def test_token_entropy_bounds(spark):
     assert out[1]["type_token_ratio"] == 1.0
     assert out[2]["entropy_bits"] == 0.0
     assert out[2]["type_token_ratio"] == 0.25
+
+
+def test_balanced_shards_lpt_balance(spark):
+    from spear_spark.operators.ids import balanced_shards
+
+    rows = [(i, 100 - i) for i in range(40)]  # sizes 61..100
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = balanced_shards(spark, df, "doc_id", "n", n_shards=4, n_buckets=8).collect()
+    assert len(out) == 40 and {r["shard"] for r in out} == {0, 1, 2, 3}
+    # round-robin over size-desc: largest 4 docs land on distinct shards
+    top4 = sorted(out, key=lambda r: -r["n"])[:4]
+    assert {r["shard"] for r in top4} == {0, 1, 2, 3}
+    totals = {}
+    for r in out:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n"]
+    assert max(totals.values()) - min(totals.values()) <= max(r["n"] for r in out)
+    # empty input yields an empty typed result, not a crash
+    empty = balanced_shards(
+        spark, spark.createDataFrame([], "doc_id long, n long"), "doc_id", "n"
+    )
+    assert empty.collect() == []
