@@ -95,6 +95,8 @@ HEADLINE = [
     "p52_corpus_surprisal",
     "p53_balanced_shards",
     "q75_datetime_functions",
+    "p54_cross_source_dups",
+    "q76_union_by_name",
 ]
 
 

@@ -1816,3 +1816,61 @@ def p53_balanced_shards(spark: SparkSession, sf_dir: str) -> SDF:
     return balanced_shards(spark, docs, "doc_id", "n_chars", n_shards=8).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# p54 — cross-source duplication matrix: for every pair of sources,
+# how many exact-duplicate document pairs span them (and how many sit
+# within one source) — the contamination diagnostic run before
+# deciding per-source dedup policy.  Scale: the self-join runs on
+# per-(hash, source) COUNTS of multi-copy hashes only (the aggregate
+# collapses the corpus first), so the pair space is duplicate-groups-
+# sized, not corpus-sized.
+# ---------------------------------------------------------------------------
+@q(
+    "p54_cross_source_dups",
+    """
+    WITH h AS (SELECT md5(lower(trim(text))) AS ch, source, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    multi AS (SELECT ch FROM h GROUP BY ch
+              HAVING SUM(c) > 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CASE WHEN a.source = b.source THEN a.c * (a.c - 1) / 2
+                  ELSE a.c * b.c END AS np
+      FROM h a JOIN h b ON a.ch = b.ch AND a.source <= b.source
+      JOIN multi m ON m.ch = a.ch
+      WHERE a.source < b.source OR (a.source = b.source AND a.c > 1))
+    SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS dup_pairs
+    FROM pairs GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def p54_cross_source_dups(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("ch"), F.col("source")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    multi = h.groupBy("ch").agg(F.sum("c").alias("tot")).filter(F.col("tot") > 1)
+    a, b = h.alias("a"), h.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.source") <= F.col("b.source")))
+        .join(multi.select(F.col("ch").alias("_mch")), F.col("a.ch") == F.col("_mch"))
+        .filter(
+            (F.col("a.source") < F.col("b.source"))
+            | ((F.col("a.source") == F.col("b.source")) & (F.col("a.c") > 1))
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.when(
+                F.col("a.source") == F.col("b.source"),
+                (F.col("a.c") * (F.col("a.c") - 1) / 2).cast("long"),
+            ).otherwise(F.col("a.c") * F.col("b.c")).alias("np"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("np").alias("dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

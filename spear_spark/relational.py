@@ -2846,3 +2846,45 @@ def q75_datetime_functions(spark: SparkSession, sf_dir: str) -> SDF:
         F.unix_date(d).alias("epoch_days"),
         F.date_format("ts", "yyyy-MM").alias("ym"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q76 — UNION ALL BY NAME: schema-aligned bag union of relations whose
+# column ORDER differs and whose column SETS differ (missing columns
+# null-fill) — Spark's unionByName(allowMissingColumns=True), DuckDB's
+# UNION ALL BY NAME.  The positional-union pitfall this avoids is the
+# reference's bare-UNION semantics (q10); this is the ingestion-side
+# variant for heterogeneous shards.  Scale: pure concatenation — no
+# shuffle beyond the output sort.
+# ---------------------------------------------------------------------------
+@q(
+    "q76_union_by_name",
+    """
+    SELECT custkey, name, acctbal, mktsegment FROM (
+      SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL BY NAME
+      SELECT c_mktsegment AS mktsegment, c_acctbal AS acctbal,
+             c_name AS name, c_custkey AS custkey
+      FROM customer WHERE c_mktsegment = 'MACHINERY')
+    ORDER BY custkey, mktsegment NULLS FIRST
+    """,
+)
+def q76_union_by_name(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    left = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    right = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").alias("custkey"),
+    )
+    return (
+        left.unionByName(right, allowMissingColumns=True)
+        .select("custkey", "name", "acctbal", "mktsegment")
+        .orderBy("custkey", F.col("mktsegment").asc_nulls_first())
+    )
