@@ -97,6 +97,7 @@ HEADLINE = [
     "q75_datetime_functions",
     "p54_cross_source_dups",
     "q76_union_by_name",
+    "p55_quantize_embeddings",
 ]
 
 

@@ -1874,3 +1874,35 @@ def p54_cross_source_dups(spark: SparkSession, sf_dir: str) -> SDF:
         .agg(F.sum("np").alias("dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# p55 — embedding quantization (operators.similarity.quantize_embeddings):
+# per-vector 256-level linear codes + max reconstruction error — the
+# int8 compression pass ANN storage runs at write time.  floor(x+0.5)
+# instead of round(): engines disagree on round-half semantics, floor
+# never.  Scale: pure projection, no shuffle, no Python.
+# ---------------------------------------------------------------------------
+@q(
+    "p55_quantize_embeddings",
+    """
+    WITH v AS (SELECT vec_id, embedding AS e,
+                      CAST(list_min(embedding) AS DOUBLE) AS mn,
+                      CAST(list_max(embedding) AS DOUBLE) AS mx
+               FROM embeddings)
+    SELECT vec_id, ROUND(mn, 6) AS v_min, ROUND(mx, 6) AS v_max,
+           CASE WHEN mx > mn THEN
+             list_transform(e, x -> CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0
+                                               / (mx - mn) + 0.5) AS INTEGER))
+           ELSE list_transform(e, x -> 0) END AS qvec,
+           CASE WHEN mx > mn THEN
+             ROUND(list_max(list_transform(e, x ->
+               abs(CAST(x AS DOUBLE) - (mn + CAST(floor((CAST(x AS DOUBLE) - mn)
+                   * 255.0 / (mx - mn) + 0.5) AS INTEGER) * (mx - mn) / 255.0)))), 6)
+           ELSE 0.0 END AS max_abs_err
+    FROM v ORDER BY vec_id
+    """,
+)
+def p55_quantize_embeddings(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb, "embedding", "vec_id").orderBy("vec_id")

@@ -488,3 +488,49 @@ def kmeans_lloyd_step(
         )
         .select("cell", "n_assigned", "centroid")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    levels: int = 256,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-vector linear quantization to ``levels`` codes (int8-style
+    vector compression: 4x smaller than float32, the standard storage
+    format for ANN indexes at scale): ``q_i = floor((x_i - mn) * (L-1)
+    / (mx - mn) + 0.5)`` with per-vector (mn, mx) range, plus the max
+    absolute reconstruction error.
+
+    Every step is deterministic cross-engine: min/max are exact, the
+    affine map is one IEEE multiply/divide chain evaluated in the same
+    order in the DuckDB oracle, and floor(x + 0.5) replaces round() —
+    engines disagree on round-half semantics, floor never.  Flat
+    vectors (mx == mn) quantize to code 0 with zero error.
+
+    Scale shape: pure projection (two array folds + one transform per
+    row), no shuffle, no Python — quantization-at-write for 100 TB of
+    embeddings is scan-speed.
+    """
+    x = F.col(vec_col)
+    mn = F.array_min(x).cast("double")
+    mx = F.array_max(x).cast("double")
+    span = mx - mn
+    code = lambda e: F.when(  # noqa: E731
+        span > 0,
+        F.floor((e.cast("double") - mn) * F.lit(float(levels - 1)) / span + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("int")
+    dequant = lambda c: mn + c.cast("double") * span / F.lit(float(levels - 1))  # noqa: E731
+    err = F.array_max(
+        F.transform(x, lambda e: F.abs(e.cast("double") - dequant(code(e))))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(mn, decimals).alias("v_min"),
+        F.round(mx, decimals).alias("v_max"),
+        F.transform(x, code).alias("qvec"),
+        F.round(F.when(span > 0, err).otherwise(F.lit(0.0)), decimals).alias(
+            "max_abs_err"
+        ),
+    )

@@ -116,3 +116,27 @@ def test_events_ts_normalized_to_ltz(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout (write.partitionBy) must surface a
+    PartitionFilters-only scan for predicates on the partition column —
+    at 100 TB this is the difference between listing one directory and
+    scanning the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+
+    got = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    assert sorted(r[0] for r in got.collect()) == sorted(r[0] for r in want.collect())
+
+    plan = executed_plan(got)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
+    # the partition predicate must NOT degrade to a row-level data filter
+    assert "o_orderpriority" not in scan.split("DataFilters:")[1].split("]")[0]
