@@ -22,6 +22,8 @@ PICKS = [
     # round-4 additions
     "p47_kmeans_step", "p48_segment_dedup", "p49_token_entropy",
     "p51_cdc_upsert", "q68_lateral_topn", "q70_qualify",
+    "p52_corpus_surprisal", "p53_balanced_shards",
+    "p55_quantize_embeddings", "q72_recursive_cte",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries
