@@ -98,6 +98,8 @@ HEADLINE = [
     "p54_cross_source_dups",
     "q76_union_by_name",
     "p55_quantize_embeddings",
+    "q77_group_by_all",
+    "p56_cluster_balanced_sample",
 ]
 
 

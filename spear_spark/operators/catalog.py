@@ -1906,3 +1906,55 @@ def p54_cross_source_dups(spark: SparkSession, sf_dir: str) -> SDF:
 def p55_quantize_embeddings(spark: SparkSession, sf_dir: str) -> SDF:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.quantize_embeddings(emb, "embedding", "vec_id").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# p56 — cluster-balanced sampling: cap each IVF cell's contribution at
+# k vectors chosen by deterministic hash priority — the
+# topic-balanced subsample step training mixes run so no dense cluster
+# dominates.  Scale: the p26 pure-projection assignment + ONE
+# per-cell bounded window (state k per cell); priority is the
+# engine-portable md5 uniform, so selection is partition-independent
+# and reproducible.
+# ---------------------------------------------------------------------------
+@q(
+    "p56_cluster_balanced_sample",
+    f"""
+    WITH cents AS (
+      SELECT ce, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci FROM
+        (SELECT vec_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8) c0),
+    dist AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM embeddings e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    assigned AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM dist) t WHERE rn = 1),
+    pri AS (SELECT vec_id, cell,
+                   ('0x'||substr(md5('7_'||CAST(vec_id AS VARCHAR)),1,13))::BIGINT
+                     / 4503599627370496.0 AS u
+            FROM assigned)
+    SELECT vec_id, cell, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY u, vec_id) AS rk
+      FROM pri) t
+    WHERE rk <= 20 ORDER BY vec_id
+    """,
+)
+def p56_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> SDF:
+    from pyspark.sql.window import Window as W
+
+    from spear_spark.functions import rand_like
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    centroids = [list(map(float, r["embedding"])) for r in cents]
+    assigned = similarity.ivf_assign_fixed(emb, "embedding", centroids).select(
+        "vec_id", F.col("_cell").alias("cell")
+    )
+    w = W.partitionBy("cell").orderBy(rand_like(F.col("vec_id"), seed=7), "vec_id")
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("vec_id", "cell", "rk")
+        .orderBy("vec_id")
+    )

@@ -2888,3 +2888,27 @@ def q76_union_by_name(spark: SparkSession, sf_dir: str) -> SDF:
         .select("custkey", "name", "acctbal", "mktsegment")
         .orderBy("custkey", F.col("mktsegment").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — GROUP BY ALL / ORDER BY ALL (SQL-2023-adjacent shorthand both
+# Spark 4 and DuckDB implement): grouping keys inferred as every
+# non-aggregate select item, ordering over the full select list.  The
+# SAME statement text runs on both engines — grammar parity shown, not
+# asserted.  Scale: identical plan to the explicit q01-family
+# aggregate (two-phase, pushdown); the shorthand is purely syntactic.
+# ---------------------------------------------------------------------------
+_Q77_SQL = """
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY ALL ORDER BY ALL
+"""
+
+
+@q("q77_group_by_all", _Q77_SQL)
+def q77_group_by_all(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q77_SQL)
