@@ -91,3 +91,46 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(name)
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written with EVOLVED
+    schemas (columns added over time): ``mergeSchema`` unions the file
+    footers so old files surface the new columns as nulls.  At 100 TB
+    this is how a landing zone written by many pipeline versions stays
+    queryable without a rewrite; the per-file footer merge is a
+    metadata operation, not a data scan.  ``recursiveFileLookup``
+    descends version subdirectories (a flat landing dir works too)."""
+    return (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/micro-batch sink needs: rewrite a directory of many
+    small parquet files into ceil(total_bytes / target) files of
+    roughly target size.  Returns the file count written.
+
+    The file count derives from the ACTUAL on-disk byte size (via the
+    Hadoop FS API, so it works on any FileSystem implementation, not
+    just local), and the rewrite is one ``repartition(n)`` —
+    a single round-robin shuffle, no skew sensitivity, preserving
+    schema and rows exactly.  At scale this runs per-partition-dir so
+    each date/shard compacts independently."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // int(target_file_bytes)))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -140,3 +140,46 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
     # the partition predicate must NOT degrade to a row-level data filter
     assert "o_orderpriority" not in scan.split("DataFilters:")[1].split("]")[0]
+
+
+def test_merge_schema_evolution(spark, sf_dir, tmp_path):
+    """Files written by successive pipeline versions (new column added)
+    must stay queryable as one relation: old files null-fill the new
+    column under mergeSchema."""
+    from spear_spark.sources import read_merged_schema
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "evolving")
+    nation.select("n_nationkey", "n_name").write.parquet(path + "/v1")
+    nation.select(
+        "n_nationkey", "n_name", F.lit("2026-01-01").alias("ingest_date")
+    ).write.parquet(path + "/v2")
+
+    got = read_merged_schema(spark, path)
+    assert set(got.columns) == {"n_nationkey", "n_name", "ingest_date"}
+    n = nation.count()
+    assert got.count() == 2 * n
+    assert got.filter(F.col("ingest_date").isNull()).count() == n
+
+
+def test_compact_files(spark, sf_dir, tmp_path):
+    """64 tiny files -> a handful of target-sized files, rows exact."""
+    import glob
+
+    from spear_spark.sources import compact_files
+
+    orders = load_table(spark, sf_dir, "orders")
+    small = str(tmp_path / "small")
+    orders.repartition(64).write.parquet(small)
+    assert len(glob.glob(small + "/part-*.parquet")) == 64
+
+    out = str(tmp_path / "compact")
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(small + "/part-*.parquet")
+    )
+    n = compact_files(spark, small, out, target_file_bytes=max(1, total // 3))
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n <= 8
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == sorted(
+        tuple(r) for r in orders.collect()
+    )
