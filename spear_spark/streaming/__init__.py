@@ -427,3 +427,38 @@ def cdc_state_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_rollup_stream(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """SLIDING-window rollup (size > slide ⇒ overlapping windows —
+    each event contributes to size/slide windows): counts + exact
+    decimal value sums per (window, event_type).  The trailing-metric
+    twin of the tumbling q24 rollup; state per key expires as the
+    watermark passes each window end, so memory is
+    O(active windows × types) = O(size/slide × types) per time unit,
+    independent of event volume.
+
+    The window multiplication happens in the JVM Expand operator
+    before the partial aggregate — the shuffle carries (window, type)
+    partials, not size/slide copies of the events.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", size, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type", "n", "value_sum",
+        )
+    )

@@ -294,3 +294,39 @@ def test_cdc_state_stream_matches_batch_multibatch(spark, sf_dir, tmp_path):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w and len(g) > 0
+
+
+def test_sliding_rollup_matches_batch(spark, sf_dir):
+    """Streaming sliding-window rollup == the batch groupBy over the
+    same overlapping window expression (each event lands in
+    size/slide = 4 windows)."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.sources import load_table
+    from spear_spark.streaming import run_available_now, sliding_rollup_stream, stream_events
+
+    out = sliding_rollup_stream(stream_events(spark, sf_dir))
+    run_available_now(out, "sliding_test")
+    got = sorted(
+        tuple(r)
+        for r in spark.table("sliding_test").collect()
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type", "n", "value_sum",
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
