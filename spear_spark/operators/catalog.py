@@ -1639,8 +1639,7 @@ def p46_interval_overlap(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p47_kmeans_step(spark: SparkSession, sf_dir: str) -> SDF:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
-    centroids = [list(map(float, r["embedding"])) for r in cents]
+    centroids = similarity.first_k_centroids(emb, "embedding", "vec_id", 8)
     return similarity.kmeans_lloyd_step(emb, "embedding", centroids).orderBy("cell")
 
 
@@ -1832,14 +1831,11 @@ def p53_balanced_shards(spark: SparkSession, sf_dir: str) -> SDF:
     """
     WITH h AS (SELECT md5(lower(trim(text))) AS ch, source, COUNT(*) AS c
                FROM documents GROUP BY 1, 2),
-    multi AS (SELECT ch FROM h GROUP BY ch
-              HAVING SUM(c) > 1),
     pairs AS (
       SELECT a.source AS source_a, b.source AS source_b,
              CASE WHEN a.source = b.source THEN a.c * (a.c - 1) / 2
                   ELSE a.c * b.c END AS np
       FROM h a JOIN h b ON a.ch = b.ch AND a.source <= b.source
-      JOIN multi m ON m.ch = a.ch
       WHERE a.source < b.source OR (a.source = b.source AND a.c > 1))
     SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS dup_pairs
     FROM pairs GROUP BY source_a, source_b
@@ -1851,11 +1847,13 @@ def p54_cross_source_dups(spark: SparkSession, sf_dir: str) -> SDF:
     h = docs.groupBy(
         F.md5(F.lower(F.trim(F.col("text")))).alias("ch"), F.col("source")
     ).agg(F.count(F.lit(1)).alias("c"))
-    multi = h.groupBy("ch").agg(F.sum("c").alias("tot")).filter(F.col("tot") > 1)
+    # no multi-copy pre-filter: the pair predicate below already
+    # excludes every single-copy hash (a<b needs two sources, a=b
+    # needs c>1), so a SUM(c)>1 aggregate+join would be a redundant
+    # shuffle stage for zero semantic effect
     a, b = h.alias("a"), h.alias("b")
     pairs = (
         a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.source") <= F.col("b.source")))
-        .join(multi.select(F.col("ch").alias("_mch")), F.col("a.ch") == F.col("_mch"))
         .filter(
             (F.col("a.source") < F.col("b.source"))
             | ((F.col("a.source") == F.col("b.source")) & (F.col("a.c") > 1))
@@ -1946,8 +1944,7 @@ def p56_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> SDF:
     from spear_spark.functions import rand_like
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
-    centroids = [list(map(float, r["embedding"])) for r in cents]
+    centroids = similarity.first_k_centroids(emb, "embedding", "vec_id", 8)
     assigned = similarity.ivf_assign_fixed(emb, "embedding", centroids).select(
         "vec_id", F.col("_cell").alias("cell")
     )

@@ -79,17 +79,48 @@ def balanced_shards(
 
     The global size rank reuses :func:`global_row_numbers`'s
     bucket-parallel pattern via a composite integer sort key
-    ``(max_size - size) * 2^33 + id`` (ascending = size DESC, id ASC;
-    ids must fit 33 bits) — no SinglePartition window.  Fixed-width
-    buckets over the composite key can be population-skewed when many
-    rows share a size, which degrades parallelism, never correctness.
+    ``(max_size - size) * 2^33 + id`` (ascending = size DESC, id ASC)
+    — no SinglePartition window.  Fixed-width buckets over the
+    composite key can be population-skewed when many rows share a
+    size, which degrades parallelism, never correctness.
+
+    Bounds are ENFORCED, not assumed: ids must fit 33 bits and the
+    size RANGE must fit 30 bits (so the product stays under 2^63 —
+    Spark's non-ANSI bigint arithmetic would wrap silently and
+    scramble the ordering).  Oversized inputs raise with guidance
+    (rescale sizes — token counts, KB — or remap ids) rather than
+    mis-shard silently; integral size/id types are required for the
+    same reason (a float cast would truncate near-ties).
     """
-    row = df.agg(F.max(size_col).alias("mx")).collect()[0]
+    row = df.agg(
+        F.max(size_col).alias("mx"),
+        F.min(size_col).alias("mn"),
+        F.max(id_col).alias("mx_id"),
+        F.min(id_col).alias("mn_id"),
+    ).collect()[0]
     if row.mx is None:
         return df.select(
             F.col(id_col), F.col(size_col),
             F.lit(None).cast("int").alias("shard"),
         ).filter(F.lit(False))
+    for col, kind in ((id_col, "id"), (size_col, "size")):
+        dt = df.schema[col].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"balanced_shards requires an integral {kind} column; "
+                f"{col} is {dt} (cast or rescale explicitly first)"
+            )
+    if int(row.mn_id) < 0 or int(row.mx_id) >= (1 << 33):
+        raise ValueError(
+            f"balanced_shards: ids must be in [0, 2^33); got "
+            f"[{row.mn_id}, {row.mx_id}] — remap ids first"
+        )
+    if int(row.mx) - int(row.mn) >= (1 << 30):
+        raise ValueError(
+            f"balanced_shards: size range {int(row.mx) - int(row.mn)} "
+            f"exceeds 2^30 — rescale {size_col} (e.g. KB or token "
+            "counts) so the composite rank key cannot overflow"
+        )
     composite = (
         (F.lit(int(row.mx)) - F.col(size_col)).cast("bigint") * F.lit(1 << 33)
         + F.col(id_col)

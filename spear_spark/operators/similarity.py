@@ -567,3 +567,15 @@ def quantize_embeddings(
             "max_abs_err"
         ),
     )
+
+
+def first_k_centroids(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8
+) -> list[list[float]]:
+    """Deterministic centroid bootstrap shared by the fixed-centroid
+    operators (IVF assignment, Lloyd step, cluster-balanced sampling):
+    the ``k`` lowest-id vectors, fetched in one bounded driver job.
+    One definition so the convention cannot drift between the Spark
+    queries and their generated oracles."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    return [list(map(float, r[vec_col])) for r in rows]

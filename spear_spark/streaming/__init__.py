@@ -349,13 +349,17 @@ def _latest_cdc_version(state_path: str) -> int | None:
 
 def read_cdc_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     """Read the latest compacted CDC state written by
-    :func:`cdc_state_stream` (None before the first batch commits)."""
+    :func:`cdc_state_stream` (None before the first batch commits).
+    Tombstone rows are persisted in the state files (they must survive
+    so late-arriving older upserts cannot resurrect deleted keys) and
+    filtered here, at the read boundary."""
     import os
 
     v = _latest_cdc_version(state_path)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(state_path, f"v={v}"))
+    df = spark.read.parquet(os.path.join(state_path, f"v={v}"))
+    return df.filter(~F.col("_tombstone")).drop("_tombstone")
 
 
 def cdc_state_stream(
@@ -366,25 +370,38 @@ def cdc_state_stream(
     payload_cols: list,
     delete_col: str,
     query_name: str,
+    checkpoint_path: str | None = None,
 ):
     """Streaming changelog compaction — the incremental twin of
     ``operators.cdc.cdc_latest_state``: each micro-batch is compacted
-    (tombstones KEPT, so a delete can cancel a key the previous state
-    carries), merged latest-wins against the previous state version,
-    filtered of dead keys, and written to ``state_path/v=<batch_id>``.
+    with tombstones kept, merged latest-wins against the newest state
+    version STRICTLY BELOW this batch id, and written (tombstones and
+    all) to ``state_path/v=<batch_id>``.
 
-    Exactly-once: the merge input is the PREVIOUS version directory and
-    the replayable micro-batch, and the output overwrites this batch's
-    own version directory — a replayed batch recomputes byte-identical
-    state (same contract as :func:`write_batches_idempotent`).  Readers
-    take the max version (:func:`read_cdc_state`).
+    Correctness invariants (each one covers a reviewed failure mode):
 
-    Scale: per batch, one max_by aggregate over (batch ∪ state-delta
-    keys) — state is re-written per version here for the local file
-    sink; at warehouse scale the same merge is one ``MERGE INTO`` on a
-    transactional table keyed identically, and the compaction aggregate
-    is unchanged.  ``delete_col`` names a BOOLEAN column already on the
-    stream (an expression would not survive the micro-batch boundary
+    * replay safety — the merge base is ``max(v < batch_id)``, never
+      the globally-latest version, so a replayed batch N (crash between
+      state write and checkpoint commit) re-merges v<N with batch N and
+      overwrites its own v=N byte-identically instead of wiping it;
+    * tombstone persistence — deletes stay in the stored state as
+      ``_tombstone`` rows, so a late-arriving upsert OLDER than an
+      applied delete loses the max_by merge instead of resurrecting
+      the key (readers filter tombstones, :func:`read_cdc_state`);
+      production compaction would TTL tombstones past the source's
+      max lateness, exactly like Kafka compacted-topic delete
+      retention;
+    * durable batch ids — the checkpoint location defaults to
+      ``state_path/_checkpoint`` so restarts CONTINUE the batch-id
+      sequence; without it every run would restart at batch 0 and
+      corrupt existing state.
+
+    Scale: per batch, one max_by aggregate over (batch ∪ previous
+    state); state is re-written per version for the local file sink —
+    at warehouse scale the same merge is one ``MERGE INTO`` on a
+    transactional table and the compaction aggregate is unchanged.
+    ``delete_col`` names a BOOLEAN column already on the stream (an
+    expression would not survive the micro-batch boundary
     deterministically).
     """
     import os
@@ -401,13 +418,22 @@ def cdc_state_stream(
             delete_expr=F.col(delete_col),
             keep_tombstones=True,
         )
-        prev_v = _latest_cdc_version(state_path)
-        if prev_v is not None and prev_v < batch_id:
-            prev = spark.read.parquet(os.path.join(state_path, f"v={prev_v}"))
-            merged_in = prev.withColumn("_tombstone", F.lit(False)).unionByName(
-                batch_latest
+        import glob
+
+        prev_vs = []
+        for p in glob.glob(os.path.join(state_path, "v=*")):
+            try:
+                v = int(os.path.basename(p).split("=", 1)[1])
+            except ValueError:
+                continue
+            if v < batch_id:
+                prev_vs.append(v)
+        if prev_vs:
+            prev = spark.read.parquet(
+                os.path.join(state_path, f"v={max(prev_vs)}")
             )
-        else:  # first batch, or replay of batch 0
+            merged_in = prev.unionByName(batch_latest)
+        else:  # first batch (or replay of it): no earlier state exists
             merged_in = batch_latest
         state = cdc_latest_state(
             merged_in,
@@ -415,7 +441,7 @@ def cdc_state_stream(
             order_cols,
             payload_cols,
             delete_expr=F.col("_tombstone"),
-            keep_tombstones=False,
+            keep_tombstones=True,
         )
         state.write.mode("overwrite").parquet(
             os.path.join(state_path, f"v={batch_id}")
@@ -424,6 +450,10 @@ def cdc_state_stream(
     return (
         changes.writeStream.foreachBatch(merge)
         .queryName(query_name)
+        .option(
+            "checkpointLocation",
+            checkpoint_path or os.path.join(state_path, "_checkpoint"),
+        )
         .trigger(availableNow=True)
         .start()
     )

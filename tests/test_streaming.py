@@ -330,3 +330,40 @@ def test_sliding_rollup_matches_batch(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_cdc_state_stream_out_of_order_and_restart(spark, tmp_path):
+    """Reviewed failure modes, pinned: (1) a late-arriving upsert OLDER
+    than an applied delete must NOT resurrect the key (tombstones
+    persist in state); (2) restarts must CONTINUE the batch-id sequence
+    via the durable checkpoint instead of restarting at 0 and wiping
+    prior state."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.streaming import cdc_state_stream, read_cdc_state
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = "k long, ts long, cid long, v double, is_delete boolean"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = cdc_state_stream(
+            stream, state,
+            key_cols=["k"], order_cols=["ts", "cid"], payload_cols=["v"],
+            delete_col="is_delete", query_name="cdc_ooo",
+        )
+        q.awaitTermination()
+
+    run_batch([(1, 100, 1, 10.0, False), (2, 100, 2, 5.0, False)])  # run 1
+    run_batch([(1, 200, 3, 0.0, True)])                             # run 2: delete k=1
+    run_batch([(1, 150, 4, 9.0, False)])                            # run 3: LATE upsert
+
+    got = sorted(
+        tuple(r)
+        for r in read_cdc_state(spark, state).select("k", "ts", "cid", "v").collect()
+    )
+    # k=1 stays deleted (late ts=150 < tombstone ts=200); k=2 survives
+    # every restart — neither wiped by batch-id reuse nor resurrected
+    assert got == [(2, 100, 2, 5.0)]
