@@ -192,3 +192,85 @@ def test_running_sum_window_matches_prefix_sums(ctx, data):
         acc[k] = cur
         expected[i] = cur
     assert got == expected
+
+
+# -- round 4: CDC compaction law, segment-dedup idempotence -----------------
+
+
+@st.composite
+def changelogs(draw):
+    """Random changelog: (key, ts, cid, value, is_delete) with
+    duplicate keys/timestamps; cid is globally unique so (ts, cid) is
+    a total order within every key."""
+    n = draw(st.integers(1, 30))
+    rows = []
+    for cid in range(n):
+        rows.append(
+            (
+                draw(st.integers(0, 5)),            # key — deliberately colliding
+                draw(st.integers(0, 10)),           # ts — ties within keys
+                cid,
+                float(draw(st.integers(-100, 100))),
+                draw(st.booleans()),
+            )
+        )
+    return rows
+
+
+@settings(deadline=None, max_examples=15,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(changelogs())
+def test_cdc_latest_state_equals_window_formulation(spark, rows):
+    """Law: the max_by aggregate compaction ≡ the row_number-window
+    formulation, on arbitrary changelogs (colliding keys, tied
+    timestamps, delete flags anywhere in the order)."""
+    from pyspark.sql.window import Window as W
+
+    from spear_spark.operators.cdc import cdc_latest_state
+
+    df = spark.createDataFrame(
+        rows, "k long, ts long, cid long, v double, is_delete boolean"
+    )
+    got = sorted(
+        tuple(r)
+        for r in cdc_latest_state(
+            df, ["k"], ["ts", "cid"], ["v", "is_delete"],
+            delete_expr=F.col("is_delete"),
+        ).select("k", "ts", "cid", "v").collect()
+    )
+    w = W.partitionBy("k").orderBy(F.col("ts").desc(), F.col("cid").desc())
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+        .select("k", "ts", "cid", "v")
+        .collect()
+    )
+    assert got == want
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segment_dedup_idempotent(spark, docs):
+    """Law: running segment dedup on its own cleaned output changes
+    nothing (every surviving segment is already a first occurrence).
+    Random corpora drawn from a tiny token alphabet force heavy
+    cross-document segment collisions."""
+    from spear_spark.operators.dedup import segment_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = segment_dedup(df, "text", "doc_id", seg_tokens=2)
+    cleaned = once.filter(F.col("clean_text").isNotNull()).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = segment_dedup(cleaned, "text", "doc_id", seg_tokens=2)
+    # nothing removed on the second pass
+    assert twice.filter(F.col("n_kept") != F.col("n_segments")).count() == 0
