@@ -39,7 +39,7 @@ _DRIVER_PRIORITY = [
     "q72_recursive_cte", "q73_array_functions", "q74_stats_aggregates",
     "p52_corpus_surprisal", "p53_balanced_shards", "q75_datetime_functions",
     "p54_cross_source_dups", "q76_union_by_name", "p55_quantize_embeddings",
-    "q77_group_by_all", "p56_cluster_balanced_sample",
+    "q77_group_by_all", "p56_cluster_balanced_sample", "p57_leakage_safe_split",
     # -- events-table queries: the ts read path changed this round
     #    (NTZ inference off), so every consumer re-evidences even if
     #    green in r3 under the old type
@@ -58,7 +58,6 @@ _DRIVER_PRIORITY = [
     "q10_union_bag", "q11_intersect_multiset", "q12_except_multiset",
     "q13_distinct", "q14_window_aggregates", "q19_sort_nulls",
     "q26_rollup", "q27_pivot_segments", "q28_word_counts",
-    "q30_right_join",
     # ---- round 3 window (kept below for catalog completeness) ----
     "p30_bottom_k_sample", "p12_multimodal_decode", "p13_near_dedup",
     "p21_dup_clusters", "q63_product_profit", "q64_important_stock",

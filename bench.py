@@ -100,6 +100,7 @@ HEADLINE = [
     "p55_quantize_embeddings",
     "q77_group_by_all",
     "p56_cluster_balanced_sample",
+    "p57_leakage_safe_split",
 ]
 
 

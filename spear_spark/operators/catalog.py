@@ -1955,3 +1955,30 @@ def p56_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> SDF:
         .select("vec_id", "cell", "rk")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p57 — leakage-free split (operators.sampling.leakage_safe_split):
+# the split decision hashes the content-GROUP key, so duplicate
+# documents can never straddle train/validation — the eval-inflation
+# failure mode residual duplication causes.  Scale: pure projection,
+# no shuffle; near-dup-safe variant swaps in the CC label as the
+# group key.  The oracle asserts the same md5-group uniform.
+# ---------------------------------------------------------------------------
+@q(
+    "p57_leakage_safe_split",
+    """
+    SELECT doc_id, md5(lower(trim(text))) AS group_hash,
+           CASE WHEN ('0x'||substr(md5('13_'||md5(lower(trim(text)))),1,13))::BIGINT
+                     / 4503599627370496.0 < 0.1
+                THEN 'validation' ELSE 'train' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p57_leakage_safe_split(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, "text", "doc_id", val_frac=0.1, seed=13).orderBy(
+        "doc_id"
+    )

@@ -162,3 +162,41 @@ def priority_sample(
             F.col("_rn") <= k
         ).drop("_rn")
     return picked.withColumn("priority", F.round(F.col("_pri"), 6)).drop("_pri")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    val_frac: float = 0.1,
+    seed: int = 13,
+) -> DataFrame:
+    """Train/validation split that cannot leak duplicates across the
+    boundary: the split decision hashes the CONTENT-GROUP key (md5 of
+    normalized text), not the document id, so every copy of the same
+    content lands in the same side — the failure mode this prevents
+    (validation examples whose duplicates sit in train) silently
+    inflates eval scores on any corpus with residual duplication.
+
+    Deterministic and partition-independent: the group key feeds the
+    same md5/2^52 uniform as the sampling family (:func:`rand_like`),
+    so the split is reproducible at any cluster size and engine-
+    portable for the oracle.  Near-duplicate-safe splits compose the
+    same way: substitute the connected-component label
+    (``dedup.connected_components``) for the content hash as the
+    group key.
+
+    Scale: pure projection — one hash + one threshold per row, no
+    shuffle, no group materialization.
+    """
+    from spear_spark.functions import rand_like
+
+    group = F.md5(F.lower(F.trim(F.col(text_col))))
+    u = rand_like(group, seed=seed)
+    return df.select(
+        F.col(id_col),
+        group.alias("group_hash"),
+        F.when(u < F.lit(float(val_frac)), F.lit("validation"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1563,3 +1563,18 @@ def test_balanced_shards_lpt_balance(spark):
         spark, spark.createDataFrame([], "doc_id long, n long"), "doc_id", "n"
     )
     assert empty.collect() == []
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark):
+    from spear_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, f"doc {i % 7} content") for i in range(60)]  # 7 content groups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, "text", "doc_id", val_frac=0.5)
+    # every content group maps to exactly one split
+    sides = (
+        out.groupBy("group_hash")
+        .agg(F.count_distinct("split").alias("n_sides"))
+        .collect()
+    )
+    assert all(r["n_sides"] == 1 for r in sides) and len(sides) == 7
