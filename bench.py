@@ -101,6 +101,8 @@ HEADLINE = [
     "q77_group_by_all",
     "p56_cluster_balanced_sample",
     "p57_leakage_safe_split",
+    "q78_semi_anti_join",
+    "p58_normalize_text",
 ]
 
 

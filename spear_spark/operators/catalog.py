@@ -1982,3 +1982,34 @@ def p57_leakage_safe_split(spark: SparkSession, sf_dir: str) -> SDF:
     return leakage_safe_split(docs, "text", "doc_id", val_frac=0.1, seed=13).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# p58 — text normalization audit (operators.text.normalize_text): the
+# pre-dedup cleanup chain with per-doc change accounting.  Pure
+# projection; ASCII-regex-only so both engines compute byte-identical
+# output (ICU folding is the documented non-goal).
+# ---------------------------------------------------------------------------
+@q(
+    "p58_normalize_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text,
+           (trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                '\s+', ' ', 'g')) <> text) AS changed,
+           CAST(length(text) - length(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_removed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p58_normalize_text(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+        (F.length("text") - F.length(norm)).cast("bigint").alias("n_chars_removed"),
+    ).orderBy("doc_id")

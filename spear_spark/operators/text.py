@@ -389,3 +389,17 @@ def token_entropy(df, text_col: str, id_col: str):
             ).alias("type_token_ratio"),
         )
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Engine-portable text normalization chain (the cleanup pass run
+    before hashing/dedup so trivial formatting differences don't
+    defeat exact dedup): lowercase → strip non-alphanumerics →
+    collapse whitespace → trim.  Restricted to ASCII-regex operations
+    both Spark and DuckDB implement identically; full Unicode NFC /
+    accent folding needs ICU, which is a documented non-goal of the
+    portable chain (plug a pandas_udf with unicodedata at the same
+    call site when fidelity beats portability)."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))

@@ -2912,3 +2912,38 @@ _Q77_SQL = """
 def q77_group_by_all(spark: SparkSession, sf_dir: str) -> SDF:
     register_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_Q77_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q78 — explicit SEMI / ANTI join syntax (the reference exposes these
+# only through EXISTS / NOT EXISTS rewrites, q09/q45/q52/q54; Spark
+# and DuckDB both surface them as join types).  Customers with ≥1
+# urgent order (semi) and nations with no such customer (anti),
+# chained so one query pins both join types and their null-free
+# semantics.  Scale: both plan as broadcast/shuffled hash joins that
+# stop probing on first match — no row multiplication ever.
+# ---------------------------------------------------------------------------
+@q(
+    "q78_semi_anti_join",
+    """
+    WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    hit AS (SELECT c_custkey, c_nationkey FROM customer SEMI JOIN urgent
+            ON c_custkey = o_custkey)
+    SELECT n_nationkey AS nationkey, n_name AS nation
+    FROM nation ANTI JOIN hit ON n_nationkey = c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q78_semi_anti_join(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        WITH urgent AS (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT'),
+        hit AS (SELECT c_custkey, c_nationkey FROM customer LEFT SEMI JOIN urgent
+                ON c_custkey = o_custkey)
+        SELECT n_nationkey AS nationkey, n_name AS nation
+        FROM nation LEFT ANTI JOIN hit ON n_nationkey = c_nationkey
+        ORDER BY nationkey
+        """
+    )
