@@ -1968,8 +1968,8 @@ def p56_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> SDF:
 @q(
     "p57_leakage_safe_split",
     """
-    SELECT doc_id, md5(lower(trim(text))) AS group_hash,
-           CASE WHEN ('0x'||substr(md5('13_'||md5(lower(trim(text)))),1,13))::BIGINT
+    SELECT doc_id, md5(lower(trim(coalesce(text, '')))) AS group_hash,
+           CASE WHEN ('0x'||substr(md5('13_'||md5(lower(trim(coalesce(text, ''))))),1,13))::BIGINT
                      / 4503599627370496.0 < 0.1
                 THEN 'validation' ELSE 'train' END AS split
     FROM documents ORDER BY doc_id
@@ -1994,13 +1994,15 @@ def p57_leakage_safe_split(spark: SparkSession, sf_dir: str) -> SDF:
     "p58_normalize_text",
     r"""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                               '\s+', ' ', 'g')) AS norm_text,
-           (trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                                '\s+', ' ', 'g')) <> text) AS changed,
-           CAST(length(text) - length(trim(regexp_replace(
-                 regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                 '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_removed
+           trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\t\n\f\r ]', '', 'g'), '[\t\n\f\r ]+', ' ', 'g'))
+             AS norm_text,
+           (trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\t\n\f\r ]', '', 'g'), '[\t\n\f\r ]+', ' ', 'g'))
+             <> text) AS changed,
+           CAST(length(text) - length(trim(regexp_replace(regexp_replace(
+                 lower(text), '[^a-z0-9\t\n\f\r ]', '', 'g'),
+                 '[\t\n\f\r ]+', ' ', 'g'))) AS BIGINT) AS n_chars_removed
     FROM documents ORDER BY doc_id
     """,
 )

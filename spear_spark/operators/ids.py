@@ -97,12 +97,24 @@ def balanced_shards(
         F.min(size_col).alias("mn"),
         F.max(id_col).alias("mx_id"),
         F.min(id_col).alias("mn_id"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("null_ids"),
+        F.sum(F.col(size_col).isNull().cast("long")).alias("null_sizes"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    if row.mx is None:
+    if row.n == 0:
         return df.select(
             F.col(id_col), F.col(size_col),
             F.lit(None).cast("int").alias("shard"),
         ).filter(F.lit(False))
+    # NULLs would pass the min/max bounds checks (aggregates skip
+    # them) and then crash opaquely inside the bucket-offset sort —
+    # reject them here with the same loud-guidance contract
+    if row.null_ids or row.null_sizes:
+        raise ValueError(
+            f"balanced_shards: {id_col}/{size_col} must be non-null "
+            f"({row.null_ids} null ids, {row.null_sizes} null sizes) — "
+            "filter or impute first"
+        )
     for col, kind in ((id_col, "id"), (size_col, "size")):
         dt = df.schema[col].dataType.simpleString()
         if dt not in ("tinyint", "smallint", "int", "bigint"):

@@ -191,7 +191,10 @@ def leakage_safe_split(
     """
     from spear_spark.functions import rand_like
 
-    group = F.md5(F.lower(F.trim(F.col(text_col))))
+    # coalesce BEFORE hashing: rand_like's concat skips NULLs while a
+    # SQL '||' propagates them — without this, NULL-text docs would
+    # split differently in Spark and the DuckDB oracle
+    group = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
     u = rand_like(group, seed=seed)
     return df.select(
         F.col(id_col),

@@ -399,7 +399,10 @@ def normalize_text(text: Column | str) -> Column:
     both Spark and DuckDB implement identically; full Unicode NFC /
     accent folding needs ICU, which is a documented non-goal of the
     portable chain (plug a pandas_udf with unicodedata at the same
-    call site when fidelity beats portability)."""
+    call site when fidelity beats portability).  The whitespace class
+    is written out explicitly ([\\t\\n\\f\\r ]): Java's \\s includes
+    vertical tab where RE2's does not, so a shorthand class would
+    silently break the cross-engine byte-identity contract."""
     c = F.col(text) if isinstance(text, str) else text
-    stripped = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
-    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    stripped = F.regexp_replace(F.lower(c), "[^a-z0-9\t\n\f\r ]", "")
+    return F.trim(F.regexp_replace(stripped, "[\t\n\f\r ]+", " "))

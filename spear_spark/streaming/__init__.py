@@ -334,7 +334,10 @@ def hll_register_stream(events: DataFrame, key: str, m: int = 64) -> DataFrame:
     )
 
 
-def _latest_cdc_version(state_path: str) -> int | None:
+def _cdc_versions(state_path: str) -> list[int]:
+    """All committed state versions under ``state_path`` — the ONE
+    place that parses the ``v=<n>`` directory layout (the reader takes
+    max(); the merge takes max(v < batch_id))."""
     import glob
     import os
 
@@ -344,6 +347,11 @@ def _latest_cdc_version(state_path: str) -> int | None:
             vs.append(int(os.path.basename(p).split("=", 1)[1]))
         except ValueError:
             continue
+    return vs
+
+
+def _latest_cdc_version(state_path: str) -> int | None:
+    vs = _cdc_versions(state_path)
     return max(vs) if vs else None
 
 
@@ -359,6 +367,8 @@ def read_cdc_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     if v is None:
         return None
     df = spark.read.parquet(os.path.join(state_path, f"v={v}"))
+    if "_tombstone" not in df.columns:  # pre-tombstone format: live rows only
+        return df
     return df.filter(~F.col("_tombstone")).drop("_tombstone")
 
 
@@ -418,20 +428,15 @@ def cdc_state_stream(
             delete_expr=F.col(delete_col),
             keep_tombstones=True,
         )
-        import glob
-
-        prev_vs = []
-        for p in glob.glob(os.path.join(state_path, "v=*")):
-            try:
-                v = int(os.path.basename(p).split("=", 1)[1])
-            except ValueError:
-                continue
-            if v < batch_id:
-                prev_vs.append(v)
+        prev_vs = [v for v in _cdc_versions(state_path) if v < batch_id]
         if prev_vs:
             prev = spark.read.parquet(
                 os.path.join(state_path, f"v={max(prev_vs)}")
             )
+            if "_tombstone" not in prev.columns:
+                # state written by the pre-tombstone format stored live
+                # rows only, so _tombstone=false is a faithful migration
+                prev = prev.withColumn("_tombstone", F.lit(False))
             merged_in = prev.unionByName(batch_latest)
         else:  # first batch (or replay of it): no earlier state exists
             merged_in = batch_latest

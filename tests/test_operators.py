@@ -1578,3 +1578,13 @@ def test_leakage_safe_split_keeps_dup_groups_together(spark):
         .collect()
     )
     assert all(r["n_sides"] == 1 for r in sides) and len(sides) == 7
+
+
+def test_balanced_shards_rejects_nulls(spark):
+    import pytest as _pytest
+
+    from spear_spark.operators.ids import balanced_shards
+
+    df = spark.createDataFrame([(1, 10), (None, 20), (3, None)], "doc_id long, n long")
+    with _pytest.raises(ValueError, match="non-null"):
+        balanced_shards(spark, df, "doc_id", "n")

@@ -338,8 +338,6 @@ def test_cdc_state_stream_out_of_order_and_restart(spark, tmp_path):
     persist in state); (2) restarts must CONTINUE the batch-id sequence
     via the durable checkpoint instead of restarting at 0 and wiping
     prior state."""
-    from pyspark.sql import functions as F
-
     from spear_spark.streaming import cdc_state_stream, read_cdc_state
 
     src = str(tmp_path / "src")
