@@ -24,6 +24,8 @@ PICKS = [
     "p51_cdc_upsert", "q68_lateral_topn", "q70_qualify",
     "p52_corpus_surprisal", "p53_balanced_shards",
     "p55_quantize_embeddings", "q72_recursive_cte",
+    "p54_cross_source_dups", "p57_leakage_safe_split",
+    "p58_normalize_text", "q78_semi_anti_join",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries
