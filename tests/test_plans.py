@@ -180,3 +180,50 @@ def test_q62_topk_is_take_ordered(spark, sf_dir):
     TakeOrderedAndProject (per-partition heaps), not a global sort."""
     plan = plan_for(spark, sf_dir, "q62_returned_items")
     assert has_take_ordered(plan)
+
+
+# ---- round 4: plan shapes for the new operators ---------------------------
+
+
+def test_p51_cdc_is_partial_maxby_not_window(spark, sf_dir):
+    """CDC compaction must plan as a TWO-PHASE max_by aggregate (one
+    hash exchange, map-side partials) — never the row_number window
+    whose full-history shuffle it was designed to replace."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p51_cdc_upsert"][0](spark, sf_dir))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # + the output range sort only
+
+
+def test_p48_segment_dedup_single_segment_exchange(spark, sf_dir):
+    """Segment dedup: exactly one hash exchange on the segment text
+    (whole-partition window min — no self-join back), one on the doc
+    id for reassembly, and a two-phase collect aggregate."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p48_segment_dedup"][0](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_p55_quantize_is_shuffle_free(spark, sf_dir):
+    """Quantization is a pure projection: no exchange except the
+    output sort, no aggregate, no join."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p55_quantize_embeddings"][0](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_p57_split_is_shuffle_free(spark, sf_dir):
+    """The leakage-safe split decision is per-row: no shuffle at all
+    beyond the output ordering."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p57_leakage_safe_split"][0](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Aggregate" not in plan

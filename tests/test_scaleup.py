@@ -285,3 +285,50 @@ def test_kmeans_step_counts_scale_linearly(spark, sf_dir):
     for cell, b in base.items():
         assert big[cell]["n_assigned"] == 10 * b["n_assigned"]
         assert big[cell]["centroid"] == b["centroid"]
+
+
+def test_surprisal_shifts_by_log2_reps_under_replication(spark, sf_dir):
+    """Exact scale law: under 10 rotated replicas every token's corpus
+    probability divides by 10 (replicas share no tokens, per-replica
+    counts are preserved), so every doc's surprisal must rise by
+    EXACTLY log2(10) bits — any deviation means the corpus counts or
+    the per-doc aggregation leaked across replicas."""
+    import math
+
+    from spear_spark.operators.relevance import corpus_surprisal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {
+        r["doc_id"]: r["surprisal_bits"]
+        for r in corpus_surprisal(docs, "text", "doc_id").collect()
+    }
+    big = {
+        r["doc_id"]: r["surprisal_bits"]
+        for r in corpus_surprisal(_replicate_docs(docs, 10), "text", "doc_id").collect()
+    }
+    shift = math.log2(10)
+    for doc_id, s in base.items():  # replica 0 keeps original ids
+        assert abs(big[doc_id] - s - shift) < 2e-6, doc_id
+
+
+def test_balanced_shards_balance_holds_at_10x(spark, sf_dir):
+    """The LPT guarantee (per-shard totals within one max item) is
+    volume-independent: it must hold identically on 10 id-shifted
+    replicas of the corpus."""
+    from spear_spark.operators.ids import balanced_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs10 = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        "n_chars",
+    )
+    out = balanced_shards(spark, docs10, "doc_id", "n_chars", n_shards=8)
+    totals = {
+        r["shard"]: r["t"]
+        for r in out.groupBy("shard").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    mx_item = docs10.agg(F.max("n_chars")).collect()[0][0]
+    assert len(totals) == 8
+    assert max(totals.values()) - min(totals.values()) <= mx_item
