@@ -40,7 +40,7 @@ _DRIVER_PRIORITY = [
     "p52_corpus_surprisal", "p53_balanced_shards", "q75_datetime_functions",
     "p54_cross_source_dups", "q76_union_by_name", "p55_quantize_embeddings",
     "q77_group_by_all", "p56_cluster_balanced_sample", "p57_leakage_safe_split",
-    "q78_semi_anti_join", "p58_normalize_text",
+    "q78_semi_anti_join", "p58_normalize_text", "p59_pagerank",
     # -- events-table queries: the ts read path changed this round
     #    (NTZ inference off), so every consumer re-evidences even if
     #    green in r3 under the old type
@@ -58,7 +58,6 @@ _DRIVER_PRIORITY = [
     "q08_nation_coverage", "q09_customers_without_orders",
     "q10_union_bag", "q11_intersect_multiset", "q12_except_multiset",
     "q13_distinct", "q14_window_aggregates", "q19_sort_nulls",
-    "q26_rollup",
     # ---- round 3 window (kept below for catalog completeness) ----
     "p30_bottom_k_sample", "p12_multimodal_decode", "p13_near_dedup",
     "p21_dup_clusters", "q63_product_profit", "q64_important_stock",

@@ -103,6 +103,7 @@ HEADLINE = [
     "p57_leakage_safe_split",
     "q78_semi_anti_join",
     "p58_normalize_text",
+    "p59_pagerank",
 ]
 
 

@@ -2015,3 +2015,61 @@ def p58_normalize_text(spark: SparkSession, sf_dir: str) -> SDF:
         (norm != F.col("text")).alias("changed"),
         (F.length("text") - F.length(norm)).cast("bigint").alias("n_chars_removed"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p59 — PageRank (operators.graph.pagerank): 5 fixed iterations over
+# the customer↔supplier bipartite graph (distinct trading pairs from
+# orders ⋈ lineitem, both directions).  Each iteration = one join on
+# the cached source-partitioned edges + one contribution aggregate;
+# lineage truncated per round like connected components.  Per-
+# iteration ROUND(9) keeps both engines on identical rank vectors
+# before FP-association noise can amplify; the oracle unrolls the
+# same five iterations as CTEs with the identical double arithmetic.
+# ---------------------------------------------------------------------------
+def _pagerank_oracle(iters: int = 5) -> str:
+    head = """
+    WITH p AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                               's' || CAST(l_suppkey AS VARCHAR) AS s
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank
+           FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    r{i} AS (SELECT nodes.node,
+                ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * COALESCE(t.cs, CAST(0.0 AS DOUBLE)),
+                      9) AS rank
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS cs
+                        FROM e JOIN deg USING (src)
+                        JOIN r{i - 1} r ON r.node = e.src
+                        GROUP BY e.dst) t ON t.node = nodes.node)""")
+    tail = f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+@q("p59_pagerank", _pagerank_oracle(5))
+def p59_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, "src", "dst", iters=5).orderBy("node")

@@ -1588,3 +1588,15 @@ def test_balanced_shards_rejects_nulls(spark):
     df = spark.createDataFrame([(1, 10), (None, 20), (3, None)], "doc_id long, n long")
     with _pytest.raises(ValueError, match="non-null"):
         balanced_shards(spark, df, "doc_id", "n")
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    from spear_spark.operators.graph import pagerank
+
+    # star: hub 0 <-> spokes 1..5 (symmetric, no dangling nodes)
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame([(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iters=10).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-5  # no dangling: mass conserved
+    assert all(out["n0"] > out[f"n{i}"] for i in range(1, 6))  # hub dominates
+    assert len({out[f"n{i}"] for i in range(1, 6)}) == 1  # spokes symmetric
