@@ -97,6 +97,12 @@ def pagerank(
                     iter_decimals,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        if iters > 8:
+            # lineage truncation matters only for LONG iteration
+            # chains (the CC regime); for the typical fixed 5-10
+            # rounds the pipelined depth-k DAG is cheaper than k
+            # serial checkpoint materializations, and it leaves no
+            # cached blocks behind in long-lived sessions
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", decimals).alias("rank"))
