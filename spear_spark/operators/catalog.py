@@ -1633,14 +1633,30 @@ def p46_interval_overlap(spark: SparkSession, sf_dir: str) -> SDF:
       FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
       CROSS JOIN range(1, 65) r(i)
       GROUP BY a.cell, r.i)
-    SELECT cell, MAX(n) AS n_assigned, list(m ORDER BY i) AS centroid
+    SELECT cell, MAX(n) AS n_assigned,
+           string_agg(printf('%.6f', m + 0.0), ',' ORDER BY i) AS centroid
     FROM dimmeans GROUP BY cell ORDER BY cell
     """,
 )
 def p47_kmeans_step(spark: SparkSession, sf_dir: str) -> SDF:
+    # The operator itself returns an array<double> centroid (tested in
+    # test_operators); the catalog row serializes it ('%.6f' CSV, with
+    # `+ 0.0` normalizing IEEE -0.0 on both engines) because the
+    # driver's pandas canonicalizer cannot hash list cells.
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = similarity.first_k_centroids(emb, "embedding", "vec_id", 8)
-    return similarity.kmeans_lloyd_step(emb, "embedding", centroids).orderBy("cell")
+    step = similarity.kmeans_lloyd_step(emb, "embedding", centroids)
+    return step.select(
+        "cell",
+        "n_assigned",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("centroid"),
+                lambda m: F.format_string("%.6f", m + F.lit(0.0)),
+            ),
+        ).alias("centroid"),
+    ).orderBy("cell")
 
 
 # ---------------------------------------------------------------------------
@@ -1889,10 +1905,10 @@ def p54_cross_source_dups(spark: SparkSession, sf_dir: str) -> SDF:
                       CAST(list_max(embedding) AS DOUBLE) AS mx
                FROM embeddings)
     SELECT vec_id, ROUND(mn, 6) AS v_min, ROUND(mx, 6) AS v_max,
-           CASE WHEN mx > mn THEN
+           array_to_string(CASE WHEN mx > mn THEN
              list_transform(e, x -> CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0
                                                / (mx - mn) + 0.5) AS INTEGER))
-           ELSE list_transform(e, x -> 0) END AS qvec,
+           ELSE list_transform(e, x -> 0) END, ',') AS qvec,
            CASE WHEN mx > mn THEN
              ROUND(list_max(list_transform(e, x ->
                abs(CAST(x AS DOUBLE) - (mn + CAST(floor((CAST(x AS DOUBLE) - mn)
@@ -1902,8 +1918,15 @@ def p54_cross_source_dups(spark: SparkSession, sf_dir: str) -> SDF:
     """,
 )
 def p55_quantize_embeddings(spark: SparkSession, sf_dir: str) -> SDF:
+    # quantize_embeddings keeps qvec as array<int> for API users; the
+    # catalog row CSV-serializes it (integers render identically in
+    # both engines) so the driver canonicalizer can hash the column.
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.quantize_embeddings(emb, "embedding", "vec_id").orderBy("vec_id")
+    return (
+        similarity.quantize_embeddings(emb, "embedding", "vec_id")
+        .withColumn("qvec", F.concat_ws(",", F.col("qvec").cast("array<string>")))
+        .orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2727,7 +2727,7 @@ def q72_recursive_cte(spark: SparkSession, sf_dir: str) -> SDF:
            len(list_filter(toks, x -> strlen(x) > 4)) AS n_long,
            CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT) AS total_len,
            list_contains(toks, 'the') AS has_the,
-           list_sort(list_distinct(toks))[1:3] AS first3
+           array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3
     FROM t ORDER BY doc_id
     """,
 )
@@ -2746,7 +2746,11 @@ def q73_array_functions(spark: SparkSession, sf_dir: str) -> SDF:
                 lambda acc, e: acc + e,
             ).alias("total_len"),
             F.array_contains(toks, "the").alias("has_the"),
-            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3"),
+            # '|'-joined instead of raw array: the driver canonicalizer
+            # cannot hash list cells (r4's one red-row cause)
+            F.concat_ws(
+                "|", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)
+            ).alias("first3"),
         )
         .orderBy("doc_id")
     )
