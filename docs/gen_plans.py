@@ -26,6 +26,8 @@ PICKS = [
     "p55_quantize_embeddings", "q72_recursive_cte",
     "p54_cross_source_dups", "p57_leakage_safe_split",
     "p58_normalize_text", "q78_semi_anti_join",
+    # round-5 additions
+    "p59_pagerank",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

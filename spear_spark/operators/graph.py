@@ -36,23 +36,39 @@ def pagerank(
     damping: float = 0.85,
     iter_decimals: int = 9,
     decimals: int = 6,
+    broadcast_ranks: bool | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
-    """Fixed-iteration PageRank on a directed edge list (dangling nodes
-    keep their base rank; duplicate edges should be de-duplicated by
-    the caller if unweighted semantics are intended).
+    """Fixed-iteration PageRank on a directed edge list.  Dangling
+    nodes keep their base rank.  Edges are de-duplicated (``distinct``
+    on (src, dst)) — unweighted simple-graph semantics; multi-edge/
+    weighted graphs need a weighted variant, not this function.  A
+    caller that can GUARANTEE (src, dst) is already duplicate-free
+    passes ``edges_distinct=True`` to skip the dedup shuffle — at 100 TB
+    the edge distinct is a full-corpus exchange, and upstream builds
+    often get it free (e.g. a symmetrized union of a distinct bipartite
+    pair set is distinct by construction; dedup narrow int keys BEFORE
+    widening to string node ids — measured 3.5× on the p59 build).
+
+    ``broadcast_ranks`` picks the per-iteration join strategy: True
+    broadcasts the rank vector (map-side hash probe, zero edge
+    movement), False shuffles it against the src-partitioned edges
+    (the >5M-node regime where the vector outgrows executor memory),
+    None (default) auto-selects on the node count.  Both paths produce
+    identical rounded vectors — pinned by test_operators.
 
     Returns (node, rank) with rank rounded to ``decimals``.
+    Raises ``ValueError`` on an empty edge list (no graph, no ranks).
     """
     # checkpoint the edge relation FIRST: it feeds nodes, outdeg, and
     # the per-iteration join — without this the caller's edge subtree
     # (often a join + distinct, duplicated under a symmetrize union)
     # re-executes once per consumer (measured 3× on p59's bipartite
     # build: 13s → 4s at bench scale)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -60,13 +76,8 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # one partitioning for the per-iteration join, reused every round
-    ej = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=False)
-
-    # F.round (HALF_UP) matches SQL ROUND on positive values; Python's
-    # round() is banker's and would diverge on exact half boundaries
-    base = (1.0 - damping) / n
+    if n == 0:
+        raise ValueError("pagerank: empty edge list — no nodes to rank")
     # the rank vector is one row per node — tiny next to the edge list
     # (web-scale ratios run 50-100 edges/node).  Broadcasting it turns
     # the per-iteration join into a map-side hash probe with NO edge
@@ -74,7 +85,22 @@ def pagerank(
     # Past ~5M nodes the vector outgrows executor memory — fall back
     # to the shuffle join (edges stay partitioned on src, so only the
     # rank side moves).
-    bcast = n < 5_000_000
+    bcast = n < 5_000_000 if broadcast_ranks is None else broadcast_ranks
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if bcast:
+        # outdeg is ≤ one row per node — same size class as the rank
+        # vector, so it broadcasts under the same threshold; and a
+        # map-side hash probe needs NO co-partitioning, so the
+        # repartition would be a wasted full edge shuffle here
+        ej = e.join(F.broadcast(outdeg), "src").localCheckpoint(eager=False)
+    else:
+        # one src partitioning for the per-iteration shuffle join,
+        # reused every round — only the rank side moves
+        ej = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=False)
+
+    # F.round (HALF_UP) matches SQL ROUND on positive values; Python's
+    # round() is banker's and would diverge on exact half boundaries
+    base = (1.0 - damping) / n
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), iter_decimals).alias("rank")
     )

@@ -1600,3 +1600,31 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-5  # no dangling: mass conserved
     assert all(out["n0"] > out[f"n{i}"] for i in range(1, 6))  # hub dominates
     assert len({out[f"n{i}"] for i in range(1, 6)}) == 1  # spokes symmetric
+
+
+def test_pagerank_shuffle_path_matches_broadcast(spark):
+    # The >5M-node regime runs the shuffle join (broadcast_ranks=False)
+    # — the branch that matters at 100 TB.  Both strategies must yield
+    # identical rounded vectors on an asymmetric graph (chain + hub +
+    # dangling node so contribution paths differ per node).
+    from spear_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 0), (1, 3), (2, 4)]  # 4 -> dangling
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df, "src", "dst", iters=7, broadcast_ranks=True).collect()}
+    s = {r["node"]: r["rank"]
+         for r in pagerank(df, "src", "dst", iters=7, broadcast_ranks=False).collect()}
+    assert b == s and len(b) == 5
+
+
+def test_pagerank_empty_graph_raises(spark):
+    import pytest as _pytest
+
+    from spear_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        pagerank(df, "src", "dst")

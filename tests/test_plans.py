@@ -227,3 +227,22 @@ def test_p57_split_is_shuffle_free(spark, sf_dir):
     plan = executed_plan(OPS["p57_leakage_safe_split"][0](spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
     assert "Aggregate" not in plan
+
+
+def test_p59_pagerank_iterations_never_shuffle_edges(spark, sf_dir):
+    """PageRank (broadcast regime): each of the 5 iterations is a
+    map-side BroadcastHashJoin probe over the checkpointed edge RDD
+    plus ONE keys-sized contribution exchange (two-phase sum).  The
+    edge relation itself must never re-exchange inside the loop — at
+    100 TB the edges are the corpus, the rank vector is the small
+    thing that moves."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p59_pagerank"][0](spark, sf_dir))
+    # 5 contribution exchanges + 1 output range partitioning; any
+    # Exchange of the src/dst edge columns would push this count up
+    assert plan.count("Exchange hashpartitioning") == 5
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 10  # (probe + rebuild) x 5
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_sum") == 5  # map-side combine each round
