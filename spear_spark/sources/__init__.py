@@ -32,6 +32,22 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ntz_as_utc_instant(spark: SparkSession, col_name: str):
+    """TIMESTAMP_NTZ column -> TIMESTAMP whose instant is the NTZ wall
+    clock read as UTC, in ANY session timezone.
+
+    ``to_utc_timestamp`` would first cast NTZ->TIMESTAMP through the
+    SESSION timezone (shifting instants whenever the caller's session
+    isn't UTC — the r4 advisor finding); ``convert_timezone`` is
+    NTZ-native: it reads the wall clock as UTC and emits the
+    session-tz wall clock, so the final cast lands on the identical
+    instant regardless of ``spark.sql.session.timeZone``."""
+    from pyspark.sql import functions as F
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    return F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col(col_name)).cast("timestamp")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md layout).
 
@@ -61,12 +77,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(field.dataType, TimestampNTZType):
             # fallback if the conf above ever stops applying (e.g. a
-            # fixed reader plan): pin the NTZ wall clock to UTC —
-            # session-timezone-independent and epoch-identical to
-            # DuckDB — at the cost of pushdown on this column.
-            df = df.withColumn(
-                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
-            )
+            # fixed reader plan): pin the NTZ wall clock to UTC — at
+            # the cost of pushdown on this column.
+            df = df.withColumn(field.name, ntz_as_utc_instant(spark, field.name))
     return df
 
 
@@ -121,14 +134,29 @@ def compact_files(
 
     The file count derives from the ACTUAL on-disk byte size (via the
     Hadoop FS API, so it works on any FileSystem implementation, not
-    just local), and the rewrite is one ``repartition(n)`` —
-    a single round-robin shuffle, no skew sensitivity, preserving
-    schema and rows exactly.  At scale this runs per-partition-dir so
-    each date/shard compacts independently."""
+    just local; note ``getContentSummary`` counts _SUCCESS/.crc
+    metadata files too — a rounding-up bias of at most one file), and
+    the rewrite is one ``repartition(n)`` — a single round-robin
+    shuffle, no skew sensitivity, preserving schema and rows exactly.
+    At scale this runs per-partition-dir so each date/shard compacts
+    independently.
+
+    ``out_path`` must differ from ``path``: the read is lazy and
+    ``mode('overwrite')`` deletes the target before the job runs, so
+    an in-place compaction would destroy the input.  Compact to a
+    sibling directory and swap (an atomic rename on HDFS/local)."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(hconf)
+    if fs.makeQualified(p).equals(
+        fs.makeQualified(jvm.org.apache.hadoop.fs.Path(out_path))
+    ):
+        raise ValueError(
+            f"compact_files: out_path == path ({path!r}) — the lazy "
+            "overwrite would delete the input before reading it; "
+            "compact to a sibling directory and rename"
+        )
     total = fs.getContentSummary(p).getLength()
     n_files = max(1, -(-int(total) // int(target_file_bytes)))
     df = spark.read.parquet(path)

@@ -183,3 +183,60 @@ def test_compact_files(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == sorted(
         tuple(r) for r in orders.collect()
     )
+
+
+def test_compact_files_refuses_in_place(spark, sf_dir, tmp_path):
+    """out_path == path would lazily overwrite-then-read: the guard
+    must fire BEFORE any delete, leaving the input intact.  Path
+    aliases (trailing slash, file:// scheme) must also be caught —
+    the comparison is on the FS-qualified path."""
+    import glob
+
+    import pytest as _pytest
+
+    from spear_spark.sources import compact_files, load_table as _lt
+
+    small = str(tmp_path / "inplace")
+    _lt(spark, sf_dir, "nation").write.parquet(small)
+    before = sorted(glob.glob(small + "/part-*.parquet"))
+    for alias in (small, small + "/", "file://" + small):
+        with _pytest.raises(ValueError, match="out_path == path"):
+            compact_files(spark, small, alias)
+    assert sorted(glob.glob(small + "/part-*.parquet")) == before
+
+
+def test_ntz_fallback_is_session_timezone_proof(spark, tmp_path):
+    """load_table's NTZ fallback (ntz_as_utc_instant) must yield the
+    same instants whatever spark.sql.session.timeZone is — the
+    driver's session is not ours to configure.  to_utc_timestamp
+    would NOT pass this (it casts NTZ->TIMESTAMP through the session
+    zone first); convert_timezone is NTZ-native."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType
+
+    from spear_spark.sources import ntz_as_utc_instant
+
+    rows = [(dt.datetime(2024, 3, 1, 12, 30, 45),), (dt.datetime(2024, 7, 4, 0, 0, 1),)]
+    schema = StructType([StructField("ts", TimestampNTZType())])
+    path = str(tmp_path / "ntz")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        epochs = {}
+        for tz in ("UTC", "Asia/Shanghai", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            ntz = spark.read.parquet(path)  # NTZ-typed (inference default on)
+            assert ntz.schema["ts"].dataType.typeName() == "timestamp_ntz"
+            fixed = ntz.select(ntz_as_utc_instant(spark, "ts").alias("ts"))
+            assert fixed.schema["ts"].dataType.typeName() == "timestamp"
+            epochs[tz] = sorted(r[0] for r in fixed.select(F.unix_micros("ts")).collect())
+        assert len(set(map(tuple, epochs.values()))) == 1, epochs
+        # wall clock 12:30:45 pinned to a UTC instant
+        assert epochs["UTC"][0] == int(
+            dt.datetime(2024, 3, 1, 12, 30, 45, tzinfo=dt.timezone.utc).timestamp()
+            * 1_000_000
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
