@@ -70,3 +70,39 @@ def has_take_ordered(plan: str) -> bool:
 def whole_stage_codegen_spans(plan: str) -> int:
     """Number of WholeStageCodegen regions — wider/fewer is better."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+
+
+def exchange_record_counts(df: DataFrame, run: bool = True) -> list[int]:
+    """Records that actually crossed each shuffle Exchange in the
+    EXECUTED plan (post-AQE), leaf-to-root order.
+
+    Plan-string checks prove shape ("there is a partial aggregate");
+    this proves effect: a two-phase aggregate over a skewed input must
+    show a keys-sized record count on its exchange, not the input row
+    count.  Walks AdaptiveSparkPlan/QueryStage wrappers because AQE
+    hides materialized stages behind leaf nodes."""
+    if run:
+        df.count()
+
+    def _walk(node):
+        yield node
+        name = node.nodeName()
+        if "QueryStage" in name:
+            yield from _walk(node.plan())
+            return
+        if name == "AdaptiveSparkPlan":
+            yield from _walk(node.executedPlan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from _walk(ch.apply(i))
+
+    counts = []
+    for n in _walk(df._jdf.queryExecution().executedPlan()):
+        if "Exchange" in n.nodeName():
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "recordsRead":
+                    counts.append(int(kv._2().value()))
+    return list(reversed(counts))  # leaf-to-root

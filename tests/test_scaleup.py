@@ -332,3 +332,35 @@ def test_balanced_shards_balance_holds_at_10x(spark, sf_dir):
     mx_item = docs10.agg(F.max("n_chars")).collect()[0][0]
     assert len(totals) == 8
     assert max(totals.values()) - min(totals.values()) <= mx_item
+
+
+def test_cdc_compaction_exchange_stays_keys_sized_under_skew(spark):
+    """Adversarial skew: ONE hot key carrying 1e5 versions among 19
+    cold keys.  The max_by formulation must (a) still produce exactly
+    one winning row per live key with the max-order payload, and
+    (b) collapse map-side so the aggregation exchange carries
+    ~keys x partitions records, NOT the 100k-row change history —
+    the row_number()-window formulation would ship every version of
+    the hot key to one reducer."""
+    from spear_spark.operators.cdc import cdc_latest_state
+    from spear_spark.plans import exchange_record_counts
+
+    n_hot = 100_000
+    hot = spark.range(n_hot).select(
+        F.lit(0).alias("k"), F.col("id").alias("v"), F.col("id").alias("p")
+    )
+    cold = spark.range(1, 20).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"), F.lit(7).alias("p")
+    )
+    changes = hot.unionByName(cold).repartition(32)
+    out = cdc_latest_state(
+        changes, ["k"], ["v"], ["p"], delete_expr=F.col("p") == F.lit(7)
+    )
+    rows = {r["k"]: (r["v"], r["p"]) for r in out.collect()}
+    # cold keys' latest change is a delete (p=7) -> tombstoned away
+    assert rows == {0: (n_hot - 1, n_hot - 1)}
+
+    counts = exchange_record_counts(out, run=False)
+    agg_exchange = counts[-1]  # the groupBy exchange is the last one
+    assert agg_exchange < 20 * 32  # keys x input partitions bound
+    assert agg_exchange < n_hot / 50  # and nowhere near the history
