@@ -27,33 +27,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Entries past 50 are all r01-green and unchanged; their evidence is the
 # CORRECTNESS_r01 row.
 _DRIVER_PRIORITY = [
-    # ---- round 4 window ----
-    # -- RED in CORRECTNESS_r03 (TIMESTAMP_NTZ regression from the
-    #    regenerated testdata; fixed in sources.load_table) — must
+    # ---- round 5 window ----
+    # -- RED in CORRECTNESS_r04 (array outputs broke the driver's
+    #    pandas canonicalizer; now serialized in query AND oracle) —
     #    re-evidence first
+    "p47_kmeans_step", "q73_array_functions", "p55_quantize_embeddings",
+    # -- NEW in round 5 (no driver evidence yet)
+    "q79_event_funnel", "q80_retention_cohorts", "p60_winsorized_stats",
+    "p61_zscore_outliers", "p62_top_ngrams_per_lang", "p63_bpe_pair_counts",
+    "p64_srp_signatures",
+    # -- CHANGED in round 5: p59's edge build was rewritten
+    #    (int-key dedup + edges_distinct) — re-evidence
+    "p59_pagerank",
+    # -- evidence refresh: queries whose latest green row is r01
+    "q26_rollup", "q27_pivot_segments", "q28_word_counts",
+    "q30_right_join", "q31_cross_join", "q32_named_window",
+    # -- evidence refresh: r02-evidence queries, oldest families first
+    "q01_pricing_summary", "q02_filter_topk", "q03_shipping_priority",
+    "q04_theta_join", "q05_self_join_pairs", "q15_top3_per_nation",
+    "q20_scalar_functions", "q23_select_no_from", "q35_complex_types",
+    "q37_string_functions", "q39_cube", "q41_ranking_functions",
+    "q46_rand_sample", "q47_local_relation", "q48_cast_matrix",
+    "q49_udaf_surfaces", "q52_untapped_segments",
+    "p05_ngram_jaccard", "p06_embedding_nn", "p07_cosine_topk",
+    "p08_lang_id", "p09_quality_score", "p10_token_stats",
+    "p11_fingerprint", "p14_embedding_dedup", "p20_batch_topk",
+    "p23_sequence_packing", "p24_stratified_sample", "p25_group_quantiles",
+    "p26_ann_ivf", "p27_tfidf_topterms", "p28_bm25", "p29_lsh_verified_dedup",
+    # ---- round 4 window (kept below for catalog completeness) ----
     "p45_asof_nearest", "p46_interval_overlap",
-    # -- NEW in round 4 (no driver evidence yet)
-    "p47_kmeans_step", "p48_segment_dedup", "p49_token_entropy",
+    "p48_segment_dedup", "p49_token_entropy",
     "p50_length_histogram", "p51_cdc_upsert",
     "q68_lateral_topn", "q69_unpivot", "q70_qualify", "q71_listagg",
-    "q72_recursive_cte", "q73_array_functions", "q74_stats_aggregates",
+    "q72_recursive_cte", "q74_stats_aggregates",
     "p52_corpus_surprisal", "p53_balanced_shards", "q75_datetime_functions",
-    "p54_cross_source_dups", "q76_union_by_name", "p55_quantize_embeddings",
+    "p54_cross_source_dups", "q76_union_by_name",
     "q77_group_by_all", "p56_cluster_balanced_sample", "p57_leakage_safe_split",
-    "q78_semi_anti_join", "p58_normalize_text", "p59_pagerank",
-    # -- events-table queries: the ts read path changed this round
-    #    (NTZ inference off), so every consumer re-evidences even if
-    #    green in r3 under the old type
+    "q78_semi_anti_join", "p58_normalize_text",
     "q16_range_frame", "q17_event_gaps", "q24_hourly_rollup",
     "q25_json_extract", "q29_asof_last_click", "q40_sessionize",
     "q43_multigrain_rollup", "q51_partitioned_range",
     "q53_gapfill_hourly", "p17_range_join", "p33_distinct_sketch",
     "p40_redact_pii",
-    # -- dialect shim changed this round (QUALIFY pass) — re-evidence
-    #    its SQL-entry consumers
     "q50_sql_dialect", "q58_dialect_extensions",
-    # -- evidence refresh: queries whose only driver evidence is
-    #    CORRECTNESS_r01 (green there, unchanged since)
     "q06_forecast_revenue", "q07_customer_orders_left",
     "q08_nation_coverage", "q09_customers_without_orders",
     "q10_union_bag", "q11_intersect_multiset", "q12_except_multiset",

@@ -104,6 +104,14 @@ HEADLINE = [
     "q78_semi_anti_join",
     "p58_normalize_text",
     "p59_pagerank",
+    # round-5 additions (earlier entries unchanged for comparability)
+    "q79_event_funnel",
+    "q80_retention_cohorts",
+    "p60_winsorized_stats",
+    "p61_zscore_outliers",
+    "p62_top_ngrams_per_lang",
+    "p63_bpe_pair_counts",
+    "p64_srp_signatures",
 ]
 
 

@@ -2102,3 +2102,155 @@ def p59_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank(edges, "src", "dst", iters=5, edges_distinct=True).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# p60 — per-source winsorized length stats (operators.stats.
+# winsorized_stats): clamp n_chars to the exact per-source [p05, p95]
+# and report raw vs winsorized means + clamp counts.  R-7 quantile
+# interpolation on both engines (F.percentile / quantile_cont).
+# Scale: one bounds aggregate per group, bounds broadcast back, one
+# data shuffle for the final means.
+# ---------------------------------------------------------------------------
+@q(
+    "p60_winsorized_stats",
+    """
+    WITH b AS (SELECT source,
+                      quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS qlo,
+                      quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS qhi
+               FROM documents GROUP BY source)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(CAST(n_chars AS DOUBLE), qlo), qhi)), 6)
+             AS mean_winsor,
+           CAST(SUM(CASE WHEN CAST(n_chars AS DOUBLE) < qlo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_lo,
+           CAST(SUM(CASE WHEN CAST(n_chars AS DOUBLE) > qhi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_hi,
+           ROUND(MIN(qlo), 6) AS q_lo,
+           ROUND(MIN(qhi), 6) AS q_hi
+    FROM documents d JOIN b USING (source)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def p60_winsorized_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import winsorized_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winsorized_stats(docs, "n_chars", ["source"], 0.05, 0.95).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# p61 — per-language z-score outliers (operators.stats.
+# zscore_outliers): docs ≥ 2 sample standard deviations from their
+# language's mean length.  Stats broadcast back — detection is a
+# map-side probe, no second shuffle.
+# ---------------------------------------------------------------------------
+@q(
+    "p61_zscore_outliers",
+    """
+    WITH s AS (SELECT lang, AVG(CAST(n_chars AS DOUBLE)) AS mu,
+                      stddev_samp(CAST(n_chars AS DOUBLE)) AS sd
+               FROM documents GROUP BY lang)
+    SELECT d.lang, doc_id, n_chars,
+           ROUND((CAST(n_chars AS DOUBLE) - mu) / sd, 6) AS zscore
+    FROM documents d JOIN s USING (lang)
+    WHERE sd IS NOT NULL AND sd > 0
+      AND abs(ROUND((CAST(n_chars AS DOUBLE) - mu) / sd, 6)) >= 2.0
+    ORDER BY doc_id
+    """,
+)
+def p61_zscore_outliers(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import zscore_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zscore_outliers(docs, "n_chars", ["lang"], "doc_id", 2.0).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p62 — top word-bigrams per language (operators.text.
+# top_ngrams_per_group): the vocabulary-drift probe.  Expansion is a
+# projection; the top-k window runs over AGGREGATED (lang, ngram)
+# counts, never raw rows.
+# ---------------------------------------------------------------------------
+@q(
+    "p62_top_ngrams_per_lang",
+    rf"""
+    WITH toks AS (SELECT lang, {_TOKS} AS t FROM documents),
+    g AS (SELECT lang, unnest([t[i] || ' ' || t[i+1]
+                               for i in generate_series(1, len(t) - 1)]) AS ngram
+          FROM toks),
+    c AS (SELECT lang, ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM g WHERE length(ngram) > 0 GROUP BY lang, ngram)
+    SELECT lang, CAST(rk AS INTEGER) AS rk, ngram, cnt FROM (
+      SELECT lang, ngram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram) AS rk
+      FROM c) t
+    WHERE rk <= 5 ORDER BY lang, rk
+    """,
+)
+def p62_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_ngrams_per_group(docs, "text", "lang", n=2, k=5).orderBy("lang", "rk")
+
+
+# ---------------------------------------------------------------------------
+# p63 — BPE merge-candidate scan (operators.text.bpe_pair_counts):
+# corpus-wide adjacent character-pair counts inside BPE-ish pre-tokens
+# — iterate scan + argmax-merge and you have BPE vocabulary training.
+# The aggregate key domain is alphabet², independent of corpus size.
+# ---------------------------------------------------------------------------
+@q(
+    "p63_bpe_pair_counts",
+    rf"""
+    WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                                '{text.BPE_PATTERN}', 0)) AS t FROM documents),
+    p AS (SELECT unnest([substring(t, i, 2)
+                         for i in generate_series(1, length(t) - 1)]) AS pair
+          FROM toks WHERE length(t) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def p63_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, "text", top=20)
+
+
+# ---------------------------------------------------------------------------
+# p64 — integer-exact SRP signatures (operators.similarity.
+# srp_signature_exact): cosine-LSH bits from ±1 md5-derived
+# hyperplanes over micro-unit-quantized vectors — int64 sums, so the
+# sign test is bit-identical across engines and partitionings (the
+# float-plane lsh_bucket can't be oracle-paired; this can).  The
+# oracle regenerates the identical coefficients from the same md5
+# recipe via srp_coeffs, embedded as a VALUES table.
+# ---------------------------------------------------------------------------
+def _srp_oracle(n_bits: int = 12, dim: int = 64, seed: int = 7) -> str:
+    coeffs = similarity.srp_coeffs(n_bits, dim, seed)
+    values = ", ".join(
+        f"({b}, {d + 1}, {coeffs[b][d]})" for b in range(n_bits) for d in range(dim)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                        CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+                        AS qv
+               FROM embeddings),
+    d AS (SELECT vec_id, i, qv[i] AS qd FROM q CROSS JOIN range(1, {dim + 1}) r(i)),
+    c(b, i, cf) AS (VALUES {values}),
+    dots AS (SELECT vec_id, b, SUM(qd * cf) AS dot
+             FROM d JOIN c USING (i) GROUP BY vec_id, b)
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS sig
+    FROM dots GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@q("p64_srp_signatures", _srp_oracle())
+def p64_srp_signatures(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_signature_exact(
+        emb, "embedding", "vec_id", dim=64, n_bits=12
+    ).orderBy("vec_id")

@@ -579,3 +579,73 @@ def first_k_centroids(
     queries and their generated oracles."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     return [list(map(float, r[vec_col])) for r in rows]
+
+
+def srp_coeffs(n_bits: int, dim: int, seed: int = 7) -> list[list[int]]:
+    """±1 hyperplane coefficients for signed-random-projection LSH,
+    derived from md5 so any engine can regenerate them (same recipe as
+    ``dedup.minhash_perms``: the constants are the spec, not state)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}_{b}_{d}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for d in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def srp_signature_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_bits: int = 12,
+    seed: int = 7,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cosine-LSH bit signature with EXACT cross-engine determinism:
+    vectors are quantized to integer micro-units (``floor(x·scale +
+    0.5)``) so each hyperplane test is a ±1-weighted int64 sum — no
+    floating-point association order anywhere, hence no sign flips
+    near the plane no matter how partitions reorder the math.  This is
+    the write-time companion to :func:`lsh_bucket` (float planes, fast
+    but only reproducible within one engine): signatures stored as a
+    partition key must mean the same thing when a different system
+    recomputes them.
+
+    Hamming-close signatures ⇒ small angle (Goemans-Williamson:
+    P[bit differs] = θ/π per plane), so banding these bits is the
+    standard cosine near-dup blocking at corpus scale.
+
+    Scale shape: pure projection — no shuffle, no Python; n_bits
+    sequential int folds per row over the staged quantized array.
+    Implementation note (measured on the p64 catalog data): an
+    unrolled ``±qv[d]`` add-chain variant (768 GetArrayItem nodes)
+    costs ~2.5s of CATALYST ANALYSIS per query build — planning, not
+    execution — while the compact zip_with/aggregate fold plans in
+    <0.3s and executes comparably despite being interpreted; per-row
+    work is 12 × dim fused multiply-adds either way, so the small plan
+    tree wins at every scale that rebuilds the query."""
+    coeffs = srp_coeffs(n_bits, dim, seed)
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    staged = df.select(F.col(id_col), qvec.alias("_qv"))
+    qv = F.col("_qv")
+    sig = F.lit(0)
+    for b in range(n_bits):
+        carr = F.array(*[F.lit(c) for c in coeffs[b]])
+        dot = F.aggregate(
+            F.zip_with(qv, carr, lambda x, c: x * c.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(2**b)).otherwise(F.lit(0))
+    return staged.select(F.col(id_col), sig.cast("int").alias("sig"))

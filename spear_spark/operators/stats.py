@@ -125,3 +125,85 @@ def fixed_width_histogram(
             ).alias("cum_share"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group winsorization audit: clamp ``value_col`` to the
+    group's exact [lo, hi] quantiles and report mean before/after plus
+    the clamp counts — the outlier-robust normalization pass quality
+    filters run before thresholding heavy-tailed signals (doc length,
+    perplexity) whose raw means a handful of giants dominate.
+
+    The reference has no quantile operator (SURVEY §2.7 extension);
+    quantile semantics are the R-7 interpolation both ``F.percentile``
+    and DuckDB's ``quantile_cont`` implement.
+
+    Scale shape: one two-phase aggregate per group for the bounds
+    (exact percentile is per-group single-task — fine for bounded
+    group domains like source/lang; use group_quantiles_approx
+    upstream for unbounded ones), then the bounds table (one row per
+    group) broadcasts back for the clamp — the data itself shuffles
+    ONCE for the final per-group means.  Means are rounded: the
+    clamped sum is an unordered double reduction."""
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit(float(lo))).alias("_qlo"),
+        F.percentile(F.col(value_col), F.lit(float(hi))).alias("_qhi"),
+    )
+    v = F.col(value_col).cast("double")
+    clamped = F.least(F.greatest(v, F.col("_qlo")), F.col("_qhi"))
+    return (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(v), decimals).alias("mean_raw"),
+            F.round(F.avg(clamped), decimals).alias("mean_winsor"),
+            F.sum((v < F.col("_qlo")).cast("long")).alias("n_clamped_lo"),
+            F.sum((v > F.col("_qhi")).cast("long")).alias("n_clamped_hi"),
+            F.round(F.min("_qlo"), decimals).alias("q_lo"),
+            F.round(F.min("_qhi"), decimals).alias("q_hi"),
+        )
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    threshold: float = 2.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates ≥ ``threshold`` sample
+    standard deviations from their group mean — the per-stratum
+    anomaly flag (absurdly long/short docs per language, price
+    outliers per segment).
+
+    Scale shape: the (mean, stddev) pairs are ONE two-phase aggregate
+    over the group key; the one-row-per-group stats table broadcasts
+    back, so the detection pass is a map-side probe + filter with no
+    second data shuffle.  Groups with zero variance (or a single row)
+    emit no outliers rather than dividing by zero."""
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(F.col(value_col).cast("double")).alias("_mu"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("_sd"),
+    )
+    z = (F.col(value_col).cast("double") - F.col("_mu")) / F.col("_sd")
+    return (
+        df.join(F.broadcast(stats), list(group_cols))
+        .filter(F.col("_sd").isNotNull() & (F.col("_sd") > 0))
+        .select(
+            *group_cols,
+            F.col(id_col),
+            F.col(value_col),
+            F.round(z, decimals).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= F.lit(float(threshold)))
+    )

@@ -406,3 +406,85 @@ def normalize_text(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     stripped = F.regexp_replace(F.lower(c), "[^a-z0-9\t\n\f\r ]", "")
     return F.trim(F.regexp_replace(stripped, "[\t\n\f\r ]+", " "))
+
+
+def top_ngrams_per_group(
+    df,
+    text_col: str,
+    group_col: str,
+    n: int = 2,
+    k: int = 5,
+):
+    """Top-``k`` word n-grams per group by corpus frequency (ties
+    broken lexicographically) — the vocabulary-drift probe run per
+    language/source when curating a mix: a shifted top-bigram list is
+    the cheapest signal a source changed character.
+
+    Scale shape: n-gram expansion is a pure projection (adjacent-slice
+    transform + one explode); counting is a two-phase aggregate on
+    (group, ngram); the top-k is a window over the AGGREGATED counts
+    partitioned by group — state k per group, never the raw corpus.
+    No driver collection, no cross-group interaction."""
+    from pyspark.sql.window import Window as W
+
+    # materialize the token array BEFORE the n-gram transform:
+    # interpreted HOF lambdas get no common-subexpression elimination,
+    # so referencing tokens() inside the lambda re-splits the whole
+    # text per element_at — O(tokens²) per doc (measured 5× on the
+    # p62 catalog query; same `let_` discipline as quantize_embeddings)
+    toks = F.col("_toks")
+    staged = df.select(F.col(group_col), tokens(F.col(text_col)).alias("_toks"))
+    # guard: Spark's sequence(1, stop) REVERSES when stop < 1 (a doc
+    # with < n tokens would index element_at(0) — an ANSI error)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        staged.select(F.col(group_col), F.explode(grams).alias("ngram"))
+        .filter(F.length("ngram") > 0)
+        .groupBy(group_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy(group_col).orderBy(F.desc("cnt"), F.col("ngram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, F.col("rk").cast("int").alias("rk"), "ngram", "cnt")
+    )
+
+
+def bpe_pair_counts(df, text_col: str, top: int = 20):
+    """One BPE merge-candidate scan: corpus-wide counts of adjacent
+    character pairs inside BPE-ish pre-tokens (letter runs / digit
+    runs / punctuation — ``BPE_PATTERN``), returning the ``top`` pairs
+    by (count desc, pair asc).  Iterating this scan + merging the
+    argmax pair IS byte-pair-encoding vocabulary construction; one
+    step is the operator because each iteration is a fresh corpus
+    aggregate (the merge rewrites the token stream between steps).
+
+    Scale shape: token and pair expansion are projections (regexp
+    extract + adjacent-substring transform + explode); the count is a
+    two-phase aggregate whose key domain is bounded by the alphabet
+    squared (~1-10k pairs, NOT corpus-sized), so the exchange is tiny
+    regardless of input; the global top-k plans as per-partition heaps
+    (TakeOrderedAndProject)."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{BPE_PATTERN}', 0)"
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("_tok")) - F.lit(1)),
+        lambda i: F.col("_tok").substr(i, F.lit(2)),
+    )
+    return (
+        df.select(F.explode(toks).alias("_tok"))
+        .filter(F.length("_tok") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("pair"))
+        .limit(top)
+    )

@@ -2951,3 +2951,125 @@ def q78_semi_anti_join(spark: SparkSession, sf_dir: str) -> SDF:
         ORDER BY nationkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — ordered event funnel (view → click-after-view →
+# purchase-after-click per user): the sequential-pattern aggregation
+# the reference's window operator family implies but never composes
+# (WindowSpec tests stop at single frames, Window.scala:11-56).
+# Stage timestamps are nested filtered-min windows — stage k's cutoff
+# is stage k-1's result — then one per-user collapse and a global
+# conditional count.  Scale: ALL three windows share one user_id
+# hash partitioning (a single exchange, windows pipeline on top), the
+# per-user collapse rides the same partitioning, and the final
+# aggregate is a 3-counter map-side reduction.  No joins at all.
+# ---------------------------------------------------------------------------
+_Q79_SQL = """
+    WITH e1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events),
+    e2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM e1),
+    e3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_buy
+      FROM e2),
+    pu AS (SELECT user_id, MAX(t_view) AS tv, MAX(t_click) AS tc, MAX(t_buy) AS tb
+           FROM e3 GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(tv) AS BIGINT) AS n_view,
+           CAST(COUNT(tc) AS BIGINT) AS n_click_after_view,
+           CAST(COUNT(tb) AS BIGINT) AS n_purchase_after_click,
+           ROUND(CAST(COUNT(tb) AS DOUBLE) / COUNT(tv), 6) AS full_conversion
+    FROM pu
+"""
+
+
+@q("q79_event_funnel", _Q79_SQL)
+def q79_event_funnel(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id")
+    t = F.col("event_type")
+    e1 = ev.withColumn(
+        "t_view", F.min(F.when(t == "view", F.col("ts"))).over(w)
+    )
+    e2 = e1.withColumn(
+        "t_click",
+        F.min(
+            F.when((t == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(w),
+    )
+    e3 = e2.withColumn(
+        "t_buy",
+        F.min(
+            F.when((t == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))
+        ).over(w),
+    )
+    pu = e3.groupBy("user_id").agg(
+        F.max("t_view").alias("tv"),
+        F.max("t_click").alias("tc"),
+        F.max("t_buy").alias("tb"),
+    )
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click_after_view"),
+        F.count("tb").alias("n_purchase_after_click"),
+        F.round(
+            F.count("tb").cast("double") / F.count("tv"), 6
+        ).alias("full_conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — weekly retention cohorts: users grouped by the ISO week of
+# their first event, counted per activity-week offset — the
+# engagement-decay triangle every event warehouse serves.  Both
+# engines truncate weeks to Monday, so offsets are exact day-diff/7
+# integers.  Scale: first-event is a two-phase min per user; the
+# distinct (user, week) activity set is one exchange; the cohort join
+# keys on user_id (shuffle join — the user dim is NOT broadcastable
+# at 100 TB) and the final count is two-phase on a (cohort, offset)
+# key domain bounded by weeks², independent of user count.
+# ---------------------------------------------------------------------------
+_Q80_SQL = """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) // 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act JOIN firsts USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+"""
+
+
+@q("q80_retention_cohorts", _Q80_SQL)
+def q80_retention_cohorts(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1628,3 +1628,75 @@ def test_pagerank_empty_graph_raises(spark):
     df = spark.createDataFrame([], "src string, dst string")
     with _pytest.raises(ValueError, match="empty edge list"):
         pagerank(df, "src", "dst")
+
+
+def test_winsorized_stats_clamps_known_quantiles(spark):
+    from spear_spark.operators.stats import winsorized_stats
+
+    # group 'a': 1..9 plus a 1000 outlier; p05/p95 of [1..9,1000]
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorized_stats(df, "v", ["g"], 0.05, 0.95).collect()[0]
+    # R-7: p95 of 10 sorted values = x[8] + 0.55*(x[9]-x[8])
+    assert out["q_hi"] == round(9 + 0.55 * (1000 - 9), 6)
+    assert out["n_clamped_hi"] == 1 and out["n_clamped_lo"] == 1
+    assert out["mean_raw"] > out["mean_winsor"]  # outlier pulled in
+    assert out["n_rows"] == 10
+
+
+def test_zscore_outliers_flags_and_skips_zero_variance(spark):
+    from spear_spark.operators.stats import zscore_outliers
+
+    rows = [("a", i, 10.0) for i in range(8)] + [("a", 8, 100.0)] \
+        + [("b", 9, 5.0), ("b", 10, 5.0)]  # zero-variance group
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = zscore_outliers(df, "v", ["g"], "id", threshold=2.0).collect()
+    assert [r["id"] for r in out] == [8]  # only the spike; 'b' silent
+    assert out[0]["zscore"] > 2.0
+
+
+def test_top_ngrams_handles_short_docs_and_ties(spark):
+    from spear_spark.operators.text import top_ngrams_per_group
+
+    df = spark.createDataFrame(
+        [("en", "b c"), ("en", "b c"), ("en", "a b"), ("en", "a b"), ("en", "x")],
+        "lang string, text string",
+    )
+    out = top_ngrams_per_group(df, "text", "lang", n=2, k=2).collect()
+    # tie (2 vs 2) broken lexicographically; single-token doc ignored
+    assert [(r["rk"], r["ngram"], r["cnt"]) for r in out] == [(1, "a b", 2), (2, "b c", 2)]
+
+
+def test_bpe_pair_counts_counts_adjacent_pairs(spark):
+    from spear_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([("aaab ab, x",)], "text string")
+    # tokens: 'aaab' -> aa,aa,ab; 'ab' -> ab; ',' len1 skipped; 'x' skipped
+    out = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df, "text").collect()}
+    assert out == {"aa": 2, "ab": 2}
+
+
+def test_srp_signature_partitioning_invariant(spark):
+    from spear_spark.operators.similarity import srp_coeffs, srp_signature_exact
+
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["sig"] for r in
+         srp_signature_exact(df, "embedding", "vec_id", dim=8, n_bits=6).collect()}
+    b = {r["vec_id"]: r["sig"] for r in
+         srp_signature_exact(df.repartition(13), "embedding", "vec_id",
+                             dim=8, n_bits=6).collect()}
+    assert a == b  # int math: no partition-order sign flips
+    # cross-check one signature against a direct Python evaluation
+    coeffs = srp_coeffs(6, 8, seed=7)
+    import math
+    q = [math.floor(x * 1_000_000 + 0.5) for x in rows[0][1]]
+    want = sum(
+        (1 << bi) for bi, cs in enumerate(coeffs)
+        if sum(c * v for c, v in zip(cs, q)) >= 0
+    )
+    assert a[0] == want
+    assert all(0 <= s < 64 for s in a.values())

@@ -246,3 +246,26 @@ def test_p59_pagerank_iterations_never_shuffle_edges(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 10  # (probe + rebuild) x 5
     assert "SortMergeJoin" not in plan
     assert plan.count("partial_sum") == 5  # map-side combine each round
+
+
+def test_p60_winsorize_broadcasts_bounds(spark, sf_dir):
+    """The per-group quantile bounds (one row per source) must come
+    back as a broadcast, so the clamp pass adds no extra data
+    shuffle."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p60_winsorized_stats"][0](spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_p63_bpe_pairs_bounded_domain_topk(spark, sf_dir):
+    """Pair counting must collapse map-side (alphabet²-bounded key
+    domain) and the global top-20 must plan as per-partition heaps,
+    not a full sort."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p63_bpe_pair_counts"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert has_take_ordered(plan)
+    assert "Join" not in plan

