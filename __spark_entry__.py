@@ -36,6 +36,9 @@ _DRIVER_PRIORITY = [
     "q79_event_funnel", "q80_retention_cohorts", "p60_winsorized_stats",
     "p61_zscore_outliers", "p62_top_ngrams_per_lang", "p63_bpe_pair_counts",
     "p64_srp_signatures",
+    # -- NEW in round 5, second batch
+    "p65_mix_reweight", "p66_quality_funnel", "p67_centroid_shift",
+    "q81_interval_range_frame",
     # -- CHANGED in round 5: p59's edge build was rewritten
     #    (int-key dedup + edges_distinct) — re-evidence
     "p59_pagerank",
@@ -53,6 +56,8 @@ _DRIVER_PRIORITY = [
     "p08_lang_id", "p09_quality_score", "p10_token_stats",
     "p11_fingerprint", "p14_embedding_dedup", "p20_batch_topk",
     "p23_sequence_packing", "p24_stratified_sample", "p25_group_quantiles",
+    # (p26–p29 slipped just below the 50-slot fold to make room for the
+    # second round-5 batch — rotate them in next round)
     "p26_ann_ivf", "p27_tfidf_topterms", "p28_bm25", "p29_lsh_verified_dedup",
     # ---- round 4 window (kept below for catalog completeness) ----
     "p45_asof_nearest", "p46_interval_overlap",

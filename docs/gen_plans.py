@@ -27,7 +27,10 @@ PICKS = [
     "p54_cross_source_dups", "p57_leakage_safe_split",
     "p58_normalize_text", "q78_semi_anti_join",
     # round-5 additions
-    "p59_pagerank",
+    "p59_pagerank", "q79_event_funnel", "q80_retention_cohorts",
+    "p60_winsorized_stats", "p62_top_ngrams_per_lang",
+    "p63_bpe_pair_counts", "p64_srp_signatures", "p65_mix_reweight",
+    "p66_quality_funnel", "p67_centroid_shift", "q81_interval_range_frame",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

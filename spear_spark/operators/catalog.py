@@ -2254,3 +2254,132 @@ def p64_srp_signatures(spark: SparkSession, sf_dir: str) -> SDF:
     return similarity.srp_signature_exact(
         emb, "embedding", "vec_id", dim=64, n_bits=12
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# p65 — explicit-target mix reweighting (operators.sampling.
+# mix_reweight): per-source keep rates hitting a uniform 5% target
+# with the largest achievable corpus (binding source keeps 100%).
+# One two-phase source count; the normalizer is an order-free MAX,
+# not a sum — cross-engine exact.
+# ---------------------------------------------------------------------------
+_P65_TARGETS = {f"src{i}": 0.05 for i in range(20)}  # src0..src19
+
+
+@q(
+    "p65_mix_reweight",
+    """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                      CAST(0.05 AS DOUBLE) AS tgt
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+                 MAX(CASE WHEN tgt > 0 THEN tgt / CAST(n_rows AS DOUBLE) END) AS mr
+          FROM c)
+    SELECT source, n_rows,
+           ROUND(n_rows / CAST(n_total AS DOUBLE), 6) AS actual_share,
+           ROUND(tgt, 6) AS target_share,
+           ROUND(CASE WHEN tgt > 0
+                      THEN (tgt / CAST(n_rows AS DOUBLE)) / mr ELSE 0.0 END, 6)
+             AS keep_rate,
+           CAST(floor((CASE WHEN tgt > 0
+                            THEN (tgt / CAST(n_rows AS DOUBLE)) / mr
+                            ELSE 0.0 END) * CAST(n_rows AS DOUBLE)) AS BIGINT)
+             AS expected_rows
+    FROM c CROSS JOIN t ORDER BY source
+    """,
+)
+def p65_mix_reweight(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import mix_reweight
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_reweight(docs, "source", _P65_TARGETS).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# p66 — quality-filter funnel (operators.text.quality_funnel): doc
+# counts surviving each successive curation gate (non-empty →
+# token-range → quality → PII-free), with share of the original
+# corpus.  One projection pass + a 4-counter aggregate; the report is
+# assembled from literals, never from data rows.
+# ---------------------------------------------------------------------------
+_P66_QUAL = rf"""ROUND(0.3 * LEAST(CAST(greatest(len(t), 1) AS DOUBLE) / 100.0, 1.0)
+      + 0.4 * (CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE)
+               / CAST(greatest(len(t), 1) AS DOUBLE))
+      + 0.3 * LEAST((CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE)) / 8.0, 1.0), 6)"""
+
+_P66_PII = r"""(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      + len(regexp_extract_all(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]+')))"""
+
+_P66_NORM = r"""trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9\t\n\f\r ]', '', 'g'), '[\t\n\f\r ]+', ' ', 'g'))"""
+
+
+@q(
+    "p66_quality_funnel",
+    rf"""
+    WITH f AS (SELECT (length({_P66_NORM}) > 0) AS s1,
+                      len({_TOKS}) AS ntok,
+                      {_TOKS} AS t,
+                      text
+               FROM documents),
+    f2 AS (SELECT s1, (s1 AND ntok BETWEEN 10 AND 5000) AS s2,
+                  {_P66_QUAL} AS qual, {_P66_PII} AS npii
+           FROM f),
+    f3 AS (SELECT s1, s2, (s2 AND qual >= 0.35) AS s3,
+                  (s2 AND qual >= 0.35 AND npii = 0) AS s4 FROM f2),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                 CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+          FROM f3)
+    SELECT stage, gate, n_pass, ROUND(n_pass / CAST(n0 AS DOUBLE), 6)
+             AS share_of_input
+    FROM (SELECT 0 AS stage, 'input' AS gate, n0 AS n_pass, n0 FROM g
+          UNION ALL SELECT 1, 'non_empty', n1, n0 FROM g
+          UNION ALL SELECT 2, 'token_range', n2, n0 FROM g
+          UNION ALL SELECT 3, 'quality_min', n3, n0 FROM g
+          UNION ALL SELECT 4, 'pii_free', n4, n0 FROM g) s
+    ORDER BY stage
+    """,
+)
+def p66_quality_funnel(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_funnel(docs, "text", 10, 5000, 0.35)
+
+
+# ---------------------------------------------------------------------------
+# p67 — per-label embedding centroid drift (operators.similarity.
+# centroid_shift): L2 distance between each label's centroid on the
+# even-id vs odd-id corpus halves — the drift monitor run before
+# trusting an ANN index refresh.  One (label, dim) two-phase
+# aggregate computes both split means via conditional AVG.
+# ---------------------------------------------------------------------------
+@q(
+    "p67_centroid_shift",
+    """
+    WITH d AS (SELECT label, (vec_id % 2 = 1) AS b, r.i,
+                      CAST(embedding[r.i] AS DOUBLE) AS x
+               FROM embeddings CROSS JOIN range(1, 65) r(i)),
+    m AS (SELECT label, i,
+                 ROUND(AVG(CASE WHEN NOT b THEN x END), 9) AS ma,
+                 ROUND(AVG(CASE WHEN b THEN x END), 9) AS mb,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          FROM d GROUP BY label, i)
+    SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+           ROUND(sqrt(SUM(ROUND((ma - mb) * (ma - mb), 9))), 6) AS l2_shift
+    FROM m GROUP BY label
+    HAVING MAX(na) > 0 AND MAX(nb) > 0
+    ORDER BY label
+    """,
+)
+def p67_centroid_shift(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_shift(
+        emb, "embedding", "label", F.col("vec_id") % 2 == 1
+    ).orderBy("label")

@@ -203,3 +203,67 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def mix_reweight(
+    df: DataFrame,
+    source_col: str,
+    targets: Mapping[str, float],
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-source keep rates that hit an EXPLICIT target mix with the
+    largest achievable corpus: ``rate_s = (target_s / actual_s) /
+    max_s'(target_s' / actual_s')`` — the binding source keeps 100% and
+    everything else downsamples proportionally.  The planning half of
+    mix curation (:func:`temperature_mix` is the implicit-α variant);
+    feed the rates into a ``rand_like(key) < rate`` filter to execute.
+
+    Returns one row per source: ``n_rows, actual_share, target_share,
+    keep_rate, expected_rows``.
+
+    Determinism: counts are exact int64; each rate is a short IEEE
+    division chain of exact operands; the normalizing max is
+    order-free (unlike a normalizing SUM, which is why the closed form
+    divides by the max ratio rather than renormalizing shares).
+    Sources absent from ``targets`` get target share 0 → rate 0.
+
+    Scale: ONE two-phase count on the source key (|sources| rows);
+    everything after is arithmetic on that tiny table — at 100 TB the
+    planning query costs one column-pruned scan."""
+    tgt = F.coalesce(
+        *[
+            F.when(F.col(source_col) == F.lit(s), F.lit(float(w)))
+            for s, w in sorted(targets.items())
+        ],
+        F.lit(0.0),
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("_tgt", tgt)
+    )
+    total = counts.agg(
+        F.sum("n_rows").alias("_n_total"),
+        F.max(
+            F.when(
+                F.col("_tgt") > 0,
+                F.col("_tgt") / F.col("n_rows").cast("double"),
+            )
+        ).alias("_max_ratio"),
+    )
+    rate = F.when(
+        F.col("_tgt") > 0,
+        (F.col("_tgt") / F.col("n_rows").cast("double")) / F.col("_max_ratio"),
+    ).otherwise(F.lit(0.0))
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col(source_col),
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_n_total").cast("double"), decimals).alias(
+            "actual_share"
+        ),
+        F.round(F.col("_tgt"), decimals).alias("target_share"),
+        F.round(rate, decimals).alias("keep_rate"),
+        F.floor(rate * F.col("n_rows").cast("double")).cast("long").alias(
+            "expected_rows"
+        ),
+    )

@@ -649,3 +649,46 @@ def srp_signature_exact(
         )
         sig = sig + F.when(dot >= 0, F.lit(2**b)).otherwise(F.lit(0))
     return staged.select(F.col(id_col), sig.cast("int").alias("sig"))
+
+
+def centroid_shift(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    split_col,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label embedding drift between two corpus halves: the L2
+    distance between each label's centroid computed on split A vs
+    split B (``split_col`` boolean: False = A, True = B), plus both
+    counts — the monitor that catches a feature-extraction change or
+    upstream distribution shift BEFORE it poisons an ANN index or a
+    balanced sample.
+
+    Scale shape: ONE two-phase aggregate on (label, dim) computes both
+    split means via conditional AVG over a posexplode — the exchange
+    carries 2×dims partials per label, never vectors; the distance is
+    a dims-sized per-label fold.  Per-dim means round to 9 before the
+    squared-difference sum (unordered across dims), final distance to
+    ``decimals`` — the q74/p47 exactness discipline."""
+    d = df.select(
+        F.col(label_col).alias("label"),
+        split_col.cast("boolean").alias("_b"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    dim_means = d.groupBy("label", "dim").agg(
+        F.round(F.avg(F.when(~F.col("_b"), F.col("x").cast("double"))), 9).alias("ma"),
+        F.round(F.avg(F.when(F.col("_b"), F.col("x").cast("double"))), 9).alias("mb"),
+        F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_nb"),
+    )
+    term = F.round((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 9)
+    return (
+        dim_means.groupBy("label")
+        .agg(
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+            F.round(F.sqrt(F.sum(term)), decimals).alias("l2_shift"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )

@@ -488,3 +488,63 @@ def bpe_pair_counts(df, text_col: str, top: int = 20):
         .orderBy(F.desc("cnt"), F.col("pair"))
         .limit(top)
     )
+
+
+def quality_funnel(
+    df,
+    text_col: str,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_quality: float = 0.35,
+):
+    """Filter-funnel attrition report: how many docs survive each
+    successive quality gate — (1) non-empty after normalization,
+    (2) token count in [min_tokens, max_tokens], (3) composite
+    quality ≥ min_quality, (4) zero PII matches — with per-stage pass
+    counts and the share of the ORIGINAL corpus remaining.  The
+    observability query every curation pipeline runs before committing
+    thresholds: a stage that suddenly drops 40% is a bug or a drift,
+    and you want to know WHICH stage.
+
+    Scale shape: all four predicates are pure Columns computed in ONE
+    projection pass (no joins, no shuffle of the data); the cumulative
+    AND collapses to four counters via map-side partial aggregation,
+    and the 4-row report is assembled from the single aggregate row
+    with a literal explode — driver never sees data, only counters."""
+    t = F.col(text_col)
+    s1 = F.length(normalize_text(t)) > 0
+    ntok = token_count(t)
+    s2 = s1 & ntok.between(min_tokens, max_tokens)
+    s3 = s2 & (quality_score(t) >= F.lit(float(min_quality)))
+    s4 = s3 & (pii_match_count(t) == 0)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+        F.sum(s4.cast("long")).alias("n4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("gate"),
+                F.col(f"n{i}").alias("n_pass"),
+            )
+            for i, name in enumerate(
+                ["input", "non_empty", "token_range", "quality_min", "pii_free"]
+            )
+        ]
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"), F.col("n0"))
+        .select(
+            F.col("s.stage").cast("int").alias("stage"),
+            F.col("s.gate").alias("gate"),
+            F.col("s.n_pass").alias("n_pass"),
+            F.round(F.col("s.n_pass") / F.col("n0").cast("double"), 6).alias(
+                "share_of_input"
+            ),
+        )
+        .orderBy("stage")
+    )

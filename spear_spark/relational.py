@@ -3073,3 +3073,27 @@ def q80_retention_cohorts(spark: SparkSession, sf_dir: str) -> SDF:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — time-interval RANGE frame: rolling 1-hour event count per user
+# (RANGE BETWEEN INTERVAL ... PRECEDING over a timestamp ORDER BY) —
+# the frame variant q16/q51 leave uncovered (numeric RANGE offsets).
+# Both engines express it natively in SQL; ties on ts share a frame by
+# RANGE semantics, so the result is order-deterministic.  Scale: one
+# hash partition per user carries the window; frame state is bounded
+# by events-per-hour, not history.
+# ---------------------------------------------------------------------------
+_Q81_FRAME = """
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last_hour
+    FROM events ORDER BY user_id, ts, event_id
+"""
+
+
+@q("q81_interval_range_frame", _Q81_FRAME)
+def q81_interval_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_Q81_FRAME)

@@ -1700,3 +1700,60 @@ def test_srp_signature_partitioning_invariant(spark):
     )
     assert a[0] == want
     assert all(0 <= s < 64 for s in a.values())
+
+
+def test_mix_reweight_binding_source_keeps_all(spark):
+    from spear_spark.operators.sampling import mix_reweight
+
+    # a:60 b:30 c:10 rows; uniform target -> c binds (rate 1.0),
+    # a keeps 1/6, b keeps 1/3; 'd' absent from data, 'c' in data
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "src string")
+    out = {r["src"]: r for r in
+           mix_reweight(df, "src", {"a": 1/3, "b": 1/3, "c": 1/3}).collect()}
+    assert out["c"]["keep_rate"] == 1.0 and out["c"]["expected_rows"] == 10
+    assert abs(out["a"]["keep_rate"] - 1/6) < 1e-6
+    assert abs(out["b"]["keep_rate"] - 1/3) < 1e-6
+    assert out["a"]["expected_rows"] == 10  # 60 * 1/6
+    # a source with zero target keeps nothing
+    out2 = {r["src"]: r for r in
+            mix_reweight(df, "src", {"a": 0.5, "b": 0.5}).collect()}
+    assert out2["c"]["keep_rate"] == 0.0 and out2["c"]["expected_rows"] == 0
+
+
+def test_quality_funnel_is_monotone_and_counts_input(spark, sf_dir):
+    from spear_spark.operators.text import quality_funnel
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = quality_funnel(docs, "text").collect()
+    assert [r["stage"] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0]["n_pass"] == docs.count()
+    passes = [r["n_pass"] for r in rows]
+    assert all(a >= b for a, b in zip(passes, passes[1:]))  # gates only remove
+    assert rows[0]["share_of_input"] == 1.0
+
+
+def test_centroid_shift_zero_for_identical_halves(spark):
+    from spear_spark.operators.similarity import centroid_shift
+    from pyspark.sql import functions as F
+
+    import random
+
+    rnd = random.Random(11)
+    vecs = [[rnd.uniform(-1, 1) for _ in range(4)] for _ in range(6)]
+    # even/odd ids carry IDENTICAL vector sets -> zero shift per label
+    rows = [(2 * i, 1, v) for i, v in enumerate(vecs)] + [
+        (2 * i + 1, 1, v) for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = centroid_shift(df, "embedding", "label", F.col("vec_id") % 2 == 1).collect()
+    assert len(out) == 1
+    assert out[0]["n_a"] == 6 and out[0]["n_b"] == 6
+    assert out[0]["l2_shift"] == 0.0
+    # single-sided label (only even ids) emits no row
+    df2 = spark.createDataFrame(
+        [(2 * i, 7, v) for i, v in enumerate(vecs)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    assert centroid_shift(df2, "embedding", "label", F.col("vec_id") % 2 == 1).count() == 0
