@@ -116,6 +116,7 @@ HEADLINE = [
     "p66_quality_funnel",
     "p67_centroid_shift",
     "q81_interval_range_frame",
+    "p68_budget_waterfill",
 ]
 
 

@@ -2383,3 +2383,54 @@ def p67_centroid_shift(spark: SparkSession, sf_dir: str) -> SDF:
     return similarity.centroid_shift(
         emb, "embedding", "label", F.col("vec_id") % 2 == 1
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# p68 — token-budget waterfill (operators.sampling.budget_waterfill):
+# integer waterfilling of a 50k-char budget across sources — alloc =
+# min(T_s, cap) with the remainder granted one-each to the first
+# capped sources; Σ alloc == min(budget, Σ T) exactly.  Pure int64
+# arithmetic (no FP at all); the window math runs over the
+# |sources|-row aggregate, never the corpus.
+# ---------------------------------------------------------------------------
+_P68_BUDGET = 50_000
+
+
+@q(
+    "p68_budget_waterfill",
+    f"""
+    WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens
+                 FROM documents GROUP BY source),
+    o AS (SELECT source, tokens,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT) AS i,
+                 CAST(SUM(tokens) OVER (ORDER BY tokens, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+          FROM tot),
+    u AS (SELECT *, (cum + tokens * (n - i)) <= {_P68_BUDGET} AS unc FROM o),
+    s AS (SELECT *,
+                 CAST(COALESCE(SUM(CASE WHEN unc THEN tokens END) OVER (), 0)
+                      AS BIGINT) AS su,
+                 CAST(SUM(CASE WHEN unc THEN 0 ELSE 1 END) OVER () AS BIGINT) AS m,
+                 CAST(SUM(CASE WHEN unc THEN 0 ELSE 1 END) OVER (
+                      ORDER BY tokens, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS rkc
+          FROM u)
+    SELECT source, tokens,
+           CAST(CASE WHEN unc THEN tokens
+                ELSE LEAST(tokens,
+                           ({_P68_BUDGET} - su) // m
+                           + CASE WHEN rkc <= ({_P68_BUDGET} - su) % m
+                                  THEN 1 ELSE 0 END)
+                END AS BIGINT) AS alloc,
+           NOT unc AS capped
+    FROM s ORDER BY source
+    """,
+)
+def p68_budget_waterfill(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import budget_waterfill
+
+    docs = load_table(spark, sf_dir, "documents")
+    return budget_waterfill(docs, "source", "n_chars", _P68_BUDGET)

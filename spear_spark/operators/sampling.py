@@ -267,3 +267,77 @@ def mix_reweight(
             "expected_rows"
         ),
     )
+
+
+def budget_waterfill(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Integer waterfilling of a token budget across sources: every
+    source keeps min(T_s, c) tokens where the cap ``c`` is the largest
+    level whose total fits ``budget``; the integer remainder goes to
+    the first capped sources in (T, source) order, one extra token
+    each.  Σ alloc == min(budget, Σ T) EXACTLY — the allocation every
+    mix plan needs before sampling docs to fill it (:func:`mix_reweight`
+    answers "what rate hits a target mix"; this answers "how much of
+    each source fits a fixed budget fairly").
+
+    Returns (source, tokens, alloc, capped) ordered by source.
+
+    Determinism: pure int64 arithmetic end-to-end — totals are exact
+    sums, the cap is one integer division, the remainder rule is a
+    rank comparison.  No floating point anywhere.
+
+    Scale shape: ONE two-phase sum on the source key; the waterfill
+    itself is window math over the |sources|-row aggregate (single
+    task by design, like fixed_width_histogram: the window input is
+    the aggregated table, never the corpus)."""
+    if budget < 0:
+        raise ValueError("budget_waterfill: budget must be >= 0")
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("tokens", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("tokens")
+    ).withColumnRenamed(source_col, "source")
+    t = (
+        totals.withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_i", F.row_number().over(Window.partitionBy().orderBy("tokens", "source")))
+        .withColumn("_cum", F.sum("tokens").over(
+            Window.partitionBy().orderBy("tokens", "source")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        # uncapped ⟺ capping everyone at MY size still fits the budget
+        .withColumn(
+            "_unc",
+            (F.col("_cum") + F.col("tokens") * (F.col("_n") - F.col("_i")))
+            <= F.lit(int(budget)),
+        )
+    )
+    t = (
+        t.withColumn("_s", F.coalesce(
+            F.sum(F.when(F.col("_unc"), F.col("tokens"))).over(w_all), F.lit(0)))
+        .withColumn("_m", F.sum((~F.col("_unc")).cast("long")).over(w_all))
+        # int64 `div`/`%` — no FP anywhere in the allocation
+        .withColumn("_cap", F.when(
+            F.col("_m") > 0,
+            F.expr(f"(CAST({int(budget)} AS BIGINT) - _s) div _m")).cast("long"))
+        .withColumn("_rem", F.when(
+            F.col("_m") > 0,
+            F.expr(f"(CAST({int(budget)} AS BIGINT) - _s) % _m")).cast("long"))
+        .withColumn("_rkc", F.sum((~F.col("_unc")).cast("long")).over(w_cum))
+    )
+    alloc = F.when(F.col("_unc"), F.col("tokens")).otherwise(
+        F.least(
+            F.col("tokens"),
+            F.col("_cap") + F.when(F.col("_rkc") <= F.col("_rem"), 1).otherwise(0),
+        )
+    )
+    return t.select(
+        "source",
+        "tokens",
+        alloc.cast("long").alias("alloc"),
+        (~F.col("_unc")).alias("capped"),
+    ).orderBy("source")

@@ -1757,3 +1757,32 @@ def test_centroid_shift_zero_for_identical_halves(spark):
         "vec_id long, label int, embedding array<double>",
     )
     assert centroid_shift(df2, "embedding", "label", F.col("vec_id") % 2 == 1).count() == 0
+
+
+def test_budget_waterfill_exact_allocation(spark):
+    from spear_spark.operators.sampling import budget_waterfill
+
+    rows = [("a", 10)] * 10 + [("b", 10)] * 5 + [("c", 10)] * 2  # T: a=100 b=50 c=20
+    df = spark.createDataFrame(rows, "src string, w long")
+
+    # budget above total: everyone keeps everything, nobody capped
+    out = {r["source"]: r for r in budget_waterfill(df, "src", "w", 1000).collect()}
+    assert all(not r["capped"] and r["alloc"] == r["tokens"] for r in out.values())
+
+    # budget 95: c (20) and b (50) fit under the water line? level c =
+    # (95-0)/3=31>20 -> c uncapped; then (95-20)/2=37.5 < 50 -> b,a
+    # capped at 37 with remainder 1 -> b gets 38 (first capped in
+    # (T, source) order), a gets 37
+    out = {r["source"]: r for r in budget_waterfill(df, "src", "w", 95).collect()}
+    assert (out["c"]["alloc"], out["c"]["capped"]) == (20, False)
+    assert (out["b"]["alloc"], out["b"]["capped"]) == (38, True)
+    assert (out["a"]["alloc"], out["a"]["capped"]) == (37, True)
+    assert sum(r["alloc"] for r in out.values()) == 95
+
+    # zero budget: all capped at 0
+    out = {r["source"]: r for r in budget_waterfill(df, "src", "w", 0).collect()}
+    assert all(r["alloc"] == 0 and r["capped"] for r in out.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 0"):
+        budget_waterfill(df, "src", "w", -1)

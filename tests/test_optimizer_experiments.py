@@ -76,3 +76,38 @@ def test_exclusion_is_scoped(spark, sf_dir):
     with rules_excluded(spark, "constant_folding"):
         assert "ConstantFolding" in spark.conf.get(key)
     assert spark.conf.get(key, None) == before
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew story is AQE's, not ours — verify it actually
+    fires: a join where one key holds 300k of 300.2k rows must come
+    back with SortMergeJoin(skew=true) + an 'AQEShuffleRead …skewed'
+    child once thresholds are scaled to the test data.  (collect(), not
+    count()/noop-write — only the DataFrame's OWN query execution gets
+    finalized by AQE; a derived action's plan stays isFinalPlan=false.)
+    Salting is therefore reserved for skewed AGGREGATES; skewed joins
+    ride the built-in runtime re-plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(300_000).select(F.lit(0).alias("k"), F.col("id").alias("a"))
+        cold = spark.range(1, 200).select(F.col("id").alias("k"), F.col("id").alias("a"))
+        left = hot.unionByName(cold).withColumn("pad", F.md5(F.col("a").cast("string")))
+        right = spark.range(0, 200).select(F.col("id").alias("k"), F.col("id").alias("b"))
+        j = left.join(right, "k").select("k", "a", "b", "pad")
+        assert len(j.collect()) == 300_199
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # the AQEShuffleRead actually split it
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
