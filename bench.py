@@ -117,6 +117,7 @@ HEADLINE = [
     "p67_centroid_shift",
     "q81_interval_range_frame",
     "p68_budget_waterfill",
+    "p69_image_ahash_pairs",
 ]
 
 

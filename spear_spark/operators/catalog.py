@@ -2434,3 +2434,24 @@ def p68_budget_waterfill(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = load_table(spark, sf_dir, "documents")
     return budget_waterfill(docs, "source", "n_chars", _P68_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# p69 — image near-duplicate detection via perceptual hash: REAL PNG
+# payloads (vendored encoder over the doc text bytes) → decode →
+# integer-luma → 8×8 aHash → pigeonhole-banded Hamming pairs — the
+# image-dedup path of a multimodal curation pipeline, executing the
+# genuine codec end-to-end.  No DuckDB oracle (binary codec work is
+# not SQL-expressible): the driver records the rows-only check; exact
+# semantics are pinned by unit tests (brute-force pair equality,
+# perturbation bounds) in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+@q("p69_image_ahash_pairs", None)
+def p69_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = multimodal.ahash_images(
+        multimodal.attach_png(docs, "text", "doc_id"), "doc_id", "payload"
+    )
+    return multimodal.ahash_near_pairs(hashed, "doc_id", "ahash", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )

@@ -247,3 +247,168 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         explode_frames, FRAMES_SCHEMA
     )
+
+
+def _luma_bytes(pixels: bytes, channels: int) -> bytes:
+    """Integer Rec.601 luma per pixel — exact int math, no FP."""
+    if channels == 1:
+        return pixels
+    out = bytearray(len(pixels) // channels)
+    for i in range(len(out)):
+        p = i * channels
+        if channels == 2:  # grey + alpha
+            out[i] = pixels[p]
+        else:  # RGB / RGBA
+            out[i] = (
+                299 * pixels[p] + 587 * pixels[p + 1] + 114 * pixels[p + 2]
+            ) // 1000
+    return bytes(out)
+
+
+def ahash_bits(payload: bytes, hash_size: int = 8) -> int | None:
+    """64-bit average perceptual hash of a PNG payload via the VENDORED
+    codec only (not PIL — two decoders may disagree on edge-case PNGs,
+    and a perceptual hash stored as an index key must be recomputable
+    bit-identically anywhere): decode → integer luma → ``hash_size``²
+    nearest-neighbor downsample → threshold at the integer mean
+    (``> sum // n``).  Returns None for non-PNG payloads (total
+    function — a corrupt blob at 100 TB must not kill the stage)."""
+    from spear_spark.operators import _png
+
+    try:
+        w, h, ch, px = _png.decode_png(payload)
+    except Exception:
+        return None
+    grey = _luma_bytes(px, ch)
+    small = _png.resize_nearest(grey, w, h, 1, hash_size, hash_size)
+    n = hash_size * hash_size
+    mean = sum(small) // n
+    bits = 0
+    for i, v in enumerate(small):
+        if v > mean:
+            bits |= 1 << i
+    # two's-complement into signed int64 (bit 63 sets the sign)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+AHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("ahash", LongType())]
+)
+
+
+def ahash_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", hash_size: int = 8
+) -> DataFrame:
+    """Arrow-batched perceptual hashing: payload → 64-bit aHash (null
+    for undecodable payloads).  The write-time companion of
+    :func:`ahash_near_pairs` — at scale the hash is computed once at
+    ingest and stored as an index/partition column."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "ahash": pd.array(
+                        [ahash_bits(bytes(p), hash_size) for p in pdf[payload_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        hash_batch, AHASH_SCHEMA
+    )
+
+
+def ahash_near_pairs(
+    df: DataFrame, id_col: str, hash_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-duplicate pairs: Hamming(aHash) ≤ ``max_hamming`` via
+    the same lossless pigeonhole banding as ``dedup.simhash_near_pairs``
+    — the 64-bit hash splits into ``max_hamming + 1`` disjoint bands
+    and any qualifying pair must agree exactly on ≥1 band, so
+    candidates come from an equi-join on (band, band_bits), never an
+    all-pairs scan.  Exact distance check (``bit_count(a ^ b)``)
+    filters candidates; results equal brute force.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    if width < 1:
+        raise ValueError("ahash_near_pairs: max_hamming must be < 64")
+    h = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    def band_value(b: int):
+        shifted = F.shiftrightunsigned(F.col("h"), b * width)
+        if b == n_bands - 1:  # last band keeps all remaining high bits
+            return shifted
+        return shifted % F.lit(2**width)
+
+    bands = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_value(b).alias("bv"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def attach_png(
+    df: DataFrame, source_col: str, id_col: str = "doc_id", size: int = 16
+) -> DataFrame:
+    """Materialize a REAL PNG payload per row (vendored encoder):
+    ``size``×``size`` grayscale whose pixels are the row's utf-8 text
+    bytes cycled — a deterministic stand-in for a thumbnail store that
+    preserves text similarity (near-dup texts → near-identical images),
+    so the perceptual-hash operators exercise genuine decode/downsample
+    /threshold code paths end-to-end in CI."""
+    from spear_spark.operators import _png
+
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+    n = size * size
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[source_col]:
+                b = (txt or "").encode("utf-8") or b"\x00"
+                px = (b * (n // len(b) + 1))[:n]
+                payloads.append(_png.encode_png(px, size, size, 1))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(source_col)).mapInPandas(build, out_schema)

@@ -1786,3 +1786,64 @@ def test_budget_waterfill_exact_allocation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match=">= 0"):
         budget_waterfill(df, "src", "w", -1)
+
+
+class TestImageAHash:
+    def test_ahash_bits_known_pattern(self):
+        from spear_spark.operators import _png
+        from spear_spark.operators.multimodal import ahash_bits
+
+        # top half black, bottom half white, 8x8 grey: mean between the
+        # two levels -> exactly the 32 bright pixels set (rows 4-7 =
+        # bits 32..63, two's-complement negative)
+        img = _png.encode_png(bytes([0] * 32 + [255] * 32), 8, 8, 1)
+        h = ahash_bits(img)
+        assert (h & ((1 << 64) - 1)) == 0xFFFFFFFF00000000
+        assert h < 0  # bit 63 set -> signed int64 negative
+        assert ahash_bits(b"junk") is None
+
+    def test_ahash_rgb_luma_and_scale_invariance(self):
+        from spear_spark.operators import _png
+        from spear_spark.operators.multimodal import ahash_bits
+
+        # same split pattern in RGB at 16x16 must produce the same hash
+        # as 8x8 grey (downsample collapses both to the same 8x8 grid)
+        px = bytes()
+        for y in range(16):
+            row = ([0, 0, 0] if y < 8 else [255, 255, 255]) * 16
+            px += bytes(row)
+        img = _png.encode_png(px, 16, 16, 3)
+        assert (ahash_bits(img) & ((1 << 64) - 1)) == 0xFFFFFFFF00000000
+
+    def test_near_pairs_equal_brute_force(self, spark):
+        from spear_spark.operators.multimodal import ahash_near_pairs
+        import itertools
+        import random
+
+        rnd = random.Random(5)
+        base = rnd.getrandbits(63)
+        # cluster of small perturbations of `base` + distant randoms
+        hashes = [base, base ^ 0b1, base ^ (1 << 40) ^ (1 << 2), base ^ 7]
+        hashes += [rnd.getrandbits(63) for _ in range(20)]
+        df = spark.createDataFrame(
+            [(i, h - (1 << 64) if h >= (1 << 63) else h) for i, h in enumerate(hashes)],
+            "id long, h long",
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in ahash_near_pairs(df, "id", "h", max_hamming=6).collect()
+        }
+        want = set()
+        for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+            d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want.add((min(i, j), max(i, j), d))
+        assert got == want and len(want) >= 3
+
+    def test_catalog_query_runs(self, spark, sf_dir):
+        from spear_spark.operators.catalog import QUERIES as OPS
+
+        df = OPS["p69_image_ahash_pairs"][0](spark, sf_dir)
+        rows = df.collect()
+        # every pair is ordered, within budget, and self-free
+        assert all(r["id_a"] < r["id_b"] and 0 <= r["hamming"] <= 6 for r in rows)
