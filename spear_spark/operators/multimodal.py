@@ -309,8 +309,13 @@ def ahash_images(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
+                    # p is None for rows with no image (ordinary in a
+                    # real ingest table) — hash to null, don't crash
                     "ahash": pd.array(
-                        [ahash_bits(bytes(p), hash_size) for p in pdf[payload_col]],
+                        [
+                            ahash_bits(bytes(p), hash_size) if p is not None else None
+                            for p in pdf[payload_col]
+                        ],
                         dtype="Int64",
                     ),
                 }
@@ -330,58 +335,90 @@ def ahash_near_pairs(
     and any qualifying pair must agree exactly on ≥1 band, so
     candidates come from an equi-join on (band, band_bits), never an
     all-pairs scan.  Exact distance check (``bit_count(a ^ b)``)
-    filters candidates; results equal brute force.
+    filters candidates; results equal brute force.  Band extraction is
+    ``shiftright(...).bitwiseAND(mask)`` — a signed ``%`` would give
+    NEGATIVE band values for hashes with bit 63 set (which real aHashes
+    routinely have) and silently miss their pairs.
+
+    Like simhash, the candidate join runs over DISTINCT hash values —
+    images collapse hashes pathologically (every uniform thumbnail
+    hashes identically), and the doc-level self-join would go
+    quadratic in the duplicate-cluster size where the distinct-hash
+    formulation stays linear; identical-hash groups come back as
+    hamming-0 pairs through one id self-join.  Bit 63 falls outside
+    the 7×9 uniform bands, which stays lossless: ≤ ``max_hamming``
+    differing bits can touch at most ``max_hamming`` of the
+    ``max_hamming + 1`` bands whether or not every bit is banded.
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     if width < 1:
         raise ValueError("ahash_near_pairs: max_hamming must be < 64")
-    h = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).filter(
-        F.col("h").isNotNull()
+    mask = (1 << width) - 1
+    # the hash table is referenced 4x below and typically sits on an
+    # expensive decode (mapInPandas) — materialize once
+    h = (
+        df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .localCheckpoint(eager=False)
     )
-    def band_value(b: int):
-        shifted = F.shiftrightunsigned(F.col("h"), b * width)
-        if b == n_bands - 1:  # last band keeps all remaining high bits
-            return shifted
-        return shifted % F.lit(2**width)
-
-    bands = h.select(
-        "id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_value(b).alias("bv"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.id") < F.col("b.id")),
+    fps = h.select("h").distinct()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("h"), b * width).bitwiseAND(F.lit(mask)).alias("bv"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = (
+        fps.select("h", F.array(*band_structs).alias("_bands"))
+        .select("h", F.explode("_bands").alias("_bb"))
+        .select("h", F.col("_bb.band").alias("band"), F.col("_bb.bv").alias("bv"))
+    )
+    fa = bands.alias("fa")
+    fb = bands.alias("fb")
+    fp_pairs = (
+        fa.join(
+            fb,
+            (F.col("fa.band") == F.col("fb.band"))
+            & (F.col("fa.bv") == F.col("fb.bv"))
+            & (F.col("fa.h") < F.col("fb.h")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.h").alias("ha"),
-            F.col("b.h").alias("hb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+            F.col("fa.h").alias("h1"),
+            F.col("fb.h").alias("h2"),
+            F.bit_count(F.col("fa.h").bitwiseXOR(F.col("fb.h"))).cast("int").alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()  # a hash pair can agree on several bands
     )
+    da = h.select(F.col("id").alias("_ida"), F.col("h").alias("h1"))
+    db = h.select(F.col("id").alias("_idb"), F.col("h").alias("h2"))
+    cross_h = (
+        fp_pairs.join(da, "h1")
+        .join(db, "h2")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    same_h = (
+        h.alias("sa")
+        .join(
+            h.alias("sb"),
+            (F.col("sa.h") == F.col("sb.h")) & (F.col("sa.id") < F.col("sb.id")),
+        )
+        .select(
+            F.col("sa.id").alias("id_a"),
+            F.col("sb.id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross_h.unionAll(same_h)
 
 
 def attach_png(

@@ -472,8 +472,8 @@ def bpe_pair_counts(df, text_col: str, top: int = 20):
     squared (~1-10k pairs, NOT corpus-sized), so the exchange is tiny
     regardless of input; the global top-k plans as per-partition heaps
     (TakeOrderedAndProject)."""
-    toks = F.expr(
-        f"regexp_extract_all(lower({text_col}), '{BPE_PATTERN}', 0)"
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0
     )
     pairs = F.transform(
         F.sequence(F.lit(1), F.length(F.col("_tok")) - F.lit(1)),

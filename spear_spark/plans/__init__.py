@@ -80,9 +80,15 @@ def exchange_record_counts(df: DataFrame, run: bool = True) -> list[int]:
     this proves effect: a two-phase aggregate over a skewed input must
     show a keys-sized record count on its exchange, not the input row
     count.  Walks AdaptiveSparkPlan/QueryStage wrappers because AQE
-    hides materialized stages behind leaf nodes."""
+    hides materialized stages behind leaf nodes.
+
+    ``run`` uses collect(), NOT count(): count() executes a DERIVED
+    query execution (groupBy().count()'s), leaving df's own plan
+    unexecuted with every metric at zero — an assertion against it
+    would pass vacuously.  Test-scale helper: call with run=False
+    after your own bounded action if collect() would be large."""
     if run:
-        df.count()
+        df.collect()
 
     def _walk(node):
         yield node

@@ -41,11 +41,16 @@ def ntz_as_utc_instant(spark: SparkSession, col_name: str):
     isn't UTC — the r4 advisor finding); ``convert_timezone`` is
     NTZ-native: it reads the wall clock as UTC and emits the
     session-tz wall clock, so the final cast lands on the identical
-    instant regardless of ``spark.sql.session.timeZone``."""
+    instant regardless of ``spark.sql.session.timeZone``.  The target
+    zone is ``current_timezone()`` — NOT a string literal captured at
+    build time — so the convert and the cast resolve from the SAME
+    conf snapshot even if the session timezone changes between
+    DataFrame construction and the action."""
     from pyspark.sql import functions as F
 
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    return F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col(col_name)).cast("timestamp")
+    return F.convert_timezone(
+        F.lit("UTC"), F.current_timezone(), F.col(col_name)
+    ).cast("timestamp")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1821,10 +1821,14 @@ class TestImageAHash:
         import random
 
         rnd = random.Random(5)
-        base = rnd.getrandbits(63)
-        # cluster of small perturbations of `base` + distant randoms
-        hashes = [base, base ^ 0b1, base ^ (1 << 40) ^ (1 << 2), base ^ 7]
-        hashes += [rnd.getrandbits(63) for _ in range(20)]
+        base = rnd.getrandbits(64) | (1 << 63)  # NEGATIVE int64 regime
+        # cluster of small perturbations of `base` + distant randoms;
+        # base ^ (1 << 63) makes a mixed-sign near pair (hamming 1) —
+        # the case the signed-% banding bug silently dropped
+        hashes = [base, base ^ 0b1, base ^ (1 << 40) ^ (1 << 2), base ^ 7,
+                  base ^ (1 << 63)]
+        hashes += [rnd.getrandbits(64) for _ in range(20)]
+        hashes += [0, (1 << 64) - 1]  # all-dark and all-bright images
         df = spark.createDataFrame(
             [(i, h - (1 << 64) if h >= (1 << 63) else h) for i, h in enumerate(hashes)],
             "id long, h long",
@@ -1847,3 +1851,15 @@ class TestImageAHash:
         rows = df.collect()
         # every pair is ordered, within budget, and self-free
         assert all(r["id_a"] < r["id_b"] and 0 <= r["hamming"] <= 6 for r in rows)
+
+
+def test_ahash_images_null_payload_yields_null_hash(spark):
+    from spear_spark.operators import _png
+    from spear_spark.operators.multimodal import ahash_images
+
+    img = _png.encode_png(bytes(range(64)), 8, 8, 1)
+    df = spark.createDataFrame(
+        [(1, img), (2, None), (3, b"corrupt")], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r["ahash"] for r in ahash_images(df, "doc_id", "payload").collect()}
+    assert out[1] is not None and out[2] is None and out[3] is None

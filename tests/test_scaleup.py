@@ -406,3 +406,13 @@ def test_bpe_pair_counts_scale_exactly_linearly(spark, sf_dir):
     base = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(docs, "text").collect()]
     big = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(docs10, "text").collect()]
     assert big == [(p, 10 * c) for p, c in base]
+
+
+def test_exchange_record_counts_run_path_populates_metrics(spark):
+    """Guard against the count()-derived-execution trap: run=True must
+    return real (nonzero) exchange metrics for a query that shuffles."""
+    from spear_spark.plans import exchange_record_counts
+
+    df = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+    counts = exchange_record_counts(df, run=True)
+    assert counts and all(c > 0 for c in counts)
