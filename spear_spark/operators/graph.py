@@ -86,13 +86,21 @@ def pagerank(
     # to the shuffle join (edges stay partitioned on src, so only the
     # rank side moves).
     bcast = n < 5_000_000 if broadcast_ranks is None else broadcast_ranks
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # outdeg is ≤ one row per node — same size class as the rank
+    # vector; checkpoint it (16k-ish rows) so the aggregate over the
+    # full edge list doesn't re-execute every iteration
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     if bcast:
-        # outdeg is ≤ one row per node — same size class as the rank
-        # vector, so it broadcasts under the same threshold; and a
-        # map-side hash probe needs NO co-partitioning, so the
-        # repartition would be a wasted full edge shuffle here
-        ej = e.join(F.broadcast(outdeg), "src").localCheckpoint(eager=False)
+        # broadcast regime: fold rank/deg into the broadcast vector
+        # itself, so the probe side is the RAW checkpointed edge list —
+        # no (edges ⋈ outdeg) materialization (a full second edge copy,
+        # ~1.3s at bench scale), no co-partitioning (a map-side hash
+        # probe needs none)
+        ej = e
     else:
         # one src partitioning for the per-iteration shuffle join,
         # reused every round — only the rank side moves
@@ -105,13 +113,40 @@ def pagerank(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), iter_decimals).alias("rank")
     )
     for _ in range(iters):
-        r = F.broadcast(ranks) if bcast else ranks
-        contribs = (
-            ej.join(r, ej.src == r.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("cs"))
-        )
+        if bcast:
+            # rank/deg is divided ONCE per source node in the tiny
+            # broadcast table instead of once per edge — same IEEE
+            # division, identical values, strictly less work
+            # explicit aliases: from iteration 2 on, ranks' lineage
+            # already contains outdeg, making bare column refs an
+            # ambiguous self-join
+            rd = (
+                ranks.alias("_r")
+                .join(
+                    F.broadcast(outdeg.alias("_d")),
+                    F.col("_r.node") == F.col("_d.src"),
+                )
+                .select(
+                    F.col("_d.src").alias("src"),
+                    (F.col("_r.rank") / F.col("_d.deg")).alias("c"),
+                )
+            )
+            contribs = (
+                ej.join(F.broadcast(rd), "src")
+                .select(F.col("dst").alias("node"), F.col("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("cs"))
+            )
+        else:
+            contribs = (
+                ej.join(ranks, ej.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("cs"))
+            )
         ranks = (
             nodes.join(
                 F.broadcast(contribs) if bcast else contribs, "node", "left"

@@ -243,7 +243,8 @@ def test_p59_pagerank_iterations_never_shuffle_edges(spark, sf_dir):
     # Exchange of the src/dst edge columns would push this count up
     assert plan.count("Exchange hashpartitioning") == 5
     assert plan.count("Exchange rangepartitioning") == 1
-    assert plan.count("BroadcastHashJoin") == 10  # (probe + rebuild) x 5
+    # (rank⋈deg fold + edge probe + rank rebuild) x 5 — all broadcasts
+    assert plan.count("BroadcastHashJoin") == 15
     assert "SortMergeJoin" not in plan
     assert plan.count("partial_sum") == 5  # map-side combine each round
 
