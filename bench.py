@@ -118,6 +118,7 @@ HEADLINE = [
     "q81_interval_range_frame",
     "p68_budget_waterfill",
     "p69_image_ahash_pairs",
+    "p70_bigram_lm",
 ]
 
 

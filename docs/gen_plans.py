@@ -31,7 +31,7 @@ PICKS = [
     "p60_winsorized_stats", "p62_top_ngrams_per_lang",
     "p63_bpe_pair_counts", "p64_srp_signatures", "p65_mix_reweight",
     "p66_quality_funnel", "p67_centroid_shift", "q81_interval_range_frame",
-    "p68_budget_waterfill", "p69_image_ahash_pairs",
+    "p68_budget_waterfill", "p69_image_ahash_pairs", "p70_bigram_lm",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

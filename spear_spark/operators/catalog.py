@@ -2455,3 +2455,40 @@ def p69_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> SDF:
     return multimodal.ahash_near_pairs(hashed, "doc_id", "ahash", max_hamming=6).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# p70 — bigram LM score (operators.relevance.bigram_lm_score): per-doc
+# cross-entropy under the corpus bigram model with add-0.5 smoothing —
+# the transition-level perplexity filter unigram surprisal (p52)
+# cannot express.  One bigram explode feeds both count grains; the
+# scoring joins shuffle on posting-list-sized keys.
+# ---------------------------------------------------------------------------
+@q(
+    "p70_bigram_lm",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg0 AS (SELECT doc_id,
+                   unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                           for i in generate_series(1, len(t) - 1)]) AS b
+            FROM toks WHERE len(t) >= 2),
+    bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+    cx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS V FROM
+             (SELECT unnest(t) AS w FROM toks)),
+    db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_db
+           FROM bg GROUP BY doc_id, w1, w2)
+    SELECT doc_id, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(c_db * log2((CAST(c12 AS DOUBLE) + 0.5)
+                                  / (CAST(c1 AS DOUBLE) + 0.5 * V)))
+                 / SUM(c_db), 6) AS lm_bits
+    FROM db JOIN bc USING (w1, w2) JOIN cx USING (w1) CROSS JOIN vv
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def p70_bigram_lm(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "text", "doc_id").orderBy("doc_id")

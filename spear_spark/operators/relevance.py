@@ -163,3 +163,64 @@ def corpus_surprisal(df, text_col: str, id_col: str, decimals: int = 6):
             ),
         )
     )
+
+
+def bigram_lm_score(df, text_col: str, id_col: str, k: float = 0.5, decimals: int = 6):
+    """Per-document cross-entropy under the corpus BIGRAM language
+    model with add-k smoothing (bits/bigram): the Markov upgrade of
+    :func:`corpus_surprisal` and the shape of CCNet/KenLM-style
+    perplexity filters — a doc whose word TRANSITIONS are improbable
+    under the corpus scores high even when its unigrams are ordinary
+    (shuffled or machine-mangled text), which is exactly what the
+    unigram score cannot see.
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` with V the corpus
+    vocabulary size; score = -mean log2 P over the doc's bigram
+    instances.  Docs with < 2 tokens emit no row.
+
+    Scale shape: ONE bigram explode feeds both grains (per-doc and
+    corpus counts, two-phase each); the scoring joins shuffle on the
+    (w1, w2) / (w1) keys — posting-list sized, the same floor as
+    tf-idf — and V rides in as a broadcast 1-row literal.  Unordered
+    double sum rounds at the end (epsilon convention)."""
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    bg = (
+        staged.filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    big_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = big_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = staged.select(F.explode("_toks").alias("w")).agg(
+        F.countDistinct("w").alias("V")
+    )
+    doc_bg = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c_db"))
+    lp = F.log2(
+        (F.col("c12").cast("double") + F.lit(float(k)))
+        / (F.col("c1").cast("double") + F.lit(float(k)) * F.col("V").cast("double"))
+    )
+    return (
+        doc_bg.join(big_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_db").alias("n_bigrams"),
+            F.sum(F.col("c_db").cast("double") * lp).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.round(-F.col("_s") / F.col("n_bigrams").cast("double"), decimals).alias(
+                "lm_bits"
+            ),
+        )
+    )

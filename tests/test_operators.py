@@ -1863,3 +1863,20 @@ def test_ahash_images_null_payload_yields_null_hash(spark):
     )
     out = {r["doc_id"]: r["ahash"] for r in ahash_images(df, "doc_id", "payload").collect()}
     assert out[1] is not None and out[2] is None and out[3] is None
+
+
+def test_bigram_lm_score_ranks_predictable_text_lower(spark):
+    from spear_spark.operators.relevance import bigram_lm_score
+
+    rows = [
+        (1, "a b a b a b a b a b"),        # one dominant transition
+        (2, "a b c d e f g h i j"),        # all transitions unique
+        (3, "a"),                           # < 2 tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 9 and out[2]["n_bigrams"] == 9
+    # doc 1's transitions are corpus-frequent -> fewer bits than doc 2
+    assert out[1]["lm_bits"] < out[2]["lm_bits"]
+    assert all(out[d]["lm_bits"] > 0 for d in (1, 2))
