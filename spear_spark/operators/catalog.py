@@ -2441,12 +2441,38 @@ def p68_budget_waterfill(spark: SparkSession, sf_dir: str) -> SDF:
 # payloads (vendored encoder over the doc text bytes) → decode →
 # integer-luma → 8×8 aHash → pigeonhole-banded Hamming pairs — the
 # image-dedup path of a multimodal curation pipeline, executing the
-# genuine codec end-to-end.  No DuckDB oracle (binary codec work is
-# not SQL-expressible): the driver records the rows-only check; exact
-# semantics are pinned by unit tests (brute-force pair equality,
-# perturbation bounds) in tests/test_operators.py.
+# genuine codec end-to-end.  The oracle exploits that the PNG
+# round-trip is LOSSLESS: it computes the identical hash as pure byte
+# math (ascii() sampling of the cycled text buffer at the
+# nearest-neighbor 16→8 positions, integer-mean threshold, two's-
+# complement packing) and brute-forces the ≤6-Hamming pairs — so a
+# hash-exact match certifies the entire encode→decode→luma→resize
+# →threshold→band-join pipeline, not just its shape.  Banding-vs-
+# brute-force equality is additionally pinned by unit tests.
 # ---------------------------------------------------------------------------
-@q("p69_image_ahash_pairs", None)
+@q(
+    "p69_image_ahash_pairs",
+    """
+    WITH s AS (SELECT doc_id, j,
+            CASE WHEN length(text) > 0
+                 THEN ascii(substr(text,
+                        ((2*(j//8)*16 + 2*(j%8)) % length(text)) + 1, 1))
+                 ELSE 0 END AS v
+        FROM documents CROSS JOIN range(0, 64) r(j)),
+    m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM s GROUP BY doc_id),
+    h AS (SELECT s.doc_id,
+            CAST(SUM(CASE WHEN v > mean THEN
+                  CASE WHEN j = 63 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END
+                 ELSE 0 END) AS BIGINT) AS hash
+          FROM s JOIN m USING (doc_id) GROUP BY s.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hash, b.hash)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash, b.hash)) <= 6
+    ORDER BY id_a, id_b
+    """,
+)
 def p69_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     hashed = multimodal.ahash_images(
