@@ -141,6 +141,17 @@ def main() -> None:
 
     import statistics
 
+    def drop_persisted_rdds() -> None:
+        # checkpoint/cache blocks (localCheckpoint in the iterative
+        # operators) otherwise accumulate across 80+ queries x 3 runs
+        # and the late queries pay the eviction/GC pressure of the
+        # early ones' leftovers — measured ~10% drift on the last
+        # bench entries.  Each query starts from a clean block store.
+        sc = spark.sparkContext._jsc.sc()
+        it = sc.getPersistentRDDs().valuesIterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -149,6 +160,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            drop_persisted_rdds()
         timings[name] = round(statistics.median(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
