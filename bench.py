@@ -147,10 +147,12 @@ def main() -> None:
         # and the late queries pay the eviction/GC pressure of the
         # early ones' leftovers — measured ~10% drift on the last
         # bench entries.  Each query starts from a clean block store.
+        # blocking=True: async removal would overlap the next timed
+        # run, reintroducing the cross-query drift this exists to stop
         sc = spark.sparkContext._jsc.sc()
         it = sc.getPersistentRDDs().valuesIterator()
         while it.hasNext():
-            it.next().unpersist(False)
+            it.next().unpersist(True)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

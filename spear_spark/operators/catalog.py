@@ -2449,6 +2449,14 @@ def p68_budget_waterfill(spark: SparkSession, sf_dir: str) -> SDF:
 # hash-exact match certifies the entire encode→decode→luma→resize
 # →threshold→band-join pipeline, not just its shape.  Banding-vs-
 # brute-force equality is additionally pinned by unit tests.
+#
+# PRECONDITION (oracle only): the text must be single-byte (ASCII) —
+# the Spark side cycles the utf-8 BYTE buffer while ascii(substr())
+# samples CHARACTERS, so a multibyte character would desynchronize the
+# cycle and return a code point where Spark reads one byte.  The
+# testdata corpora are verified pure ASCII (strlen == length for every
+# doc at every sf); the ahash operators themselves are byte-correct
+# for any payload.
 # ---------------------------------------------------------------------------
 @q(
     "p69_image_ahash_pairs",

@@ -131,22 +131,17 @@ def pagerank(
                     (F.col("_r.rank") / F.col("_d.deg")).alias("c"),
                 )
             )
-            contribs = (
-                ej.join(F.broadcast(rd), "src")
-                .select(F.col("dst").alias("node"), F.col("c"))
-                .groupBy("node")
-                .agg(F.sum("c").alias("cs"))
+            edge_contrib = ej.join(F.broadcast(rd), "src").select(
+                F.col("dst").alias("node"), F.col("c")
             )
         else:
-            contribs = (
-                ej.join(ranks, ej.src == ranks.node)
-                .select(
-                    F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("deg")).alias("c"),
-                )
-                .groupBy("node")
-                .agg(F.sum("c").alias("cs"))
+            edge_contrib = ej.join(ranks, ej.src == ranks.node).select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
             )
+        # shared aggregate tail — the regimes differ only in how the
+        # per-edge contribution column is produced
+        contribs = edge_contrib.groupBy("node").agg(F.sum("c").alias("cs"))
         ranks = (
             nodes.join(
                 F.broadcast(contribs) if bcast else contribs, "node", "left"

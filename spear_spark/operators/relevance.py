@@ -179,11 +179,17 @@ def bigram_lm_score(df, text_col: str, id_col: str, k: float = 0.5, decimals: in
     instances.  Docs with < 2 tokens emit no row.
 
     Scale shape: ONE bigram explode feeds both grains (per-doc and
-    corpus counts, two-phase each); the scoring joins shuffle on the
-    (w1, w2) / (w1) keys — posting-list sized, the same floor as
-    tf-idf — and V rides in as a broadcast 1-row literal.  Unordered
-    double sum rounds at the end (epsilon convention)."""
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    corpus counts, two-phase each) — made real by materializing the
+    exploded table once (lazy ``localCheckpoint``; without it the
+    scan+tokenize+explode subtree re-executes per consumer, the same
+    multi-consumer trap graph.py's edge build documents); the scoring
+    joins shuffle on the (w1, w2) / (w1) keys — posting-list sized,
+    the same floor as tf-idf — and V rides in as a broadcast 1-row
+    literal.  Unordered double sum rounds at the end (epsilon
+    convention)."""
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
     bg = (
         staged.filter(F.size("_toks") >= 2)
         .select(
@@ -196,8 +202,15 @@ def bigram_lm_score(df, text_col: str, id_col: str, k: float = 0.5, decimals: in
             ).alias("b"),
         )
         .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=False)
     )
-    big_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # (w1, w2, count) — vocab²-bounded, feeds both ctx_counts and the
+    # scoring join; checkpoint so the bg aggregate runs once
+    big_counts = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     ctx_counts = big_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = staged.select(F.explode("_toks").alias("w")).agg(
         F.countDistinct("w").alias("V")
