@@ -564,8 +564,14 @@ def q15_top3_per_nation(spark: SparkSession, sf_dir: str) -> SDF:
 
 # ---------------------------------------------------------------------------
 # q16 — RANGE frame (RangeFrame, WindowSpec.scala:16-28).
-# Scale note: an unpartitioned ordered window is a single-task bottleneck —
-# real pipelines partition first; kept global here to pin frame semantics.
+# Scale note: the frame is GLOBAL but BOUNDED (10 key units), so it
+# evaluates via windows.partitioned_bounded_range — bucket the key
+# space, copy each bucket's 10-key tail into the next bucket as ghost
+# rows, window per bucket, drop ghosts.  Identical results to the
+# naive unpartitioned window (the oracle IS the naive form), but the
+# plan is a hash exchange + per-bucket windows instead of a
+# single-task global sort — the round-2..4 "only weak-at-100× plan"
+# flag is retired.
 # ---------------------------------------------------------------------------
 @q(
     "q16_range_frame",
@@ -579,12 +585,20 @@ def q15_top3_per_nation(spark: SparkSession, sf_dir: str) -> SDF:
     """,
 )
 def q16_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.windows import partitioned_bounded_range
+
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_orderkey").rangeBetween(-10, W.currentRow)
+    framed = partitioned_bounded_range(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        {"nearby_revenue": (D("o_totalprice", 14, 2), F.sum)},
+        preceding_range=10,
+        bucket_width=10_000,
+    )
     return (
-        orders.select(
+        framed.select(
             F.col("o_orderkey").alias("orderkey"),
-            F.sum(D("o_totalprice", 14, 2)).over(w).cast("double").alias("nearby_revenue"),
+            F.col("nearby_revenue").cast("double").alias("nearby_revenue"),
         )
         .filter(F.col("orderkey") <= 1000)
         .orderBy("orderkey")

@@ -83,3 +83,62 @@ def over(expr: Column, window: Window | SparkWindowSpec) -> Column:
     """``WindowFunction(function, window)`` (``WindowFunction.scala:6-19``)."""
     spec = window.to_spark() if isinstance(window, Window) else window
     return expr.over(spec)
+
+
+def partitioned_bounded_range(
+    df,
+    key_col: str,
+    agg_exprs: dict[str, tuple[Column, "Any"]],
+    preceding_range: int,
+    bucket_width: int,
+):
+    """Evaluate a GLOBAL bounded RANGE frame ``[key - preceding_range,
+    key]`` at scale by partitioning the key space — the halo-row
+    rewrite that removes the single-task bottleneck of an
+    unpartitioned ordered window.
+
+    Every row lands in bucket ``key div bucket_width``; rows within
+    ``preceding_range`` of a bucket's END are additionally copied into
+    the NEXT bucket as ghost rows, so each row's frame is fully
+    resident in its own partition (requires ``bucket_width >
+    preceding_range``, enforced).  The window then runs
+    ``partitionBy(bucket)`` — per-task state is one bucket plus a halo
+    ≤ the rows spanning ``preceding_range`` keys — and ghosts are
+    dropped after contributing.  Results are IDENTICAL to the global
+    window (RANGE semantics make tie groups share frames; ghosts carry
+    full rows, so sums/counts/mins see exactly the same frame
+    contents).
+
+    ``agg_exprs`` maps output column name → (value Column, agg fn),
+    e.g. ``{"s": (col("x").cast("decimal(14,2)"), F.sum)}``.  Frames
+    with FOLLOWING bounds would need a forward halo as well —
+    deliberately unsupported here.
+
+    Scale shape: one projection + one bounded row duplication (halo
+    share ≈ preceding_range / bucket_width) + ONE hash exchange on the
+    bucket id.  At 100 TB pick bucket_width so a bucket's rows fit an
+    executor (e.g. keys/bucket ≈ rows_per_task target)."""
+    if bucket_width <= preceding_range:
+        raise ValueError(
+            "partitioned_bounded_range: bucket_width must exceed "
+            "preceding_range so a frame spans at most two buckets"
+        )
+    key = F.col(key_col)
+    bucket = F.floor(key / F.lit(bucket_width)).cast("long")
+    own = df.withColumn("_bkt", bucket).withColumn("_ghost", F.lit(False))
+    # a row at key k is needed by bucket b+1 iff k >= (b+1)*W - preceding
+    halo = (
+        df.withColumn("_bkt", bucket + F.lit(1))
+        .filter(key >= (bucket + 1) * F.lit(bucket_width) - F.lit(preceding_range))
+        .withColumn("_ghost", F.lit(True))
+    )
+    union = own.unionByName(halo)
+    w = (
+        SparkWindow.partitionBy("_bkt")
+        .orderBy(key_col)
+        .rangeBetween(-preceding_range, SparkWindow.currentRow)
+    )
+    out = union
+    for name, (value, fn) in agg_exprs.items():
+        out = out.withColumn(name, fn(value).over(w))
+    return out.filter(~F.col("_ghost")).drop("_bkt", "_ghost")

@@ -270,3 +270,13 @@ def test_p63_bpe_pairs_bounded_domain_topk(spark, sf_dir):
     assert has_partial_aggregation(plan)
     assert has_take_ordered(plan)
     assert "Join" not in plan
+
+
+def test_q16_range_frame_window_is_partitioned(spark, sf_dir):
+    """q16's bounded global RANGE frame must evaluate as per-bucket
+    windows behind a hash exchange (the halo rewrite) — an
+    unpartitioned windowspecdefinition here is the single-task
+    bottleneck this round retired."""
+    plan = plan_for(spark, sf_dir, "q16_range_frame")
+    assert "hashpartitioning(_bkt" in plan
+    assert "windowspecdefinition(_bkt" in plan

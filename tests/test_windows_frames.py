@@ -56,3 +56,39 @@ def test_aggregate_over_window_spear_style(ctx):
         for r in df.select("k", "v", over(F.max("v"), w).alias("mx")).collect()
     )
     assert got == [("a", 1, 5), ("a", 5, 5), ("b", 7, 7)]
+
+
+def test_partitioned_bounded_range_equals_global_window(spark):
+    """The halo-row rewrite must be value-identical to the naive
+    unpartitioned RANGE window — including duplicate keys (RANGE tie
+    groups share frames) and keys sitting exactly on bucket edges."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as SW
+
+    from spear_spark.windows import partitioned_bounded_range
+
+    rnd = random.Random(17)
+    # keys hug bucket boundaries (width 50) and include duplicates
+    keys = [0, 1, 49, 50, 51, 99, 100, 100, 101, 149, 150, 151]
+    keys += [rnd.randrange(0, 500) for _ in range(200)]
+    rows = [(k, float(rnd.randrange(1, 100))) for k in keys]
+    df = spark.createDataFrame(rows, "k long, v double")
+
+    got = partitioned_bounded_range(
+        df, "k", {"s": (F.col("v"), F.sum)}, preceding_range=10, bucket_width=50
+    )
+    naive = df.withColumn(
+        "s", F.sum("v").over(SW.orderBy("k").rangeBetween(-10, SW.currentRow))
+    )
+    a = sorted(tuple(r) for r in got.select("k", "v", "s").collect())
+    b = sorted(tuple(r) for r in naive.select("k", "v", "s").collect())
+    assert a == b and len(a) == len(keys)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_width"):
+        partitioned_bounded_range(
+            df, "k", {"s": (F.col("v"), F.sum)}, preceding_range=50, bucket_width=50
+        )
