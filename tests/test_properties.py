@@ -274,3 +274,80 @@ def test_segment_dedup_idempotent(spark, docs):
     twice = segment_dedup(cleaned, "text", "doc_id", seg_tokens=2)
     # nothing removed on the second pass
     assert twice.filter(F.col("n_kept") != F.col("n_segments")).count() == 0
+
+
+@st.composite
+def weighted_sources(draw):
+    n = draw(st.integers(1, 8))
+    return [
+        (f"s{i}", draw(st.integers(1, 200)))
+        for i in range(n)
+        for _ in range(1)
+    ]
+
+
+@settings(deadline=None, max_examples=20,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(weighted_sources(), st.integers(0, 2000))
+def test_budget_waterfill_laws(spark, totals, budget):
+    """Laws on arbitrary (source, weight) tables and budgets:
+    (1) Σ alloc == min(budget, Σ T) exactly;
+    (2) 0 <= alloc_s <= T_s;
+    (3) fairness — capped allocations differ by at most 1, and every
+        capped allocation <= every uncapped source's total;
+    (4) capped flag is consistent with alloc < T."""
+    from spear_spark.operators.sampling import budget_waterfill
+
+    df = spark.createDataFrame(totals, "src string, w long")
+    out = budget_waterfill(df, "src", "w", budget).collect()
+    T = dict(totals)
+    total = sum(T.values())
+    assert sum(r["alloc"] for r in out) == min(budget, total)
+    capped_allocs = []
+    uncapped_totals = []
+    for r in out:
+        assert 0 <= r["alloc"] <= T[r["source"]]
+        if r["capped"]:
+            capped_allocs.append(r["alloc"])
+            assert r["alloc"] <= T[r["source"]]
+        else:
+            assert r["alloc"] == T[r["source"]]
+            uncapped_totals.append(r["alloc"])
+    if capped_allocs:
+        assert max(capped_allocs) - min(capped_allocs) <= 1
+        if uncapped_totals:
+            # water level: a source kept whole sits at or below the cap
+            assert all(u <= min(capped_allocs) + 1 for u in uncapped_totals)
+
+
+@st.composite
+def keyed_values(draw):
+    n = draw(st.integers(1, 60))
+    return [
+        (draw(st.integers(0, 300)), float(draw(st.integers(-50, 50))))
+        for _ in range(n)
+    ]
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(keyed_values(), st.integers(1, 20), st.integers(21, 80))
+def test_partitioned_bounded_range_law(spark, rows, preceding, width):
+    """Law: the halo-row partitioned evaluation ≡ the naive global
+    RANGE window for ANY key multiset, frame length, and bucket width
+    (> frame) — duplicates, negative values, sparse and dense keys."""
+    from pyspark.sql.window import Window as SW
+
+    from spear_spark.windows import partitioned_bounded_range
+
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = partitioned_bounded_range(
+        df, "k", {"s": (F.col("v"), F.sum)}, preceding_range=preceding,
+        bucket_width=width,
+    )
+    naive = df.withColumn(
+        "s", F.sum("v").over(SW.orderBy("k").rangeBetween(-preceding, SW.currentRow))
+    )
+    a = sorted(tuple(r) for r in got.select("k", "v", "s").collect())
+    b = sorted(tuple(r) for r in naive.select("k", "v", "s").collect())
+    assert a == b
