@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     "p65_mix_reweight", "p66_quality_funnel", "p67_centroid_shift",
     "q81_interval_range_frame", "p68_budget_waterfill",
     "p69_image_ahash_pairs", "p70_bigram_lm",
+    "p71_pagerank_weighted",
     # -- CHANGED in round 5: q16 rewritten onto the halo-row partitioned
     #    RANGE evaluation — re-evidence
     "q16_range_frame",
@@ -58,10 +59,10 @@ _DRIVER_PRIORITY = [
     "q49_udaf_surfaces", "q52_untapped_segments",
     "p05_ngram_jaccard", "p06_embedding_nn", "p07_cosine_topk",
     "p08_lang_id", "p09_quality_score", "p10_token_stats",
-    "p11_fingerprint", "p14_embedding_dedup",
-    # (p20–p29 slipped just below the 50-slot fold to make room for the
+    "p11_fingerprint",
+    # (p14–p29 slipped just below the 50-slot fold to make room for the
     # second round-5 batch — rotate them in next round)
-    "p20_batch_topk", "p23_sequence_packing", "p24_stratified_sample", "p25_group_quantiles", "p26_ann_ivf", "p27_tfidf_topterms", "p28_bm25", "p29_lsh_verified_dedup",
+    "p14_embedding_dedup", "p20_batch_topk", "p23_sequence_packing", "p24_stratified_sample", "p25_group_quantiles", "p26_ann_ivf", "p27_tfidf_topterms", "p28_bm25", "p29_lsh_verified_dedup",
     # ---- round 4 window (kept below for catalog completeness) ----
     "p45_asof_nearest", "p46_interval_overlap",
     "p48_segment_dedup", "p49_token_entropy",

@@ -119,6 +119,7 @@ HEADLINE = [
     "p68_budget_waterfill",
     "p69_image_ahash_pairs",
     "p70_bigram_lm",
+    "p71_pagerank_weighted",
 ]
 
 

@@ -32,7 +32,7 @@ PICKS = [
     "p63_bpe_pair_counts", "p64_srp_signatures", "p65_mix_reweight",
     "p66_quality_funnel", "p67_centroid_shift", "q81_interval_range_frame",
     "p68_budget_waterfill", "p69_image_ahash_pairs", "p70_bigram_lm",
-    "q16_range_frame",
+    "q16_range_frame", "p71_pagerank_weighted",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

@@ -2526,3 +2526,63 @@ def p70_bigram_lm(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lm_score(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p71 — WEIGHTED PageRank (operators.graph.pagerank_weighted) on the
+# customer↔supplier graph where the edge weight is the REAL trading
+# multiplicity (lineitem count per pair) — p59's simple-graph variant
+# discards exactly this signal.  Rank splits across out-edges ∝
+# weight; the oracle unrolls the same iterations with the identical
+# (rank / wsum) * w association order.
+# ---------------------------------------------------------------------------
+def _pagerank_weighted_oracle(iters: int = 3) -> str:
+    head = """
+    WITH p AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s,
+                      CAST(COUNT(*) AS DOUBLE) AS w
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               GROUP BY c, s),
+    e AS (SELECT c AS src, s AS dst, w FROM p UNION ALL SELECT s, c, w FROM p),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    d AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY src),
+    r0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank
+           FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    r{i} AS (SELECT nodes.node,
+                ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * COALESCE(t.cs, CAST(0.0 AS DOUBLE)),
+                      9) AS rank
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN (SELECT e.dst AS node, SUM((r.rank / d.wsum) * e.w) AS cs
+                        FROM e JOIN d USING (src)
+                        JOIN r{i - 1} r ON r.node = e.src
+                        GROUP BY e.dst) t ON t.node = nodes.node)""")
+    tail = f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+@q("p71_pagerank_weighted", _pagerank_weighted_oracle(3))
+def p71_pagerank_weighted(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.graph import pagerank_weighted
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")  # narrow int keys first
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            "w",
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    return pagerank_weighted(edges, "src", "dst", "w", iters=3).orderBy("node")

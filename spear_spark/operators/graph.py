@@ -42,7 +42,7 @@ def pagerank(
     """Fixed-iteration PageRank on a directed edge list.  Dangling
     nodes keep their base rank.  Edges are de-duplicated (``distinct``
     on (src, dst)) — unweighted simple-graph semantics; multi-edge/
-    weighted graphs need a weighted variant, not this function.  A
+    weighted graphs use :func:`pagerank_weighted`.  A
     caller that can GUARANTEE (src, dst) is already duplicate-free
     passes ``edges_distinct=True`` to skip the dedup shuffle — at 100 TB
     the edge distinct is a full-corpus exchange, and upstream builds
@@ -160,5 +160,100 @@ def pagerank(
             # rounds the pipelined depth-k DAG is cheaper than k
             # serial checkpoint materializations, and it leaves no
             # cached blocks behind in long-lived sessions
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("rank", decimals).alias("rank"))
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight_col: str,
+    iters: int = 5,
+    damping: float = 0.85,
+    iter_decimals: int = 9,
+    decimals: int = 6,
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Weighted PageRank: each node's rank splits across its out-edges
+    ∝ edge weight — the variant :func:`pagerank` documents as out of
+    its (unweighted, deduplicated) scope.  Parallel edges are summed
+    into one weighted edge first, so a multigraph's multiplicity IS
+    its weight.  Weights must be positive; dangling nodes keep base
+    rank.
+
+    Same scale shape and determinism discipline as :func:`pagerank`:
+    checkpointed edge relation, broadcast (or shuffled past ~5M nodes)
+    rank vector, ONE keys-sized contribution exchange per iteration,
+    per-iteration ROUND so both engines stay on identical vectors.
+    The per-edge contribution is computed as ``(rank / W_src) · w`` —
+    the division happens once per source in the broadcast table; the
+    oracle mirrors this exact association order.
+
+    Returns (node, rank) rounded to ``decimals``."""
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_weighted: empty edge list — no nodes to rank")
+    bcast = n < 5_000_000 if broadcast_ranks is None else broadcast_ranks
+    outw = (
+        e.groupBy("src").agg(F.sum("w").alias("wsum")).localCheckpoint(eager=False)
+    )
+    if bcast:
+        ej = e
+    else:
+        ej = e.join(outw, "src").repartition("src").localCheckpoint(eager=False)
+
+    base = (1.0 - damping) / n
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(float(n)), iter_decimals).alias("rank")
+    )
+    for _ in range(iters):
+        if bcast:
+            rd = (
+                ranks.alias("_r")
+                .join(
+                    F.broadcast(outw.alias("_d")),
+                    F.col("_r.node") == F.col("_d.src"),
+                )
+                .select(
+                    F.col("_d.src").alias("src"),
+                    (F.col("_r.rank") / F.col("_d.wsum")).alias("c"),
+                )
+            )
+            edge_contrib = ej.join(F.broadcast(rd), "src").select(
+                F.col("dst").alias("node"), (F.col("c") * F.col("w")).alias("c")
+            )
+        else:
+            edge_contrib = ej.join(ranks, ej.src == ranks.node).select(
+                F.col("dst").alias("node"),
+                ((F.col("rank") / F.col("wsum")) * F.col("w")).alias("c"),
+            )
+        contribs = edge_contrib.groupBy("node").agg(F.sum("c").alias("cs"))
+        ranks = nodes.join(
+            F.broadcast(contribs) if bcast else contribs, "node", "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("cs"), F.lit(0.0)),
+                iter_decimals,
+            ).alias("rank"),
+        )
+        if iters > 8:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", decimals).alias("rank"))

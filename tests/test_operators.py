@@ -1880,3 +1880,46 @@ def test_bigram_lm_score_ranks_predictable_text_lower(spark):
     # doc 1's transitions are corpus-frequent -> fewer bits than doc 2
     assert out[1]["lm_bits"] < out[2]["lm_bits"]
     assert all(out[d]["lm_bits"] > 0 for d in (1, 2))
+
+
+def test_pagerank_weighted_properties(spark):
+    from spear_spark.operators.graph import pagerank, pagerank_weighted
+
+    # triangle with a heavy edge 0->1: node 1 must out-rank node 2,
+    # which an unweighted run scores identically
+    edges_w = [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(edges_w, "src string, dst string, w double")
+    w = {r["node"]: r["rank"]
+         for r in pagerank_weighted(df, "src", "dst", "w", iters=8).collect()}
+    assert w["b"] > w["c"]
+    assert abs(sum(w.values()) - 1.0) < 1e-5  # no dangling: mass conserved
+
+    # uniform weights reproduce the unweighted ranking exactly
+    uni = df.select("src", "dst", F.lit(2.0).alias("w"))
+    a = {r["node"]: r["rank"]
+         for r in pagerank_weighted(uni, "src", "dst", "w", iters=8).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df.select("src", "dst"), "src", "dst", iters=8).collect()}
+    assert a == b
+
+    # parallel edges collapse into weight: duplicating the heavy edge
+    # as two w/2 rows changes nothing
+    split = spark.createDataFrame(
+        [("a", "b", 4.5), ("a", "b", 4.5), ("a", "c", 1.0),
+         ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    s = {r["node"]: r["rank"]
+         for r in pagerank_weighted(split, "src", "dst", "w", iters=8).collect()}
+    assert s == w
+
+    # shuffle fallback equality
+    sh = {r["node"]: r["rank"]
+          for r in pagerank_weighted(df, "src", "dst", "w", iters=8,
+                                     broadcast_ranks=False).collect()}
+    assert sh == w
+
+    import pytest as _pytest
+    empty = spark.createDataFrame([], "src string, dst string, w double")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        pagerank_weighted(empty, "src", "dst", "w")
