@@ -2585,4 +2585,6 @@ def p71_pagerank_weighted(spark: SparkSession, sf_dir: str) -> SDF:
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
-    return pagerank_weighted(edges, "src", "dst", "w", iters=3).orderBy("node")
+    return pagerank_weighted(
+        edges, "src", "dst", "w", iters=3, edges_aggregated=True
+    ).orderBy("node")

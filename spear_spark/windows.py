@@ -123,16 +123,41 @@ def partitioned_bounded_range(
             "partitioned_bounded_range: bucket_width must exceed "
             "preceding_range so a frame spans at most two buckets"
         )
+    for reserved in ("_bkt", "_ghost", "_copies", "_c"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"partitioned_bounded_range: input column {reserved!r} "
+                "collides with an internal name"
+            )
     key = F.col(key_col)
-    bucket = F.floor(key / F.lit(bucket_width)).cast("long")
-    own = df.withColumn("_bkt", bucket).withColumn("_ghost", F.lit(False))
-    # a row at key k is needed by bucket b+1 iff k >= (b+1)*W - preceding
-    halo = (
-        df.withColumn("_bkt", bucket + F.lit(1))
-        .filter(key >= (bucket + 1) * F.lit(bucket_width) - F.lit(preceding_range))
-        .withColumn("_ghost", F.lit(True))
+    W = int(bucket_width)
+    # integer floor-division: double division (floor(key / W)) loses
+    # precision past 2^53 and mis-buckets snowflake-scale long keys;
+    # key - pmod(key, W) is an exact multiple of W, so `div` is exact
+    # for any sign
+    bucket = F.expr(
+        f"(`{key_col}` - pmod(`{key_col}`, {W})) div {W}"
+    ).cast("long")
+    # SINGLE input pass: each row explodes into its own bucket plus —
+    # iff it sits in the last `preceding_range` keys of the bucket —
+    # a ghost copy for the next bucket (a second df reference would
+    # scan the source twice; the halo predicate is computed, so no
+    # pushdown could dedup the scans)
+    in_halo = key >= (bucket + F.lit(1)) * F.lit(W) - F.lit(preceding_range)
+    copies = F.when(
+        in_halo,
+        F.array(
+            F.struct(bucket.alias("b"), F.lit(False).alias("g")),
+            F.struct((bucket + 1).alias("b"), F.lit(True).alias("g")),
+        ),
+    ).otherwise(F.array(F.struct(bucket.alias("b"), F.lit(False).alias("g"))))
+    union = (
+        df.withColumn("_copies", copies)
+        .withColumn("_c", F.explode("_copies"))
+        .withColumn("_bkt", F.col("_c.b"))
+        .withColumn("_ghost", F.col("_c.g"))
+        .drop("_copies", "_c")
     )
-    union = own.unionByName(halo)
     w = (
         SparkWindow.partitionBy("_bkt")
         .orderBy(key_col)

@@ -1923,3 +1923,16 @@ def test_pagerank_weighted_properties(spark):
     empty = spark.createDataFrame([], "src string, dst string, w double")
     with _pytest.raises(ValueError, match="empty edge list"):
         pagerank_weighted(empty, "src", "dst", "w")
+
+
+def test_pagerank_weighted_rejects_nonpositive_weights(spark):
+    import pytest as _pytest
+
+    from spear_spark.operators.graph import pagerank_weighted
+
+    for w in (0.0, -1.0, float("nan")):
+        df = spark.createDataFrame(
+            [("a", "b", 1.0), ("b", "a", w)], "src string, dst string, w double"
+        )
+        with _pytest.raises(ValueError, match="positive"):
+            pagerank_weighted(df, "src", "dst", "w")
