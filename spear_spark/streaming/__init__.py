@@ -198,13 +198,17 @@ def running_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFra
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> None:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
     """Drain everything currently available into an in-memory table
-    (test/backfill harness; production sinks are kafka/delta/parquet)."""
+    (test/backfill harness; production sinks are kafka/delta/parquet).
+    ``complete`` suits aggregations; stateless transforms (projections,
+    stream-static joins) require ``append``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -497,3 +501,27 @@ def sliding_rollup_stream(
             "event_type", "n", "value_sum",
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — attach slowly-changing dimension
+    attributes (user profile, document metadata, model registry row) to
+    every streaming event.  The canonical lookup pattern Structured
+    Streaming supports natively: the static side is re-read per
+    micro-batch (so a refreshed dim table takes effect on the next
+    batch without restart) and the join is stateless — no watermark, no
+    state store, unlike stream-stream joins.
+
+    Scale shape: Spark broadcasts the static side when it fits
+    (dim tables usually do); a big dim falls back to a per-batch
+    shuffle join — still stateless.  ``how='left'`` keeps events with
+    no dim row (nulls) rather than dropping them mid-pipeline;
+    ``inner`` filters to enrichable events."""
+    if how not in ("left", "inner"):
+        raise ValueError("enrich_stream: how must be 'left' or 'inner'")
+    return events.join(dim, key, how)

@@ -365,3 +365,36 @@ def test_cdc_state_stream_out_of_order_and_restart(spark, tmp_path):
     # k=1 stays deleted (late ts=150 < tombstone ts=200); k=2 survives
     # every restart — neither wiped by batch-id reuse nor resurrected
     assert got == [(2, 100, 2, 5.0)]
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir):
+    """Stream-static enrichment: joining the event stream against a
+    static per-user dimension must equal the batch join — including
+    events whose user has NO dim row (left semantics keep them with
+    nulls)."""
+    from spear_spark.streaming import enrich_stream, run_available_now, stream_events
+
+    ev = load_table(spark, sf_dir, "events")
+    # static dim derived from half the users so the null path is real
+    dim = (
+        ev.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    enriched = enrich_stream(
+        stream_events(spark, sf_dir).select("event_id", "user_id"), dim, "user_id"
+    )
+    run_available_now(enriched, "enrich_test", output_mode="append")
+    got = {
+        r.event_id: (r.user_id, r.tier) for r in spark.table("enrich_test").collect()
+    }
+    expected = {
+        r.event_id: (r.user_id, r.tier)
+        for r in ev.select("event_id", "user_id").join(dim, "user_id", "left").collect()
+    }
+    assert got == expected
+    assert any(t is None for _, t in got.values())  # null path exercised
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="left.*inner|'left' or 'inner'"):
+        enrich_stream(stream_events(spark, sf_dir), dim, "user_id", how="full")
