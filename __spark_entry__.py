@@ -23,9 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # so every query needing FRESH driver evidence lands inside that window:
 #   1. never-driver-checked pipeline queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
-#   3. unchanged round-1-green representatives (one per operator family).
-# Entries past 50 are all r01-green and unchanged; their evidence is the
-# CORRECTNESS_r01 row.
+#   3. stale-evidence rotations, oldest rounds first.
+# Entries past 50 are unchanged; their evidence is their latest green
+# CORRECTNESS_rNN row (as of round 5: p14/p20/p23–p29 carry r02
+# evidence just below the fold — rotate them in next round; everything
+# else below is r03/r04-green).
 _DRIVER_PRIORITY = [
     # ---- round 5 window ----
     # -- RED in CORRECTNESS_r04 (array outputs broke the driver's

@@ -46,8 +46,9 @@ def main() -> int:
                 problems = compare(qs[name](spark, sf_dir), con, osql[name])
             else:
                 # rows-only contract for oracle-less entries, like the
-                # driver's weaker check
-                problems = [] if qs[name](spark, sf_dir).count() >= 0 else ["negative count"]
+                # driver's weaker check: a smoke execution, no compare
+                qs[name](spark, sf_dir).count()
+                problems = []
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             problems = [f"ERROR {type(ex).__name__}: {str(ex)[:200]}"]
         if problems:

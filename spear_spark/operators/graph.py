@@ -229,17 +229,20 @@ def pagerank_weighted(
         F.col(dst).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    if not edges_aggregated:
-        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
-    e = e.localCheckpoint(eager=False)
-    # explicit NaN test: Spark ORDERS NaN greater than any double, so
-    # a bare ~(w > 0) would let NaN weights straight through
+    # validate the RAW weights BEFORE aggregation: F.sum drops NULLs,
+    # so a null weight among positive parallel edges would otherwise
+    # pass the aggregated check while silently contributing nothing.
+    # Explicit NaN test: Spark ORDERS NaN greater than any double, so
+    # a bare ~(w > 0) would let NaN straight through.
     bad_w = F.isnan("w") | F.col("w").isNull() | (F.col("w") <= 0)
     if e.filter(bad_w).limit(1).count() > 0:
         raise ValueError(
             "pagerank_weighted: edge weights must be positive (a zero/"
-            "negative/NaN aggregated weight silently destroys rank mass)"
+            "negative/NULL/NaN weight silently destroys rank mass)"
         )
+    if not edges_aggregated:
+        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    e = e.localCheckpoint(eager=False)
     return _iterate(
         e, True, iters, damping, iter_decimals, decimals, broadcast_ranks,
         "pagerank_weighted",

@@ -118,26 +118,29 @@ def partitioned_bounded_range(
     share ≈ preceding_range / bucket_width) + ONE hash exchange on the
     bucket id.  At 100 TB pick bucket_width so a bucket's rows fit an
     executor (e.g. keys/bucket ≈ rows_per_task target)."""
+    if preceding_range < 0:
+        raise ValueError("partitioned_bounded_range: preceding_range must be >= 0")
     if bucket_width <= preceding_range:
         raise ValueError(
-            "partitioned_bounded_range: bucket_width must exceed "
-            "preceding_range so a frame spans at most two buckets"
+            "partitioned_bounded_range: bucket_width must be positive and "
+            "exceed preceding_range so a frame spans at most two buckets"
         )
-    for reserved in ("_bkt", "_ghost", "_copies", "_c"):
+    for reserved in ("_bkt", "_ghost", "_copies", "_c", "_pbr_k"):
         if reserved in df.columns:
             raise ValueError(
                 f"partitioned_bounded_range: input column {reserved!r} "
                 "collides with an internal name"
             )
-    key = F.col(key_col)
     W = int(bucket_width)
-    # integer floor-division: double division (floor(key / W)) loses
-    # precision past 2^53 and mis-buckets snowflake-scale long keys;
+    # stage the key under a fixed internal name so the integer-division
+    # expr never string-interpolates a user column name (backtick
+    # injection); double division (floor(key / W)) would lose precision
+    # past 2^53 and mis-bucket snowflake-scale long keys —
     # key - pmod(key, W) is an exact multiple of W, so `div` is exact
     # for any sign
-    bucket = F.expr(
-        f"(`{key_col}` - pmod(`{key_col}`, {W})) div {W}"
-    ).cast("long")
+    df = df.withColumn("_pbr_k", F.col(key_col).cast("long"))
+    key = F.col("_pbr_k")
+    bucket = F.expr(f"(_pbr_k - pmod(_pbr_k, {W})) div {W}").cast("long")
     # SINGLE input pass: each row explodes into its own bucket plus —
     # iff it sits in the last `preceding_range` keys of the bucket —
     # a ghost copy for the next bucket (a second df reference would
@@ -166,4 +169,4 @@ def partitioned_bounded_range(
     out = union
     for name, (value, fn) in agg_exprs.items():
         out = out.withColumn(name, fn(value).over(w))
-    return out.filter(~F.col("_ghost")).drop("_bkt", "_ghost")
+    return out.filter(~F.col("_ghost")).drop("_bkt", "_ghost", "_pbr_k")

@@ -1936,3 +1936,18 @@ def test_pagerank_weighted_rejects_nonpositive_weights(spark):
         )
         with _pytest.raises(ValueError, match="positive"):
             pagerank_weighted(df, "src", "dst", "w")
+
+
+def test_pagerank_weighted_rejects_null_raw_weight_among_positives(spark):
+    # F.sum drops NULLs: a null weight on a parallel edge must fail the
+    # PRE-aggregation validation, not slip through as 0 contribution
+    import pytest as _pytest
+
+    from spear_spark.operators.graph import pagerank_weighted
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "b", None), ("b", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        pagerank_weighted(df, "src", "dst", "w")

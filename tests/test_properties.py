@@ -279,11 +279,7 @@ def test_segment_dedup_idempotent(spark, docs):
 @st.composite
 def weighted_sources(draw):
     n = draw(st.integers(1, 8))
-    return [
-        (f"s{i}", draw(st.integers(1, 200)))
-        for i in range(n)
-        for _ in range(1)
-    ]
+    return [(f"s{i}", draw(st.integers(1, 200))) for i in range(n)]
 
 
 @settings(deadline=None, max_examples=20,
