@@ -416,3 +416,69 @@ def test_exchange_record_counts_run_path_populates_metrics(spark):
     df = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
     counts = exchange_record_counts(df, run=True)
     assert counts and all(c > 0 for c in counts)
+
+
+def test_mix_reweight_replication_invariant(spark, sf_dir):
+    """10x replication leaves every share and keep-rate unchanged and
+    multiplies counts/expected rows exactly — the closed-form rate is
+    a function of the MIX, not the volume."""
+    from spear_spark.operators.sampling import mix_reweight
+
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    docs10 = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).drop("rep")
+    targets = {f"src{i}": 0.05 for i in range(20)}
+    base = {r["source"]: r for r in mix_reweight(docs, "source", targets).collect()}
+    big = {r["source"]: r for r in mix_reweight(docs10, "source", targets).collect()}
+    assert set(base) == set(big)
+    for s, b in base.items():
+        g = big[s]
+        assert g["n_rows"] == 10 * b["n_rows"]
+        assert g["actual_share"] == b["actual_share"]
+        assert g["keep_rate"] == b["keep_rate"]
+        assert g["expected_rows"] == 10 * b["expected_rows"]
+
+
+def test_event_funnel_scales_with_user_replication(spark, sf_dir):
+    """Replicating every user's event history under shifted user ids
+    multiplies every funnel stage count by exactly 10 and leaves the
+    conversion rate unchanged — the per-user windows must not leak
+    across the disjoint id ranges."""
+    from spear_spark.relational import QUERIES as REL
+
+    base = REL["q79_event_funnel"][0](spark, sf_dir).collect()[0]
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev10 = ev.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select(
+        (F.col("user_id") + F.col("rep") * F.lit(10_000_000)).alias("user_id"),
+        "ts", "event_type",
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id")
+    t = F.col("event_type")
+    e1 = ev10.withColumn("t_view", F.min(F.when(t == "view", F.col("ts"))).over(w))
+    e2 = e1.withColumn(
+        "t_click",
+        F.min(F.when((t == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))).over(w),
+    )
+    e3 = e2.withColumn(
+        "t_buy",
+        F.min(F.when((t == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))).over(w),
+    )
+    pu = e3.groupBy("user_id").agg(
+        F.max("t_view").alias("tv"), F.max("t_click").alias("tc"), F.max("t_buy").alias("tb")
+    )
+    big = pu.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click_after_view"),
+        F.count("tb").alias("n_purchase_after_click"),
+    ).collect()[0]
+    assert big["n_users"] == 10 * base["n_users"]
+    assert big["n_view"] == 10 * base["n_view"]
+    assert big["n_click_after_view"] == 10 * base["n_click_after_view"]
+    assert big["n_purchase_after_click"] == 10 * base["n_purchase_after_click"]
