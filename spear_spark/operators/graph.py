@@ -203,7 +203,8 @@ def pagerank_weighted(
     edges_aggregated: bool = False,
 ) -> DataFrame:
     """Weighted PageRank: each node's rank splits across its out-edges
-    ∝ edge weight — the variant :func:`pagerank` scopes out.  Parallel
+    ∝ edge weight — the variant :func:`pagerank` scopes out
+    (SURVEY §2.7 extension; the reference is batch-relational only).  Parallel
     edges are summed into one weighted edge first, so a multigraph's
     multiplicity IS its weight; a caller whose (src, dst) is already
     unique (e.g. a symmetrized union of a grouped bipartite pair

@@ -334,7 +334,8 @@ def ahash_near_pairs(
     — the 64-bit hash splits into ``max_hamming + 1`` disjoint bands
     and any qualifying pair must agree exactly on ≥1 band, so
     candidates come from an equi-join on (band, band_bits), never an
-    all-pairs scan.  Exact distance check (``bit_count(a ^ b)``)
+    all-pairs scan (SURVEY §2.6 extension — the reference has no
+    multimodal layer at all).  Exact distance check (``bit_count(a ^ b)``)
     filters candidates; results equal brute force.  Band extraction is
     ``shiftright(...).bitwiseAND(mask)`` — a signed ``%`` would give
     NEGATIVE band values for hashes with bit 63 set (which real aHashes

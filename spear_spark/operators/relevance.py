@@ -172,7 +172,8 @@ def bigram_lm_score(df, text_col: str, id_col: str, k: float = 0.5, decimals: in
     perplexity filters — a doc whose word TRANSITIONS are improbable
     under the corpus scores high even when its unigrams are ordinary
     (shuffled or machine-mangled text), which is exactly what the
-    unigram score cannot see.
+    unigram score cannot see.  SURVEY §2.4 extension — the reference
+    has no scoring functions.
 
     ``P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` with V the corpus
     vocabulary size; score = -mean log2 P over the doc's bigram

@@ -217,6 +217,7 @@ def mix_reweight(
     everything else downsamples proportionally.  The planning half of
     mix curation (:func:`temperature_mix` is the implicit-α variant);
     feed the rates into a ``rand_like(key) < rate`` filter to execute.
+    SURVEY §2.7 extension — the reference has no sampling operators.
 
     Returns one row per source: ``n_rows, actual_share, target_share,
     keep_rate, expected_rows``.
@@ -284,7 +285,8 @@ def budget_waterfill(
     answers "what rate hits a target mix"; this answers "how much of
     each source fits a fixed budget fairly").
 
-    Returns (source, tokens, alloc, capped) ordered by source.
+    SURVEY §2.7 extension.  Returns (source, tokens, alloc,
+    capped) ordered by source.
 
     Determinism: pure int64 arithmetic end-to-end — totals are exact
     sums, the cap is one integer division, the remainder rule is a

@@ -619,7 +619,8 @@ def srp_signature_exact(
 
     Hamming-close signatures ⇒ small angle (Goemans-Williamson:
     P[bit differs] = θ/π per plane), so banding these bits is the
-    standard cosine near-dup blocking at corpus scale.
+    standard cosine near-dup blocking at corpus scale.  SURVEY §2.7
+    extension — the reference has no vector operators.
 
     Scale shape: pure projection — no shuffle, no Python; n_bits
     sequential int folds per row over the staged quantized array.
@@ -661,7 +662,8 @@ def centroid_shift(
     """Per-label embedding drift between two corpus halves: the L2
     distance between each label's centroid computed on split A vs
     split B (``split_col`` boolean: False = A, True = B), plus both
-    counts — the monitor that catches a feature-extraction change or
+    counts (SURVEY §2.7 extension) — the monitor that catches a
+    feature-extraction change or
     upstream distribution shift BEFORE it poisons an ANN index or a
     balanced sample.
 

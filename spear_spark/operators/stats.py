@@ -184,7 +184,9 @@ def zscore_outliers(
     """Rows whose ``value_col`` deviates ≥ ``threshold`` sample
     standard deviations from their group mean — the per-stratum
     anomaly flag (absurdly long/short docs per language, price
-    outliers per segment).
+    outliers per segment).  The reference has no statistical
+    aggregates beyond count/sum/min/max/avg (SURVEY §2.5 —
+    extension).
 
     Scale shape: the (mean, stddev) pairs are ONE two-phase aggregate
     over the group key; the one-row-per-group stats table broadcasts

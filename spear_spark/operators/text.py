@@ -418,7 +418,9 @@ def top_ngrams_per_group(
     """Top-``k`` word n-grams per group by corpus frequency (ties
     broken lexicographically) — the vocabulary-drift probe run per
     language/source when curating a mix: a shifted top-bigram list is
-    the cheapest signal a source changed character.
+    the cheapest signal a source changed character.  SURVEY §2.4
+    extension — the reference has no n-gram or grouping-window
+    machinery.
 
     Scale shape: n-gram expansion is a pure projection (adjacent-slice
     transform + one explode); counting is a two-phase aggregate on
@@ -463,7 +465,8 @@ def bpe_pair_counts(df, text_col: str, top: int = 20):
     runs / punctuation — ``BPE_PATTERN``), returning the ``top`` pairs
     by (count desc, pair asc).  Iterating this scan + merging the
     argmax pair IS byte-pair-encoding vocabulary construction; one
-    step is the operator because each iteration is a fresh corpus
+    step is the operator (SURVEY §2.4 extension) because each
+    iteration is a fresh corpus
     aggregate (the merge rewrites the token stream between steps).
 
     Scale shape: token and pair expansion are projections (regexp

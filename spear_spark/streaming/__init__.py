@@ -515,7 +515,8 @@ def enrich_stream(
     Streaming supports natively: the static side is re-read per
     micro-batch (so a refreshed dim table takes effect on the next
     batch without restart) and the join is stateless — no watermark, no
-    state store, unlike stream-stream joins.
+    state store, unlike stream-stream joins.  SURVEY §2.3 extension —
+    the reference has no streaming surface.
 
     Scale shape: Spark broadcasts the static side when it fits
     (dim tables usually do); a big dim falls back to a per-batch

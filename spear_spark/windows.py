@@ -95,7 +95,9 @@ def partitioned_bounded_range(
     """Evaluate a GLOBAL bounded RANGE frame ``[key - preceding_range,
     key]`` at scale by partitioning the key space — the halo-row
     rewrite that removes the single-task bottleneck of an
-    unpartitioned ordered window.
+    unpartitioned ordered window (the scale evaluation of the
+    reference's RangeFrame semantics, WindowSpec.scala:16-28 — same
+    results, partitioned plan).
 
     Every row lands in bucket ``key div bucket_width``; rows within
     ``preceding_range`` of a bucket's END are additionally copied into
