@@ -482,3 +482,29 @@ def test_event_funnel_scales_with_user_replication(spark, sf_dir):
     assert big["n_view"] == 10 * base["n_view"]
     assert big["n_click_after_view"] == 10 * base["n_click_after_view"]
     assert big["n_purchase_after_click"] == 10 * base["n_purchase_after_click"]
+
+
+def test_centroid_shift_replication_invariant(spark, sf_dir):
+    """Replicating every vector under EVEN id shifts preserves each
+    id's parity, so the even/odd split sees 10 identical copies per
+    side — the per-label centroid shift must be bit-identical and the
+    side counts exactly 10x."""
+    from spear_spark.operators.similarity import centroid_shift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb10 = emb.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(20_000_000)).alias("vec_id"),
+        "embedding", "label",
+    )
+    split = F.col("vec_id") % 2 == 1
+    base = {r["label"]: r for r in
+            centroid_shift(emb, "embedding", "label", split).collect()}
+    big = {r["label"]: r for r in
+           centroid_shift(emb10, "embedding", "label", split).collect()}
+    assert set(base) == set(big)
+    for lbl, b in base.items():
+        g = big[lbl]
+        assert g["n_a"] == 10 * b["n_a"] and g["n_b"] == 10 * b["n_b"]
+        assert g["l2_shift"] == b["l2_shift"]
