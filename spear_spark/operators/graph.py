@@ -213,10 +213,18 @@ def pagerank_weighted(
     ``edges_distinct``.
 
     Weights must be POSITIVE and are validated with one bounded job
-    over the aggregated edge table (a zero/negative/NaN weight sum
-    would silently null out a source's entire contribution — fail
-    loudly instead; skip-by-construction callers still pay only a
-    cheap scan of the checkpointed edges).
+    that runs AFTER the edge relation is checkpointed (a zero/
+    negative/NaN weight sum would silently null out a source's entire
+    contribution — fail loudly instead).  Ordering matters: the
+    validation action is what materializes the lazy checkpoint, so the
+    caller's edge-build subtree executes exactly ONCE — validating the
+    raw relation first would run it twice (once for the check, again
+    when the checkpoint materializes).  On the aggregating path the
+    raw-edge defects are folded into the same single pass: the
+    aggregate also tracks per-group null counts and the raw minimum
+    weight, so a NULL hidden among positive parallel edges (F.sum
+    drops NULLs) or a negative summed away by a larger positive
+    sibling still fails loudly.
 
     Same scale shape and determinism discipline as :func:`pagerank`
     (shared ``_iterate`` core); the per-edge contribution is computed
@@ -230,20 +238,44 @@ def pagerank_weighted(
         F.col(dst).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    # validate the RAW weights BEFORE aggregation: F.sum drops NULLs,
-    # so a null weight among positive parallel edges would otherwise
-    # pass the aggregated check while silently contributing nothing.
-    # Explicit NaN test: Spark ORDERS NaN greater than any double, so
-    # a bare ~(w > 0) would let NaN straight through.
-    bad_w = F.isnan("w") | F.col("w").isNull() | (F.col("w") <= 0)
-    if e.filter(bad_w).limit(1).count() > 0:
-        raise ValueError(
-            "pagerank_weighted: edge weights must be positive (a zero/"
-            "negative/NULL/NaN weight silently destroys rank mass)"
+    # Explicit NaN test everywhere below: Spark ORDERS NaN greater
+    # than any double, so a bare ~(w > 0) would let NaN straight
+    # through (and NaN survives SUM but hides from MIN, which treats
+    # it as largest — hence both columns are checked).
+    msg = (
+        "pagerank_weighted: edge weights must be positive (a zero/"
+        "negative/NULL/NaN weight silently destroys rank mass)"
+    )
+    if edges_aggregated:
+        # checkpoint FIRST, validate on the checkpointed relation —
+        # the bounded validation job doubles as the materialization
+        e = e.localCheckpoint(eager=False)
+        bad_w = F.isnan("w") | F.col("w").isNull() | (F.col("w") <= 0)
+        if e.filter(bad_w).limit(1).count() > 0:
+            raise ValueError(msg)
+    else:
+        # one aggregation pass carries the defect evidence along:
+        #   _nulls — raw NULLs F.sum would silently drop,
+        #   _minw  — raw negatives a larger positive sibling could
+        #            sum away (raw NaN poisons the SUM itself).
+        e = (
+            e.groupBy("src", "dst")
+            .agg(
+                F.sum("w").alias("w"),
+                (F.count(F.lit(1)) - F.count("w")).alias("_nulls"),
+                F.min("w").alias("_minw"),
+            )
+            .localCheckpoint(eager=False)
         )
-    if not edges_aggregated:
-        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
-    e = e.localCheckpoint(eager=False)
+        bad_w = (
+            (F.col("_nulls") > 0)
+            | F.col("w").isNull()
+            | F.isnan("w")
+            | (F.col("_minw") <= 0)
+        )
+        if e.filter(bad_w).limit(1).count() > 0:
+            raise ValueError(msg)
+        e = e.drop("_nulls", "_minw")
     return _iterate(
         e, True, iters, damping, iter_decimals, decimals, broadcast_ranks,
         "pagerank_weighted",

@@ -227,46 +227,67 @@ def mix_reweight(
     order-free (unlike a normalizing SUM, which is why the closed form
     divides by the max ratio rather than renormalizing shares).
     Sources absent from ``targets`` get target share 0 → rate 0.
+    Target sources absent from ``df`` are NOT dropped: the counts are
+    outer-joined against the target keys, so a missing source
+    surfaces as an ``n_rows = 0`` row with a NULL ``keep_rate`` — the
+    stated mix is unachievable and the caller can detect exactly
+    which sources are short instead of silently planning around them.
 
     Scale: ONE two-phase count on the source key (|sources| rows);
     everything after is arithmetic on that tiny table — at 100 TB the
     planning query costs one column-pruned scan."""
-    tgt = F.coalesce(
-        *[
-            F.when(F.col(source_col) == F.lit(s), F.lit(float(w)))
-            for s, w in sorted(targets.items())
-        ],
-        F.lit(0.0),
-    )
-    counts = (
-        df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("_tgt", tgt)
-    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    if targets:
+        # full-outer against the lifted target keys: a target source
+        # with no rows must SURFACE (n_rows = 0, keep_rate NULL), not
+        # vanish — Spark's USING-join coalesces the key column, and
+        # the broadcast keeps the |targets|-row side driver-sized
+        tdf = df.sparkSession.createDataFrame(
+            [(s, float(w)) for s, w in sorted(targets.items())],
+            [source_col, "_tgt"],
+        )
+        counts = counts.join(F.broadcast(tdf), source_col, "full_outer").select(
+            F.col(source_col),
+            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+            F.coalesce(F.col("_tgt"), F.lit(0.0)).alias("_tgt"),
+        )
+    else:
+        counts = counts.withColumn("_tgt", F.lit(0.0))
+    # every ratio is guarded on n_rows > 0 — under ANSI (the engine
+    # default) a bare division by a zero count would throw, and the
+    # guard doubles as the missing-source NULL marker
+    present = F.col("n_rows") > 0
     total = counts.agg(
         F.sum("n_rows").alias("_n_total"),
         F.max(
             F.when(
-                F.col("_tgt") > 0,
+                (F.col("_tgt") > 0) & present,
                 F.col("_tgt") / F.col("n_rows").cast("double"),
             )
         ).alias("_max_ratio"),
     )
     rate = F.when(
-        F.col("_tgt") > 0,
+        (F.col("_tgt") > 0) & present,
         (F.col("_tgt") / F.col("n_rows").cast("double")) / F.col("_max_ratio"),
-    ).otherwise(F.lit(0.0))
+    ).when(~present & (F.col("_tgt") > 0), F.lit(None).cast("double")).otherwise(
+        F.lit(0.0)
+    )
     return counts.crossJoin(F.broadcast(total)).select(
         F.col(source_col),
         "n_rows",
-        F.round(F.col("n_rows") / F.col("_n_total").cast("double"), decimals).alias(
-            "actual_share"
-        ),
+        F.round(
+            F.when(
+                F.col("_n_total") > 0,
+                F.col("n_rows") / F.col("_n_total").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            decimals,
+        ).alias("actual_share"),
         F.round(F.col("_tgt"), decimals).alias("target_share"),
         F.round(rate, decimals).alias("keep_rate"),
-        F.floor(rate * F.col("n_rows").cast("double")).cast("long").alias(
-            "expected_rows"
-        ),
+        F.when(present, F.floor(rate * F.col("n_rows").cast("double")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("expected_rows"),
     )
 
 
@@ -288,6 +309,12 @@ def budget_waterfill(
     SURVEY §2.7 extension.  Returns (source, tokens, alloc,
     capped) ordered by source.
 
+    Per-source totals must be NON-NEGATIVE and non-NULL — the exact
+    law's uncapped-prefix argument breaks silently otherwise — and are
+    validated with one bounded job over the checkpointed
+    |sources|-row aggregate (which also keeps the corpus-sized count
+    from executing twice).
+
     Determinism: pure int64 arithmetic end-to-end — totals are exact
     sums, the cap is one integer division, the remainder rule is a
     rank comparison.  No floating point anywhere.
@@ -302,9 +329,24 @@ def budget_waterfill(
     w_cum = Window.partitionBy().orderBy("tokens", "source").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    totals = df.groupBy(source_col).agg(
-        F.sum(F.col(weight_col)).cast("long").alias("tokens")
-    ).withColumnRenamed(source_col, "source")
+    totals = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(weight_col)).cast("long").alias("tokens"))
+        .withColumnRenamed(source_col, "source")
+        .localCheckpoint(eager=False)
+    )
+    # fail loudly on NULL (all-NULL weights — F.sum drops NULLs) or
+    # negative per-source totals: the Σalloc == min(budget, ΣT) law
+    # relies on non-negative totals, so a bad source would silently
+    # corrupt every allocation.  Bounded job over the tiny aggregate;
+    # it doubles as the checkpoint materialization.
+    bad_t = F.col("tokens").isNull() | (F.col("tokens") < 0)
+    if totals.filter(bad_t).limit(1).count() > 0:
+        raise ValueError(
+            "budget_waterfill: per-source weight totals must be "
+            "non-negative and non-NULL (a NULL/negative total breaks "
+            "the exact allocation law)"
+        )
     t = (
         totals.withColumn("_n", F.count(F.lit(1)).over(w_all))
         .withColumn("_i", F.row_number().over(Window.partitionBy().orderBy("tokens", "source")))

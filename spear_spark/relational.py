@@ -2999,7 +2999,10 @@ _Q79_SQL = """
            CAST(COUNT(tv) AS BIGINT) AS n_view,
            CAST(COUNT(tc) AS BIGINT) AS n_click_after_view,
            CAST(COUNT(tb) AS BIGINT) AS n_purchase_after_click,
-           ROUND(CAST(COUNT(tb) AS DOUBLE) / COUNT(tv), 6) AS full_conversion
+           -- NULLIF zero guard: on a corpus with no 'view' events the
+           -- two engines would otherwise diverge (DuckDB IEEE inf/nan
+           -- vs Spark ANSI divide error) — both now emit NULL
+           ROUND(CAST(COUNT(tb) AS DOUBLE) / NULLIF(COUNT(tv), 0), 6) AS full_conversion
     FROM pu
 """
 
@@ -3035,7 +3038,7 @@ def q79_event_funnel(spark: SparkSession, sf_dir: str) -> SDF:
         F.count("tc").alias("n_click_after_view"),
         F.count("tb").alias("n_purchase_after_click"),
         F.round(
-            F.count("tb").cast("double") / F.count("tv"), 6
+            F.count("tb").cast("double") / F.nullif(F.count("tv"), F.lit(0)), 6
         ).alias("full_conversion"),
     )
 

@@ -1721,6 +1721,28 @@ def test_mix_reweight_binding_source_keeps_all(spark):
     assert out2["c"]["keep_rate"] == 0.0 and out2["c"]["expected_rows"] == 0
 
 
+def test_mix_reweight_missing_target_source_surfaces(spark):
+    # a target source with NO rows in df must surface as an
+    # n_rows=0 / keep_rate NULL row, not silently vanish — the plan
+    # cannot achieve the stated mix and the caller must see which
+    # source is short
+    from spear_spark.operators.sampling import mix_reweight
+
+    rows = [("a",)] * 60 + [("b",)] * 40
+    df = spark.createDataFrame(rows, "src string")
+    out = {r["src"]: r for r in
+           mix_reweight(df, "src", {"a": 0.4, "b": 0.4, "ghost": 0.2}).collect()}
+    assert set(out) == {"a", "b", "ghost"}
+    g = out["ghost"]
+    assert g["n_rows"] == 0 and g["actual_share"] == 0.0
+    assert g["target_share"] == 0.2
+    assert g["keep_rate"] is None and g["expected_rows"] == 0
+    # present sources are unaffected by the ghost row: b binds
+    # (0.4/40 > 0.4/60) -> rate 1.0, a keeps 2/3
+    assert out["b"]["keep_rate"] == 1.0
+    assert abs(out["a"]["keep_rate"] - 2 / 3) < 1e-6
+
+
 def test_quality_funnel_is_monotone_and_counts_input(spark, sf_dir):
     from spear_spark.operators.text import quality_funnel
     from spear_spark.sources import load_table
@@ -1786,6 +1808,25 @@ def test_budget_waterfill_exact_allocation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match=">= 0"):
         budget_waterfill(df, "src", "w", -1)
+
+
+def test_budget_waterfill_rejects_bad_totals(spark):
+    # a negative or all-NULL per-source total breaks the exact
+    # allocation law -> fail loudly, never allocate
+    import pytest as _pytest
+
+    from spear_spark.operators.sampling import budget_waterfill
+
+    neg = spark.createDataFrame(
+        [("a", 10), ("b", -3)], "src string, w long"
+    )
+    with _pytest.raises(ValueError, match="non-negative"):
+        budget_waterfill(neg, "src", "w", 100)
+    allnull = spark.createDataFrame(
+        [("a", 10), ("b", None)], "src string, w long"
+    )
+    with _pytest.raises(ValueError, match="non-NULL"):
+        budget_waterfill(allnull, "src", "w", 100)
 
 
 class TestImageAHash:
@@ -1951,3 +1992,35 @@ def test_pagerank_weighted_rejects_null_raw_weight_among_positives(spark):
     )
     with _pytest.raises(ValueError, match="positive"):
         pagerank_weighted(df, "src", "dst", "w")
+
+
+def test_pagerank_weighted_rejects_negative_summed_away(spark):
+    # raw weights {3.0, -1.0} on the SAME edge sum to +2.0 — the
+    # aggregated weight looks healthy, but the raw negative must still
+    # fail loudly (caught via the min-weight defect column carried
+    # through the single aggregation pass)
+    import pytest as _pytest
+
+    from spear_spark.operators.graph import pagerank_weighted
+
+    df = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "b", -1.0), ("b", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        pagerank_weighted(df, "src", "dst", "w")
+
+
+def test_pagerank_weighted_aggregated_path_still_validates(spark):
+    # edges_aggregated=True skips the aggregation but NOT the weight
+    # check — validation runs on the checkpointed relation
+    import pytest as _pytest
+
+    from spear_spark.operators.graph import pagerank_weighted
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", float("nan"))],
+        "src string, dst string, w double",
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        pagerank_weighted(df, "src", "dst", "w", edges_aggregated=True)
