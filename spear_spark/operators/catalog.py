@@ -2588,3 +2588,51 @@ def p71_pagerank_weighted(spark: SparkSession, sf_dir: str) -> SDF:
     return pagerank_weighted(
         edges, "src", "dst", "w", iters=3, edges_aggregated=True
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# p72 — convergence-terminated PageRank (operators.graph.
+# pagerank_converged) on the customer→nation→region membership graph:
+# iterate until max |Δrank| < 1e-6 instead of a fixed round count —
+# the mode a real centrality run uses (fixed iterations are an
+# oracle-pairing artifact).  The iteration count is DATA-DEPENDENT, so
+# there is no static SQL twin — the driver records the rows-only
+# check; exactness is pinned by tests instead: the returned vector is
+# bit-identical to pagerank(iters=k) for the k the run stopped at,
+# and the residual series is geometrically decreasing (damping=0.5
+# halves the residual per round, so the run is ~20 rounds at any
+# scale — round count scales with log(tol)/log(damping), not with
+# data size).  check_every=4 amortizes the bounded 1-row residual
+# action over lazily-chained rounds (one driver sync per 4 rounds).
+# ---------------------------------------------------------------------------
+@q("p72_pagerank_convergence", None)
+def p72_pagerank_convergence(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.graph import pagerank_converged
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    edges = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    # per-key uniqueness in each membership table + disjoint prefixes
+    # -> the union is duplicate-free by construction
+    return pagerank_converged(
+        edges, "src", "dst", tol=1e-6, max_iters=40, damping=0.5,
+        edges_distinct=True, check_every=4,
+    ).orderBy("node")

@@ -40,12 +40,27 @@ def _iterate(
     decimals: int,
     broadcast_ranks: bool | None,
     label: str,
+    tol: float | None = None,
+    check_every: int = 1,
+    info: dict | None = None,
 ) -> DataFrame:
     """Shared PageRank iteration core over a CHECKPOINTED edge relation
     ``e`` with columns (src, dst[, w]).  ``mul_w``: per-edge term is
     ``(rank / mass) · w`` (weighted) vs ``rank / mass`` (unweighted,
     mass = out-degree) — association order preserved per variant so
-    both stay bit-identical with their DuckDB oracles."""
+    both stay bit-identical with their DuckDB oracles.
+
+    ``tol=None`` (the oracle-pairable regime) runs exactly ``iters``
+    rounds with no driver round-trips.  With ``tol`` set, ``iters``
+    becomes the bounded-rounds guard: every ``check_every``-th vector
+    is checkpointed and its max-abs delta against the previously
+    CHECKED vector measured with one bounded 1-row action; iteration
+    stops at the first checked residual below ``tol`` and raises
+    RuntimeError if the guard is exhausted (mirroring
+    ``dedup.connected_components``' non-convergence contract).
+    ``check_every > 1`` amortizes the driver synchronization over a
+    lazily-chained depth-k DAG — the gap residual bounds cumulative
+    movement, so the stop rule stays sound, just coarser."""
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -88,7 +103,11 @@ def _iterate(
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), iter_decimals).alias("rank")
     )
-    for _ in range(iters):
+    prev_checked = ranks
+    iters_run = 0
+    converged = tol is None
+    resid = None
+    for _i in range(iters):
         if bcast:
             # rank/mass is divided ONCE per source node in the tiny
             # broadcast table instead of once per edge.  Explicit
@@ -133,13 +152,43 @@ def _iterate(
                 ).alias("rank"),
             )
         )
-        if iters > 8:
-            # lineage truncation matters only for LONG iteration
-            # chains (the CC regime); for the typical fixed 5-10
-            # rounds the pipelined depth-k DAG is cheaper than k
-            # serial checkpoint materializations, and it leaves no
-            # cached blocks behind in long-lived sessions
-            ranks = ranks.localCheckpoint(eager=False)
+        iters_run = _i + 1
+        if tol is None:
+            if iters > 8:
+                # lineage truncation matters only for LONG iteration
+                # chains (the CC regime); for the typical fixed 5-10
+                # rounds the pipelined depth-k DAG is cheaper than k
+                # serial checkpoint materializations, and it leaves no
+                # cached blocks behind in long-lived sessions
+                ranks = ranks.localCheckpoint(eager=False)
+            continue
+        if iters_run % check_every and iters_run != iters:
+            continue  # lazily chain until the next residual check
+        # the residual action doubles as the checkpoint materialization
+        # (one job per CHECK, not per iteration); renamed columns keep
+        # the shared-lineage self-join unambiguous
+        ranks = ranks.localCheckpoint(eager=False)
+        pc = prev_checked.select(
+            F.col("node").alias("_pn"), F.col("rank").alias("_pr")
+        )
+        resid = (
+            ranks.join(pc, F.col("node") == F.col("_pn"))
+            .agg(F.max(F.abs(F.col("rank") - F.col("_pr"))).alias("r"))
+            .first()["r"]
+        )
+        if info is not None:
+            info.setdefault("residuals", []).append(resid)
+        prev_checked = ranks
+        if resid < tol:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"{label}: residual {resid!r} has not reached tol={tol} within "
+            f"{iters} iterations — raise max_iters or loosen tol"
+        )
+    if info is not None:
+        info["iterations"] = iters_run
     return ranks.select("node", F.round("rank", decimals).alias("rank"))
 
 
@@ -187,6 +236,67 @@ def pagerank(
     return _iterate(
         e, False, iters, damping, iter_decimals, decimals, broadcast_ranks,
         "pagerank",
+    )
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    tol: float = 1e-6,
+    max_iters: int = 50,
+    damping: float = 0.85,
+    iter_decimals: int = 9,
+    decimals: int = 6,
+    broadcast_ranks: bool | None = None,
+    edges_distinct: bool = False,
+    check_every: int = 1,
+    info: dict | None = None,
+) -> DataFrame:
+    """Tolerance-terminated PageRank: iterate until the max-abs rank
+    delta between consecutive CHECKED vectors drops below ``tol`` —
+    what a real centrality run does, where :func:`pagerank`'s fixed
+    iteration count is a benchmark/oracle artifact.  SURVEY §2.7
+    extension (the reference is batch-relational only,
+    spear-core/src/main/scala/spear/plans/logical/LogicalPlan.scala
+    has no iterative operator family).
+
+    Shares :func:`pagerank`'s exact iteration map (same ``_iterate``
+    core, same per-round rounding), so the returned vector is
+    IDENTICAL to ``pagerank(iters=k)`` for the ``k`` it stopped at —
+    pinned by tests, and the escape hatch for oracle pairing.
+
+    Convergence mechanics: damping contracts the iteration by a
+    factor ≤ ``damping`` per round, so residuals decay geometrically
+    and the needed rounds scale with ``log(tol) / log(damping)`` —
+    data-size-independent.  Each residual is ONE bounded driver
+    action (a 1-row max-abs-delta aggregate over the node-keyed join
+    of consecutive vectors); ``check_every > 1`` amortizes that
+    synchronization across lazily-chained rounds for clusters where
+    driver round-trips dominate (the gap residual bounds cumulative
+    movement, so stopping stays sound).  A non-converging run (e.g. a
+    2-cycle of the rounded map under too-tight ``tol``) raises
+    RuntimeError at ``max_iters`` instead of silently returning a
+    moving vector — same contract as ``dedup.connected_components``.
+
+    ``info`` (optional dict) receives ``iterations`` (rounds actually
+    run) and ``residuals`` (checked residual series) for callers that
+    audit convergence.  Returns (node, rank) rounded to ``decimals``.
+    """
+    if tol <= 0:
+        raise ValueError("pagerank_converged: tol must be > 0")
+    if max_iters < 1:
+        raise ValueError("pagerank_converged: max_iters must be >= 1")
+    if check_every < 1:
+        raise ValueError("pagerank_converged: check_every must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
+    return _iterate(
+        e, False, max_iters, damping, iter_decimals, decimals,
+        broadcast_ranks, "pagerank_converged", tol=tol,
+        check_every=check_every, info=info,
     )
 
 

@@ -3114,3 +3114,51 @@ _Q81_FRAME = """
 def q81_interval_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_Q81_FRAME)
+
+
+# ---------------------------------------------------------------------------
+# q82 — symmetric bounded RANGE frame (10 PRECEDING AND 10 FOLLOWING):
+# the reference's RangeFrame boundaries are symmetric
+# (WindowSpec.scala:16-28 — Preceding AND Following), so the q16-class
+# halo rewrite needs the forward halo too.  Same scale shape: one
+# bounded two-way row duplication + ONE hash exchange on the bucket
+# id + per-bucket windows, value-identical to the naive global window
+# (which IS the oracle) — no single-task sort anywhere.
+# ---------------------------------------------------------------------------
+@q(
+    "q82_symmetric_range_frame",
+    """
+    SELECT orderkey, nearby_revenue, nearby_orders FROM (
+      SELECT o_orderkey AS orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS nearby_revenue,
+        CAST(COUNT(*) OVER w AS BIGINT) AS nearby_orders
+      FROM orders
+      WINDOW w AS (ORDER BY o_orderkey
+                   RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING)) t
+    WHERE orderkey <= 1000 ORDER BY orderkey
+    """,
+)
+def q82_symmetric_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.windows import partitioned_bounded_range
+
+    orders = load_table(spark, sf_dir, "orders")
+    framed = partitioned_bounded_range(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        {
+            "nearby_revenue": (D("o_totalprice", 14, 2), F.sum),
+            "nearby_orders": (F.lit(1), F.count),
+        },
+        preceding_range=10,
+        bucket_width=10_000,
+        following_range=10,
+    )
+    return (
+        framed.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("nearby_revenue").cast("double").alias("nearby_revenue"),
+            F.col("nearby_orders").cast("long").alias("nearby_orders"),
+        )
+        .filter(F.col("orderkey") <= 1000)
+        .orderBy("orderkey")
+    )

@@ -91,41 +91,48 @@ def partitioned_bounded_range(
     agg_exprs: dict[str, tuple[Column, "Any"]],
     preceding_range: int,
     bucket_width: int,
+    following_range: int = 0,
 ):
     """Evaluate a GLOBAL bounded RANGE frame ``[key - preceding_range,
-    key]`` at scale by partitioning the key space — the halo-row
-    rewrite that removes the single-task bottleneck of an
+    key + following_range]`` at scale by partitioning the key space —
+    the halo-row rewrite that removes the single-task bottleneck of an
     unpartitioned ordered window (the scale evaluation of the
-    reference's RangeFrame semantics, WindowSpec.scala:16-28 — same
-    results, partitioned plan).
+    reference's RangeFrame semantics, WindowSpec.scala:16-28, whose
+    boundaries are symmetric Preceding/Following — same results,
+    partitioned plan).
 
     Every row lands in bucket ``key div bucket_width``; rows within
     ``preceding_range`` of a bucket's END are additionally copied into
-    the NEXT bucket as ghost rows, so each row's frame is fully
-    resident in its own partition (requires ``bucket_width >
-    preceding_range``, enforced).  The window then runs
-    ``partitionBy(bucket)`` — per-task state is one bucket plus a halo
-    ≤ the rows spanning ``preceding_range`` keys — and ghosts are
-    dropped after contributing.  Results are IDENTICAL to the global
-    window (RANGE semantics make tie groups share frames; ghosts carry
-    full rows, so sums/counts/mins see exactly the same frame
-    contents).
+    the NEXT bucket as ghost rows (they serve trailing frames there),
+    and rows within ``following_range`` of a bucket's START are copied
+    into the PREVIOUS bucket (they serve leading frames there) — so
+    each row's frame is fully resident in its own partition (requires
+    ``bucket_width`` > each range, enforced; both halos can apply to
+    one row when ``preceding + following > bucket_width``).  The
+    window then runs ``partitionBy(bucket)`` — per-task state is one
+    bucket plus halos spanning ``preceding_range + following_range``
+    keys — and ghosts are dropped after contributing.  Results are
+    IDENTICAL to the global window (RANGE semantics make tie groups
+    share frames; ghosts carry full rows, so sums/counts/mins see
+    exactly the same frame contents).
 
     ``agg_exprs`` maps output column name → (value Column, agg fn),
-    e.g. ``{"s": (col("x").cast("decimal(14,2)"), F.sum)}``.  Frames
-    with FOLLOWING bounds would need a forward halo as well —
-    deliberately unsupported here.
+    e.g. ``{"s": (col("x").cast("decimal(14,2)"), F.sum)}``.
 
     Scale shape: one projection + one bounded row duplication (halo
-    share ≈ preceding_range / bucket_width) + ONE hash exchange on the
-    bucket id.  At 100 TB pick bucket_width so a bucket's rows fit an
-    executor (e.g. keys/bucket ≈ rows_per_task target)."""
+    share ≈ (preceding_range + following_range) / bucket_width) + ONE
+    hash exchange on the bucket id.  At 100 TB pick bucket_width so a
+    bucket's rows fit an executor (e.g. keys/bucket ≈ rows_per_task
+    target)."""
     if preceding_range < 0:
         raise ValueError("partitioned_bounded_range: preceding_range must be >= 0")
-    if bucket_width <= preceding_range:
+    if following_range < 0:
+        raise ValueError("partitioned_bounded_range: following_range must be >= 0")
+    if bucket_width <= preceding_range or bucket_width <= following_range:
         raise ValueError(
             "partitioned_bounded_range: bucket_width must be positive and "
-            "exceed preceding_range so a frame spans at most two buckets"
+            "exceed preceding_range and following_range so each halo "
+            "reaches at most one neighboring bucket"
         )
     for reserved in ("_bkt", "_ghost", "_copies", "_c", "_pbr_k"):
         if reserved in df.columns:
@@ -148,14 +155,33 @@ def partitioned_bounded_range(
     # a ghost copy for the next bucket (a second df reference would
     # scan the source twice; the halo predicate is computed, so no
     # pushdown could dedup the scans)
-    in_halo = key >= (bucket + F.lit(1)) * F.lit(W) - F.lit(preceding_range)
-    copies = F.when(
-        in_halo,
-        F.array(
-            F.struct(bucket.alias("b"), F.lit(False).alias("g")),
-            F.struct((bucket + 1).alias("b"), F.lit(True).alias("g")),
-        ),
-    ).otherwise(F.array(F.struct(bucket.alias("b"), F.lit(False).alias("g"))))
+    if following_range == 0:
+        # trailing-only fast path (q16's shape): at most one ghost, so
+        # a two-branch WHEN beats the filtered-array general form
+        in_halo = key >= (bucket + F.lit(1)) * F.lit(W) - F.lit(preceding_range)
+        copies = F.when(
+            in_halo,
+            F.array(
+                F.struct(bucket.alias("b"), F.lit(False).alias("g")),
+                F.struct((bucket + 1).alias("b"), F.lit(True).alias("g")),
+            ),
+        ).otherwise(F.array(F.struct(bucket.alias("b"), F.lit(False).alias("g"))))
+    else:
+        # general form: own copy always; backward halo (last
+        # `preceding_range` keys of the bucket → next bucket) and
+        # forward halo (first `following_range` keys → previous
+        # bucket) each behind an include flag, filtered before the
+        # explode.  Both flags can be true for one row — the ghost
+        # targets (b+1, b-1) are distinct buckets, so no partition
+        # ever sees the same row twice.
+        in_next = key >= (bucket + F.lit(1)) * F.lit(W) - F.lit(preceding_range)
+        in_prev = key < bucket * F.lit(W) + F.lit(following_range)
+        entries = [
+            F.struct(bucket.alias("b"), F.lit(False).alias("g"), F.lit(True).alias("i")),
+            F.struct((bucket + 1).alias("b"), F.lit(True).alias("g"), in_next.alias("i")),
+            F.struct((bucket - 1).alias("b"), F.lit(True).alias("g"), in_prev.alias("i")),
+        ]
+        copies = F.filter(F.array(*entries), lambda s: s["i"])
     union = (
         df.withColumn("_copies", copies)
         .withColumn("_c", F.explode("_copies"))
@@ -166,7 +192,7 @@ def partitioned_bounded_range(
     w = (
         SparkWindow.partitionBy("_bkt")
         .orderBy(key_col)
-        .rangeBetween(-preceding_range, SparkWindow.currentRow)
+        .rangeBetween(-preceding_range, following_range)
     )
     out = union
     for name, (value, fn) in agg_exprs.items():

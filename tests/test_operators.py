@@ -1994,6 +1994,73 @@ def test_pagerank_weighted_rejects_null_raw_weight_among_positives(spark):
         pagerank_weighted(df, "src", "dst", "w")
 
 
+def test_pagerank_converged_matches_fixed_iterations(spark):
+    # the tolerance-terminated run must return EXACTLY the vector the
+    # fixed-iteration engine produces at the round count it stopped
+    # at (same rounded iteration map), and the residual series must
+    # decrease geometrically (damping contraction)
+    from spear_spark.operators.graph import pagerank, pagerank_converged
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    info = {}
+    conv = {r["node"]: r["rank"]
+            for r in pagerank_converged(df, "src", "dst", tol=1e-6,
+                                        max_iters=60, info=info).collect()}
+    k = info["iterations"]
+    assert 1 < k < 60
+    fixed = {r["node"]: r["rank"]
+             for r in pagerank(df, "src", "dst", iters=k).collect()}
+    assert conv == fixed
+    res = info["residuals"]
+    assert res[-1] < 1e-6
+    assert all(a >= b for a, b in zip(res, res[1:]))  # monotone decay
+    # geometric: each checked residual shrinks by ~damping; allow slack
+    assert res[-1] < res[0] * 0.9 ** (len(res) - 1)
+
+
+def test_pagerank_converged_check_every_amortizes_actions(spark):
+    # check_every=3: residuals are only measured every 3rd round, so
+    # the stop lands on a multiple of 3 — and still agrees exactly
+    # with the fixed-iteration engine at that round count
+    from spear_spark.operators.graph import pagerank, pagerank_converged
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    info = {}
+    conv = {r["node"]: r["rank"]
+            for r in pagerank_converged(df, "src", "dst", tol=1e-6,
+                                        max_iters=60, check_every=3,
+                                        info=info).collect()}
+    k = info["iterations"]
+    assert k % 3 == 0
+    assert len(info["residuals"]) == k // 3
+    fixed = {r["node"]: r["rank"]
+             for r in pagerank(df, "src", "dst", iters=k).collect()}
+    assert conv == fixed
+
+
+def test_pagerank_converged_bounded_rounds_guard(spark):
+    import pytest as _pytest
+
+    from spear_spark.operators.graph import pagerank_converged
+
+    # asymmetric graph (a symmetric cycle is ALREADY stationary at the
+    # uniform init, so its first residual would be 0): one round cannot
+    # reach a 1e-15 tolerance -> fail loudly, never return a
+    # still-moving vector
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    with _pytest.raises(RuntimeError, match="not reached tol"):
+        pagerank_converged(df, "src", "dst", tol=1e-15, max_iters=1)
+    for bad in (dict(tol=0.0), dict(tol=-1.0), dict(max_iters=0),
+                dict(check_every=0)):
+        with _pytest.raises(ValueError):
+            pagerank_converged(df, "src", "dst", **bad)
+
+
 def test_pagerank_weighted_rejects_negative_summed_away(spark):
     # raw weights {3.0, -1.0} on the SAME edge sum to +2.0 — the
     # aggregated weight looks healthy, but the raw negative must still

@@ -327,11 +327,14 @@ def keyed_values(draw):
 
 @settings(deadline=None, max_examples=10,
           suppress_health_check=[HealthCheck.too_slow])
-@given(keyed_values(), st.integers(1, 20), st.integers(21, 80))
-def test_partitioned_bounded_range_law(spark, rows, preceding, width):
+@given(keyed_values(), st.integers(1, 20), st.integers(0, 20),
+       st.integers(21, 80))
+def test_partitioned_bounded_range_law(spark, rows, preceding, following,
+                                       width):
     """Law: the halo-row partitioned evaluation ≡ the naive global
-    RANGE window for ANY key multiset, frame length, and bucket width
-    (> frame) — duplicates, negative values, sparse and dense keys."""
+    RANGE window for ANY key multiset, frame [k-R, k+S], and bucket
+    width (> each range) — duplicates, negative values, sparse and
+    dense keys, trailing-only and symmetric frames."""
     from pyspark.sql.window import Window as SW
 
     from spear_spark.windows import partitioned_bounded_range
@@ -339,10 +342,10 @@ def test_partitioned_bounded_range_law(spark, rows, preceding, width):
     df = spark.createDataFrame(rows, "k long, v double")
     got = partitioned_bounded_range(
         df, "k", {"s": (F.col("v"), F.sum)}, preceding_range=preceding,
-        bucket_width=width,
+        bucket_width=width, following_range=following,
     )
     naive = df.withColumn(
-        "s", F.sum("v").over(SW.orderBy("k").rangeBetween(-preceding, SW.currentRow))
+        "s", F.sum("v").over(SW.orderBy("k").rangeBetween(-preceding, following))
     )
     a = sorted(tuple(r) for r in got.select("k", "v", "s").collect())
     b = sorted(tuple(r) for r in naive.select("k", "v", "s").collect())

@@ -92,3 +92,70 @@ def test_partitioned_bounded_range_equals_global_window(spark):
         partitioned_bounded_range(
             df, "k", {"s": (F.col("v"), F.sum)}, preceding_range=50, bucket_width=50
         )
+
+
+def test_partitioned_bounded_range_symmetric_equals_global_window(spark):
+    """Forward-halo variant: [k-R, k+S] frames (including
+    leading-only R=0) must match the naive global window on
+    boundary-hugging and duplicate keys."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as SW
+
+    from spear_spark.windows import partitioned_bounded_range
+
+    rnd = random.Random(29)
+    keys = [0, 1, 49, 50, 51, 99, 100, 100, 101, 149, 150, 151]
+    keys += [rnd.randrange(0, 500) for _ in range(200)]
+    rows = [(k, float(rnd.randrange(1, 100))) for k in keys]
+    df = spark.createDataFrame(rows, "k long, v double")
+
+    for R, S in [(10, 10), (0, 7), (12, 3)]:
+        got = partitioned_bounded_range(
+            df, "k", {"s": (F.col("v"), F.sum)},
+            preceding_range=R, bucket_width=50, following_range=S,
+        )
+        naive = df.withColumn(
+            "s", F.sum("v").over(SW.orderBy("k").rangeBetween(-R, S))
+        )
+        a = sorted(tuple(r) for r in got.select("k", "v", "s").collect())
+        b = sorted(tuple(r) for r in naive.select("k", "v", "s").collect())
+        assert a == b and len(a) == len(keys), (R, S)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_width"):
+        partitioned_bounded_range(
+            df, "k", {"s": (F.col("v"), F.sum)},
+            preceding_range=10, bucket_width=50, following_range=50,
+        )
+    with _pytest.raises(ValueError, match="following_range"):
+        partitioned_bounded_range(
+            df, "k", {"s": (F.col("v"), F.sum)},
+            preceding_range=10, bucket_width=50, following_range=-1,
+        )
+
+
+def test_partitioned_bounded_range_double_halo_rows(spark):
+    """When preceding + following > bucket_width, a middle row can sit
+    in BOTH halos (ghosts to b-1 and b+1) — still value-identical."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as SW
+
+    from spear_spark.windows import partitioned_bounded_range
+
+    # width 10, R=7, S=7: rows with pmod in [3,7) ghost both ways
+    rows = [(k, float(k % 13 + 1)) for k in range(0, 60)] + [(25, 99.0), (25, 1.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = partitioned_bounded_range(
+        df, "k", {"s": (F.col("v"), F.sum), "m": (F.col("v"), F.max)},
+        preceding_range=7, bucket_width=10, following_range=7,
+    )
+    naive = (
+        df.withColumn("s", F.sum("v").over(SW.orderBy("k").rangeBetween(-7, 7)))
+        .withColumn("m", F.max("v").over(SW.orderBy("k").rangeBetween(-7, 7)))
+    )
+    a = sorted(tuple(r) for r in got.select("k", "v", "s", "m").collect())
+    b = sorted(tuple(r) for r in naive.select("k", "v", "s", "m").collect())
+    assert a == b and len(a) == len(rows)
