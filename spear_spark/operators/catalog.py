@@ -2450,23 +2450,27 @@ def p68_budget_waterfill(spark: SparkSession, sf_dir: str) -> SDF:
 # →threshold→band-join pipeline, not just its shape.  Banding-vs-
 # brute-force equality is additionally pinned by unit tests.
 #
-# PRECONDITION (oracle only): the text must be single-byte (ASCII) —
-# the Spark side cycles the utf-8 BYTE buffer while ascii(substr())
-# samples CHARACTERS, so a multibyte character would desynchronize the
-# cycle and return a code point where Spark reads one byte.  The
-# testdata corpora are verified pure ASCII (strlen == length for every
-# doc at every sf); the ahash operators themselves are byte-correct
-# for any payload.
+# SINGLE-BYTE SCOPE (both sides): the oracle's ascii(substr()) samples
+# CHARACTERS while the Spark side cycles the utf-8 BYTE buffer, so a
+# multibyte character would desynchronize the two.  Rather than
+# leaving that as an unguarded data precondition, BOTH sides scope the
+# query to single-byte documents (strlen == length; NULL text kept) —
+# on the pure-ASCII testdata the filter is a no-op, and on a future
+# corpus with multibyte docs the pairing still holds instead of
+# breaking (pinned by a synthetic non-ASCII unit test).  The ahash
+# operators themselves are byte-correct for any payload.
 # ---------------------------------------------------------------------------
 @q(
     "p69_image_ahash_pairs",
     """
-    WITH s AS (SELECT doc_id, j,
+    WITH sb AS (SELECT doc_id, text FROM documents
+                WHERE COALESCE(length(text) = strlen(text), TRUE)),
+    s AS (SELECT doc_id, j,
             CASE WHEN length(text) > 0
                  THEN ascii(substr(text,
                         ((2*(j//8)*16 + 2*(j%8)) % length(text)) + 1, 1))
                  ELSE 0 END AS v
-        FROM documents CROSS JOIN range(0, 64) r(j)),
+        FROM sb CROSS JOIN range(0, 64) r(j)),
     m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM s GROUP BY doc_id),
     h AS (SELECT s.doc_id,
             CAST(SUM(CASE WHEN v > mean THEN
@@ -2482,7 +2486,9 @@ def p68_budget_waterfill(spark: SparkSession, sf_dir: str) -> SDF:
     """,
 )
 def p69_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> SDF:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.coalesce(F.length("text") == F.octet_length("text"), F.lit(True))
+    )
     hashed = multimodal.ahash_images(
         multimodal.attach_png(docs, "text", "doc_id"), "doc_id", "payload"
     )

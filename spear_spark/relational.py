@@ -3162,3 +3162,52 @@ def q82_symmetric_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
         .filter(F.col("orderkey") <= 1000)
         .orderBy("orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — batch sessionization via the BUILT-IN session_window (the
+# twin of q40's lag→flag→running-sum idiom and of
+# streaming.sessionize_stream, which shares this exact operator):
+# one hash exchange on user_id, sessions merged by Catalyst's
+# SessionWindow node (events exactly `gap` apart MERGE — strict-`>`
+# new-session rule, verified against q40's semantics; window.end =
+# last event + gap).  Oracle: the island-detection rewrite.  Scale:
+# identical shape to q40 — a single user-keyed exchange, no
+# single-task stage; the streaming twin keeps one state row per open
+# session under a watermark.
+# ---------------------------------------------------------------------------
+_Q83_SQL = """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+
+@q("q83_session_window", _Q83_SQL)
+def q83_session_window(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

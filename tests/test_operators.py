@@ -1893,6 +1893,42 @@ class TestImageAHash:
         # every pair is ordered, within budget, and self-free
         assert all(r["id_a"] < r["id_b"] and 0 <= r["hamming"] <= 6 for r in rows)
 
+    def test_pairing_survives_non_ascii_documents(self, spark, tmp_path):
+        """Both sides scope to single-byte docs, so a multibyte
+        document no longer desynchronizes the oracle's character
+        sampling from Spark's byte cycling — the pairing holds on a
+        corpus the old ASCII-only precondition would have broken."""
+        import duckdb
+        import pandas as pd
+
+        from spear_spark.operators.catalog import QUERIES as OPS
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox " * 20,
+                    "the quick brown fox " * 20,   # identical near-dup pair
+                    "zzz completely different payload 123 " * 15,
+                    "héllo wörld ünïcode ÿ " * 30,  # multibyte — scoped out
+                ],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": pd.array([400, 400, 555, 660], dtype="int64"),
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        fn, oracle = OPS["p69_image_ahash_pairs"]
+        got = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+        assert got == want
+        assert (1, 2, 0) in got  # the identical pair survives the filter
+        assert all(4 not in (a, b) for a, b, _ in got)
+
 
 def test_ahash_images_null_payload_yields_null_hash(spark):
     from spear_spark.operators import _png

@@ -45,6 +45,44 @@ def test_sessionize_runs_and_bounds(spark, sf_dir):
     assert all(r.n_events >= 1 for r in rows)
 
 
+def test_sessionize_stream_matches_batch_session_window(spark, sf_dir):
+    """Batch (q83, built-in session_window) and streaming
+    (sessionize_stream, same operator behind a watermark) must emit
+    IDENTICAL session sets when the stream is fully drained — the
+    equivalence that certifies the two surfaces share one
+    sessionization semantics."""
+    from spear_spark.relational import QUERIES
+
+    stream = sessionize_stream(stream_events(spark, sf_dir), gap="30 minutes")
+    run_available_now(stream, "sessions_eq_test")
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.table("sessions_eq_test").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in QUERIES["q83_session_window"][0](spark, sf_dir).collect()
+    }
+    assert got == batch and len(batch) > 0
+
+
+def test_q83_sessions_agree_with_q40_island_rewrite(spark, sf_dir):
+    """q40 (lag→flag→running-sum) and q83 (built-in session_window)
+    use the same strict-> gap rule, so per-user session counts and
+    sizes must agree exactly."""
+    from spear_spark.relational import QUERIES
+
+    q40 = sorted(
+        (r.user_id, r.n_events)
+        for r in QUERIES["q40_sessionize"][0](spark, sf_dir).collect()
+    )
+    q83 = sorted(
+        (r.user_id, r.n_events)
+        for r in QUERIES["q83_session_window"][0](spark, sf_dir).collect()
+    )
+    assert q40 == q83
+
+
 def test_running_user_stats_matches_batch(spark, sf_dir):
     """applyInPandasWithState custom stateful operator: after draining
     the bounded stream, the last update per user must equal the batch
