@@ -1,0 +1,181 @@
+"""Recall contracts for the approximate near-dup family (VERDICT r5
+Missing #5): the MinHash-LSH / SimHash / aHash-band pipelines are
+exactness-tested against DuckDB oracles (the banding computes what it
+claims), but exactness alone doesn't certify they FIND near-dups.
+These tests plant known near-duplicate pairs and assert each banded
+pipeline recovers them:
+
+* ``minhash_lsh_pairs`` (p03) is probabilistic — the S-curve at
+  k=12/bands=4 gives P(candidate) ≈ 1-(1-s³)⁴ ≈ 0.94 at shingle
+  Jaccard s=0.8 — so the contract is a recall BOUND over the planted
+  population (deterministic given the seeded permutations: measured
+  once, pinned with margin).
+* ``lsh_verified_pairs`` (p29) filters those candidates by exact
+  Jaccard — recall bound at the same level above the banding knee,
+  plus exact precision (every returned pair really meets the
+  threshold, checked against the exact inverted-index op).
+* ``simhash_near_pairs`` (p19) and ``ahash_near_pairs`` (p69 bands)
+  use PIGEONHOLE banding — lossless by construction — so their
+  contract is recall == 1.0 against brute force over the planted
+  fingerprints.
+
+The planted corpus: seeded random token documents, each base doc
+paired with a copy perturbed by ~2% of tokens (shingle Jaccard ≈
+0.85-0.95), plus unrelated distractors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+N_PLANTED = 30
+N_DISTRACTORS = 40
+DOC_TOKENS = 100
+SWAPS = 2  # perturbed tokens per dup -> ~6/104 shingles differ
+
+
+def _mk_corpus():
+    rnd = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    planted = []
+    next_id = 0
+    for _ in range(N_PLANTED):
+        toks = [rnd.choice(vocab) for _ in range(DOC_TOKENS)]
+        dup = list(toks)
+        for i in rnd.sample(range(DOC_TOKENS), SWAPS):
+            dup[i] = rnd.choice(vocab)
+        a, b = next_id, next_id + 1
+        next_id += 2
+        rows += [(a, " ".join(toks)), (b, " ".join(dup))]
+        planted.append((a, b))
+    for _ in range(N_DISTRACTORS):
+        rows.append((next_id, " ".join(rnd.choice(vocab) for _ in range(DOC_TOKENS))))
+        next_id += 1
+    return rows, planted
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows, planted = _mk_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    yield df, planted
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def true_pairs(spark, corpus):
+    """Exact shingle-Jaccard over the corpus (the engine's own
+    inverted-index op, itself oracle-checked) — the ground truth the
+    approximate pipelines are graded against."""
+    from spear_spark.operators.dedup import ngram_jaccard_pairs
+
+    df, _ = corpus
+    return {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id").collect()
+    }
+
+
+def test_planted_fixture_is_calibrated(corpus, true_pairs):
+    # the fixture must actually plant high-Jaccard pairs (else the
+    # recall bounds below would be vacuous) and the distractors must
+    # not accidentally near-dup
+    _, planted = corpus
+    js = [true_pairs.get(p, 0.0) for p in planted]
+    assert min(js) >= 0.75 and sum(j >= 0.8 for j in js) >= N_PLANTED - 2
+    others = [j for p, j in true_pairs.items() if p not in set(planted)]
+    assert all(j < 0.5 for j in others)
+
+
+def test_minhash_lsh_recall_bound(corpus, true_pairs):
+    from spear_spark.operators.dedup import minhash_lsh_pairs
+
+    df, planted = corpus
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
+    }
+    strong = [p for p in planted if true_pairs.get(p, 0.0) >= 0.8]
+    recall = sum(p in got for p in strong) / len(strong)
+    # S-curve expectation ~0.94 at J=0.8 and ~0.99 at J=0.9; the run
+    # is deterministic (seeded permutations) — bound leaves margin
+    assert recall >= 0.85, f"LSH candidate recall {recall:.2f} on {len(strong)} pairs"
+
+
+def test_lsh_verified_recall_and_precision(corpus, true_pairs):
+    from spear_spark.operators.dedup import lsh_verified_pairs
+
+    df, planted = corpus
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lsh_verified_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    strong = [p for p in planted if true_pairs.get(p, 0.0) >= 0.8]
+    recall = sum(p in out for p in strong) / len(strong)
+    assert recall >= 0.85, f"verified recall {recall:.2f}"
+    # precision is exact by construction: every returned pair must
+    # carry the true Jaccard and genuinely meet the threshold
+    for p, j in out.items():
+        assert j >= 0.5 and abs(j - true_pairs[p]) < 1e-6
+
+
+def test_simhash_banding_recall_is_total(spark, corpus):
+    """Pigeonhole banding is lossless: the banded pipeline must return
+    EXACTLY the brute-force ≤max_hamming pair set over the planted
+    corpus — recall 1.0, no misses, no extras."""
+    import itertools
+
+    from spear_spark.operators.dedup import simhash, simhash_near_pairs
+
+    df, _ = corpus
+    fps = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(sorted(fps.items()), 2):
+        if bin((a ^ b) & 0xFFFFFFFF).count("1") <= 3:
+            want.add((i, j))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert got == want and len(want) >= N_PLANTED // 2
+
+
+def test_ahash_banding_recall_is_total(spark):
+    """p69's banded Hamming join: plant near-identical 64-bit hashes
+    (≤6 bits flipped) among random ones — pigeonhole banding must
+    recover every planted pair (recall 1.0) and nothing below the
+    brute-force set."""
+    import itertools
+
+    from spear_spark.operators.multimodal import ahash_near_pairs
+
+    rnd = random.Random(13)
+    hashes = []
+    for _ in range(20):
+        base = rnd.getrandbits(64)
+        flip = base
+        for bit in rnd.sample(range(64), rnd.randint(0, 6)):
+            flip ^= 1 << bit
+        hashes += [base, flip]
+    hashes += [rnd.getrandbits(64) for _ in range(60)]
+    def to_i64(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    df = spark.createDataFrame(
+        [(i, to_i64(h)) for i, h in enumerate(hashes)], "id long, h long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ahash_near_pairs(df, "id", "h", max_hamming=6).collect()
+    }
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2)
+        if bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1") <= 6
+    }
+    assert got == want
+    planted = {(2 * k, 2 * k + 1) for k in range(20)}
+    assert planted <= got  # every planted near-dup recovered
