@@ -120,6 +120,10 @@ HEADLINE = [
     "p69_image_ahash_pairs",
     "p70_bigram_lm",
     "p71_pagerank_weighted",
+    # round-6 additions (earlier entries unchanged for comparability)
+    "p72_pagerank_convergence",
+    "q82_symmetric_range_frame",
+    "q83_session_window",
 ]
 
 

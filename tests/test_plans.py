@@ -280,3 +280,69 @@ def test_q16_range_frame_window_is_partitioned(spark, sf_dir):
     plan = plan_for(spark, sf_dir, "q16_range_frame")
     assert "hashpartitioning(_bkt" in plan
     assert "windowspecdefinition(_bkt" in plan
+
+
+def test_q82_symmetric_range_frame_window_is_partitioned(spark, sf_dir):
+    """The forward-halo variant keeps the q16 scale shape: per-bucket
+    windows behind ONE bucket-id hash exchange, symmetric RangeFrame
+    bounds, no joins anywhere."""
+    plan = plan_for(spark, sf_dir, "q82_symmetric_range_frame")
+    assert "hashpartitioning(_bkt" in plan
+    assert "windowspecdefinition(_bkt" in plan
+    assert "RangeFrame, -10, 10" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_q83_session_window_single_exchange(spark, sf_dir):
+    """The built-in session window must plan as partial count →
+    ONE user_id exchange → MergingSessions — the same single-shuffle
+    shape as q40's island rewrite, with the merge done by the
+    dedicated operator instead of two window passes."""
+    plan = plan_for(spark, sf_dir, "q83_session_window")
+    assert "MergingSessions" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_p71_weighted_pagerank_iterations_never_shuffle_edges(spark, sf_dir):
+    """Weighted PageRank (broadcast regime) inherits p59's audited
+    shape through the shared _iterate core: per iteration exactly one
+    keys-sized contribution exchange and three broadcast probes —
+    the weighted edge relation never re-exchanges inside the loop."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p71_pagerank_weighted"][0](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 3  # 1 per iteration
+    assert plan.count("Exchange rangepartitioning") == 1  # output sort only
+    assert plan.count("BroadcastHashJoin") == 9  # (fold+probe+rebuild) x 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_sum") == 3  # map-side combine each round
+
+
+def test_p72_converged_pagerank_output_is_checkpoint_scan(spark, sf_dir):
+    """Convergence mode checkpoints each checked vector, so the final
+    plan must be a bare checkpoint scan + round + output sort — all
+    iteration work already ran behind the bounded residual actions
+    (the iteration shape itself is p59/p71's pinned _iterate core)."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p72_pagerank_convergence"][0](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange") == 1  # the output rangepartitioning only
+    assert "Join" not in plan
+
+
+def test_p69_pairs_join_distinct_hashes_no_cartesian(spark, sf_dir):
+    """p69's Hamming pairs must come from banded equi-joins over
+    DISTINCT hashes (two hash-level aggregates) — never a cartesian
+    or an unbanded doc-level self-join."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p69_image_ahash_pairs"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the distinct-hash reduction before banding: aggregate keyed on
+    # the bare hash column
+    assert "HashAggregate(keys=[h#" in plan
