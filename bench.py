@@ -124,6 +124,8 @@ HEADLINE = [
     "p72_pagerank_convergence",
     "q82_symmetric_range_frame",
     "q83_session_window",
+    "p73_histogram_quantiles",
+    "p74_containment_pairs",
 ]
 
 

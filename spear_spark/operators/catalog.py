@@ -2642,3 +2642,82 @@ def p72_pagerank_convergence(spark: SparkSession, sf_dir: str) -> SDF:
         edges, "src", "dst", tol=1e-6, max_iters=40, damping=0.5,
         edges_distinct=True, check_every=4,
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# p73 — histogram-based per-source quantiles (operators.stats.
+# histogram_quantiles): the DETERMINISTIC mergeable quantile path —
+# percentile_approx's GK sketch is partition-layout-dependent and can
+# never be oracle-paired, while integer bin counts are order-free, so
+# the estimate is run-stable and cross-engine exact with error ≤ the
+# bin width (contract-tested against the exact order statistic).  One
+# two-phase (source, bin) count; everything downstream operates on
+# the ≤ 64-rows-per-source aggregate.
+# ---------------------------------------------------------------------------
+@q(
+    "p73_histogram_quantiles",
+    """
+    WITH b AS (SELECT source,
+                 LEAST(GREATEST(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0)
+                                           / 10.0) AS BIGINT), 0), 63) AS bin
+               FROM documents),
+    c AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+          FROM b GROUP BY source, bin),
+    m AS (SELECT source, bin,
+            CAST(SUM(c) OVER (PARTITION BY source ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_rows
+          FROM c),
+    q AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT source, q,
+           ROUND(CAST(0.0 AS DOUBLE) + (MIN(bin) + 1) * CAST(10.0 AS DOUBLE), 6)
+             AS est,
+           MAX(n_rows) AS n_rows
+    FROM m CROSS JOIN q
+    WHERE cum >= ceil(q * n_rows)
+    GROUP BY source, q
+    ORDER BY source, q
+    """,
+)
+def p73_histogram_quantiles(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import histogram_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_quantiles(
+        docs, "n_chars", "source", (0.5, 0.9, 0.99), lo=0.0, hi=640.0, n_bins=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# p74 — asymmetric shingle containment (operators.dedup.
+# containment_pairs): c(A→B) = |A∩B| / |A| — the quote/subset
+# duplication detector symmetric Jaccard misses (a doc fully embedded
+# in a longer one has low Jaccard but containment 1.0).  Shares
+# p05's inverted-index core and df-cap; both engines filter on the
+# 6dp-rounded greater direction, so the pairing is exact.
+# ---------------------------------------------------------------------------
+@q(
+    "p74_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_KEPT_SH_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    sc AS (SELECT doc_a, doc_b,
+             ROUND(CAST(i AS DOUBLE) / ca.n, 6) AS cont_a_in_b,
+             ROUND(CAST(i AS DOUBLE) / cb.n, 6) AS cont_b_in_a
+           FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+                      JOIN cnt cb ON doc_b = cb.doc_id)
+    SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM sc
+    WHERE GREATEST(cont_a_in_b, cont_b_in_a) >= 0.2
+    ORDER BY GREATEST(cont_a_in_b, cont_b_in_a) DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
+def p74_containment_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "text", "doc_id", threshold=0.2, top=100, max_df=_MAX_DF
+    )

@@ -314,32 +314,21 @@ def simhash_near_pairs(
     return cross_fp.unionAll(same_fp)
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_intersections(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    shingle_n: int = 3,
-    top: int | None = None,
-    max_df: int | None = None,
+    shingle_n: int,
+    max_df: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for all doc pairs sharing ≥1 shingle, via an
-    inverted index (explode → self-join on shingle → count).  Returns
-    (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+    """Shared inverted-index pair core: (doc_a, doc_b, na, nb, i) for
+    every doc pair sharing ≥1 surviving shingle — doc_a < doc_b, na/nb
+    the full distinct-shingle counts, i the (df-capped) intersection.
+    :func:`ngram_jaccard_pairs` normalizes by the union,
+    :func:`containment_pairs` by each side — one pipeline, two
+    metrics, so the plumbing (explode-once staging, df-cap window,
+    posting-list pair generation) cannot drift apart."""
 
-    ``max_df`` is the 100 TB safety knob: shingles occurring in more
-    than ``max_df`` documents are dropped *before* pair generation, so a
-    stop-shingle shared by millions of docs can never explode the pair
-    space quadratically (a df-D shingle contributes D·(D−1)/2 pairs).
-    Semantics under the cap: the intersection counts only surviving
-    shingles while denominators keep each doc's full distinct-shingle
-    count — a deterministic underestimate ("pruned-intersection
-    Jaccard").  Hot shingles carry ~no near-dup signal (they are shared
-    by unrelated docs), so near-dup ranking is preserved; pairs whose
-    only overlap was hot shingles drop out entirely.  The DuckDB oracle
-    mirrors the same rule, so capped results stay exactly checkable.
-
-    Scale: run on LSH candidates when possible; standalone, always set
-    ``max_df`` on hostile corpora."""
     # Single-pipeline inverted index, no self-join and no count join:
     # each exploded row carries its doc's shingle count, the posting
     # list groups (doc_id, n) structs per shingle, and ordered pair
@@ -402,24 +391,90 @@ def ngram_jaccard_pairs(
             )
         ).alias("p")
     )
-    out = (
-        pair.groupBy(
-            F.col("p.a.id").alias("doc_a"),
-            F.col("p.b.id").alias("doc_b"),
-            F.col("p.a.n").alias("na"),
-            F.col("p.b.n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
-                "jaccard"
-            ),
-        )
+    return pair.groupBy(
+        F.col("p.a.id").alias("doc_a"),
+        F.col("p.b.id").alias("doc_b"),
+        F.col("p.a.n").alias("na"),
+        F.col("p.b.n").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("i"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    top: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all doc pairs sharing ≥1 shingle, via an
+    inverted index (explode → self-join on shingle → count).  Returns
+    (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+
+    ``max_df`` is the 100 TB safety knob: shingles occurring in more
+    than ``max_df`` documents are dropped *before* pair generation, so a
+    stop-shingle shared by millions of docs can never explode the pair
+    space quadratically (a df-D shingle contributes D·(D−1)/2 pairs).
+    Semantics under the cap: the intersection counts only surviving
+    shingles while denominators keep each doc's full distinct-shingle
+    count — a deterministic underestimate ("pruned-intersection
+    Jaccard").  Hot shingles carry ~no near-dup signal (they are shared
+    by unrelated docs), so near-dup ranking is preserved; pairs whose
+    only overlap was hot shingles drop out entirely.  The DuckDB oracle
+    mirrors the same rule, so capped results stay exactly checkable.
+
+    Scale: run on LSH candidates when possible; standalone, always set
+    ``max_df`` on hostile corpora."""
+    out = _shingle_pair_intersections(df, text_col, id_col, shingle_n, max_df).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+        ).alias("jaccard"),
     )
     if top:
         out = out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top)
+    return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    top: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment: c(A→B) = |A∩B| / |A| — the
+    quote/subset-duplication detector symmetric Jaccard cannot express
+    (a short doc fully embedded in a long one has tiny Jaccard but
+    containment 1.0; exactly the boilerplate-wrapped-copy and
+    quoted-excerpt cases a curation pipeline must catch).  SURVEY §2.7
+    extension; public metric (Broder's containment, 1997).
+
+    Returns (doc_a, doc_b, cont_a_in_b, cont_b_in_a) for pairs whose
+    LARGER direction meets ``threshold`` after 6dp rounding (both
+    engines filter on the rounded value, keeping the pairing exact).
+    Same inverted-index core, df-cap semantics, and scale shape as
+    :func:`ngram_jaccard_pairs` — under ``max_df`` the capped
+    intersection makes each containment a deterministic underestimate
+    with full-count denominators."""
+    out = _shingle_pair_intersections(df, text_col, id_col, shingle_n, max_df).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("i").cast("double") / F.col("na"), 6).alias("cont_a_in_b"),
+        F.round(F.col("i").cast("double") / F.col("nb"), 6).alias("cont_b_in_a"),
+    ).filter(
+        F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+        >= F.lit(float(threshold))
+    )
+    if top:
+        out = out.orderBy(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")).desc(),
+            "doc_a",
+            "doc_b",
+        ).limit(top)
     return out
 
 

@@ -127,6 +127,79 @@ def fixed_width_histogram(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group quantiles from a fixed-width histogram — the
+    DETERMINISTIC mergeable scale path.  ``percentile_approx``'s GK
+    sketch is partition-layout-dependent (same data, different
+    partitioning → different estimate), so it can never be
+    oracle-paired; a histogram is order-free (integer bin counts are
+    associative-commutative-exact), giving run-stable, cross-engine-
+    exact estimates with error bounded by the bin width
+    ``(hi-lo)/n_bins``.
+
+    Rule: bin = clamp(floor((v-lo)/w), 0, n_bins-1) (values outside
+    [lo, hi] clamp into the edge bins — pick bounds from a prior
+    :func:`winsorized_stats`/:func:`fixed_width_histogram` pass);
+    estimate for quantile q = UPPER edge of the first bin whose
+    cumulative count reaches ceil(q·n) (type-1 rank; q ∈ (0, 1]).
+    |estimate − true type-1 quantile| ≤ w whenever the true value lies
+    inside [lo, hi] (pinned by a contract test against the exact
+    order statistic).
+
+    Scale shape: ONE two-phase count on (group, bin) — ≤ n_bins rows
+    per group — then window math and a broadcast cross join with the
+    |qs|-row quantile table over that aggregate; nothing downstream of
+    the aggregate ever sees corpus-sized data.  Returns (group, q,
+    est, n_rows) ordered by (group, q)."""
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("histogram_quantiles: each q must be in (0, 1]")
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("histogram_quantiles: need n_bins >= 1 and hi > lo")
+    from pyspark.sql.window import Window as W
+
+    w = (float(hi) - float(lo)) / int(n_bins)
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w))
+            .cast("long"),
+            F.lit(0),
+        ),
+        F.lit(int(n_bins) - 1),
+    )
+    counts = (
+        df.select(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = W.partitionBy("grp").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy("grp")
+    cum = counts.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n_rows", F.sum("c").over(w_all)
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in sorted(qs)], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_rows")))
+        .groupBy(F.col("grp").alias(group_col), "q")
+        .agg(
+            F.round(
+                F.lit(float(lo)) + (F.min("bin") + F.lit(1)) * F.lit(w), decimals
+            ).alias("est"),
+            F.max("n_rows").alias("n_rows"),
+        )
+        .orderBy(group_col, "q")
+    )
+
+
 def winsorized_stats(
     df: DataFrame,
     value_col: str,

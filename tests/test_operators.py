@@ -1810,6 +1810,99 @@ def test_budget_waterfill_exact_allocation(spark):
         budget_waterfill(df, "src", "w", -1)
 
 
+def test_histogram_quantiles_error_bound_and_determinism(spark, sf_dir):
+    """Contract: the histogram estimate is within one bin width of the
+    exact type-1 order statistic (rank ceil(q*n)), for every group and
+    quantile — and is invariant to input partitioning (the property
+    percentile_approx does NOT have, and the reason this operator is
+    the oracle-pairable scale path)."""
+    import math
+
+    from spear_spark.operators.stats import histogram_quantiles
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = (0.5, 0.9, 0.99)
+    lo, hi, n_bins = 0.0, 640.0, 64
+    w = (hi - lo) / n_bins
+    est = {
+        (r["source"], r["q"]): (r["est"], r["n_rows"])
+        for r in histogram_quantiles(docs, "n_chars", "source", qs, lo, hi, n_bins).collect()
+    }
+    vals = {}
+    for r in docs.select("source", "n_chars").collect():
+        vals.setdefault(r["source"], []).append(r["n_chars"])
+    for src, xs in vals.items():
+        xs.sort()
+        for q in qs:
+            exact = xs[math.ceil(q * len(xs)) - 1]  # type-1 order statistic
+            e, n = est[(src, q)]
+            assert n == len(xs)
+            assert abs(e - exact) <= w, (src, q, e, exact)
+    # partitioning invariance: 1 partition vs 13 — identical output
+    a = sorted(map(tuple, histogram_quantiles(
+        docs.coalesce(1), "n_chars", "source", qs, lo, hi, n_bins).collect()))
+    b = sorted(map(tuple, histogram_quantiles(
+        docs.repartition(13), "n_chars", "source", qs, lo, hi, n_bins).collect()))
+    assert a == b
+
+    import pytest as _pytest
+    for bad in (dict(qs=(0.0,)), dict(qs=(1.2,)), dict(qs=()),
+                dict(n_bins=0), dict(lo=5.0, hi=5.0)):
+        kw = dict(qs=(0.5,), lo=0.0, hi=640.0, n_bins=64)
+        kw.update(bad)
+        with _pytest.raises(ValueError):
+            histogram_quantiles(docs, "n_chars", "source", kw["qs"],
+                                kw["lo"], kw["hi"], kw["n_bins"])
+
+
+def test_containment_pairs_asymmetry(spark):
+    """A short doc embedded in a long one: containment 1.0 one way,
+    |A|/|B| the other — the signal Jaccard dilutes."""
+    from spear_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f g h i j"),                              # 8 shingles
+        (2, "a b c d e f g h i j k l m n o p q r s t u v w x"),  # superset, 22
+        (3, "p q r s t u v w x y z zz"),                         # tail overlap w/ 2
+        (4, "m0 m1 m2 m3 m4 m5"),                                # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+           for r in containment_pairs(df, "text", "doc_id", threshold=0.5).collect()}
+    assert out[(1, 2)][0] == 1.0                      # doc1 fully inside doc2
+    assert abs(out[(1, 2)][1] - 8 / 22) < 1e-6
+    # the same pair's Jaccard is diluted below the threshold
+    j = {(r.doc_a, r.doc_b): r.jaccard
+         for r in ngram_jaccard_pairs(df, "text", "doc_id").collect()}
+    assert j[(1, 2)] < 0.5
+    # doc3 quotes doc2's 9-token tail: 7 of its 10 shingles are
+    # contained -> the quote direction clears the threshold
+    assert out[(2, 3)][1] == 0.7
+    # unrelated docs never pair at all
+    assert all(4 not in p for p in out) and all(4 not in p for p in j)
+
+
+def test_containment_pairs_df_cap_underestimates(spark):
+    """Under max_df the capped intersection keeps full denominators —
+    containment can only shrink, never grow (same pruned-intersection
+    rule as ngram_jaccard_pairs)."""
+    from spear_spark.operators.dedup import containment_pairs
+
+    rows = [(i, "hot1 hot2 hot3 hot4 hot5 " + f"u{i}a u{i}b u{i}c")
+            for i in range(6)]
+    rows.append((100, "hot1 hot2 hot3 hot4 hot5 u0a u0b u0c"))  # = doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.doc_a, r.doc_b): r.cont_a_in_b
+            for r in containment_pairs(df, "text", "doc_id", threshold=0.0).collect()}
+    capped = {(r.doc_a, r.doc_b): r.cont_a_in_b
+              for r in containment_pairs(df, "text", "doc_id", threshold=0.0,
+                                         max_df=3).collect()}
+    assert full[(0, 100)] == 1.0
+    for p, c in capped.items():
+        assert c <= full[p] + 1e-9
+
+
 def test_budget_waterfill_rejects_bad_totals(spark):
     # a negative or all-NULL per-source total breaks the exact
     # allocation law -> fail loudly, never allocate
