@@ -151,6 +151,10 @@ def histogram_quantiles(
     :func:`winsorized_stats`/:func:`fixed_width_histogram` pass);
     estimate for quantile q = UPPER edge of the first bin whose
     cumulative count reaches ceil(q·n) (type-1 rank; q ∈ (0, 1]).
+    NULL values are dropped before binning (``n_rows`` counts only
+    non-NULL values) — without the explicit filter a NULL bin would
+    sort FIRST in Spark's cumulative window but LAST in DuckDB's,
+    silently skewing every estimate by the NULL count.
     |estimate − true type-1 quantile| ≤ w whenever the true value lies
     inside [lo, hi] (pinned by a contract test against the exact
     order statistic).
@@ -176,7 +180,8 @@ def histogram_quantiles(
         F.lit(int(n_bins) - 1),
     )
     counts = (
-        df.select(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), bin_.alias("bin"))
         .groupBy("grp", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -182,9 +182,17 @@ def partitioned_bounded_range(
             F.struct((bucket - 1).alias("b"), F.lit(True).alias("g"), in_prev.alias("i")),
         ]
         copies = F.filter(F.array(*entries), lambda s: s["i"])
+    # explode_OUTER, deliberately: plain explode lets Catalyst infer a
+    # `size(copies) > 0` constraint and push it into the scan, where it
+    # re-evaluates the entire copies array expression once more per
+    # input row (measured 1.5× on the symmetric path at sf0.1: 0.90s →
+    # 0.61s).  The array is never empty by construction (the own-bucket
+    # entry is unconditional), so outer semantics change nothing — and
+    # even a hypothetical null row would carry a NULL _ghost, which the
+    # final `filter(~_ghost)` drops.
     union = (
         df.withColumn("_copies", copies)
-        .withColumn("_c", F.explode("_copies"))
+        .withColumn("_c", F.explode_outer("_copies"))
         .withColumn("_bkt", F.col("_c.b"))
         .withColumn("_ghost", F.col("_c.g"))
         .drop("_copies", "_c")

@@ -1856,6 +1856,21 @@ def test_histogram_quantiles_error_bound_and_determinism(spark, sf_dir):
                                 kw["lo"], kw["hi"], kw["n_bins"])
 
 
+def test_histogram_quantiles_ignores_nulls(spark):
+    """NULL values must be dropped before binning — a NULL bin would
+    sort first in Spark's cumulative window but last in DuckDB's,
+    skewing every estimate by the NULL count."""
+    from spear_spark.operators.stats import histogram_quantiles
+
+    rows = [("a", v) for v in [10, 20, 30, 40, None, None]]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = histogram_quantiles(df, "v", "g", (0.5, 1.0), 0.0, 50.0, 5).collect()
+    got = {r["q"]: (r["est"], r["n_rows"]) for r in out}
+    # 4 non-null values; q=0.5 -> rank 2 -> value 20 -> bin 2 -> edge 30
+    assert got[0.5] == (30.0, 4)
+    assert got[1.0] == (50.0, 4)
+
+
 def test_containment_pairs_asymmetry(spark):
     """A short doc embedded in a long one: containment 1.0 one way,
     |A|/|B| the other — the signal Jaccard dilutes."""

@@ -508,3 +508,24 @@ def test_centroid_shift_replication_invariant(spark, sf_dir):
         g = big[lbl]
         assert g["n_a"] == 10 * b["n_a"] and g["n_b"] == 10 * b["n_b"]
         assert g["l2_shift"] == b["l2_shift"]
+
+
+def test_histogram_quantiles_replication_invariant(spark, sf_dir):
+    """10x replication leaves every histogram quantile estimate
+    unchanged (type-1 rank scales with n, bins are volume-free) and
+    multiplies n_rows exactly — the estimate is a function of the
+    DISTRIBUTION, not the volume."""
+    from spear_spark.operators.stats import histogram_quantiles
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    docs10 = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).drop("rep")
+    args = ("n_chars", "source", (0.5, 0.9, 0.99), 0.0, 640.0, 64)
+    base = {(r["source"], r["q"]): r for r in histogram_quantiles(docs, *args).collect()}
+    big = {(r["source"], r["q"]): r for r in histogram_quantiles(docs10, *args).collect()}
+    assert set(base) == set(big)
+    for k, b in base.items():
+        g = big[k]
+        assert g["est"] == b["est"]
+        assert g["n_rows"] == 10 * b["n_rows"]
