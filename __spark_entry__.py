@@ -48,7 +48,7 @@ _DRIVER_PRIORITY = [
     "q54_priority_check", "q55_promo_revenue", "q56_disjunctive_join",
     "q57_ship_lag_buckets",
     # -- q40 re-evidenced alongside its new session_window twin (q83),
-    #    then the 25 oldest r03-evidence queries
+    #    then the 23 oldest r03-evidence queries
     "q40_sessionize", "p30_bottom_k_sample", "p12_multimodal_decode",
     "p13_near_dedup", "p21_dup_clusters", "q63_product_profit",
     "q64_important_stock", "q65_parts_supplier_relationship", "q66_part_promotion",

@@ -2660,7 +2660,10 @@ def p72_pagerank_convergence(spark: SparkSession, sf_dir: str) -> SDF:
     WITH b AS (SELECT source,
                  LEAST(GREATEST(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0)
                                            / 10.0) AS BIGINT), 0), 63) AS bin
-               FROM documents),
+               FROM documents
+               -- mirror the operator's NULL drop: GREATEST(NULL,0)=0 in
+               -- DuckDB would otherwise bin NULLs into bin 0
+               WHERE n_chars IS NOT NULL),
     c AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
           FROM b GROUP BY source, bin),
     m AS (SELECT source, bin,

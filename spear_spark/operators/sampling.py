@@ -238,19 +238,31 @@ def mix_reweight(
     planning query costs one column-pruned scan."""
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
     if targets:
-        # full-outer against the lifted target keys: a target source
-        # with no rows must SURFACE (n_rows = 0, keep_rate NULL), not
-        # vanish — Spark's USING-join coalesces the key column, and
-        # the broadcast keeps the |targets|-row side driver-sized
+        # a target source with no rows must SURFACE (n_rows = 0,
+        # keep_rate NULL), not vanish.  NOT a full-outer join: Spark
+        # cannot broadcast-hash a full outer, so it silently plans a
+        # SortMergeJoin (exchange + sort on BOTH sides).  Instead: a
+        # LEFT join attaches targets (build side = the driver-created
+        # |targets|-row table) and a LEFT ANTI surfaces the missing
+        # target keys (build side = the |sources|-row count aggregate)
+        # — both broadcast hash joins, no sort anywhere.
         tdf = df.sparkSession.createDataFrame(
             [(s, float(w)) for s, w in sorted(targets.items())],
             [source_col, "_tgt"],
         )
-        counts = counts.join(F.broadcast(tdf), source_col, "full_outer").select(
+        present = counts.join(F.broadcast(tdf), source_col, "left").select(
             F.col(source_col),
-            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+            "n_rows",
             F.coalesce(F.col("_tgt"), F.lit(0.0)).alias("_tgt"),
         )
+        missing = tdf.join(
+            F.broadcast(counts.select(source_col)), source_col, "left_anti"
+        ).select(
+            F.col(source_col),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.col("_tgt"),
+        )
+        counts = present.unionByName(missing)
     else:
         counts = counts.withColumn("_tgt", F.lit(0.0))
     # every ratio is guarded on n_rows > 0 — under ANSI (the engine

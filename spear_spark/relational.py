@@ -3177,7 +3177,11 @@ def q82_symmetric_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
 # session under a watermark.
 # ---------------------------------------------------------------------------
 _Q83_SQL = """
-    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               -- mirror session_window's implicit isnotnull(ts) filter
+               -- (visible in the pinned plan); without it a NULL ts
+               -- would count into the oracle's sessions but not Spark's
+               WHERE ts IS NOT NULL),
     marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL

@@ -1856,6 +1856,69 @@ def test_histogram_quantiles_error_bound_and_determinism(spark, sf_dir):
                                 kw["lo"], kw["hi"], kw["n_bins"])
 
 
+def test_p73_q83_oracle_pairing_survives_nulls(spark, tmp_path):
+    """Both engines must drop NULL n_chars / NULL ts identically —
+    DuckDB's GREATEST(NULL,0)=0 would otherwise bin NULLs into bin 0,
+    and the island rewrite would count NULL-ts events into sessions
+    that Spark's session_window (implicit isnotnull filter) never
+    sees.  Runs the real catalog queries AND their oracles on a
+    synthetic NULL-bearing corpus."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    cat = entry_mod._catalog()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["t"] * 8,
+            "lang": ["en"] * 8,
+            "source": ["a"] * 4 + ["b"] * 4,
+            "n_chars": pd.array([100, 200, 300, None, 50, 60, None, None],
+                                dtype="Int64"),
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", None,
+                 "2024-01-01 01:00", None]
+            ),
+            "event_type": ["view"] * 5,
+            "value": [1.0] * 5,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    for name in ("p73_histogram_quantiles", "q83_session_window"):
+        fn, oracle = cat[name]
+        got = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+        want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+        assert got == want, (name, got, want)
+    # sanity: the NULL-ts user-2 event vanished from both engines
+    q83 = {r.user_id: r.n_events
+           for r in cat["q83_session_window"][0](spark, str(tmp_path)).collect()}
+    assert q83 == {1: 2, 2: 1}
+
+
+def test_mix_reweight_plan_is_broadcast_only(spark, sf_dir):
+    """The target attach + missing-source surfacing must plan as
+    broadcast hash joins — a full-outer formulation silently falls
+    back to SortMergeJoin (broadcast hash does not support it)."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan
+
+    plan = executed_plan(OPS["p65_mix_reweight"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_histogram_quantiles_ignores_nulls(spark):
     """NULL values must be dropped before binning — a NULL bin would
     sort first in Spark's cumulative window but last in DuckDB's,
