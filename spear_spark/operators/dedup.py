@@ -863,3 +863,126 @@ def segment_dedup(
             F.when(F.col("n_kept") > 0, F.col("clean_text")),
         )
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as a (word_idx, bits)
+    int64 bit-array table — the broadcastable membership structure
+    behind :func:`bloom_decontaminate`.  ``n_bits`` bits cost
+    ``n_bits/8`` bytes broadcast (1 M bits ≈ 128 KB); with ``k``
+    hashes the false-positive rate is ≈ (1 - e^(-k·n/n_bits))^k, so
+    size the filter at ~10-16 bits per denylist key for ~1% FP.
+
+    Determinism: positions come from the same md5 + seeded-LCG affine
+    hash family as MinHash (:func:`minhash_perms`), so the bit array
+    is a pure function of the key set — reproducible at any
+    parallelism, and exactly replicable by a DuckDB oracle.
+
+    Scale shape: one projection to k positions per key, a distinct on
+    the ≤ n_bits position domain, and a two-phase BIT_OR aggregate
+    onto ≤ n_bits/64 rows.  Empty input yields an empty (all-zero)
+    filter."""
+    if n_bits < 64 or n_bits > MERSENNE31:
+        raise ValueError("bloom_build: n_bits must be in [64, 2^31-1]")
+    if k < 1:
+        raise ValueError("bloom_build: k must be >= 1")
+    hv = h64(F.col(col)) % MERSENNE31
+    perms = minhash_perms(k, seed)
+    # mod MERSENNE31 BEFORE the affine step keeps a*hv inside int64 —
+    # under ANSI (the engine default) an overflow would throw
+    pos = F.array(
+        *[((F.lit(a) * hv + F.lit(b)) % MERSENNE31) % n_bits for a, b in perms]
+    )
+    # F.shiftleft only takes a literal shift — the SQL form accepts a
+    # column; `div` keeps the word index in exact integer arithmetic
+    return (
+        df.select(F.explode(pos).alias("_pos"))
+        .distinct()
+        .groupBy(F.expr("_pos div 64").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter: appends boolean ``flag_col``
+    — False is EXACT non-membership, True means member-or-false-
+    positive.  ``n_bits``/``k``/``seed`` must match the build.
+
+    Scale shape: k chained BroadcastHashJoins against the tiny bit-
+    array table — every probe is map-side, the corpus never shuffles
+    and never sorts (the whole point vs an exact anti-join, whose
+    build side at 100 TB is a full denylist exchange).  Absent words
+    (NULL bits) are unset bits, so a sparse filter probes correctly."""
+    hv = h64(F.col(col)) % MERSENNE31
+    perms = minhash_perms(k, seed)
+    out = df
+    hits = []
+    for i, (a, b) in enumerate(perms):
+        pos = ((F.lit(a) * hv + F.lit(b)) % MERSENNE31) % n_bits
+        w = bloom.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = out.withColumn(f"_p{i}", pos).join(
+            F.broadcast(w),
+            F.expr(f"_p{i} div 64") == F.col(f"_w{i}"),
+            "left",
+        )
+        hits.append(
+            F.coalesce(
+                F.col(f"_b{i}").bitwiseAND(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))")
+                )
+                != 0,
+                F.lit(False),
+            )
+        )
+    flag = hits[0]
+    for h in hits[1:]:
+        flag = flag & h
+    drop = [c for i in range(k) for c in (f"_p{i}", f"_w{i}", f"_b{i}")]
+    return out.withColumn(flag_col, flag).drop(*drop)
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    col: str,
+    denylist: DataFrame,
+    deny_col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop rows whose key is (probably) in ``denylist`` via a Bloom
+    probe — the shuffle-free scale path for benchmark/eval
+    decontamination.  vs :func:`ngram_contamination` (exact join):
+    this never exchanges the corpus and never materializes a join,
+    at the cost of a bounded false-POSITIVE rate (clean rows wrongly
+    dropped — harmless over-filtering for training data); false
+    negatives are impossible, so nothing contaminated ever survives.
+
+    The two compose: Bloom-filter first (map-side, kills ~everything),
+    exact-verify the tiny surviving maybe-set when exactness matters."""
+    bloom = bloom_build(denylist, deny_col, n_bits, k, seed).localCheckpoint(
+        eager=False
+    )
+    return bloom_probe(df, col, bloom, n_bits, k, seed).filter(
+        ~F.col("maybe_member")
+    ).drop("maybe_member")

@@ -179,3 +179,80 @@ def test_ahash_banding_recall_is_total(spark):
     assert got == want
     planted = {(2 * k, 2 * k + 1) for k in range(20)}
     assert planted <= got  # every planted near-dup recovered
+
+
+class TestBloomDecontaminate:
+    """Contracts for the Bloom-filter decontamination path: membership
+    has NO false negatives (nothing contaminated survives), a bounded
+    false-positive rate, and a shuffle-free probe plan."""
+
+    def test_no_false_negatives_and_fp_bound(self, spark):
+        from spear_spark.operators.dedup import (
+            bloom_build,
+            bloom_decontaminate,
+            bloom_probe,
+        )
+
+        deny = spark.createDataFrame(
+            [(f"bad{i}",) for i in range(500)], "key string"
+        )
+        corpus = spark.createDataFrame(
+            [(f"bad{i}",) for i in range(500)]
+            + [(f"clean{i}",) for i in range(5000)],
+            "key string",
+        )
+        n_bits, k = 1 << 16, 5  # ~16 KB filter, 131 bits/key
+        bloom = bloom_build(deny, "key", n_bits, k)
+        probed = bloom_probe(corpus, "key", bloom, n_bits, k).collect()
+        flags = {r["key"]: r["maybe_member"] for r in probed}
+        # every denylisted key MUST flag (no false negatives, ever)
+        assert all(flags[f"bad{i}"] for i in range(500))
+        # false positives bounded: theory ~(1-e^(-kn/m))^k ≈ 1e-7 at
+        # this sizing; allow generous slack for hash imperfection
+        fp = sum(flags[f"clean{i}"] for i in range(5000))
+        assert fp <= 5, f"{fp} false positives in 5000 clean keys"
+        survivors = {
+            r["key"] for r in bloom_decontaminate(
+                corpus, "key", deny, "key", n_bits, k).collect()
+        }
+        assert not any(s.startswith("bad") for s in survivors)
+        assert len(survivors) >= 5000 - fp
+
+    def test_empty_denylist_keeps_everything(self, spark):
+        from spear_spark.operators.dedup import bloom_decontaminate
+
+        deny = spark.createDataFrame([], "key string")
+        corpus = spark.createDataFrame([(f"c{i}",) for i in range(50)], "key string")
+        assert bloom_decontaminate(corpus, "key", deny, "key").count() == 50
+
+    def test_probe_plan_is_broadcast_only(self, spark):
+        from spear_spark.operators.dedup import bloom_build, bloom_probe
+        from spear_spark.plans import executed_plan
+
+        deny = spark.createDataFrame([(f"b{i}",) for i in range(100)], "key string")
+        corpus = spark.createDataFrame([(f"c{i}",) for i in range(200)], "key string")
+        bloom = bloom_build(deny, "key", 1 << 12, 4).localCheckpoint(eager=False)
+        plan = executed_plan(bloom_probe(corpus, "key", bloom, 1 << 12, 4))
+        assert plan.count("BroadcastHashJoin") == 4  # one per hash
+        assert "SortMergeJoin" not in plan
+        # the corpus side never exchanges — the whole probe is map-side
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_build_is_parallelism_invariant(self, spark):
+        from spear_spark.operators.dedup import bloom_build
+
+        deny = spark.createDataFrame([(f"b{i}",) for i in range(300)], "key string")
+        a = sorted(map(tuple, bloom_build(deny.coalesce(1), "key", 1 << 14).collect()))
+        b = sorted(map(tuple, bloom_build(deny.repartition(11), "key", 1 << 14).collect()))
+        assert a == b and len(a) > 0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import bloom_build
+
+        df = spark.createDataFrame([("x",)], "key string")
+        with _pytest.raises(ValueError, match="n_bits"):
+            bloom_build(df, "key", n_bits=32)
+        with _pytest.raises(ValueError, match="k must"):
+            bloom_build(df, "key", k=0)
