@@ -865,6 +865,31 @@ def segment_dedup(
     )
 
 
+def _bloom_hashes(col: str, n_bits: int, seed: int) -> tuple[Column, Column]:
+    """Two independent base hashes for Kirsch-Mitzenmacher double
+    hashing: h1 from md5 chars 1-15, h2 from chars 17-31 — disjoint
+    60-bit slices of one digest, so position set collisions between
+    two keys require a joint (h1, h2) collision (~n_bits² space), not
+    a single 31-bit one.  The seed is folded into the digest input
+    (NULL-propagating concat), so different seeds give independent
+    filters and NULL keys hash to NULL."""
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col(col)))
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % n_bits
+    # step in [1, n_bits-1]: a zero step would collapse all k
+    # positions onto h1
+    h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("bigint") % (
+        n_bits - 1
+    ) + 1
+    return h1, h2
+
+
+def _bloom_sentinel(n_bits: int, k: int, seed: int) -> int:
+    """Parameter fingerprint stored under word_idx = -1 so a probe
+    with mismatched (n_bits, k, seed) fails LOUDLY instead of
+    silently returning false negatives."""
+    return (int(n_bits) << 16) | (int(k) << 8) | (int(seed) & 0xFF)
+
+
 def bloom_build(
     df: DataFrame,
     col: str,
@@ -876,34 +901,37 @@ def bloom_build(
     int64 bit-array table — the broadcastable membership structure
     behind :func:`bloom_decontaminate`.  ``n_bits`` bits cost
     ``n_bits/8`` bytes broadcast (1 M bits ≈ 128 KB); with ``k``
-    hashes the false-positive rate is ≈ (1 - e^(-k·n/n_bits))^k, so
-    size the filter at ~10-16 bits per denylist key for ~1% FP.
+    hashes the false-positive rate is ≈ (1 - e^(-k·n/n_bits))^k —
+    size at ~10-16 bits per denylist key for ~1% FP.  Positions use
+    Kirsch-Mitzenmacher double hashing over two disjoint 60-bit md5
+    slices (h1 + i·h2 mod n_bits), so the formula's bound holds until
+    joint (h1, h2) collisions (~n/n_bits² — negligible at any
+    practical sizing; a single shared base hash would floor the FP
+    rate at n/2³¹ regardless of filter size).
 
-    Determinism: positions come from the same md5 + seeded-LCG affine
-    hash family as MinHash (:func:`minhash_perms`), so the bit array
-    is a pure function of the key set — reproducible at any
-    parallelism, and exactly replicable by a DuckDB oracle.
+    NULL keys are dropped (a NULL can never be denylisted — probes of
+    NULL keys never match).  One extra row (word_idx = -1) carries the
+    (n_bits, k, seed) fingerprint; :func:`bloom_probe` validates it,
+    making a build/probe parameter mismatch a loud error instead of
+    silent false negatives.
 
-    Scale shape: one projection to k positions per key, a distinct on
-    the ≤ n_bits position domain, and a two-phase BIT_OR aggregate
-    onto ≤ n_bits/64 rows.  Empty input yields an empty (all-zero)
-    filter."""
+    Determinism: the bit array is a pure function of the key set —
+    parallelism-invariant (BIT_OR is order-free) and exactly
+    replicable by a DuckDB oracle.
+
+    Scale shape: one projection to k positions per key and ONE
+    two-phase BIT_OR aggregate onto ≤ n_bits/64 rows (no distinct
+    stage — BIT_OR is duplicate-insensitive).  Empty input yields
+    just the sentinel row (an all-zero filter)."""
     if n_bits < 64 or n_bits > MERSENNE31:
         raise ValueError("bloom_build: n_bits must be in [64, 2^31-1]")
     if k < 1:
         raise ValueError("bloom_build: k must be >= 1")
-    hv = h64(F.col(col)) % MERSENNE31
-    perms = minhash_perms(k, seed)
-    # mod MERSENNE31 BEFORE the affine step keeps a*hv inside int64 —
-    # under ANSI (the engine default) an overflow would throw
-    pos = F.array(
-        *[((F.lit(a) * hv + F.lit(b)) % MERSENNE31) % n_bits for a, b in perms]
-    )
-    # F.shiftleft only takes a literal shift — the SQL form accepts a
-    # column; `div` keeps the word index in exact integer arithmetic
-    return (
-        df.select(F.explode(pos).alias("_pos"))
-        .distinct()
+    h1, h2 = _bloom_hashes(col, n_bits, seed)
+    pos = F.array(*[(h1 + F.lit(i) * h2) % n_bits for i in range(k)])
+    words = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(pos).alias("_pos"))
         .groupBy(F.expr("_pos div 64").alias("word_idx"))
         .agg(
             F.bit_or(
@@ -911,6 +939,10 @@ def bloom_build(
             ).alias("bits")
         )
     )
+    sentinel = df.sparkSession.createDataFrame(
+        [(-1, _bloom_sentinel(n_bits, k, seed))], "word_idx long, bits long"
+    )
+    return words.unionByName(sentinel)
 
 
 def bloom_probe(
@@ -924,19 +956,47 @@ def bloom_probe(
 ) -> DataFrame:
     """Probe a :func:`bloom_build` filter: appends boolean ``flag_col``
     — False is EXACT non-membership, True means member-or-false-
-    positive.  ``n_bits``/``k``/``seed`` must match the build.
+    positive.  ``n_bits``/``k``/``seed`` must match the build and are
+    VALIDATED against the filter's embedded sentinel (one bounded
+    1-row job over the tiny table, which doubles as its
+    materialization) — a silent mismatch would otherwise turn the
+    no-false-negatives contract into quiet contamination.  NULL keys
+    probe False (kept by decontamination).
 
-    Scale shape: k chained BroadcastHashJoins against the tiny bit-
-    array table — every probe is map-side, the corpus never shuffles
-    and never sorts (the whole point vs an exact anti-join, whose
-    build side at 100 TB is a full denylist exchange).  Absent words
-    (NULL bits) are unset bits, so a sparse filter probes correctly."""
-    hv = h64(F.col(col)) % MERSENNE31
-    perms = minhash_perms(k, seed)
-    out = df
+    Scale shape: the base digest is staged ONCE (two columns), then k
+    chained BroadcastHashJoins against the tiny bit-array table —
+    every probe is map-side; the corpus never shuffles and never
+    sorts (the point vs an exact anti-join, whose build side at
+    100 TB is a full denylist exchange).  Absent words (NULL bits)
+    are unset bits, so a sparse filter probes correctly."""
+    want = _bloom_sentinel(n_bits, k, seed)
+    got = [
+        r["bits"]
+        for r in bloom.filter(F.col("word_idx") == -1).limit(2).collect()
+    ]
+    if got != [want]:
+        raise ValueError(
+            "bloom_probe: filter was built with different (n_bits, k, seed) "
+            f"than probed (sentinel {got} != {want}) — a silent mismatch "
+            "would produce false negatives"
+        )
+    internal = [f"_bloom_h{j}" for j in (1, 2)] + [
+        c for i in range(k) for c in (f"_p{i}", f"_w{i}", f"_b{i}")
+    ]
+    for reserved in internal + [flag_col]:
+        if reserved in df.columns:
+            raise ValueError(
+                f"bloom_probe: input column {reserved!r} collides with an "
+                "internal or output name"
+            )
+    h1, h2 = _bloom_hashes(col, n_bits, seed)
+    # stage the digest-derived hashes ONCE: deriving each position from
+    # the raw expression would re-evaluate md5 per join level (k
+    # Project nodes, no cross-Project subexpression elimination)
+    out = df.withColumn("_bloom_h1", h1).withColumn("_bloom_h2", h2)
     hits = []
-    for i, (a, b) in enumerate(perms):
-        pos = ((F.lit(a) * hv + F.lit(b)) % MERSENNE31) % n_bits
+    for i in range(k):
+        pos = (F.col("_bloom_h1") + F.lit(i) * F.col("_bloom_h2")) % n_bits
         w = bloom.select(
             F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
         )
@@ -957,8 +1017,7 @@ def bloom_probe(
     flag = hits[0]
     for h in hits[1:]:
         flag = flag & h
-    drop = [c for i in range(k) for c in (f"_p{i}", f"_w{i}", f"_b{i}")]
-    return out.withColumn(flag_col, flag).drop(*drop)
+    return out.withColumn(flag_col, flag).drop(*internal)
 
 
 def bloom_decontaminate(

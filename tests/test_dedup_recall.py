@@ -256,3 +256,64 @@ class TestBloomDecontaminate:
             bloom_build(df, "key", n_bits=32)
         with _pytest.raises(ValueError, match="k must"):
             bloom_build(df, "key", k=0)
+
+    def test_parameter_mismatch_is_loud(self, spark):
+        """A probe with different n_bits/k/seed than the build would
+        silently produce false negatives — the embedded sentinel must
+        turn it into an error."""
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import bloom_build, bloom_probe
+
+        deny = spark.createDataFrame([("a",)], "key string")
+        corpus = spark.createDataFrame([("a",), ("b",)], "key string")
+        bloom = bloom_build(deny, "key", 1 << 16, 5)
+        for kw in (dict(n_bits=1 << 12, k=5), dict(n_bits=1 << 16, k=4),
+                   dict(n_bits=1 << 16, k=5, seed=7)):
+            with _pytest.raises(ValueError, match="sentinel"):
+                bloom_probe(corpus, "key", bloom, **kw)
+
+    def test_null_keys_and_column_collisions(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import (
+            bloom_build,
+            bloom_decontaminate,
+            bloom_probe,
+        )
+
+        deny = spark.createDataFrame([("bad",), (None,)], "key string")
+        bloom = bloom_build(deny, "key", 1 << 12, 4)
+        rows = bloom.collect()
+        # NULL denylist key contributes nothing; sentinel row present
+        assert all(r["word_idx"] >= 0 or r["word_idx"] == -1 for r in rows)
+        assert not any(r["bits"] is None for r in rows)
+        corpus = spark.createDataFrame(
+            [("bad",), ("clean",), (None,)], "key string"
+        )
+        out = {r["key"]: r["maybe_member"]
+               for r in bloom_probe(corpus, "key", bloom, 1 << 12, 4).collect()}
+        assert out["bad"] is True and out[None] is False
+        kept = {r["key"] for r in bloom_decontaminate(
+            corpus, "key", deny, "key", 1 << 12, 4).collect()}
+        assert "bad" not in kept and None in kept  # NULLs survive
+        clash = spark.createDataFrame([("x", 1)], "key string, _p0 int")
+        with _pytest.raises(ValueError, match="collides"):
+            bloom_probe(clash, "key", bloom, 1 << 12, 4)
+
+    def test_probe_digest_staged_once(self, spark):
+        """The corpus-side md5 must be computed once per row, not once
+        per hash level — the staged _bloom_h1/_bloom_h2 columns keep
+        the k join projections md5-free."""
+        from spear_spark.operators.dedup import bloom_build, bloom_probe
+        from spear_spark.plans import executed_plan
+
+        deny = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+        corpus = spark.createDataFrame([(f"c{i}",) for i in range(100)], "key string")
+        bloom = bloom_build(deny, "key", 1 << 12, 4).localCheckpoint(eager=False)
+        plan = executed_plan(bloom_probe(corpus, "key", bloom, 1 << 12, 4))
+        # probe side: md5 appears only in the single staging Project
+        # (h1 + h2 share one digest there and whole-stage codegen CSEs
+        # within a Project) — NOT once per join level, which would be
+        # 2k occurrences across k Projects with no cross-Project CSE
+        assert plan.count("md5") <= 2, plan.count("md5")
