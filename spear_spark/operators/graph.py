@@ -192,6 +192,22 @@ def _iterate(
     return ranks.select("node", F.round("rank", decimals).alias("rank"))
 
 
+def _prep_unweighted_edges(
+    edges: DataFrame, src: str, dst: str, edges_distinct: bool
+) -> DataFrame:
+    """Shared edge prep for the unweighted variants: normalize column
+    names, dedup unless the caller guarantees uniqueness, and
+    checkpoint FIRST — the relation feeds nodes, the mass aggregate,
+    and the per-iteration join, so an un-checkpointed edge subtree
+    (often a join + distinct, duplicated under a symmetrize union)
+    re-executes once per consumer (measured 3× on p59's bipartite
+    build: 13s → 4s at bench scale)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    return e.localCheckpoint(eager=False)
+
+
 def pagerank(
     edges: DataFrame,
     src: str,
@@ -224,15 +240,7 @@ def pagerank(
     Returns (node, rank) with rank rounded to ``decimals``.
     Raises ``ValueError`` on an empty edge list (no graph, no ranks).
     """
-    # checkpoint the edge relation FIRST: it feeds nodes, the mass
-    # aggregate, and the per-iteration join — without this the
-    # caller's edge subtree (often a join + distinct, duplicated under
-    # a symmetrize union) re-executes once per consumer (measured 3×
-    # on p59's bipartite build: 13s → 4s at bench scale)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if not edges_distinct:
-        e = e.distinct()
-    e = e.localCheckpoint(eager=False)
+    e = _prep_unweighted_edges(edges, src, dst, edges_distinct)
     return _iterate(
         e, False, iters, damping, iter_decimals, decimals, broadcast_ranks,
         "pagerank",
@@ -289,10 +297,7 @@ def pagerank_converged(
         raise ValueError("pagerank_converged: max_iters must be >= 1")
     if check_every < 1:
         raise ValueError("pagerank_converged: check_every must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if not edges_distinct:
-        e = e.distinct()
-    e = e.localCheckpoint(eager=False)
+    e = _prep_unweighted_edges(edges, src, dst, edges_distinct)
     return _iterate(
         e, False, max_iters, damping, iter_decimals, decimals,
         broadcast_ranks, "pagerank_converged", tol=tol,
