@@ -317,3 +317,39 @@ class TestBloomDecontaminate:
         # within a Project) — NOT once per join level, which would be
         # 2k occurrences across k Projects with no cross-Project CSE
         assert plan.count("md5") <= 2, plan.count("md5")
+
+    def test_bit_array_is_duckdb_replicable(self, spark):
+        """The (word_idx, bits) table must be byte-identical to a pure
+        DuckDB recomputation of the same md5 double-hash positions —
+        the cross-engine contract the round-7 catalog entry will pair
+        on (bit 63 needs DuckDB's sign-bit CASE, as in p69)."""
+        import duckdb
+
+        from spear_spark.operators.dedup import _bloom_sentinel, bloom_build
+
+        n_bits, k, seed = 1 << 12, 4, 42
+        keys = [f"key{i}" for i in range(200)]
+        df = spark.createDataFrame([(s,) for s in keys], "key string")
+        got = sorted(
+            (r["word_idx"], r["bits"]) for r in bloom_build(df, "key", n_bits, k, seed).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE deny(key VARCHAR)")
+        con.executemany("INSERT INTO deny VALUES (?)", [(s,) for s in keys])
+        want = sorted(
+            con.execute(f"""
+            WITH h AS (SELECT
+                ('0x'||substr(md5('{seed}:'||key),1,15))::BIGINT % {n_bits} AS h1,
+                ('0x'||substr(md5('{seed}:'||key),17,15))::BIGINT % ({n_bits}-1) + 1 AS h2
+              FROM (SELECT DISTINCT key FROM deny WHERE key IS NOT NULL)),
+            pos AS (SELECT (h1 + i*h2) % {n_bits} AS p
+                    FROM h CROSS JOIN range(0, {k}) r(i)),
+            words AS (SELECT p // 64 AS word_idx,
+                CAST(BIT_OR(CASE WHEN p % 64 = 63 THEN -9223372036854775808
+                     ELSE (1::BIGINT << (p % 64)::INT) END) AS BIGINT) AS bits
+              FROM pos GROUP BY p // 64)
+            SELECT word_idx, bits FROM words
+            UNION ALL SELECT -1, {_bloom_sentinel(n_bits, k, seed)}
+            """).fetchall()
+        )
+        assert got == want and len(got) > 10
