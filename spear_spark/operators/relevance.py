@@ -238,3 +238,95 @@ def bigram_lm_score(df, text_col: str, id_col: str, k: float = 0.5, decimals: in
             ),
         )
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    top: int | None = None,
+    max_df: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """All-pairs LEXICAL cosine similarity over TF-IDF vectors via an
+    inverted index — the weighted complement to n-gram Jaccard
+    (set-overlap, no term importance) and embedding cosine (dense,
+    model-dependent): two docs score high exactly when they share
+    RARE terms.  SURVEY §2.7 extension; classic sparse-vector
+    similarity join.
+
+    Returns (doc_a, doc_b, cos_sim) for pairs whose 6dp-rounded cosine
+    meets ``threshold``; ``top`` keeps the global top-k
+    (cos desc, doc_a, doc_b).
+
+    Cross-engine exactness discipline: weights are unit-normalized
+    per doc BEFORE any product — norms come from the 6dp-rounded
+    TF-IDF weights, unit weights round to 9dp — so every per-term
+    product is ≤ 1 and the unordered-association FP noise of the dot
+    sum (~1e-15·shared_terms) vanishes under the final 6dp rounding.
+    Summing raw TF-IDF products (magnitudes ~1e3-1e5) would leave
+    association noise at the rounding boundary and break oracle
+    pairing.
+
+    ``max_df`` is the same 100 TB safety knob as
+    :func:`~spear_spark.operators.dedup.ngram_jaccard_pairs`: terms in
+    more than ``max_df`` docs are dropped BEFORE pair generation
+    (a df-D term contributes D·(D−1)/2 pairs), while norms keep every
+    term — capped cosines are deterministic underestimates, mirrored
+    exactly by the oracle.  Hot terms are exactly the low-idf ones, so
+    the rank signal they carry is minimal.
+
+    Scale shape: one token explode collapsed map-side into (doc, term,
+    tf); document frequencies and N broadcast back; the pair stage is
+    posting-list combinations on the term key (bounded by ``max_df``)
+    + one two-phase (doc_a, doc_b) sum.  No all-pairs stage, no
+    cartesian — the same inverted-index shape as the Jaccard family,
+    with weights riding the postings."""
+    tf = tf_idf(df, text_col, id_col, top_terms=None, decimals=decimals)
+    norms = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("_norm")
+    )
+    unit = tf.join(norms, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.col("term"),
+        # 9dp unit weights: both engines share EXACT operands for the
+        # dot product (the same iter_decimals discipline as PageRank)
+        F.round(F.col("tfidf") / F.col("_norm"), 9).alias("_u"),
+    )
+    if max_df is not None:
+        w = Window.partitionBy("term")
+        unit = (
+            unit.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    postings = (
+        unit.select(F.struct(F.col("_id"), F.col("_u")).alias("d"), "term")
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    out = (
+        pair.groupBy(
+            F.col("p.a._id").alias("doc_a"), F.col("p.b._id").alias("doc_b")
+        )
+        .agg(F.round(F.sum(F.col("p.a._u") * F.col("p.b._u")), decimals).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )
+    if top:
+        out = out.orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b").limit(top)
+    return out

@@ -2298,3 +2298,84 @@ def test_pagerank_weighted_aggregated_path_still_validates(spark):
     )
     with _pytest.raises(ValueError, match="positive"):
         pagerank_weighted(df, "src", "dst", "w", edges_aggregated=True)
+
+
+class TestSparseCosinePairs:
+    def _brute(self, docs, max_df=None):
+        """Python mirror of the operator's exact recipe: smooth-idf
+        TF-IDF rounded 6dp, norms from rounded weights, 9dp unit
+        weights, dot over (df-capped) shared terms, 6dp cosine."""
+        import math
+        from collections import Counter
+
+        toks = {i: t.lower().split() for i, t in docs}
+        n = len(docs)
+        dft = Counter()
+        tfs = {}
+        for i, ts in toks.items():
+            tf = Counter(ts)
+            tfs[i] = tf
+            for term in tf:
+                dft[term] += 1
+        w = {
+            i: {t: round(c * (math.log((n + 1) / (dft[t] + 1)) + 1), 6)
+                for t, c in tf.items()}
+            for i, tf in tfs.items()
+        }
+        norm = {i: math.sqrt(sum(v * v for v in ws.values())) for i, ws in w.items()}
+        u = {i: {t: round(v / norm[i], 9) for t, v in ws.items()} for i, ws in w.items()}
+        out = {}
+        ids = sorted(u)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                shared = set(u[a]) & set(u[b])
+                if max_df is not None:
+                    shared = {t for t in shared if dft[t] <= max_df}
+                if shared:
+                    out[(a, b)] = round(sum(u[a][t] * u[b][t] for t in shared), 6)
+        return out
+
+    def test_matches_brute_force_and_scores_rare_terms(self, spark):
+        from spear_spark.operators.relevance import sparse_cosine_pairs
+
+        docs = [
+            (1, "alpha beta gamma delta xenon"),
+            (2, "alpha beta gamma delta xenon"),      # identical -> 1.0
+            (3, "alpha beta gamma epsilon zeta"),     # common overlap w/ 1
+            (4, "xenon krypton argon neon helium"),   # shares RARE xenon w/ 1
+            (5, "the of and to in"),
+            (6, "the of and to in unrelatedterm"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r.doc_a, r.doc_b): r.cos_sim
+               for r in sparse_cosine_pairs(df, "text", "doc_id", threshold=0.0).collect()}
+        want = {p: c for p, c in self._brute(docs).items() if c >= 0.0}
+        assert got == want
+        assert got[(1, 2)] == 1.0
+
+    def test_max_df_cap_underestimates(self, spark):
+        from spear_spark.operators.relevance import sparse_cosine_pairs
+
+        docs = [(i, "hot1 hot2 hot3 " + f"rare{i % 3}") for i in range(9)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        full = {(r.doc_a, r.doc_b): r.cos_sim
+                for r in sparse_cosine_pairs(df, "text", "doc_id", threshold=0.0).collect()}
+        capped = {(r.doc_a, r.doc_b): r.cos_sim
+                  for r in sparse_cosine_pairs(df, "text", "doc_id", threshold=0.0,
+                                               max_df=3).collect()}
+        want = self._brute(docs, max_df=3)
+        assert capped == want
+        for p, c in capped.items():
+            assert c <= full[p] + 1e-9
+
+    def test_partitioning_invariance(self, spark, sf_dir):
+        from spear_spark.operators.relevance import sparse_cosine_pairs
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        a = sorted(map(tuple, sparse_cosine_pairs(
+            docs.coalesce(1), "text", "doc_id", threshold=0.3, max_df=64).collect()))
+        b = sorted(map(tuple, sparse_cosine_pairs(
+            docs.repartition(13), "text", "doc_id", threshold=0.3, max_df=64).collect()))
+        assert a == b and len(a) > 0
