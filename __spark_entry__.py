@@ -25,15 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
 # Round-6 window: after r5's fully-green 50/50, the pending work is
-# evidence hygiene plus the 5 new queries — all 16 r02-evidence queries
-# rotate in, plus q40 and the 23 oldest r03-evidence queries; the 18
-# r03 queries that didn't fit (p04, p18, p19, p31, p32, p34-p39,
+# evidence hygiene plus the 7 new queries — all 16 r02-evidence queries
+# rotate in, plus q40 and the 21 oldest r03-evidence queries; the 20
+# r03 queries that didn't fit (p02-p04, p18, p19, p31, p32, p34-p39,
 # q59-q62, p41-p43) rotate in round 7.
 _DRIVER_PRIORITY = [
     # ---- round 6 window ----
     # -- NEW in round 6 (no driver evidence yet)
     "p72_pagerank_convergence", "q82_symmetric_range_frame", "q83_session_window",
     "p73_histogram_quantiles", "p74_containment_pairs",
+    "p75_bloom_decontaminate", "p76_sparse_cosine_pairs",
     # -- CHANGED in round 6 (re-evidence): mix_reweight outer-joins its
     #    target keys; budget_waterfill validates totals; weighted
     #    PageRank validates on the checkpointed edges; q79 gained the
@@ -48,7 +49,7 @@ _DRIVER_PRIORITY = [
     "q54_priority_check", "q55_promo_revenue", "q56_disjunctive_join",
     "q57_ship_lag_buckets",
     # -- q40 re-evidenced alongside its new session_window twin (q83),
-    #    then the 23 oldest r03-evidence queries
+    #    then the 21 oldest r03-evidence queries
     "q40_sessionize", "p30_bottom_k_sample", "p12_multimodal_decode",
     "p13_near_dedup", "p21_dup_clusters", "q63_product_profit",
     "q64_important_stock", "q65_parts_supplier_relationship", "q66_part_promotion",
@@ -56,11 +57,13 @@ _DRIVER_PRIORITY = [
     "q21_aggregate_library", "q22_top_supplier_cte", "q33_order_count_distribution",
     "q34_large_quantity_orders", "q36_small_quantity_revenue", "q38_multi_distinct",
     "q42_arithmetic_edges", "q44_min_price_supplier", "q45_waiting_suppliers",
-    "p01_dedup_exact", "p02_minhash_signatures", "p03_minhash_lsh_pairs",
+    "p01_dedup_exact",
     # ---- below the fold (evidence r03+ and unchanged; kept for
     # catalog completeness, order = recency of last driver check;
-    # p04/p18 slipped below to make room for the p73/p74 additions —
-    # they rotate in round 7 with the other r03 stragglers) ----
+    # p02-p04/p18 slipped below to make room for the p73-p76
+    # additions — they rotate in round 7 with the other r03
+    # stragglers) ----
+    "p02_minhash_signatures", "p03_minhash_lsh_pairs",
     "p04_simhash", "p18_clean_corpus",
     "p47_kmeans_step", "q73_array_functions", "p55_quantize_embeddings",
     "q80_retention_cohorts", "p60_winsorized_stats", "p61_zscore_outliers",

@@ -126,6 +126,8 @@ HEADLINE = [
     "q83_session_window",
     "p73_histogram_quantiles",
     "p74_containment_pairs",
+    "p75_bloom_decontaminate",
+    "p76_sparse_cosine_pairs",
 ]
 
 

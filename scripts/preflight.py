@@ -6,7 +6,7 @@ rows.
 
 Usage: python scripts/preflight.py [--window-only] [sf_dir]
 Exit code 0 iff everything matches.  Round-5 baseline: 152/152 green;
-round-6 baseline: 157/157 (156 oracle-paired + p72 rows-only).
+round-6 baseline: 159/159 (158 oracle-paired + p72 rows-only).
 """
 
 from __future__ import annotations

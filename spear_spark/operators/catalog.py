@@ -2724,3 +2724,101 @@ def p74_containment_pairs(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.containment_pairs(
         docs, "text", "doc_id", threshold=0.2, top=100, max_df=_MAX_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# p75 — Bloom-filter decontamination (operators.dedup.bloom_*): drop
+# documents whose text appears in a denylist (here: every src0 doc)
+# via a broadcast bit-array probe — the shuffle-free scale path where
+# an exact anti-join would exchange the full denylist.  The oracle
+# recomputes the ENTIRE filter in DuckDB — same md5 double-hash
+# positions (Kirsch-Mitzenmacher), same BIT_OR words, same k-probe
+# BOOL_AND — so the pairing certifies build AND probe bit-for-bit
+# (false positives, if any, are deterministic and mirrored).  NULL
+# text can never be denylisted and probes to "kept" on both sides.
+# ---------------------------------------------------------------------------
+_P75_M, _P75_K = 1 << 16, 5
+_P75_MASK = """CASE WHEN p % 64 = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << (p % 64)::INT) END"""
+
+
+@q(
+    "p75_bloom_decontaminate",
+    f"""
+    WITH deny AS (SELECT DISTINCT text AS key FROM documents
+                  WHERE source = 'src0' AND text IS NOT NULL),
+    dh AS (SELECT ('0x'||substr(md5('42:'||key),1,15))::BIGINT % {_P75_M} AS h1,
+                  ('0x'||substr(md5('42:'||key),17,15))::BIGINT % {_P75_M - 1} + 1 AS h2
+           FROM deny),
+    pos AS (SELECT (h1 + i*h2) % {_P75_M} AS p
+            FROM dh CROSS JOIN range(0, {_P75_K}) r(i)),
+    words AS (SELECT p // 64 AS word_idx,
+                CAST(BIT_OR({_P75_MASK}) AS BIGINT) AS bits
+              FROM pos GROUP BY p // 64),
+    ph AS (SELECT doc_id,
+             ('0x'||substr(md5('42:'||text),1,15))::BIGINT % {_P75_M} AS h1,
+             ('0x'||substr(md5('42:'||text),17,15))::BIGINT % {_P75_M - 1} + 1 AS h2
+           FROM documents),
+    pp AS (SELECT doc_id, (h1 + i*h2) % {_P75_M} AS p
+           FROM ph CROSS JOIN range(0, {_P75_K}) r(i)),
+    hits AS (SELECT pp.doc_id,
+               BOOL_AND(COALESCE((w.bits & ({_P75_MASK})) <> 0, FALSE)) AS member
+             FROM pp LEFT JOIN words w ON pp.p // 64 = w.word_idx
+             GROUP BY pp.doc_id)
+    SELECT doc_id FROM hits WHERE NOT member ORDER BY doc_id
+    """,
+)
+def p75_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.dedup import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    deny = docs.filter(F.col("source") == "src0").select("text")
+    return (
+        bloom_decontaminate(
+            docs.select("doc_id", "text"), "text", deny, "text",
+            n_bits=_P75_M, k=_P75_K,
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p76 — sparse lexical cosine pairs (operators.relevance.
+# sparse_cosine_pairs): all-pairs TF-IDF cosine via posting lists —
+# the weighted complement to p05's set Jaccard and p06's embedding
+# cosine.  Exactness discipline: 6dp TF-IDF weights → norms → 9dp
+# unit weights BEFORE any product, so the unordered dot sum's FP
+# association noise vanishes under the final 6dp rounding; the df-cap
+# (norms keep every term, postings drop hot ones) mirrors the
+# Jaccard family's pruned-intersection rule exactly.
+# ---------------------------------------------------------------------------
+@q(
+    "p76_sparse_cosine_pairs",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (SELECT doc_id, term,
+                 ROUND(tf * (ln((n.n + 1.0) / (dft.dft + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dft USING (term) CROSS JOIN n),
+    nr AS (SELECT doc_id, sqrt(SUM(tfidf * tfidf)) AS nrm FROM w GROUP BY doc_id),
+    u AS (SELECT w.doc_id, w.term, ROUND(w.tfidf / nr.nrm, 9) AS u
+          FROM w JOIN nr USING (doc_id) JOIN dft USING (term)
+          WHERE dft.dft <= 64),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                ROUND(SUM(a.u * b.u), 6) AS cos_sim
+              FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, cos_sim FROM pairs WHERE cos_sim >= 0.15
+    ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 100
+    """,
+)
+def p76_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, "text", "doc_id", threshold=0.15, top=100, max_df=64
+    )
