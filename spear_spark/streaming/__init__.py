@@ -338,6 +338,39 @@ def hll_register_stream(events: DataFrame, key: str, m: int = 64) -> DataFrame:
     )
 
 
+def bloom_words_stream(
+    events: DataFrame,
+    key: str,
+    n_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming Bloom word table over a key column — the continuous
+    twin of :func:`spear_spark.operators.dedup.bloom_build`, closing
+    the sketch family (CM counts, HLL registers, Bloom membership).
+    Like the other two, state is bounded BY CONSTRUCTION (≤ n_bits/64
+    word rows, merged by BIT_OR — monotone, so complete-mode output's
+    latest update per word is the answer) and needs no watermark.
+    Drain, append the (n_bits, k, seed) sentinel, and the result
+    probes with the SAME ``bloom_probe`` as a batch-built filter —
+    the membership set only grows as the stream runs, so a probe
+    stays false-negative-free for every key seen up to the drain."""
+    from spear_spark.operators.dedup import _bloom_hashes
+
+    h1, h2 = _bloom_hashes(key, n_bits, seed)
+    pos = F.array(*[(h1 + F.lit(i) * h2) % n_bits for i in range(k)])
+    return (
+        events.filter(F.col(key).isNotNull())
+        .select(F.explode(pos).alias("_pos"))
+        .groupBy(F.expr("_pos div 64").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
 def _cdc_versions(state_path: str) -> list[int]:
     """All committed state versions under ``state_path`` — the ONE
     place that parses the ``v=<n>`` directory layout (the reader takes

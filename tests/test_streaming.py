@@ -436,3 +436,48 @@ def test_enrich_stream_matches_batch_join(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="left.*inner|'left' or 'inner'"):
         enrich_stream(stream_events(spark, sf_dir), dim, "user_id", how="full")
+
+
+def test_bloom_words_stream_matches_batch_and_probes(spark, sf_dir):
+    """Drained streaming Bloom words equal the batch bloom_build word
+    table (minus the sentinel), and — with the sentinel appended — the
+    drained filter probes through the SAME bloom_probe with zero false
+    negatives over every streamed key."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.operators.dedup import (
+        _bloom_sentinel,
+        bloom_build,
+        bloom_probe,
+    )
+    from spear_spark.streaming import bloom_words_stream, stream_events
+
+    n_bits, k, seed = 1 << 14, 4, 42
+    stream = bloom_words_stream(
+        stream_events(spark, sf_dir).select(F.col("user_id").cast("string").alias("key")),
+        "key", n_bits, k, seed,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bloom_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.word_idx, r.bits) for r in spark.table("bloom_stream_test").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    batch = bloom_build(ev, "key", n_bits, k, seed)
+    expected = {
+        (r.word_idx, r.bits) for r in batch.collect() if r.word_idx != -1
+    }
+    assert got == expected and len(got) > 0
+    # drained words + sentinel probe exactly like a batch-built filter
+    sentinel = spark.createDataFrame(
+        [(-1, _bloom_sentinel(n_bits, k, seed))], "word_idx long, bits long"
+    )
+    drained = spark.table("bloom_stream_test").unionByName(sentinel)
+    flags = bloom_probe(ev.distinct(), "key", drained, n_bits, k, seed)
+    assert flags.filter(~F.col("maybe_member")).count() == 0  # no false negatives
