@@ -529,3 +529,24 @@ def test_histogram_quantiles_replication_invariant(spark, sf_dir):
         g = big[k]
         assert g["est"] == b["est"]
         assert g["n_rows"] == 10 * b["n_rows"]
+
+
+def test_bloom_filter_replication_invariant(spark, sf_dir):
+    """10x replication leaves the Bloom bit array IDENTICAL (the
+    filter is a pure function of the distinct key set) — and the
+    decontamination survivor set scales exactly 10x."""
+    from spear_spark.operators.dedup import bloom_build, bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs10 = docs.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    )
+    deny = docs.filter(F.col("source") == "src0").select("text")
+    deny10 = docs10.filter(F.col("source") == "src0").select("text")
+    n_bits, k = 1 << 14, 4
+    a = sorted(map(tuple, bloom_build(deny, "text", n_bits, k).collect()))
+    b = sorted(map(tuple, bloom_build(deny10, "text", n_bits, k).collect()))
+    assert a == b and len(a) > 1
+    kept = bloom_decontaminate(docs, "text", deny, "text", n_bits, k).count()
+    kept10 = bloom_decontaminate(docs10, "text", deny10, "text", n_bits, k).count()
+    assert kept10 == 10 * kept
