@@ -2806,7 +2806,7 @@ def p75_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
     nr AS (SELECT doc_id, sqrt(SUM(tfidf * tfidf)) AS nrm FROM w GROUP BY doc_id),
     u AS (SELECT w.doc_id, w.term, ROUND(w.tfidf / nr.nrm, 9) AS u
           FROM w JOIN nr USING (doc_id) JOIN dft USING (term)
-          WHERE dft.dft <= 64),
+          WHERE dft.dft <= {_MAX_DF}),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 ROUND(SUM(a.u * b.u), 6) AS cos_sim
               FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
@@ -2820,5 +2820,5 @@ def p76_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = load_table(spark, sf_dir, "documents")
     return sparse_cosine_pairs(
-        docs, "text", "doc_id", threshold=0.15, top=100, max_df=64
+        docs, "text", "doc_id", threshold=0.15, top=100, max_df=_MAX_DF
     )

@@ -890,6 +890,31 @@ def _bloom_sentinel(n_bits: int, k: int, seed: int) -> int:
     return (int(n_bits) << 16) | (int(k) << 8) | (int(seed) & 0xFF)
 
 
+def _bloom_words(
+    df: DataFrame, col: str, n_bits: int, k: int, seed: int
+) -> DataFrame:
+    """Validated (word_idx, bits) word-table pipeline shared by the
+    batch build and the streaming twin (``streaming.bloom_words_stream``)
+    — one k-position projection + one two-phase BIT_OR aggregate onto
+    ≤ n_bits/64 rows; NULL keys dropped."""
+    if n_bits < 64 or n_bits > MERSENNE31:
+        raise ValueError("bloom filter: n_bits must be in [64, 2^31-1]")
+    if k < 1:
+        raise ValueError("bloom filter: k must be >= 1")
+    h1, h2 = _bloom_hashes(col, n_bits, seed)
+    pos = F.array(*[(h1 + F.lit(i) * h2) % n_bits for i in range(k)])
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(pos).alias("_pos"))
+        .groupBy(F.expr("_pos div 64").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
 def bloom_build(
     df: DataFrame,
     col: str,
@@ -923,22 +948,7 @@ def bloom_build(
     two-phase BIT_OR aggregate onto ≤ n_bits/64 rows (no distinct
     stage — BIT_OR is duplicate-insensitive).  Empty input yields
     just the sentinel row (an all-zero filter)."""
-    if n_bits < 64 or n_bits > MERSENNE31:
-        raise ValueError("bloom_build: n_bits must be in [64, 2^31-1]")
-    if k < 1:
-        raise ValueError("bloom_build: k must be >= 1")
-    h1, h2 = _bloom_hashes(col, n_bits, seed)
-    pos = F.array(*[(h1 + F.lit(i) * h2) % n_bits for i in range(k)])
-    words = (
-        df.filter(F.col(col).isNotNull())
-        .select(F.explode(pos).alias("_pos"))
-        .groupBy(F.expr("_pos div 64").alias("word_idx"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")
-            ).alias("bits")
-        )
-    )
+    words = _bloom_words(df, col, n_bits, k, seed)
     sentinel = df.sparkSession.createDataFrame(
         [(-1, _bloom_sentinel(n_bits, k, seed))], "word_idx long, bits long"
     )

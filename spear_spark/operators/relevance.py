@@ -261,13 +261,16 @@ def sparse_cosine_pairs(
     (cos desc, doc_a, doc_b).
 
     Cross-engine exactness discipline: weights are unit-normalized
-    per doc BEFORE any product — norms come from the 6dp-rounded
-    TF-IDF weights, unit weights round to 9dp — so every per-term
-    product is ≤ 1 and the unordered-association FP noise of the dot
-    sum (~1e-15·shared_terms) vanishes under the final 6dp rounding.
-    Summing raw TF-IDF products (magnitudes ~1e3-1e5) would leave
-    association noise at the rounding boundary and break oracle
-    pairing.
+    per doc BEFORE any product — norms come from the ``decimals``-
+    rounded TF-IDF weights, unit weights round to ``decimals + 3``
+    (three guard digits, so the unordered-association FP noise of the
+    dot sum, ~1e-15·shared_terms, vanishes under the final
+    ``decimals`` rounding; the two precisions are COUPLED — a fixed
+    unit precision would silently void the noise argument for a
+    caller passing a larger ``decimals``).  Summing raw TF-IDF
+    products (magnitudes ~1e3-1e5) would leave association noise at
+    the rounding boundary and break oracle pairing.  ``decimals`` is
+    capped at 9 so the guard digits stay inside double precision.
 
     ``max_df`` is the same 100 TB safety knob as
     :func:`~spear_spark.operators.dedup.ngram_jaccard_pairs`: terms in
@@ -283,6 +286,8 @@ def sparse_cosine_pairs(
     + one two-phase (doc_a, doc_b) sum.  No all-pairs stage, no
     cartesian — the same inverted-index shape as the Jaccard family,
     with weights riding the postings."""
+    if not 1 <= decimals <= 9:
+        raise ValueError("sparse_cosine_pairs: decimals must be in [1, 9]")
     tf = tf_idf(df, text_col, id_col, top_terms=None, decimals=decimals)
     norms = tf.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("_norm")
@@ -290,9 +295,10 @@ def sparse_cosine_pairs(
     unit = tf.join(norms, id_col).select(
         F.col(id_col).alias("_id"),
         F.col("term"),
-        # 9dp unit weights: both engines share EXACT operands for the
-        # dot product (the same iter_decimals discipline as PageRank)
-        F.round(F.col("tfidf") / F.col("_norm"), 9).alias("_u"),
+        # decimals+3 unit weights: both engines share EXACT operands
+        # for the dot product (the same iter_decimals discipline as
+        # PageRank), with guard digits tied to the output precision
+        F.round(F.col("tfidf") / F.col("_norm"), decimals + 3).alias("_u"),
     )
     if max_df is not None:
         w = Window.partitionBy("term")

@@ -355,20 +355,9 @@ def bloom_words_stream(
     probes with the SAME ``bloom_probe`` as a batch-built filter —
     the membership set only grows as the stream runs, so a probe
     stays false-negative-free for every key seen up to the drain."""
-    from spear_spark.operators.dedup import _bloom_hashes
+    from spear_spark.operators.dedup import _bloom_words
 
-    h1, h2 = _bloom_hashes(key, n_bits, seed)
-    pos = F.array(*[(h1 + F.lit(i) * h2) % n_bits for i in range(k)])
-    return (
-        events.filter(F.col(key).isNotNull())
-        .select(F.explode(pos).alias("_pos"))
-        .groupBy(F.expr("_pos div 64").alias("word_idx"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")
-            ).alias("bits")
-        )
-    )
+    return _bloom_words(events, key, n_bits, k, seed)
 
 
 def _cdc_versions(state_path: str) -> list[int]:

@@ -321,7 +321,7 @@ class TestBloomDecontaminate:
     def test_bit_array_is_duckdb_replicable(self, spark):
         """The (word_idx, bits) table must be byte-identical to a pure
         DuckDB recomputation of the same md5 double-hash positions —
-        the cross-engine contract the round-7 catalog entry will pair
+        the cross-engine contract the p75 catalog entry pairs
         on (bit 63 needs DuckDB's sign-bit CASE, as in p69)."""
         import duckdb
 
