@@ -123,7 +123,10 @@ def partitioned_bounded_range(
     share ≈ (preceding_range + following_range) / bucket_width) + ONE
     hash exchange on the bucket id.  At 100 TB pick bucket_width so a
     bucket's rows fit an executor (e.g. keys/bucket ≈ rows_per_task
-    target)."""
+    target).  Event-time frames ride the same rewrite: stage
+    ``unix_micros(ts)`` as the key and express the ranges in
+    microseconds (q81 covers the per-partition interval-RANGE case
+    natively; this is the GLOBAL-ordering variant)."""
     if preceding_range < 0:
         raise ValueError("partitioned_bounded_range: preceding_range must be >= 0")
     if following_range < 0:
