@@ -346,3 +346,18 @@ def test_p69_pairs_join_distinct_hashes_no_cartesian(spark, sf_dir):
     # the distinct-hash reduction before banding: aggregate keyed on
     # the bare hash column
     assert "HashAggregate(keys=[h#" in plan
+
+
+def test_rank_filter_windows_use_group_limit(spark, sf_dir):
+    """Catalyst's WindowGroupLimit must fire (partial below the
+    exchange + final above) on every rank-then-filter top-k window —
+    without it a hot group's full row set sorts on one task before
+    the rank filter drops it.  Pinned so a frame/ordering change that
+    breaks eligibility is caught."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    for name in ("p27_tfidf_topterms", "p62_top_ngrams_per_lang"):
+        plan = executed_plan(OPS[name][0](spark, sf_dir))
+        assert plan.count("WindowGroupLimit") == 2, name
+    plan = plan_for(spark, sf_dir, "q15_top3_per_nation")
+    assert plan.count("WindowGroupLimit") == 2
