@@ -231,3 +231,60 @@ def hll_distinct(df: DataFrame, key: Column, m: int = HLL_M) -> DataFrame:
     )
     est = F.when((v > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
     return present.select(F.round(est, 3).alias("est_distinct"))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketch tables built over DISJOINT shards with
+    the same (depth, width): Count-Min is linear, so cell-wise SUM of
+    the (row, bucket, cnt) grids equals the sketch of the union —
+    exactly (law-tested).  This is the 100 TB lifecycle this module's
+    header promises: profile each shard/day independently, merge the
+    ≤ depth·width-row tables, query once.  Scale: a union of bounded
+    tables + one bounded two-phase aggregate."""
+    if not sketches:
+        raise ValueError("cm_merge: need at least one sketch table")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hll_merge(*tables: DataFrame) -> DataFrame:
+    """Merge HLL register tables built with the same m: register-wise
+    MAX equals the register table of the union — exactly (the rho of
+    a union's register is the max over shards by definition).  Same
+    bounded shape as :func:`cm_merge`."""
+    if not tables:
+        raise ValueError("hll_merge: need at least one register table")
+    merged = tables[0]
+    for t in tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge Bloom word tables (``dedup.bloom_build``) built with the
+    SAME (n_bits, k, seed): word-wise BIT_OR equals the filter of the
+    union key set — exactly.  Parameter agreement is VALIDATED via the
+    embedded word_idx=-1 sentinels (one bounded job over the tiny
+    tables): OR-ing filters with different geometries would produce a
+    structure that silently yields false negatives, the one failure a
+    Bloom filter must never have.  The shared sentinel survives the
+    BIT_OR unchanged, so the merged table probes through
+    ``dedup.bloom_probe`` directly."""
+    if not filters:
+        raise ValueError("bloom_merge: need at least one filter table")
+    merged = filters[0]
+    for f in filters[1:]:
+        merged = merged.unionByName(f)
+    sentinels = [
+        r["bits"]
+        for r in merged.filter(F.col("word_idx") == -1).distinct().limit(2).collect()
+    ]
+    if len(sentinels) != 1:
+        raise ValueError(
+            "bloom_merge: filters were built with different (n_bits, k, "
+            f"seed) (sentinels {sentinels}) — OR-ing mismatched geometries "
+            "would produce silent false negatives"
+        )
+    return merged.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))

@@ -2379,3 +2379,75 @@ class TestSparseCosinePairs:
         b = sorted(map(tuple, sparse_cosine_pairs(
             docs.repartition(13), "text", "doc_id", threshold=0.3, max_df=64).collect()))
         assert a == b and len(a) > 0
+
+
+class TestSketchMerge:
+    """Merge laws: sketch(A ∪ B) == merge(sketch(A), sketch(B)),
+    EXACTLY — the shard-wise lifecycle the sketch module promises."""
+
+    def test_cm_merge_law(self, spark, sf_dir):
+        from spear_spark.operators.sketch import cm_merge, count_min_sketch
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        merged = {
+            (r.row, r.bucket): r.cnt
+            for r in cm_merge(
+                count_min_sketch(a, "text"), count_min_sketch(b, "text")
+            ).collect()
+        }
+        whole = {
+            (r.row, r.bucket): r.cnt
+            for r in count_min_sketch(docs, "text").collect()
+        }
+        assert merged == whole and len(whole) > 0
+
+    def test_hll_merge_law(self, spark, sf_dir):
+        from spear_spark.operators.sketch import hll_merge, hll_register_table
+        from spear_spark.sources import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        key = F.col("user_id").cast("string")
+        a = ev.filter(F.col("event_id") % 2 == 0)
+        b = ev.filter(F.col("event_id") % 2 == 1)
+        merged = {
+            (r.reg, r.max_rho)
+            for r in hll_merge(
+                hll_register_table(a, key), hll_register_table(b, key)
+            ).collect()
+        }
+        whole = {(r.reg, r.max_rho) for r in hll_register_table(ev, key).collect()}
+        assert merged == whole and len(whole) > 0
+
+    def test_bloom_merge_law_and_geometry_guard(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import bloom_build, bloom_probe
+        from spear_spark.operators.sketch import bloom_merge
+
+        n_bits, k = 1 << 14, 4
+        a = spark.createDataFrame([(f"a{i}",) for i in range(200)], "key string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(200)], "key string")
+        merged = {
+            (r.word_idx, r.bits)
+            for r in bloom_merge(
+                bloom_build(a, "key", n_bits, k), bloom_build(b, "key", n_bits, k)
+            ).collect()
+        }
+        whole = {
+            (r.word_idx, r.bits)
+            for r in bloom_build(a.unionByName(b), "key", n_bits, k).collect()
+        }
+        assert merged == whole
+        # the merged table probes directly: every key from both shards
+        # flags, so the no-false-negative contract survives the merge
+        mdf = spark.createDataFrame(sorted(merged), "word_idx long, bits long")
+        flags = bloom_probe(a.unionByName(b), "key", mdf, n_bits, k)
+        assert flags.filter(~F.col("maybe_member")).count() == 0
+        # mismatched geometry fails loudly
+        with _pytest.raises(ValueError, match="sentinels"):
+            bloom_merge(
+                bloom_build(a, "key", n_bits, k), bloom_build(b, "key", 1 << 12, k)
+            )
