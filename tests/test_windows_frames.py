@@ -159,3 +159,31 @@ def test_partitioned_bounded_range_double_halo_rows(spark):
     a = sorted(tuple(r) for r in got.select("k", "v", "s", "m").collect())
     b = sorted(tuple(r) for r in naive.select("k", "v", "s", "m").collect())
     assert a == b and len(a) == len(rows)
+
+
+def test_partitioned_bounded_range_on_event_time_keys(spark, sf_dir):
+    """The documented event-time pattern: stage unix_micros(ts) as the
+    key and express ranges in microseconds — the GLOBAL rolling
+    10-minute count over events must equal the naive unpartitioned
+    RANGE window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as SW
+
+    from spear_spark.sources import load_table
+    from spear_spark.windows import partitioned_bounded_range
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+    )
+    ten_min = 600_000_000
+    got = partitioned_bounded_range(
+        ev, "us", {"n": (F.lit(1), F.count)},
+        preceding_range=ten_min, bucket_width=3_600_000_000,  # 1h buckets
+    )
+    naive = ev.withColumn(
+        "n", F.count(F.lit(1)).over(SW.orderBy("us").rangeBetween(-ten_min, 0))
+    )
+    a = sorted(tuple(r) for r in got.select("event_id", "us", "n").collect())
+    b = sorted(tuple(r) for r in naive.select("event_id", "us", "n").collect())
+    assert a == b and len(a) > 0
