@@ -490,6 +490,85 @@ def kmeans_lloyd_step(
     )
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    tol: float = 1e-4,
+    max_iters: int = 25,
+    init_centroids: Sequence[Sequence[float]] | None = None,
+    decimals: int = 6,
+    info: dict | None = None,
+) -> DataFrame:
+    """Full Lloyd's k-means: iterate :func:`kmeans_lloyd_step` until
+    the max per-centroid L2 drift drops below ``tol`` — the clustering
+    loop a curation pipeline runs to build IVF cells, topic-balance a
+    corpus, or block a dedup pass (single steps are p47's surface;
+    this is the convergence engine around it, the same
+    tolerance-terminated pattern as ``graph.pagerank_converged``).
+
+    Mechanics: centroids start from ``init_centroids`` or the
+    deterministic :func:`first_k_centroids` bootstrap; each round is
+    ONE bounded k-row driver collect of the (cell, dims) means — the
+    corpus-side work stays the audited two-phase (cell, dim)
+    aggregate, and the driver only ever holds k×dims floats.  Dead
+    cells keep their previous centroid (no reseeding — deterministic).
+    A run that hasn't converged by ``max_iters`` raises RuntimeError
+    (the ``connected_components`` contract) rather than returning a
+    moving clustering.  Rounded means make every iteration — and so
+    the stop round — reproducible at any parallelism.
+
+    Plan note: centroids re-enter each round as k×dims literals
+    (~512 expression nodes at the catalog's 8×64 — well under the
+    measured plan-bloat threshold documented at ``srp_signature_exact``).
+
+    Returns the final per-cell table (cell, n_assigned, centroid);
+    ``info`` (optional dict) receives ``iterations``, ``drifts`` and
+    the final ``centroids`` list (feed to :func:`ivf_assign_fixed`
+    for assignments)."""
+    if tol <= 0:
+        raise ValueError("kmeans_lloyd: tol must be > 0")
+    if max_iters < 1:
+        raise ValueError("kmeans_lloyd: max_iters must be >= 1")
+    cur = (
+        [list(map(float, c)) for c in init_centroids]
+        if init_centroids is not None
+        else first_k_centroids(df, vec_col, id_col, k)
+    )
+    if not cur:
+        raise ValueError("kmeans_lloyd: no centroids (empty input?)")
+    converged = False
+    iters_run = 0
+    drift = None
+    for _ in range(max_iters):
+        iters_run += 1
+        step = kmeans_lloyd_step(df, vec_col, cur, decimals).collect()
+        new = [list(c) for c in cur]  # dead cells keep their centroid
+        for r in step:
+            new[r["cell"]] = [float(x) for x in r["centroid"]]
+        drift = max(
+            sum((a - b) ** 2 for a, b in zip(old, upd)) ** 0.5
+            for old, upd in zip(cur, new)
+        )
+        if info is not None:
+            info.setdefault("drifts", []).append(drift)
+        cur = new
+        if drift < tol:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"kmeans_lloyd: centroid drift {drift!r} has not reached "
+            f"tol={tol} within {max_iters} iterations — raise max_iters, "
+            "loosen tol, or check for oscillating assignments"
+        )
+    if info is not None:
+        info["iterations"] = iters_run
+        info["centroids"] = cur
+    return kmeans_lloyd_step(df, vec_col, cur, decimals)
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str,

@@ -2451,3 +2451,93 @@ class TestSketchMerge:
             bloom_merge(
                 bloom_build(a, "key", n_bits, k), bloom_build(b, "key", 1 << 12, k)
             )
+
+
+class TestKmeansLloyd:
+    def _blobs(self, spark):
+        import random
+
+        rnd = random.Random(23)
+        centers = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 0.0, 0.0],
+                   [0.0, 0.0, 10.0, 10.0]]
+        rows = []
+        truth = {}
+        for i in range(90):
+            c = i % 3
+            v = [centers[c][d] + rnd.uniform(-0.5, 0.5) for d in range(4)]
+            rows.append((i, v))
+            truth[i] = c
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            truth,
+        )
+
+    def test_converges_and_recovers_blobs(self, spark):
+        from spear_spark.operators.similarity import ivf_assign_fixed, kmeans_lloyd
+
+        df, truth = self._blobs(spark)
+        info = {}
+        out = {r["cell"]: r for r in kmeans_lloyd(
+            df, "embedding", "vec_id", k=3, tol=1e-6, max_iters=25, info=info
+        ).collect()}
+        assert info["drifts"][-1] < 1e-6
+        assert 1 <= info["iterations"] < 25
+        assert sum(r["n_assigned"] for r in out.values()) == 90
+        # assignments from the final centroids recover the planted blobs
+        # (each cell maps to exactly one true blob, 30 members each)
+        assign = {
+            r["vec_id"]: r["_cell"]
+            for r in ivf_assign_fixed(df, "embedding", info["centroids"])
+            .select("vec_id", "_cell").collect()
+        }
+        by_cell = {}
+        for vid, cell in assign.items():
+            by_cell.setdefault(cell, set()).add(truth[vid])
+        assert all(len(blobs) == 1 for blobs in by_cell.values())
+        assert len(by_cell) == 3
+
+    def test_matches_unrolled_fixed_steps(self, spark):
+        from spear_spark.operators.similarity import (
+            first_k_centroids,
+            kmeans_lloyd,
+            kmeans_lloyd_step,
+        )
+
+        df, _ = self._blobs(spark)
+        info = {}
+        conv = sorted(
+            map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=3,
+                                    tol=1e-6, info=info).collect())
+        )
+        # replay the same number of rounds manually -> identical table
+        cur = first_k_centroids(df, "embedding", "vec_id", 3)
+        for _ in range(info["iterations"]):
+            new = [list(c) for c in cur]
+            for r in kmeans_lloyd_step(df, "embedding", cur).collect():
+                new[r["cell"]] = [float(x) for x in r["centroid"]]
+            cur = new
+        fixed = sorted(
+            map(tuple, kmeans_lloyd_step(df, "embedding", cur).collect())
+        )
+        assert conv == fixed
+
+    def test_dead_centroid_kept_and_guards(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.similarity import kmeans_lloyd
+
+        df, _ = self._blobs(spark)
+        # a centroid parked far away never wins a vector: it must keep
+        # its position (no crash, no reseed) while the live ones converge
+        info = {}
+        kmeans_lloyd(
+            df, "embedding", "vec_id",
+            init_centroids=[[0.0] * 4, [10.0, 10.0, 0.0, 0.0],
+                            [0.0, 0.0, 10.0, 10.0], [1e6] * 4],
+            tol=1e-6, max_iters=25, info=info,
+        )
+        assert info["centroids"][3] == [1e6] * 4
+        with _pytest.raises(ValueError, match="tol"):
+            kmeans_lloyd(df, "embedding", "vec_id", tol=0.0)
+        with _pytest.raises(RuntimeError, match="drift"):
+            kmeans_lloyd(df, "embedding", "vec_id", k=3, tol=1e-12, max_iters=1)
