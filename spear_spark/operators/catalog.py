@@ -2050,6 +2050,32 @@ def p58_normalize_text(spark: SparkSession, sf_dir: str) -> SDF:
 # before FP-association noise can amplify; the oracle unrolls the
 # same five iterations as CTEs with the identical double arithmetic.
 # ---------------------------------------------------------------------------
+def _pagerank_unweighted_steps(iters: int, damping: float = 0.85) -> str:
+    """The shared unweighted-iteration CTE chain + final select —
+    exactly ``graph._iterate``'s rounded map unrolled: per round, one
+    contribution aggregate (rank / out-degree summed per dst) and one
+    ROUND(9); final ROUND(6).  Expects CTEs ``e``(src, dst),
+    ``nodes``(node), ``nn``(n), ``deg``(src, deg), ``r0``(node, rank)
+    upstream; parameterized on damping so the fixed-iteration (0.85)
+    and convergence-pinned (0.5) pairings share one body."""
+    d = repr(float(damping))
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    r{i} AS (SELECT nodes.node,
+                ROUND((CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / nn.n
+                      + CAST({d} AS DOUBLE) * COALESCE(t.cs, CAST(0.0 AS DOUBLE)),
+                      9) AS rank
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS cs
+                        FROM e JOIN deg USING (src)
+                        JOIN r{i - 1} r ON r.node = e.src
+                        GROUP BY e.dst) t ON t.node = nodes.node)""")
+    tail = f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return "".join(steps) + tail
+
+
 def _pagerank_oracle(iters: int = 5) -> str:
     head = """
     WITH p AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
@@ -2061,21 +2087,7 @@ def _pagerank_oracle(iters: int = 5) -> str:
     deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
     r0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank
            FROM nodes CROSS JOIN nn)"""
-    steps = []
-    for i in range(1, iters + 1):
-        steps.append(f""",
-    r{i} AS (SELECT nodes.node,
-                ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-                      + CAST(0.85 AS DOUBLE) * COALESCE(t.cs, CAST(0.0 AS DOUBLE)),
-                      9) AS rank
-             FROM nodes CROSS JOIN nn
-             LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS cs
-                        FROM e JOIN deg USING (src)
-                        JOIN r{i - 1} r ON r.node = e.src
-                        GROUP BY e.dst) t ON t.node = nodes.node)""")
-    tail = f"""
-    SELECT node, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node"""
-    return head + "".join(steps) + tail
+    return head + _pagerank_unweighted_steps(iters, 0.85)
 
 
 @q("p59_pagerank", _pagerank_oracle(5))
@@ -2261,31 +2273,48 @@ def p64_srp_signatures(spark: SparkSession, sf_dir: str) -> SDF:
 # mix_reweight): per-source keep rates hitting a uniform 5% target
 # with the largest achievable corpus (binding source keeps 100%).
 # One two-phase source count; the normalizer is an order-free MAX,
-# not a sum — cross-engine exact.
+# not a sum — cross-engine exact.  The oracle builds the target set
+# from an EXPLICIT VALUES list full-outer-joined against the counts —
+# mirroring the operator's missing-source surfacing (n_rows = 0,
+# keep_rate NULL) instead of assuming documents' sources are exactly
+# the 20 target keys (they happen to be at every SF, but the pairing
+# must not rest on that data precondition).
 # ---------------------------------------------------------------------------
 _P65_TARGETS = {f"src{i}": 0.05 for i in range(20)}  # src0..src19
+_P65_VALUES = ", ".join(
+    f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in sorted(_P65_TARGETS.items())
+)
 
 
 @q(
     "p65_mix_reweight",
-    """
-    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
-                      CAST(0.05 AS DOUBLE) AS tgt
-               FROM documents GROUP BY source),
-    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
-                 MAX(CASE WHEN tgt > 0 THEN tgt / CAST(n_rows AS DOUBLE) END) AS mr
-          FROM c)
+    f"""
+    WITH t(source, tgt) AS (VALUES {_P65_VALUES}),
+    c0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+           GROUP BY source),
+    c AS (SELECT COALESCE(c0.source, t.source) AS source,
+                 COALESCE(c0.n, 0) AS n_rows,
+                 COALESCE(t.tgt, CAST(0.0 AS DOUBLE)) AS tgt
+          FROM c0 FULL OUTER JOIN t ON c0.source = t.source),
+    tt AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+                  MAX(CASE WHEN tgt > 0 AND n_rows > 0
+                           THEN tgt / CAST(n_rows AS DOUBLE) END) AS mr
+           FROM c)
     SELECT source, n_rows,
-           ROUND(n_rows / CAST(n_total AS DOUBLE), 6) AS actual_share,
+           ROUND(CASE WHEN n_total > 0
+                      THEN n_rows / CAST(n_total AS DOUBLE)
+                      ELSE 0.0 END, 6) AS actual_share,
            ROUND(tgt, 6) AS target_share,
-           ROUND(CASE WHEN tgt > 0
-                      THEN (tgt / CAST(n_rows AS DOUBLE)) / mr ELSE 0.0 END, 6)
-             AS keep_rate,
-           CAST(floor((CASE WHEN tgt > 0
-                            THEN (tgt / CAST(n_rows AS DOUBLE)) / mr
-                            ELSE 0.0 END) * CAST(n_rows AS DOUBLE)) AS BIGINT)
-             AS expected_rows
-    FROM c CROSS JOIN t ORDER BY source
+           ROUND(CASE WHEN tgt > 0 AND n_rows > 0
+                      THEN (tgt / CAST(n_rows AS DOUBLE)) / mr
+                      WHEN tgt > 0 THEN NULL
+                      ELSE 0.0 END, 6) AS keep_rate,
+           CAST(CASE WHEN n_rows > 0
+                     THEN floor((CASE WHEN tgt > 0
+                                      THEN (tgt / CAST(n_rows AS DOUBLE)) / mr
+                                      ELSE 0.0 END) * CAST(n_rows AS DOUBLE))
+                     ELSE 0 END AS BIGINT) AS expected_rows
+    FROM c CROSS JOIN tt ORDER BY source
     """,
 )
 def p65_mix_reweight(spark: SparkSession, sf_dir: str) -> SDF:
@@ -2601,17 +2630,43 @@ def p71_pagerank_weighted(spark: SparkSession, sf_dir: str) -> SDF:
 # pagerank_converged) on the customer→nation→region membership graph:
 # iterate until max |Δrank| < 1e-6 instead of a fixed round count —
 # the mode a real centrality run uses (fixed iterations are an
-# oracle-pairing artifact).  The iteration count is DATA-DEPENDENT, so
-# there is no static SQL twin — the driver records the rows-only
-# check; exactness is pinned by tests instead: the returned vector is
-# bit-identical to pagerank(iters=k) for the k the run stopped at,
-# and the residual series is geometrically decreasing (damping=0.5
-# halves the residual per round, so the run is ~20 rounds at any
-# scale — round count scales with log(tol)/log(damping), not with
-# data size).  check_every=4 amortizes the bounded 1-row residual
-# action over lazily-chained rounds (one driver sync per 4 rounds).
+# oracle-pairing artifact).  ORACLE-PAIRED VIA THE PINNED STOP ROUND:
+# the round count is data-size-INDEPENDENT here — the membership graph
+# is a depth-2 DAG (c/s → n → r), so the damping-0.5 rounded map hits
+# an exact fixed point by round ~4; with check_every=4 the first
+# residual check (round 4 vs round 0) still sees the transient and the
+# second (round 8 vs round 4) measures exactly 0.0 < tol, so the run
+# stops at k = 8 — measured identical at sf0.001/0.01/0.1.  The oracle
+# unrolls the same 8 damping-0.5 rounds (shared CTE body with p59);
+# pagerank_converged shares _iterate with pagerank, so the returned
+# vector IS pagerank(iters=8) bit-for-bit (pinned by tests).  The
+# catalog function asserts info["iterations"] == 8 — if the data ever
+# shifts the stop round, the pairing fails LOUDLY instead of hashing
+# a different vector against an 8-round oracle.
 # ---------------------------------------------------------------------------
-@q("p72_pagerank_convergence", None)
+_P72_STOP_ROUND = 8
+
+
+def _p72_oracle(iters: int = _P72_STOP_ROUND, damping: float = 0.5) -> str:
+    head = """
+    WITH e AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+             'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+      UNION ALL
+      SELECT 's' || CAST(s_suppkey AS VARCHAR),
+             'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+             'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank
+           FROM nodes CROSS JOIN nn)"""
+    return head + _pagerank_unweighted_steps(iters, damping)
+
+
+@q("p72_pagerank_convergence", _p72_oracle())
 def p72_pagerank_convergence(spark: SparkSession, sf_dir: str) -> SDF:
     from spear_spark.operators.graph import pagerank_converged
 
@@ -2638,10 +2693,19 @@ def p72_pagerank_convergence(spark: SparkSession, sf_dir: str) -> SDF:
     )
     # per-key uniqueness in each membership table + disjoint prefixes
     # -> the union is duplicate-free by construction
-    return pagerank_converged(
+    info: dict = {}
+    out = pagerank_converged(
         edges, "src", "dst", tol=1e-6, max_iters=40, damping=0.5,
-        edges_distinct=True, check_every=4,
+        edges_distinct=True, check_every=4, info=info,
     ).orderBy("node")
+    # the oracle unrolls exactly _P72_STOP_ROUND rounds — a different
+    # stop round means the pairing premise broke; fail loudly rather
+    # than hash-mismatch against the wrong-depth oracle
+    assert info["iterations"] == _P72_STOP_ROUND, (
+        f"p72: converged in {info['iterations']} rounds, oracle unrolls "
+        f"{_P72_STOP_ROUND} (residuals {info.get('residuals')})"
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -205,6 +205,52 @@ def leakage_safe_split(
     )
 
 
+def _mix_counts(
+    df: DataFrame, source_col: str, targets: Mapping[str, float]
+) -> DataFrame:
+    """Per-source (n_rows, _tgt) table for :func:`mix_reweight`.
+
+    A target source with no rows must SURFACE (n_rows = 0, keep_rate
+    NULL downstream), not vanish.  NOT a full-outer join (Spark cannot
+    broadcast-hash a full outer — it silently plans a SortMergeJoin),
+    and NOT a LEFT + LEFT-ANTI branch pair (the round-6 shape: its two
+    branches consumed the un-checkpointed count aggregate separately,
+    re-executing the corpus scan per consumer — measured 3.6× at bench
+    scale).  Instead the |targets| seed rows are unioned INTO the count
+    input with a zero marker: data rows contribute 1, seed rows 0, so
+    ONE two-phase SUM yields every present source's exact count AND an
+    n_rows = 0 row per absent target; the only join left is the
+    broadcast target attach.  Split out (un-checkpointed) so the plan
+    tests can pin this shape — ``mix_reweight`` itself checkpoints it,
+    which truncates the visible lineage."""
+    if targets:
+        tdf = df.sparkSession.createDataFrame(
+            [(s, float(w)) for s, w in sorted(targets.items())],
+            [source_col, "_tgt"],
+        )
+        seed = tdf.select(
+            F.col(source_col).cast(df.schema[source_col].dataType),
+            F.lit(0).cast("long").alias("_c"),
+        )
+        return (
+            df.select(F.col(source_col), F.lit(1).cast("long").alias("_c"))
+            .unionByName(seed)
+            .groupBy(source_col)
+            .agg(F.sum("_c").alias("n_rows"))
+            .join(F.broadcast(tdf), source_col, "left")
+            .select(
+                F.col(source_col),
+                "n_rows",
+                F.coalesce(F.col("_tgt"), F.lit(0.0)).alias("_tgt"),
+            )
+        )
+    return (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("_tgt", F.lit(0.0))
+    )
+
+
 def mix_reweight(
     df: DataFrame,
     source_col: str,
@@ -227,44 +273,21 @@ def mix_reweight(
     order-free (unlike a normalizing SUM, which is why the closed form
     divides by the max ratio rather than renormalizing shares).
     Sources absent from ``targets`` get target share 0 → rate 0.
-    Target sources absent from ``df`` are NOT dropped: the counts are
-    outer-joined against the target keys, so a missing source
-    surfaces as an ``n_rows = 0`` row with a NULL ``keep_rate`` — the
-    stated mix is unachievable and the caller can detect exactly
-    which sources are short instead of silently planning around them.
+    Target sources absent from ``df`` are NOT dropped: the target keys
+    are seeded into the count input with a zero marker
+    (:func:`_mix_counts`), so a missing source surfaces as an
+    ``n_rows = 0`` row with a NULL ``keep_rate`` — the stated mix is
+    unachievable and the caller can detect exactly which sources are
+    short instead of silently planning around them.
 
     Scale: ONE two-phase count on the source key (|sources| rows);
     everything after is arithmetic on that tiny table — at 100 TB the
     planning query costs one column-pruned scan."""
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    if targets:
-        # a target source with no rows must SURFACE (n_rows = 0,
-        # keep_rate NULL), not vanish.  NOT a full-outer join: Spark
-        # cannot broadcast-hash a full outer, so it silently plans a
-        # SortMergeJoin (exchange + sort on BOTH sides).  Instead: a
-        # LEFT join attaches targets (build side = the driver-created
-        # |targets|-row table) and a LEFT ANTI surfaces the missing
-        # target keys (build side = the |sources|-row count aggregate)
-        # — both broadcast hash joins, no sort anywhere.
-        tdf = df.sparkSession.createDataFrame(
-            [(s, float(w)) for s, w in sorted(targets.items())],
-            [source_col, "_tgt"],
-        )
-        present = counts.join(F.broadcast(tdf), source_col, "left").select(
-            F.col(source_col),
-            "n_rows",
-            F.coalesce(F.col("_tgt"), F.lit(0.0)).alias("_tgt"),
-        )
-        missing = tdf.join(
-            F.broadcast(counts.select(source_col)), source_col, "left_anti"
-        ).select(
-            F.col(source_col),
-            F.lit(0).cast("long").alias("n_rows"),
-            F.col("_tgt"),
-        )
-        counts = present.unionByName(missing)
-    else:
-        counts = counts.withColumn("_tgt", F.lit(0.0))
+    # the tiny (|sources| + |targets|)-row table feeds BOTH the
+    # normalizer aggregate and the final projection — checkpoint it so
+    # the corpus scan runs exactly once (the normalizer action
+    # materializes it; the final select reuses the cached rows)
+    counts = _mix_counts(df, source_col, targets).localCheckpoint(eager=False)
     # every ratio is guarded on n_rows > 0 — under ANSI (the engine
     # default) a bare division by a zero count would throw, and the
     # guard doubles as the missing-source NULL marker

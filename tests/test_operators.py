@@ -1908,15 +1908,27 @@ def test_p73_q83_oracle_pairing_survives_nulls(spark, tmp_path):
 
 
 def test_mix_reweight_plan_is_broadcast_only(spark, sf_dir):
-    """The target attach + missing-source surfacing must plan as
-    broadcast hash joins — a full-outer formulation silently falls
-    back to SortMergeJoin (broadcast hash does not support it)."""
-    from spear_spark.operators.catalog import QUERIES as OPS
+    """The counts stage (target attach + missing-source seeding) must
+    plan as ONE aggregate over the seed-union plus a broadcast hash
+    join — a full-outer formulation silently falls back to
+    SortMergeJoin, and the round-6 LEFT + LEFT-ANTI pair re-executed
+    the corpus scan per branch.  The stage is checked un-checkpointed
+    (mix_reweight's localCheckpoint truncates the visible lineage);
+    the final mix_reweight plan is then checked to contain NO parquet
+    scan at all — the corpus must be read exactly once, inside the
+    checkpointed stage."""
+    from spear_spark.operators.catalog import _P65_TARGETS
+    from spear_spark.operators.sampling import _mix_counts, mix_reweight
     from spear_spark.plans import executed_plan
 
-    plan = executed_plan(OPS["p65_mix_reweight"][0](spark, sf_dir))
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stage = executed_plan(_mix_counts(docs, "source", _P65_TARGETS))
+    assert "SortMergeJoin" not in stage
+    assert "BroadcastHashJoin" in stage
+    assert stage.count("Scan parquet") == 1  # one corpus read, one branch
+    final = executed_plan(mix_reweight(docs, "source", _P65_TARGETS))
+    assert "SortMergeJoin" not in final
+    assert "Scan parquet" not in final  # corpus never re-read post-checkpoint
 
 
 def test_histogram_quantiles_ignores_nulls(spark):
