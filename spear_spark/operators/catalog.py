@@ -2886,3 +2886,215 @@ def p76_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> SDF:
     return sparse_cosine_pairs(
         docs, "text", "doc_id", threshold=0.15, top=100, max_df=_MAX_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# p77 — full convergence-terminated Lloyd's k-means (operators.
+# similarity.kmeans_lloyd): iterate assignment + per-cell means until
+# the max per-centroid L2 drift drops below tol — the clustering loop
+# that builds IVF cells / topic-balances a corpus (p47 is one step;
+# this is the engine around it).  ORACLE-PAIRED VIA THE PINNED STOP
+# ROUND, same trick as p72: the first two drifts of the catalog
+# embeddings are ~0.83 and ~0.09 at EVERY SF (drift magnitude is set
+# by cluster geometry, not row count), so tol=0.3 stops at exactly
+# k=2 rounds with ≥2.7× margin on both sides — measured identical at
+# sf0.001/0.01/0.1; the catalog function asserts it so a drifted
+# dataset fails LOUDLY instead of hashing against a wrong-depth
+# oracle.  The deep-convergence regime (tol=1e-4, data-dependent
+# round count) stays law-tested in test_operators (bit-identity to
+# unrolled fixed steps, planted-blob recovery).  The oracle unrolls
+# both rounds + the final reporting step with the p47 distance/mean
+# conventions (rounded unordered sums — epsilon-tolerant, see
+# nearest_cells' caveat); per-round ROUND(mean, 6) re-pins both
+# engines to identical centroids before error can accumulate.
+# Centroid arrays are '%.6f'-CSV-serialized (driver cannot hash list
+# cells, same as p47).
+# ---------------------------------------------------------------------------
+_P77_STOP_ROUND = 2
+
+
+def _p77_lloyd_round(i: int, prev: str) -> str:
+    """One unrolled Lloyd round: assign to ``prev``'s centroids,
+    recompute rounded per-(cell, dim) means, carry dead cells'
+    previous centroid through the COALESCE."""
+    return f""",
+    dist{i} AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM embeddings e CROSS JOIN {prev} c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    asg{i} AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM dist{i}) t WHERE rn = 1),
+    dm{i} AS (
+      SELECT a.cell, r.i, ROUND(AVG(CAST(e.embedding[i] AS DOUBLE)), 6) AS m
+      FROM embeddings e JOIN asg{i} a ON a.vec_id = e.vec_id
+      CROSS JOIN range(1, 65) r(i)
+      GROUP BY a.cell, r.i),
+    m{i} AS (SELECT cell, array_agg(m ORDER BY i) AS ce FROM dm{i} GROUP BY cell),
+    cents{i} AS (SELECT p.ci, CAST(COALESCE(m.ce, p.ce) AS DOUBLE[]) AS ce
+                 FROM {prev} p LEFT JOIN m{i} m ON m.cell = p.ci)"""
+
+
+def _p77_oracle(rounds: int = _P77_STOP_ROUND) -> str:
+    head = """
+    WITH cents0 AS (
+      SELECT CAST(ce AS DOUBLE[]) AS ce,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci FROM
+        (SELECT vec_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8) c0)"""
+    body = "".join(
+        _p77_lloyd_round(i, f"cents{i - 1}") for i in range(1, rounds + 1)
+    )
+    fin = rounds + 1
+    tail = f""",
+    distF AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM embeddings e CROSS JOIN cents{rounds} c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    asgF AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM distF) t WHERE rn = 1),
+    dmF AS (
+      SELECT a.cell, r.i, ROUND(AVG(CAST(e.embedding[i] AS DOUBLE)), 6) AS m,
+             COUNT(*) AS n
+      FROM embeddings e JOIN asgF a ON a.vec_id = e.vec_id
+      CROSS JOIN range(1, 65) r(i)
+      GROUP BY a.cell, r.i)
+    SELECT cell, MAX(n) AS n_assigned,
+           string_agg(printf('%.6f', m + 0.0), ',' ORDER BY i) AS centroid
+    FROM dmF GROUP BY cell ORDER BY cell"""
+    return head + body + tail
+
+
+@q("p77_kmeans_lloyd", _p77_oracle())
+def p77_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    info: dict = {}
+    out = similarity.kmeans_lloyd(
+        emb, "embedding", "vec_id", k=8, tol=0.3, max_iters=10, info=info
+    )
+    assert info["iterations"] == _P77_STOP_ROUND, (
+        f"p77: converged in {info['iterations']} rounds, oracle unrolls "
+        f"{_P77_STOP_ROUND} (drifts {info.get('drifts')})"
+    )
+    return out.select(
+        "cell",
+        "n_assigned",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("centroid"),
+                lambda m: F.format_string("%.6f", m + F.lit(0.0)),
+            ),
+        ).alias("centroid"),
+    ).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# p78 — Count-Min merge law, driver-certified (operators.sketch.
+# cm_merge): documents split into two DISJOINT shards by doc_id
+# parity, a sketch built per shard, merged cell-wise — and the oracle
+# rebuilds the sketch of the WHOLE corpus in SQL, so the driver hash
+# certifies merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly (the
+# linearity law the 100 TB profile-per-shard lifecycle rests on; the
+# local law test is now also driver evidence).  Bounded everywhere:
+# two ≤ d·w-row sketches, one ≤ d·w-row merge aggregate.
+# ---------------------------------------------------------------------------
+@q(
+    "p78_cm_merge",
+    rf"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tk FROM documents),
+    cells AS (SELECT g.r,
+                     ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tk),1,15))::BIGINT
+                       % 1024 AS bucket
+              FROM tok, generate_series(0, 3) g(r))
+    SELECT CAST(r AS INTEGER) AS "row", bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY r, bucket ORDER BY "row", bucket
+    """,
+)
+def p78_cm_merge(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = sketch.count_min_sketch(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    odd = sketch.count_min_sketch(docs.filter(F.col("doc_id") % 2 == 1), "text")
+    return sketch.cm_merge(even, odd).orderBy("row", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# p79 — HLL register-table merge law, driver-certified (operators.
+# sketch.hll_merge): per-shard register tables over user_id (events
+# split by user_id parity) merged register-wise by MAX — the oracle
+# rebuilds the whole-corpus register table, certifying the union law
+# bit-for-bit (registers are exact integers, so even this approximate
+# sketch gets an EXACT cross-engine check, same discipline as p33).
+# ---------------------------------------------------------------------------
+@q(
+    "p79_hll_merge",
+    f"""
+    WITH h AS (SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+               FROM events),
+    r AS (SELECT hv % {_HLL_M} AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 40
+                      ELSE LEAST(bit_count(((hv >> 6) & -(hv >> 6)) - 1) + 1, 40)
+                 END AS rho
+          FROM h)
+    SELECT reg, CAST(MAX(rho) AS INTEGER) AS max_rho
+    FROM r GROUP BY reg ORDER BY reg
+    """,
+)
+def p79_hll_merge(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    even = sketch.hll_register_table(ev.filter(F.col("user_id") % 2 == 0), key)
+    odd = sketch.hll_register_table(ev.filter(F.col("user_id") % 2 == 1), key)
+    return sketch.hll_merge(even, odd).orderBy("reg")
+
+
+# ---------------------------------------------------------------------------
+# p80 — per-group HLL distinct profile (operators.sketch.
+# hll_distinct_by): estimated distinct users PER EVENT TYPE — the
+# per-key cardinality profile a 100 TB curation run asks of the
+# sketch family (corpus-global p33 can't answer "which source is
+# low-diversity?").  Grouped state = |groups|·64 integer registers;
+# the estimate is the same exact alpha·m²/Σ2^(−M_j) + linear-counting
+# lookup as p33, evaluated per group — hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+@q(
+    "p80_group_distinct",
+    f"""
+    WITH h AS (SELECT event_type,
+                      ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+               FROM events),
+    r AS (SELECT event_type, hv % {_HLL_M} AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 40
+                      ELSE LEAST(bit_count(((hv >> 6) & -(hv >> 6)) - 1) + 1, 40)
+                 END AS rho
+          FROM h),
+    regs AS (SELECT event_type, reg, MAX(rho) AS max_rho
+             FROM r GROUP BY event_type, reg),
+    s AS (SELECT event_type,
+                 CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (40 - max_rho)), 0) AS BIGINT)
+                   AS s_present,
+                 COUNT(*) AS n_present
+          FROM regs GROUP BY event_type),
+    est AS (SELECT event_type,
+                   CAST({_HLL_NUM} AS DOUBLE) * CAST({float(_POW40)!r} AS DOUBLE)
+                   / CAST(s_present + ({_HLL_M} - n_present) * {_POW40} AS DOUBLE) AS raw,
+                   {_HLL_M} - n_present AS v
+            FROM s)
+    SELECT event_type, ROUND(CASE WHEN v > 0 AND raw <= {2.5 * _HLL_M!r}
+                                  THEN ({_LC_LIST})[v + 1] ELSE raw END, 3)
+             AS est_distinct
+    FROM est ORDER BY event_type
+    """,
+)
+def p80_group_distinct(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.hll_distinct_by(
+        ev, "event_type", F.col("user_id").cast("string")
+    ).orderBy("event_type")

@@ -17,6 +17,9 @@ Partial aggregation collapses each partition to <= that many rows
 map-side, the exchange moves only sketch cells, and sketches from
 disjoint shards MERGE (cell-wise SUM / register-wise MAX), which is the
 100 TB contract: profile each partition, merge the tiny sketches.
+Merge caveat: Count-Min's SUM merge requires the shards to be DISJOINT
+(a row in two shards is counted twice — see :func:`cm_merge`); HLL's
+MAX merge is idempotent, so overlapping register tables merge safely.
 Spark's own approx_count_distinct is the same idea but its HLL++
 register layout is engine-internal and can't be oracle-checked exactly.
 
@@ -189,6 +192,28 @@ def linear_counting_table(m: int = HLL_M) -> list[float]:
     return [0.0] + [m * math.log(m / v) for v in range(1, m + 1)]
 
 
+def _hll_est_expr(m: int) -> Column:
+    """The HLL estimate expression over ``s_present`` / ``n_present``
+    aggregate columns — alpha·m² / Σ 2^(−M_j) with the linear-counting
+    small-range branch.  One definition shared by the corpus-global
+    (:func:`hll_distinct`) and per-group (:func:`hll_distinct_by`)
+    estimators so the exactness discipline (integer register sum, one
+    IEEE division, table-lookup correction) cannot drift between
+    them."""
+    raw = (
+        F.lit(HLL_ALPHA * m * m)
+        * F.lit(float(2**_RHO_CAP))
+        / (
+            F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**_RHO_CAP)
+        ).cast("double")
+    )
+    v = F.lit(m) - F.col("n_present")  # empty registers
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in linear_counting_table(m)]), (v + 1).cast("int")
+    )
+    return F.when((v > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+
+
 def hll_distinct(df: DataFrame, key: Column, m: int = HLL_M) -> DataFrame:
     """Single-row DataFrame (est_distinct double): the HLL estimate
     alpha * m^2 / sum_j 2^(-M_j) with the standard small-range
@@ -218,29 +243,106 @@ def hll_distinct(df: DataFrame, key: Column, m: int = HLL_M) -> DataFrame:
         ).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    raw = (
-        F.lit(HLL_ALPHA * m * m)
-        * F.lit(float(2**_RHO_CAP))
-        / (
-            F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**_RHO_CAP)
-        ).cast("double")
+    return present.select(F.round(_hll_est_expr(m), 3).alias("est_distinct"))
+
+
+def hll_register_table_by(
+    df: DataFrame, group_col: str, key: Column, m: int = HLL_M
+) -> DataFrame:
+    """Per-GROUP HLL register table (group, reg, max_rho) — the
+    cardinality-profile variant a 100 TB curation run asks of the
+    sketch family ("distinct users per event type", "distinct
+    fingerprints per source").  Same exact bit math as
+    :func:`hll_register_table`; GROUPED STATE = |groups| · m rows, and
+    tables from overlapping or disjoint shards merge by per-(group,
+    reg) MAX (HLL's merge is idempotent — see the module header)."""
+    hv = h64(key)
+    rest = F.shiftright(hv, 6) if m == 64 else (hv / m).cast("bigint")
+    lowbit = rest.bitwiseAND(-rest)
+    rho = F.when(rest == 0, F.lit(_RHO_CAP)).otherwise(
+        F.least(F.bit_count(lowbit - 1) + 1, F.lit(_RHO_CAP))
     )
-    v = F.lit(m) - F.col("n_present")  # empty registers
-    lc = F.element_at(
-        F.array(*[F.lit(x) for x in linear_counting_table(m)]), (v + 1).cast("int")
+    return (
+        df.select(F.col(group_col), (hv % m).alias("reg"), rho.alias("rho"))
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("max_rho"))
     )
-    est = F.when((v > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
-    return present.select(F.round(est, 3).alias("est_distinct"))
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, key: Column, m: int = HLL_M
+) -> DataFrame:
+    """Per-group distinct estimate (group, est_distinct) from the
+    per-group register table — :func:`hll_distinct`'s grouped twin,
+    sharing its exact estimate expression (:func:`_hll_est_expr`), so
+    the approximate estimator stays hash-exact cross-engine per group.
+    Groups with no rows produce no row (grouped-aggregate semantics).
+    Scale: one (group, reg)-keyed two-phase aggregate, then one
+    |groups|·m → |groups| aggregate — everything downstream of the
+    scan is bounded by the group count."""
+    regs = hll_register_table_by(df, group_col, key, m)
+    per = regs.groupBy(group_col).agg(
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - max_rho)")),
+            F.lit(0).cast("bigint"),
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    return per.select(
+        F.col(group_col), F.round(_hll_est_expr(m), 3).alias("est_distinct")
+    )
+
+
+def count_min_sketch_by(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Per-GROUP Count-Min sketch (group, row, bucket, cnt):
+    :func:`count_min_sketch`'s grouped twin for per-source/per-day
+    token-frequency profiles.  GROUPED STATE = |groups| · depth · width
+    cells; per-(group, row, bucket) SUM merges tables from DISJOINT
+    shards exactly (same linearity — and the same disjointness
+    contract — as :func:`cm_merge`)."""
+    toks = df.select(F.col(group_col), F.explode(tokens(text_col)).alias("tok"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cm_bucket(F.col("tok"), r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.col(group_col), F.explode(cells).alias("_c"))
+        .groupBy(group_col, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cm_merge(*sketches: DataFrame) -> DataFrame:
     """Merge Count-Min sketch tables built over DISJOINT shards with
     the same (depth, width): Count-Min is linear, so cell-wise SUM of
     the (row, bucket, cnt) grids equals the sketch of the union —
-    exactly (law-tested).  This is the 100 TB lifecycle this module's
-    header promises: profile each shard/day independently, merge the
-    ≤ depth·width-row tables, query once.  Scale: a union of bounded
-    tables + one bounded two-phase aggregate."""
+    exactly (law-tested, and driver-certified by p78: the merged
+    shard sketches hash-match a whole-corpus oracle rebuild).  This is
+    the 100 TB lifecycle this module's header promises: profile each
+    shard/day independently, merge the ≤ depth·width-row tables, query
+    once.  Scale: a union of bounded tables + one bounded two-phase
+    aggregate.
+
+    DISJOINTNESS IS THE CALLER'S CONTRACT, not a checkable property:
+    Count-Min counts occurrences, so a row that appears in two input
+    shards is counted twice in the merged sketch — the cell grid holds
+    no provenance to detect the overlap (unlike HLL registers, whose
+    MAX merge is idempotent and overlap-safe).  Merging overlapping
+    windows (e.g. sliding daily sketches over a 7-day span) silently
+    over-counts by exactly the overlap's occurrences — law-tested in
+    test_operators (the documented over-count is asserted, not just
+    warned about).  Shard by partition, day, or a key hash — never by
+    predicates that can both select the same row."""
     if not sketches:
         raise ValueError("cm_merge: need at least one sketch table")
     merged = sketches[0]
@@ -274,17 +376,34 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     ``dedup.bloom_probe`` directly."""
     if not filters:
         raise ValueError("bloom_merge: need at least one filter table")
-    merged = filters[0]
-    for f in filters[1:]:
-        merged = merged.unionByName(f)
-    sentinels = [
-        r["bits"]
-        for r in merged.filter(F.col("word_idx") == -1).distinct().limit(2).collect()
-    ]
-    if len(sentinels) != 1:
+    # validate each input INDIVIDUALLY before the union: a sentinel-less
+    # table (e.g. raw bloom_words_stream output before the sentinel is
+    # appended) unioned with a built filter would leave exactly one
+    # distinct sentinel — a union-level check passes even though the
+    # sentinel-less input's (n_bits, k, seed) was never attested, which
+    # is precisely the silent-false-negative case the guard exists to
+    # prevent.  |filters| bounded driver fetches of ≤2 rows each.
+    sentinels = []
+    for i, f in enumerate(filters):
+        s = [
+            r["bits"]
+            for r in f.filter(F.col("word_idx") == -1).distinct().limit(2).collect()
+        ]
+        if len(s) != 1:
+            raise ValueError(
+                f"bloom_merge: input {i} carries {len(s)} geometry "
+                "sentinels (expected exactly one word_idx=-1 row) — a "
+                "sentinel-less word table cannot attest its (n_bits, k, "
+                "seed), so merging it risks silent false negatives"
+            )
+        sentinels.append(s[0])
+    if len(set(sentinels)) != 1:
         raise ValueError(
             "bloom_merge: filters were built with different (n_bits, k, "
             f"seed) (sentinels {sentinels}) — OR-ing mismatched geometries "
             "would produce silent false negatives"
         )
+    merged = filters[0]
+    for f in filters[1:]:
+        merged = merged.unionByName(f)
     return merged.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))

@@ -1907,6 +1907,43 @@ def test_p73_q83_oracle_pairing_survives_nulls(spark, tmp_path):
     assert q83 == {1: 2, 2: 1}
 
 
+def test_q83_exact_gap_boundary_pinned(spark, tmp_path):
+    """ADVICE r6: events exactly ``gap`` apart MERGE (Spark's
+    session_window opens a new session only on strictly-greater gaps)
+    and gap+1s apart SPLIT — planted boundary pairs run through BOTH
+    q83's Spark side and its DuckDB oracle, so a future Spark behavior
+    change or an oracle edit is caught here instead of at the driver."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    cat = entry_mod._catalog()
+    ev = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "user_id": [1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:30:00",  # == gap: merge
+                 "2024-01-01 00:00:00", "2024-01-01 00:30:01"]  # gap+1s: split
+            ),
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    fn, oracle = cat["q83_session_window"]
+    got = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    assert got == want, (got, want)
+    sessions_per_user: dict[int, int] = {}
+    for user_id, *_rest in got:
+        sessions_per_user[user_id] = sessions_per_user.get(user_id, 0) + 1
+    assert sessions_per_user == {1: 1, 2: 2}
+
+
 def test_mix_reweight_plan_is_broadcast_only(spark, sf_dir):
     """The counts stage (target attach + missing-source seeding) must
     plan as ONE aggregate over the seed-union plus a broadcast hash
@@ -2432,6 +2469,100 @@ class TestSketchMerge:
         }
         whole = {(r.reg, r.max_rho) for r in hll_register_table(ev, key).collect()}
         assert merged == whole and len(whole) > 0
+
+    def test_cm_merge_overlapping_shards_overcount_documented(self, spark):
+        """cm_merge's contract is DISJOINT shards — Count-Min is
+        linear, so a row present in both inputs is counted twice and
+        the cell grid holds no provenance to detect it.  This pins the
+        documented failure mode: merging a shard with the whole corpus
+        over-counts every cell by exactly the shard's occurrences."""
+        from spear_spark.operators.sketch import cm_merge, count_min_sketch
+
+        df = spark.createDataFrame(
+            [("alpha beta",)] * 3 + [("beta gamma",)] * 2, "text string"
+        )
+        sub = df.limit(3)  # overlaps df entirely
+        whole = {
+            (r.row, r.bucket): r.cnt for r in count_min_sketch(df, "text").collect()
+        }
+        subc = {
+            (r.row, r.bucket): r.cnt for r in count_min_sketch(sub, "text").collect()
+        }
+        merged = {
+            (r.row, r.bucket): r.cnt
+            for r in cm_merge(count_min_sketch(df, "text"),
+                              count_min_sketch(sub, "text")).collect()
+        }
+        assert merged != whole
+        for cell, cnt in merged.items():
+            assert cnt == whole[cell] + subc.get(cell, 0)
+
+    def test_group_sketch_twins_match_per_group_runs(self, spark, sf_dir):
+        """The per-group variants must equal running the corpus-global
+        sketch independently on each group's rows — same registers,
+        same cells, same estimate — and the per-(group, reg) MAX merge
+        stays idempotent (overlap-safe), unlike CM's SUM."""
+        from spear_spark.operators.sketch import (
+            count_min_sketch,
+            count_min_sketch_by,
+            hll_distinct,
+            hll_distinct_by,
+            hll_merge,
+            hll_register_table_by,
+        )
+        from spear_spark.sources import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        key = F.col("user_id").cast("string")
+        by = {r.event_type: r.est_distinct
+              for r in hll_distinct_by(ev, "event_type", key).collect()}
+        for et in by:
+            solo = hll_distinct(
+                ev.filter(F.col("event_type") == et), key
+            ).first()["est_distinct"]
+            assert by[et] == solo
+        # idempotent merge: merging the per-group table with itself is
+        # a no-op (group key included in the merge keys)
+        regs = hll_register_table_by(ev, "event_type", key)
+        doubled = (
+            regs.unionByName(regs)
+            .groupBy("event_type", "reg")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        assert sorted(map(tuple, doubled.collect())) == sorted(
+            map(tuple, regs.collect())
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        grouped = {
+            (r.source, r.row, r.bucket): r.cnt
+            for r in count_min_sketch_by(docs, "source", "text").collect()
+            if r.source == "src0"
+        }
+        solo_cm = {
+            ("src0", r.row, r.bucket): r.cnt
+            for r in count_min_sketch(
+                docs.filter(F.col("source") == "src0"), "text"
+            ).collect()
+        }
+        assert grouped == solo_cm and len(solo_cm) > 0
+
+    def test_bloom_merge_rejects_sentinel_less_input(self, spark):
+        """ADVICE r6: a union-level sentinel check passes when ONE
+        input lacks its sentinel row (one distinct sentinel survives)
+        even though that input's geometry was never attested — each
+        input must carry exactly one sentinel individually."""
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import bloom_build
+        from spear_spark.operators.sketch import bloom_merge
+
+        n_bits, k = 1 << 14, 4
+        a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "key string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+        built = bloom_build(a, "key", n_bits, k)
+        stripped = bloom_build(b, "key", n_bits, k).filter(F.col("word_idx") != -1)
+        with _pytest.raises(ValueError, match="sentinel"):
+            bloom_merge(built, stripped)
 
     def test_bloom_merge_law_and_geometry_guard(self, spark):
         import pytest as _pytest
