@@ -128,6 +128,11 @@ HEADLINE = [
     "p74_containment_pairs",
     "p75_bloom_decontaminate",
     "p76_sparse_cosine_pairs",
+    # round-7 additions (earlier entries unchanged for comparability)
+    "p77_kmeans_lloyd",
+    "p78_cm_merge",
+    "p79_hll_merge",
+    "p80_group_distinct",
 ]
 
 

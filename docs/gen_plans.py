@@ -33,6 +33,14 @@ PICKS = [
     "p66_quality_funnel", "p67_centroid_shift", "q81_interval_range_frame",
     "p68_budget_waterfill", "p69_image_ahash_pairs", "p70_bigram_lm",
     "q16_range_frame", "p71_pagerank_weighted",
+    # round-6 additions (previously appended by hand — now regenerable)
+    "q82_symmetric_range_frame", "q83_session_window",
+    "p72_pagerank_convergence", "p73_histogram_quantiles",
+    "p74_containment_pairs", "p75_bloom_decontaminate",
+    "p76_sparse_cosine_pairs",
+    # round-7 additions
+    "p77_kmeans_lloyd", "p78_cm_merge", "p79_hll_merge",
+    "p80_group_distinct",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

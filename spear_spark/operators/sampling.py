@@ -219,35 +219,56 @@ def _mix_counts(
     scale).  Instead the |targets| seed rows are unioned INTO the count
     input with a zero marker: data rows contribute 1, seed rows 0, so
     ONE two-phase SUM yields every present source's exact count AND an
-    n_rows = 0 row per absent target; the only join left is the
-    broadcast target attach.  Split out (un-checkpointed) so the plan
-    tests can pin this shape — ``mix_reweight`` itself checkpoints it,
-    which truncates the visible lineage."""
-    if targets:
-        tdf = df.sparkSession.createDataFrame(
-            [(s, float(w)) for s, w in sorted(targets.items())],
-            [source_col, "_tgt"],
-        )
-        seed = tdf.select(
-            F.col(source_col).cast(df.schema[source_col].dataType),
-            F.lit(0).cast("long").alias("_c"),
-        )
+    n_rows = 0 row per absent target.
+
+    The target table enters the plan as LITERALS — seed rows via
+    ``inline`` of a literal struct array, the target-share attach via
+    a literal map lookup (``try_element_at``: NULL, not an ANSI error,
+    for non-target sources) — never ``createDataFrame``, whose
+    Python→JVM conversion costs ~0.35 s PER CALL at any data size
+    (measured; it was most of the round-6 p65 regression), and never a
+    join: a driver-side Mapping is the same size class as a broadcast
+    literal, so the attach is a zero-shuffle projection.  |targets| is
+    bounded to keep the literal plan small (the srp_signature_exact
+    plan-bloat discipline); a larger mixing plan should pass a
+    DataFrame-valued target relation to a join-based variant instead."""
+    if not targets:
         return (
-            df.select(F.col(source_col), F.lit(1).cast("long").alias("_c"))
-            .unionByName(seed)
-            .groupBy(source_col)
-            .agg(F.sum("_c").alias("n_rows"))
-            .join(F.broadcast(tdf), source_col, "left")
-            .select(
-                F.col(source_col),
-                "n_rows",
-                F.coalesce(F.col("_tgt"), F.lit(0.0)).alias("_tgt"),
-            )
+            df.groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("_tgt", F.lit(0.0))
         )
+    if len(targets) > 1024:
+        raise ValueError(
+            "mix_reweight: more than 1024 target sources would bloat the "
+            "literal plan — aggregate your taxonomy or join a target table"
+        )
+    items = sorted(targets.items())
+    seed_rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast(df.schema[source_col].dataType).alias(source_col),
+                F.lit(0).cast("long").alias("_c"),
+            )
+            for s, _ in items
+        ]
+    )
+    seed = df.sparkSession.range(1).select(F.inline(seed_rows))
+    tmap = F.create_map(
+        *[x for s, w in items for x in (F.lit(s), F.lit(float(w)))]
+    )
     return (
-        df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("_tgt", F.lit(0.0))
+        df.select(F.col(source_col), F.lit(1).cast("long").alias("_c"))
+        .unionByName(seed)
+        .groupBy(source_col)
+        .agg(F.sum("_c").alias("n_rows"))
+        .select(
+            F.col(source_col),
+            "n_rows",
+            F.coalesce(
+                F.try_element_at(tmap, F.col(source_col)), F.lit(0.0)
+            ).alias("_tgt"),
+        )
     )
 
 
@@ -281,25 +302,37 @@ def mix_reweight(
     short instead of silently planning around them.
 
     Scale: ONE two-phase count on the source key (|sources| rows);
-    everything after is arithmetic on that tiny table — at 100 TB the
-    planning query costs one column-pruned scan."""
-    # the tiny (|sources| + |targets|)-row table feeds BOTH the
-    # normalizer aggregate and the final projection — checkpoint it so
-    # the corpus scan runs exactly once (the normalizer action
-    # materializes it; the final select reuses the cached rows)
-    counts = _mix_counts(df, source_col, targets).localCheckpoint(eager=False)
+    everything after is arithmetic on that tiny table — the
+    normalizers are global-window aggregates over it (single task over
+    the aggregate, never the corpus), so at 100 TB the planning query
+    costs exactly one column-pruned scan, with no second pass and no
+    checkpoint."""
+    counts = _mix_counts(df, source_col, targets)
     # every ratio is guarded on n_rows > 0 — under ANSI (the engine
     # default) a bare division by a zero count would throw, and the
     # guard doubles as the missing-source NULL marker
     present = F.col("n_rows") > 0
-    total = counts.agg(
-        F.sum("n_rows").alias("_n_total"),
+    # normalizers (Σ n_rows, max target/actual ratio) as GLOBAL window
+    # aggregates over the counts table, not a second aggregate pass:
+    # the corpus scan feeds exactly ONE consumer, so nothing re-executes
+    # and nothing needs a checkpoint (the round-6 branch shape ran the
+    # count per consumer; a checkpoint fixes that but pays a
+    # materialization job — measured 2× on this sub-second planning
+    # query).  The single-task window is over the |sources| + |targets|
+    # row AGGREGATE, never the corpus — budget_waterfill's audited
+    # pattern, safe at any data size.
+    w_all = Window.partitionBy()
+    counts = counts.select(
+        F.col(source_col),
+        "n_rows",
+        "_tgt",
+        F.sum("n_rows").over(w_all).alias("_n_total"),
         F.max(
             F.when(
                 (F.col("_tgt") > 0) & present,
                 F.col("_tgt") / F.col("n_rows").cast("double"),
             )
-        ).alias("_max_ratio"),
+        ).over(w_all).alias("_max_ratio"),
     )
     rate = F.when(
         (F.col("_tgt") > 0) & present,
@@ -307,7 +340,7 @@ def mix_reweight(
     ).when(~present & (F.col("_tgt") > 0), F.lit(None).cast("double")).otherwise(
         F.lit(0.0)
     )
-    return counts.crossJoin(F.broadcast(total)).select(
+    return counts.select(
         F.col(source_col),
         "n_rows",
         F.round(

@@ -1944,28 +1944,26 @@ def test_q83_exact_gap_boundary_pinned(spark, tmp_path):
     assert sessions_per_user == {1: 1, 2: 2}
 
 
-def test_mix_reweight_plan_is_broadcast_only(spark, sf_dir):
-    """The counts stage (target attach + missing-source seeding) must
-    plan as ONE aggregate over the seed-union plus a broadcast hash
-    join — a full-outer formulation silently falls back to
-    SortMergeJoin, and the round-6 LEFT + LEFT-ANTI pair re-executed
-    the corpus scan per branch.  The stage is checked un-checkpointed
-    (mix_reweight's localCheckpoint truncates the visible lineage);
-    the final mix_reweight plan is then checked to contain NO parquet
-    scan at all — the corpus must be read exactly once, inside the
-    checkpointed stage."""
+def test_mix_reweight_plan_shape(spark, sf_dir):
+    """mix_reweight must plan as a JOIN-FREE single corpus pass: the
+    target table enters as literals (seed rows inlined into the count
+    input, target shares via a literal map lookup), so there is no
+    join of any kind — a full-outer formulation silently falls back to
+    SortMergeJoin, the round-6 LEFT + LEFT-ANTI pair re-executed the
+    corpus scan per branch, and even a broadcast join pays a build-side
+    job.  The corpus is read EXACTLY once; the normalizers are
+    global-window aggregates over the tiny counts table (exactly one
+    Window node), not a second aggregate pass."""
     from spear_spark.operators.catalog import _P65_TARGETS
-    from spear_spark.operators.sampling import _mix_counts, mix_reweight
+    from spear_spark.operators.sampling import mix_reweight
     from spear_spark.plans import executed_plan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stage = executed_plan(_mix_counts(docs, "source", _P65_TARGETS))
-    assert "SortMergeJoin" not in stage
-    assert "BroadcastHashJoin" in stage
-    assert stage.count("Scan parquet") == 1  # one corpus read, one branch
     final = executed_plan(mix_reweight(docs, "source", _P65_TARGETS))
-    assert "SortMergeJoin" not in final
-    assert "Scan parquet" not in final  # corpus never re-read post-checkpoint
+    assert "Join" not in final  # no SMJ, no BHJ, no BNLJ — literal attach
+    assert final.count("Scan parquet") == 1  # corpus read exactly once
+    assert final.count("Window") == 1
+    assert "Union" in final  # the zero-marker seed rows are in the ONE pass
 
 
 def test_histogram_quantiles_ignores_nulls(spark):
