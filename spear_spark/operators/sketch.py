@@ -322,6 +322,74 @@ def count_min_sketch_by(
     )
 
 
+def cm_heavy_hitters_by(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    pct: int = 1,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Per-GROUP Count-Min heavy hitters: tokens whose sketch estimate
+    reaches ``pct`` percent of THEIR GROUP'S total occurrences, with
+    the exact count alongside — :func:`cm_heavy_hitters`'s grouped twin
+    ("which tokens dominate each source?"), sharing its one-pass
+    staging: the (group, tok) exact counts are computed once,
+    lazily checkpointed, and feed the group-keyed sketch (Count-Min is
+    linear), the probes, AND the per-group totals — the corpus-sized
+    token explode runs exactly once.  The threshold is the integer
+    comparison ``est * 100 >= pct * group_total`` (no FP).  Returns
+    (group, tok, est, exact) ordered within group by est desc.
+
+    Scale: grouped sketch state = |groups| · depth · width; the probe
+    join is per-(group, row, bucket) on the bounded sketch; group
+    totals are a |groups|-row broadcast."""
+    exact = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .localCheckpoint(eager=False)
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cm_bucket(F.col("tok"), r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    sketch = (
+        exact.select(
+            F.col(group_col), F.col("exact").alias("_c"), F.explode(cells).alias("_cell")
+        )
+        .groupBy(
+            group_col, F.col("_cell.row").alias("row"), F.col("_cell.bucket").alias("bucket")
+        )
+        .agg(F.sum("_c").alias("cnt"))
+    )
+    totals = exact.groupBy(group_col).agg(F.sum("exact").alias("_total"))
+    probes = exact.select(
+        F.col(group_col), "tok", "exact", F.explode(cells).alias("_p")
+    ).select(
+        F.col(group_col),
+        "tok",
+        "exact",
+        F.col("_p.row").alias("row"),
+        F.col("_p.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), [group_col, "row", "bucket"])
+        .groupBy(group_col, "tok", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.join(F.broadcast(totals), group_col)
+        .filter(F.col("est") * 100 >= F.lit(pct) * F.col("_total"))
+        .select(F.col(group_col), "tok", "est", "exact")
+        .orderBy(group_col, F.desc("est"), "tok")
+    )
+
+
 def cm_merge(*sketches: DataFrame) -> DataFrame:
     """Merge Count-Min sketch tables built over DISJOINT shards with
     the same (depth, width): Count-Min is linear, so cell-wise SUM of
