@@ -3098,3 +3098,48 @@ def p80_group_distinct(spark: SparkSession, sf_dir: str) -> SDF:
     return sketch.hll_distinct_by(
         ev, "event_type", F.col("user_id").cast("string")
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# p81 — per-group Count-Min heavy hitters (operators.sketch.
+# cm_heavy_hitters_by): tokens whose grouped sketch estimate reaches
+# 1% of THEIR SOURCE'S total occurrences, with the exact count
+# alongside — p32's grouped twin ("which tokens dominate each
+# source?").  The oracle rebuilds the identical per-source md5 sketch
+# in SQL: exact (source, tok) counts feed the group-keyed cell grid
+# (Count-Min is linear), the probes, and the per-source totals, and
+# the threshold is the same integer est*100 >= pct*total comparison,
+# so even this approximate sketch is hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+@q(
+    "p81_group_heavy_hitters",
+    rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+    exact AS (SELECT source, tk, COUNT(*) AS exact FROM tok GROUP BY source, tk),
+    cells AS (SELECT source, g.r,
+                     ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tk),1,15))::BIGINT
+                       % 1024 AS bucket,
+                     exact
+              FROM exact, generate_series(0, 3) g(r)),
+    sketch AS (SELECT source, r, bucket, CAST(SUM(exact) AS BIGINT) AS cnt
+               FROM cells GROUP BY source, r, bucket),
+    tot AS (SELECT source, CAST(SUM(exact) AS BIGINT) AS total
+            FROM exact GROUP BY source),
+    probes AS (SELECT source, tk, exact, g.r,
+                      ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tk),1,15))::BIGINT
+                        % 1024 AS bucket
+               FROM exact, generate_series(0, 3) g(r)),
+    est AS (SELECT source, tk, exact, MIN(cnt) AS est
+            FROM probes JOIN sketch USING (source, r, bucket)
+            GROUP BY source, tk, exact)
+    SELECT source, tk AS tok, est, CAST(exact AS BIGINT) AS exact
+    FROM est JOIN tot USING (source)
+    WHERE est * 100 >= 1 * total
+    ORDER BY source, est DESC, tok
+    """,
+)
+def p81_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.cm_heavy_hitters_by(docs, "source", "text", pct=1)

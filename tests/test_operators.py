@@ -2682,3 +2682,63 @@ class TestKmeansLloyd:
             kmeans_lloyd(df, "embedding", "vec_id", tol=0.0)
         with _pytest.raises(RuntimeError, match="drift"):
             kmeans_lloyd(df, "embedding", "vec_id", k=3, tol=1e-12, max_iters=1)
+
+
+class TestGroupedHeavyHitters:
+    """Laws for cm_heavy_hitters_by (sketch.py) — the grouped twin of
+    cm_heavy_hitters, probing a per-group Count-Min sketch against a
+    per-group total threshold."""
+
+    def test_one_sided_and_threshold_laws(self, spark, sf_dir):
+        """CM never undercounts (est >= exact per (group, tok)), and —
+        because the estimate is one-sided — every TRUE heavy hitter
+        (exact * 100 >= pct * group_total) must appear: the sketch can
+        admit false positives but never false negatives."""
+        from spear_spark.operators.sketch import cm_heavy_hitters_by
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = cm_heavy_hitters_by(docs, "source", "text", pct=1).collect()
+        assert rows and all(r.est >= r.exact for r in rows)
+        got = {(r.source, r.tok) for r in rows}
+        exact = (
+            docs.select(F.col("source"), F.explode(text.tokens("text")).alias("tok"))
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("exact"))
+        )
+        totals = exact.groupBy("source").agg(F.sum("exact").alias("total"))
+        true_heavy = {
+            (r.source, r.tok)
+            for r in exact.join(totals, "source")
+            .filter(F.col("exact") * 100 >= F.col("total"))
+            .collect()
+        }
+        assert true_heavy <= got
+
+    def test_matches_per_group_standalone_sketch(self, spark, sf_dir):
+        """The grouped result restricted to one source equals the
+        standalone pipeline run on that source's rows alone (same
+        hashes, same cells, same integer threshold) — each group's
+        sketch is independent, exactly like hll_distinct_by vs
+        hll_distinct."""
+        from spear_spark.operators.sketch import cm_heavy_hitters, cm_heavy_hitters_by
+
+        docs = load_table(spark, sf_dir, "documents")
+        by = cm_heavy_hitters_by(docs, "source", "text", pct=1).collect()
+        src = sorted({r.source for r in by})[0]
+        grouped = {(r.tok, r.est, r.exact) for r in by if r.source == src}
+        solo_docs = docs.filter(F.col("source") == src)
+        total = solo_docs.select(
+            F.explode(text.tokens("text")).alias("t")
+        ).count()
+        solo = {
+            (r.tok, r.est, r.exact)
+            for r in cm_heavy_hitters(solo_docs, "text", min_count=1).collect()
+            if r.est * 100 >= total
+        }
+        assert grouped == solo
+
+    def test_empty_input(self, spark):
+        from spear_spark.operators.sketch import cm_heavy_hitters_by
+
+        empty = spark.createDataFrame([], "source string, text string")
+        assert cm_heavy_hitters_by(empty, "source", "text").count() == 0
