@@ -2742,3 +2742,43 @@ class TestGroupedHeavyHitters:
 
         empty = spark.createDataFrame([], "source string, text string")
         assert cm_heavy_hitters_by(empty, "source", "text").count() == 0
+
+
+class TestHLLAccuracyContract:
+    def test_hll_distinct_by_relative_error_bound(self, spark):
+        """Planted-cardinality accuracy contract for hll_distinct_by:
+        p80 certifies cross-engine hash-exactness, this certifies the
+        ESTIMATE is actually good.  For m = 64 registers the standard
+        error of the raw HLL estimator is 1.04/sqrt(64) ~= 13%; we
+        assert within 3 sigma (39%) for groups in the raw regime, and
+        within 20% for a small group in the linear-counting regime
+        (m ln(m/V) is much tighter when n << m).  The md5 hash is
+        deterministic, so this is a fixed property of the planted
+        sets, not a flaky statistical test."""
+        from pyspark.sql import functions as F
+
+        from spear_spark.operators.sketch import hll_distinct_by
+
+        sizes = {"small": 5, "medium": 500, "large": 40000}
+        parts = []
+        for g, n in sizes.items():
+            parts.append(
+                spark.range(n).select(
+                    F.lit(g).alias("grp"),
+                    F.concat(F.lit(g + ":"), F.col("id")).alias("key"),
+                )
+            )
+        df = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        est = {
+            r.grp: r.est_distinct
+            for r in hll_distinct_by(df, "grp", F.col("key")).collect()
+        }
+        assert abs(est["small"] / sizes["small"] - 1) <= 0.20
+        assert abs(est["medium"] / sizes["medium"] - 1) <= 0.39
+        assert abs(est["large"] / sizes["large"] - 1) <= 0.39
+        # duplicate keys must not move any estimate (cardinality, not count)
+        doubled = {
+            r.grp: r.est_distinct
+            for r in hll_distinct_by(df.unionByName(df), "grp", F.col("key")).collect()
+        }
+        assert doubled == est
