@@ -3143,3 +3143,63 @@ def p81_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = load_table(spark, sf_dir, "documents")
     return sketch.cm_heavy_hitters_by(docs, "source", "text", pct=1)
+
+
+# ---------------------------------------------------------------------------
+# p82 — 7-day rolling Count-Min profile (operators.sketch.cm_rolling +
+# cm_probe_by): per-day event-type sketches merged into exact sliding
+# 7-day windows (periods partition the rows, so the windowed SUM is
+# disjoint by construction — the lifecycle cm_merge's disjointness
+# contract forbids over raw overlapping windows), probed for every
+# (observed day × event type).  The period ordinal is pure integer
+# epoch-day math (unix_micros div 86.4e9 == epoch_us // 86.4e9), so no
+# timezone or double-rounding can desync the engines; the oracle
+# rebuilds the identical daily grid, rolling fan-out, and MIN probe.
+# ---------------------------------------------------------------------------
+@q(
+    "p82_rolling_sketch",
+    r"""
+    WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period,
+                       lower(trim(event_type)) AS tok
+                FROM events),
+    daily AS (SELECT period, g.r,
+                     ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tok),1,15))::BIGINT
+                       % 1024 AS bucket,
+                     COUNT(*) AS cnt
+              FROM ev, generate_series(0, 3) g(r)
+              GROUP BY period, g.r, bucket),
+    contrib AS (SELECT period + s.o AS period, r, bucket, cnt
+                FROM daily, generate_series(0, 6) s(o)),
+    rolled AS (SELECT period, r, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+               FROM contrib GROUP BY period, r, bucket),
+    periods AS (SELECT DISTINCT period FROM ev),
+    toks AS (SELECT DISTINCT tok FROM ev),
+    probes AS (SELECT p.period, t.tok, g.r,
+                      ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||t.tok),1,15))::BIGINT
+                        % 1024 AS bucket
+               FROM periods p, toks t, generate_series(0, 3) g(r))
+    SELECT pr.period, pr.tok, MIN(ro.cnt) AS est
+    FROM probes pr JOIN rolled ro USING (period, r, bucket)
+    GROUP BY pr.period, pr.tok
+    ORDER BY period, tok
+    """,
+)
+def p82_rolling_sketch(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("period"),
+        F.col("event_type"),
+    )
+    daily = sketch.count_min_sketch_by(ev, "period", "event_type")
+    rolled = sketch.cm_rolling(daily, window=7)
+    probes = (
+        ev.select("period")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.select(F.explode(text.tokens("event_type")).alias("tok")).distinct()
+            )
+        )
+    )
+    return sketch.cm_probe_by(rolled, probes, "period").orderBy("period", "tok")

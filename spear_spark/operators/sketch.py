@@ -475,3 +475,96 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     for f in filters[1:]:
         merged = merged.unionByName(f)
     return merged.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def cm_rolling(
+    daily: DataFrame, window: int, period_col: str = "period"
+) -> DataFrame:
+    """Rolling Count-Min profiles from per-period sketch tables — the
+    sliding-window lifecycle :func:`cm_merge` alone cannot provide:
+    its contract is DISJOINT shards, so a 7-day rolling profile can't
+    be assembled by merging overlapping multi-day sketches, but it CAN
+    be assembled from per-PERIOD sketches (``count_min_sketch_by``
+    grouped on an integer period ordinal): periods partition the rows,
+    so every set of distinct periods is disjoint by construction and
+    the per-cell SUM is exact.
+
+    Input: (period, row, bucket, cnt) with ``period`` an integer
+    ordinal (e.g. epoch-day ``unix_micros(ts) div 86_400_000_000`` —
+    integer math, so no timezone or double-precision drift can desync
+    an oracle).  Output: the same shape where period p's cells are the
+    EXACT sketch of raw rows in periods (p-window+1 .. p] — law-tested
+    against a direct sketch of the window's rows.
+
+    Emitted periods are the periods OBSERVED in the input: a gap
+    period (no rows that day) gets no output row even though a window
+    ending there would be non-empty — rolling profiles answer "the 7
+    days ending on each day WITH data"; densify the input with empty
+    periods first if calendar alignment is needed.
+
+    Scale: each of the ≤ |periods|·d·w input cells fans out × window
+    into one bounded two-phase aggregate; the observed-period
+    restriction is a broadcast semi-join on a |periods|-row table.
+    Nothing downstream of the daily sketch build touches the corpus,
+    which is the point — profile each day once, keep the tiny tables,
+    answer any rolling query later."""
+    if window < 1:
+        raise ValueError(f"cm_rolling: window must be >= 1, got {window}")
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col(period_col), F.col(period_col) + (window - 1))
+        ).alias(period_col),
+        "row",
+        "bucket",
+        "cnt",
+    )
+    rolled = contrib.groupBy(period_col, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    observed = daily.select(period_col).distinct()
+    return rolled.join(F.broadcast(observed), period_col, "semi")
+
+
+def cm_probe_by(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_col: str,
+    tok_col: str = "tok",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query a grouped Count-Min sketch table (group, row,
+    bucket, cnt) for each (group, token) probe row: est = min over
+    rows of the bucket count — the standard CM read, an overestimate
+    and never an undercount.  Returns (group, tok, est); probes whose
+    group is absent from the sketch return no row (nothing was
+    profiled there), probes whose group exists return est >= 0
+    regardless of whether the token was ever seen.
+
+    Scale: the sketch is the BOUNDED side (≤ |groups|·d·w rows) and is
+    broadcast; the probe set may be arbitrarily large and never
+    shuffles — each probe row fans out × depth, hash-joins against the
+    broadcast grid, and collapses back with a map-side-combinable
+    MIN."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cm_bucket(F.col(tok_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    fan = probes.select(
+        F.col(group_col), F.col(tok_col), F.explode(cells).alias("_p")
+    ).select(
+        F.col(group_col),
+        F.col(tok_col),
+        F.col("_p.row").alias("row"),
+        F.col("_p.bucket").alias("bucket"),
+    )
+    return (
+        fan.join(F.broadcast(sketch), [group_col, "row", "bucket"])
+        .groupBy(group_col, tok_col)
+        .agg(F.min("cnt").alias("est"))
+    )

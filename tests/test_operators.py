@@ -2782,3 +2782,75 @@ class TestHLLAccuracyContract:
             for r in hll_distinct_by(df.unionByName(df), "grp", F.col("key")).collect()
         }
         assert doubled == est
+
+
+class TestRollingSketch:
+    """Laws for cm_rolling / cm_probe_by (sketch.py): exact sliding
+    merges of per-period Count-Min tables."""
+
+    def _corpus(self, spark):
+        rows = [
+            (0, "a a b"), (0, "b c"), (1, "a c c"), (2, "b b b d"),
+            (4, "a d d"), (4, "c"),  # period 3 is a gap day
+        ]
+        return spark.createDataFrame(rows, "period int, text string")
+
+    def test_rolling_equals_direct_window_sketch(self, spark):
+        """Rolling cells at period p == direct sketch of raw rows in
+        (p-window+1 .. p] — the exactness claim: per-period shards are
+        disjoint by construction, so the windowed SUM is the sketch of
+        the window's union, including across the gap day."""
+        from spear_spark.operators.sketch import (
+            cm_rolling,
+            count_min_sketch,
+            count_min_sketch_by,
+        )
+
+        df = self._corpus(spark)
+        daily = count_min_sketch_by(df, "period", "text")
+        rolled = cm_rolling(daily, window=3).collect()
+        observed = sorted({r.period for r in rolled})
+        assert observed == [0, 1, 2, 4]  # gap day emits no row
+        for p in observed:
+            got = {(r.row, r.bucket): r.cnt for r in rolled if r.period == p}
+            direct = {
+                (r.row, r.bucket): r.cnt
+                for r in count_min_sketch(
+                    df.filter((F.col("period") > p - 3) & (F.col("period") <= p)),
+                    "text",
+                ).collect()
+            }
+            assert got == direct, f"period {p}"
+
+    def test_window_one_is_identity_and_guard(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.sketch import cm_rolling, count_min_sketch_by
+
+        daily = count_min_sketch_by(self._corpus(spark), "period", "text")
+        rolled = cm_rolling(daily, window=1)
+        assert sorted(map(tuple, rolled.collect())) == sorted(
+            map(tuple, daily.collect())
+        )
+        with _pytest.raises(ValueError, match="window"):
+            cm_rolling(daily, window=0)
+
+    def test_probe_one_sided_and_absent_group(self, spark):
+        """cm_probe_by: est >= exact for every (period, tok) present;
+        a probe against a period the sketch never saw returns no row."""
+        from spear_spark.operators.sketch import cm_probe_by, count_min_sketch_by
+        from spear_spark.operators.text import tokens
+
+        df = self._corpus(spark)
+        daily = count_min_sketch_by(df, "period", "text")
+        exact = (
+            df.select("period", F.explode(tokens("text")).alias("tok"))
+            .groupBy("period", "tok")
+            .agg(F.count(F.lit(1)).alias("exact"))
+        )
+        est = cm_probe_by(daily, exact.select("period", "tok"), "period")
+        joined = est.join(exact, ["period", "tok"]).collect()
+        assert len(joined) == exact.count()
+        assert all(r.est >= r.exact for r in joined)
+        ghost = spark.createDataFrame([(99, "a")], "period int, tok string")
+        assert cm_probe_by(daily, ghost, "period").count() == 0
