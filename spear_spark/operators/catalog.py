@@ -3203,3 +3203,81 @@ def p82_rolling_sketch(spark: SparkSession, sf_dir: str) -> SDF:
         )
     )
     return sketch.cm_probe_by(rolled, probes, "period").orderBy("period", "tok")
+
+
+# ---------------------------------------------------------------------------
+# p83 — one-pass per-source corpus health report (operators.profile.
+# corpus_health_report): doc counts, exact token-length quantiles,
+# total occurrences, HLL distinct-token estimate, and Count-Min
+# heavy-hitter count per source — the grouped sketch family assembled
+# from a single corpus scan (plan-pinned: the final plan reads no
+# parquet; every branch consumes the checkpointed token staging).  The
+# oracle rebuilds all five columns in SQL with the same md5 register /
+# cell math and the same integer threshold, so the whole report —
+# exact stats AND both approximate sketches — is hash-exact
+# cross-engine.
+# ---------------------------------------------------------------------------
+@q(
+    "p83_health_report",
+    rf"""
+    WITH toks AS (SELECT source, doc_id, unnest({_TOKS}) AS tok FROM documents),
+    counts AS (SELECT source, tok, COUNT(*) AS exact FROM toks GROUP BY source, tok),
+    doc_lens AS (SELECT source, doc_id, COUNT(*) AS len
+                 FROM toks GROUP BY source, doc_id),
+    doc_stats AS (SELECT source, COUNT(*) AS n_docs,
+                         ROUND(quantile_cont(len, 0.50), 6) AS q50_len,
+                         ROUND(quantile_cont(len, 0.90), 6) AS q90_len
+                  FROM doc_lens GROUP BY source),
+    totals AS (SELECT source, CAST(SUM(exact) AS BIGINT) AS total_tokens
+               FROM counts GROUP BY source),
+    h AS (SELECT source, ('0x'||substr(md5(tok),1,15))::BIGINT AS hv FROM counts),
+    r AS (SELECT source, hv % {_HLL_M} AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 40
+                      ELSE LEAST(bit_count(((hv >> 6) & -(hv >> 6)) - 1) + 1, 40)
+                 END AS rho
+          FROM h),
+    regs AS (SELECT source, reg, MAX(rho) AS max_rho FROM r GROUP BY source, reg),
+    s AS (SELECT source,
+                 CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (40 - max_rho)), 0) AS BIGINT)
+                   AS s_present,
+                 COUNT(*) AS n_present
+          FROM regs GROUP BY source),
+    hraw AS (SELECT source,
+                    CAST({_HLL_NUM} AS DOUBLE) * CAST({float(_POW40)!r} AS DOUBLE)
+                    / CAST(s_present + ({_HLL_M} - n_present) * {_POW40} AS DOUBLE) AS raw,
+                    {_HLL_M} - n_present AS v
+             FROM s),
+    hll AS (SELECT source, ROUND(CASE WHEN v > 0 AND raw <= {2.5 * _HLL_M!r}
+                                      THEN ({_LC_LIST})[v + 1] ELSE raw END, 3)
+                     AS est_distinct_toks
+            FROM hraw),
+    cells AS (SELECT source, g.r,
+                     ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tok),1,15))::BIGINT
+                       % 1024 AS bucket,
+                     exact
+              FROM counts, generate_series(0, 3) g(r)),
+    grid AS (SELECT source, r, bucket, CAST(SUM(exact) AS BIGINT) AS cnt
+             FROM cells GROUP BY source, r, bucket),
+    probes AS (SELECT source, tok, g.r,
+                      ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tok),1,15))::BIGINT
+                        % 1024 AS bucket
+               FROM counts, generate_series(0, 3) g(r)),
+    est AS (SELECT source, tok, MIN(cnt) AS est
+            FROM probes JOIN grid USING (source, r, bucket) GROUP BY source, tok),
+    heavy AS (SELECT source, COUNT(*) AS n_heavy
+              FROM est JOIN totals USING (source)
+              WHERE est * 100 >= 1 * total_tokens GROUP BY source)
+    SELECT d.source, d.n_docs, t.total_tokens, hll.est_distinct_toks,
+           COALESCE(heavy.n_heavy, 0) AS n_heavy, d.q50_len, d.q90_len
+    FROM doc_stats d
+    JOIN totals t USING (source)
+    JOIN hll USING (source)
+    LEFT JOIN heavy USING (source)
+    ORDER BY source
+    """,
+)
+def p83_health_report(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.profile import corpus_health_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_health_report(docs, "source", "text", "doc_id").orderBy("source")

@@ -2854,3 +2854,51 @@ class TestRollingSketch:
         assert all(r.est >= r.exact for r in joined)
         ghost = spark.createDataFrame([(99, "a")], "period int, tok string")
         assert cm_probe_by(daily, ghost, "period").count() == 0
+
+
+class TestCorpusHealthReport:
+    def test_columns_agree_with_standalone_operators(self, spark, sf_dir):
+        """Each report column must equal the standalone operator it
+        folds in: hll_distinct_by over the distinct token set,
+        cm_heavy_hitters_by's row count per group, group_quantiles of
+        doc token lengths — the report is a staging reuse, never a
+        different estimator."""
+        from spear_spark.operators.profile import corpus_health_report
+        from spear_spark.operators.sketch import cm_heavy_hitters_by, hll_distinct_by
+        from spear_spark.operators.stats import group_quantiles
+
+        docs = load_table(spark, sf_dir, "documents")
+        rep = {r.source: r for r in
+               corpus_health_report(docs, "source", "text", "doc_id").collect()}
+        toks = docs.select("source", "doc_id", F.explode(text.tokens("text")).alias("tok"))
+        hll = {
+            r.source: r.est_distinct
+            for r in hll_distinct_by(
+                toks.select("source", "tok").distinct(), "source", F.col("tok")
+            ).collect()
+        }
+        hh = cm_heavy_hitters_by(docs, "source", "text", pct=1).collect()
+        lens = toks.groupBy("source", "doc_id").agg(F.count(F.lit(1)).alias("len"))
+        qg = {r.source: r for r in
+              group_quantiles(lens, "len", ["source"], (0.5, 0.9)).collect()}
+        assert set(rep) == set(hll)
+        for src, r in rep.items():
+            assert r.est_distinct_toks == hll[src]
+            assert r.n_heavy == sum(1 for x in hh if x.source == src)
+            assert r.n_docs == qg[src].n_rows
+            assert r.q50_len == qg[src].q50
+            assert r.q90_len == qg[src].q90
+
+    def test_single_scan_plan_shape(self, spark, sf_dir):
+        """The report's final plan must read NO parquet at all — every
+        branch consumes the two checkpointed stagings, so the corpus
+        is scanned exactly once (inside the staging job), and every
+        assembly join is broadcast (no SortMergeJoin of the tiny
+        per-group aggregates)."""
+        from spear_spark.operators.profile import corpus_health_report
+        from spear_spark.plans import executed_plan
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        final = executed_plan(corpus_health_report(docs, "source", "text", "doc_id"))
+        assert "Scan parquet" not in final
+        assert "SortMergeJoin" not in final
