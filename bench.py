@@ -133,6 +133,10 @@ HEADLINE = [
     "p78_cm_merge",
     "p79_hll_merge",
     "p80_group_distinct",
+    # round-8 additions (earlier entries unchanged for comparability)
+    "p81_group_heavy_hitters",
+    "p82_rolling_sketch",
+    "p83_health_report",
 ]
 
 

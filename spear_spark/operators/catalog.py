@@ -3187,20 +3187,26 @@ def p81_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> SDF:
 def p82_rolling_sketch(spark: SparkSession, sf_dir: str) -> SDF:
     from spear_spark.operators import sketch
 
+    # ONE corpus scan: the (period, tok) counts staging is checkpointed
+    # and bounded (|days| x |event types|); the daily grid is summed
+    # FROM it (Count-Min linearity), and the probe set (observed days x
+    # vocabulary) derives from the same staging -- at 100 TB nothing
+    # downstream of the staging job touches the events table again.
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("unix_micros(ts) div 86400000000").alias("period"),
-        F.col("event_type"),
+        F.explode(text.tokens("event_type")).alias("tok"),
     )
-    daily = sketch.count_min_sketch_by(ev, "period", "event_type")
+    counts = (
+        ev.groupBy("period", "tok")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .localCheckpoint(eager=False)
+    )
+    daily = sketch.cm_grid_from_counts(counts, ["period"])
     rolled = sketch.cm_rolling(daily, window=7)
     probes = (
-        ev.select("period")
+        counts.select("period")
         .distinct()
-        .crossJoin(
-            F.broadcast(
-                ev.select(F.explode(text.tokens("event_type")).alias("tok")).distinct()
-            )
-        )
+        .crossJoin(F.broadcast(counts.select("tok").distinct()))
     )
     return sketch.cm_probe_by(rolled, probes, "period").orderBy("period", "tok")
 

@@ -39,8 +39,8 @@ from spear_spark.operators.sketch import (
     CM_DEPTH,
     CM_WIDTH,
     HLL_M,
-    _cm_bucket,
     _hll_est_expr,
+    cm_grid_from_counts,
     cm_probe_by,
     hll_register_table_by,
 )
@@ -118,23 +118,7 @@ def corpus_health_report(
         )
     )
 
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"), _cm_bucket(F.col("tok"), r, width).alias("bucket")
-            )
-            for r in range(depth)
-        ]
-    )
-    grid = (
-        counts.select(
-            F.col(group_col), F.col("exact").alias("_c"), F.explode(cells).alias("_cell")
-        )
-        .groupBy(
-            group_col, F.col("_cell.row").alias("row"), F.col("_cell.bucket").alias("bucket")
-        )
-        .agg(F.sum("_c").alias("cnt"))
-    )
+    grid = cm_grid_from_counts(counts, [group_col], depth=depth, width=width)
     est = cm_probe_by(
         grid, counts.select(group_col, "tok"), group_col, depth=depth, width=width
     )

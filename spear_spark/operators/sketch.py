@@ -322,6 +322,47 @@ def count_min_sketch_by(
     )
 
 
+def cm_grid_from_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    tok_col: str = "tok",
+    count_col: str = "exact",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build a (``*group_cols``, row, bucket, cnt) Count-Min grid FROM
+    a token-counts relation instead of raw occurrences — Count-Min is
+    linear, so summing per-token counts into cells equals counting
+    occurrences into cells, and the fan-out is depth × |vocab| rows
+    instead of depth × |occurrences|.  This is the shared staging step
+    of :func:`cm_heavy_hitters`/:func:`cm_heavy_hitters_by`, the
+    health report, and any one-pass pipeline that already aggregated
+    (group, token) counts; pass ``group_cols=[]`` for a global
+    sketch."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cm_bucket(F.col(tok_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        counts.select(
+            *[F.col(g) for g in group_cols],
+            F.col(count_col).alias("_c"),
+            F.explode(cells).alias("_cell"),
+        )
+        .groupBy(
+            *group_cols,
+            F.col("_cell.row").alias("row"),
+            F.col("_cell.bucket").alias("bucket"),
+        )
+        .agg(F.sum("_c").alias("cnt"))
+    )
+
+
 def cm_heavy_hitters_by(
     df: DataFrame,
     group_col: str,

@@ -2902,3 +2902,18 @@ class TestCorpusHealthReport:
         final = executed_plan(corpus_health_report(docs, "source", "text", "doc_id"))
         assert "Scan parquet" not in final
         assert "SortMergeJoin" not in final
+
+
+def test_rolling_sketch_single_scan_plan_shape(spark, sf_dir):
+    """p82's final plan must read NO parquet: the (period, tok) counts
+    staging is checkpointed once, the daily grid is summed FROM it
+    (CM linearity), and probes derive from the same staging — at
+    100 TB nothing downstream of the staging job touches the events
+    table again.  All joins stay broadcast (the probe fan-out never
+    shuffles)."""
+    from spear_spark.operators.catalog import QUERIES
+    from spear_spark.plans import executed_plan
+
+    final = executed_plan(QUERIES["p82_rolling_sketch"][0](spark, sf_dir))
+    assert "Scan parquet" not in final
+    assert "SortMergeJoin" not in final
