@@ -137,6 +137,8 @@ HEADLINE = [
     "p81_group_heavy_hitters",
     "p82_rolling_sketch",
     "p83_health_report",
+    "p84_rolling_distinct",
+    "p85_repeated_ngrams",
 ]
 
 

@@ -3287,3 +3287,94 @@ def p83_health_report(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_health_report(docs, "source", "text", "doc_id").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# p84 — 7-day rolling distinct users (operators.sketch.hll_rolling_
+# distinct): per-day HLL register tables merged into sliding windows
+# by per-(period, reg) MAX — exact by definition (a union register's
+# rho is the max over shards) and, unlike p82's Count-Min SUM,
+# idempotent under overlapping inputs.  Periods are the same integer
+# epoch-day ordinal as p82; the estimate is the shared exact
+# alpha·m²/Σ2^(−M_j) + linear-counting form, so the rolling
+# cardinality profile is hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+@q(
+    "p84_rolling_distinct",
+    f"""
+    WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period,
+                       ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+                FROM events),
+    r AS (SELECT period, hv % {_HLL_M} AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 40
+                      ELSE LEAST(bit_count(((hv >> 6) & -(hv >> 6)) - 1) + 1, 40)
+                 END AS rho
+          FROM ev),
+    daily AS (SELECT period, reg, MAX(rho) AS max_rho FROM r GROUP BY period, reg),
+    contrib AS (SELECT period + s.o AS period, reg, max_rho
+                FROM daily, generate_series(0, 6) s(o)),
+    rolled AS (SELECT period, reg, MAX(max_rho) AS max_rho
+               FROM contrib GROUP BY period, reg),
+    observed AS (SELECT DISTINCT period FROM daily),
+    regs AS (SELECT rolled.* FROM rolled SEMI JOIN observed USING (period)),
+    s AS (SELECT period,
+                 CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (40 - max_rho)), 0) AS BIGINT)
+                   AS s_present,
+                 COUNT(*) AS n_present
+          FROM regs GROUP BY period),
+    est AS (SELECT period,
+                   CAST({_HLL_NUM} AS DOUBLE) * CAST({float(_POW40)!r} AS DOUBLE)
+                   / CAST(s_present + ({_HLL_M} - n_present) * {_POW40} AS DOUBLE) AS raw,
+                   {_HLL_M} - n_present AS v
+            FROM s)
+    SELECT period, ROUND(CASE WHEN v > 0 AND raw <= {2.5 * _HLL_M!r}
+                              THEN ({_LC_LIST})[v + 1] ELSE raw END, 3)
+             AS est_distinct
+    FROM est ORDER BY period
+    """,
+)
+def p84_rolling_distinct(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("period"),
+        F.col("user_id").cast("string").alias("user"),
+    )
+    daily = sketch.hll_register_table_by(ev, "period", F.col("user"))
+    return sketch.hll_rolling_distinct(daily, window=7).orderBy("period")
+
+
+# ---------------------------------------------------------------------------
+# p85 — corpus-repeated n-gram profile (operators.dedup.
+# repeated_ngram_profile): the Lee-et-al-2022 substring-dedup signal
+# at 8-gram granularity — per doc, how many n-gram positions sit on
+# grams occurring >= 2 times corpus-wide (across docs or within one).
+# No self-join: the aggregated (doc, hash) relation carries both the
+# per-doc contribution and, via a window SUM over the hash partition,
+# the corpus tally.  The oracle rebuilds the same md5 gram hashes and
+# integer counts; the only double is the final ratio of exact ints.
+# ---------------------------------------------------------------------------
+@q(
+    "p85_repeated_ngrams",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(list_slice(t, i, i + 7), ' ')
+                         for i in generate_series(1, len(t) - 7)]) AS gram
+          FROM toks),
+    h AS (SELECT doc_id, ('0x'||substr(md5(gram),1,15))::BIGINT AS hv FROM g),
+    dh AS (SELECT doc_id, hv, COUNT(*) AS c FROM h GROUP BY doc_id, hv),
+    t2 AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY hv) AS total FROM dh),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(CASE WHEN total >= 2 THEN c ELSE 0 END) AS BIGINT)
+                     AS n_dup
+            FROM t2 GROUP BY doc_id)
+    SELECT doc_id, n_ngrams, n_dup,
+           ROUND(CAST(n_dup AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
+    FROM agg ORDER BY doc_id
+    """,
+)
+def p85_repeated_ngrams(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_ngram_profile(docs, "text", "doc_id").orderBy("doc_id")

@@ -1055,3 +1055,72 @@ def bloom_decontaminate(
     return bloom_probe(df, col, bloom, n_bits, k, seed).filter(
         ~F.col("maybe_member")
     ).drop("maybe_member")
+
+
+def repeated_ngram_profile(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Per-document profile of CORPUS-REPEATED token n-grams — the
+    memorization/boilerplate signal behind suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"), at n-gram granularity: an n-gram is
+    "duplicated" when it occurs >= 2 times corpus-wide (across docs OR
+    within one), and each doc reports how many of its n-gram positions
+    sit on duplicated grams.  Returns (id, n_ngrams, n_dup, dup_frac)
+    for every doc with at least one n-gram (docs shorter than ``n``
+    tokens emit no row).
+
+    Unlike :func:`shingles`-based Jaccard (distinct sets, whole-doc
+    similarity) this keeps MULTIPLICITY and grades individual spans,
+    so a 90%-unique doc that embeds one viral paragraph scores exactly
+    that paragraph's positions.
+
+    Scale: explode all n-gram positions -> two-phase (doc, hash)
+    count -> corpus totals via a window SUM over the hash partitioning
+    (one shuffle, NO self-join: the aggregated (doc, hash) relation is
+    both the per-doc contribution and the corpus tally) -> per-doc
+    rollup.  State is vocabulary-sized, never pairwise; the heaviest
+    hash partition is bounded by the doc count.  The 60-bit md5 gram
+    hash makes a false "duplicated" mark a ~2^-60 event and keeps the
+    shuffle key fixed-width (the oracle hashes identically, so even
+    a collision would pair exactly)."""
+    if n < 2:
+        raise ValueError(f"repeated_ngram_profile: n must be >= 2, got {n}")
+
+    def grams_body(toks: Column) -> Column:
+        big = F.greatest(F.size(toks), F.lit(1))
+        grams = toks
+        for j in range(1, n):
+            shifted = F.slice(toks, j + 1, big)
+            grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+        n_grams = F.size(toks) - (n - 1)
+        empty = F.array().cast("array<string>")
+        return F.when(n_grams >= 1, F.slice(grams, 1, n_grams)).otherwise(empty)
+
+    from pyspark.sql import Window
+
+    per_doc_hash = (
+        df.select(
+            F.col(id_col), F.explode(let_(tokens(text_col), grams_body)).alias("gram")
+        )
+        .select(F.col(id_col), h64(F.col("gram")).alias("hv"))
+        .groupBy(id_col, "hv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c").over(Window.partitionBy("hv"))
+    return (
+        per_doc_hash.withColumn("_total", total)
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.sum(F.when(F.col("_total") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_ngrams"), 6).alias("dup_frac"),
+        )
+    )

@@ -609,3 +609,59 @@ def cm_probe_by(
         .groupBy(group_col, tok_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def hll_rolling(
+    daily: DataFrame, window: int, period_col: str = "period"
+) -> DataFrame:
+    """Rolling HLL register tables from per-period tables
+    (``hll_register_table_by`` grouped on an integer period ordinal) —
+    :func:`cm_rolling`'s cardinality twin: period p's registers are
+    the per-(reg) MAX over periods (p-window+1 .. p], which equals the
+    register table of the window's union BY DEFINITION (a union
+    register's rho is the max over shards), so the rolling merge is
+    exact — and, unlike Count-Min's SUM, MAX is idempotent, so this
+    holds even if the per-period inputs were themselves built from
+    overlapping sources.
+
+    Same shape and contracts as :func:`cm_rolling`: integer periods,
+    output restricted to periods observed in the input, each of the
+    ≤ |periods|·m input rows fans out × window into one bounded
+    two-phase aggregate.  Feed the result's per-period registers to
+    the ``_hll_est_expr`` pipeline (see ``hll_distinct_by``) for
+    "7-day rolling distinct users per day"."""
+    if window < 1:
+        raise ValueError(f"hll_rolling: window must be >= 1, got {window}")
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col(period_col), F.col(period_col) + (window - 1))
+        ).alias(period_col),
+        "reg",
+        "max_rho",
+    )
+    rolled = contrib.groupBy(period_col, "reg").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    observed = daily.select(period_col).distinct()
+    return rolled.join(F.broadcast(observed), period_col, "semi")
+
+
+def hll_rolling_distinct(
+    daily: DataFrame, window: int, period_col: str = "period", m: int = HLL_M
+) -> DataFrame:
+    """(period, est_distinct): the rolling-window distinct estimate
+    per observed period — :func:`hll_rolling`'s registers fed through
+    the shared exact estimate expression, so "7-day rolling distinct
+    users" carries the same cross-engine hash-exactness discipline as
+    every other HLL surface in this module."""
+    regs = hll_rolling(daily, window, period_col)
+    per = regs.groupBy(period_col).agg(
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - max_rho)")),
+            F.lit(0).cast("bigint"),
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    return per.select(
+        F.col(period_col), F.round(_hll_est_expr(m), 3).alias("est_distinct")
+    )

@@ -2917,3 +2917,99 @@ def test_rolling_sketch_single_scan_plan_shape(spark, sf_dir):
     final = executed_plan(QUERIES["p82_rolling_sketch"][0](spark, sf_dir))
     assert "Scan parquet" not in final
     assert "SortMergeJoin" not in final
+
+
+class TestRollingHLL:
+    """Laws for hll_rolling / hll_rolling_distinct: rolling register
+    MAX equals the register table of the window's union, and — unlike
+    Count-Min's SUM — survives overlapping inputs (MAX is idempotent)."""
+
+    def _events(self, spark):
+        rows = [(p, f"u{u}") for p, us in
+                [(0, [1, 2, 3]), (1, [2, 4]), (2, [5]), (4, [1, 6, 7])]
+                for u in us]  # period 3 is a gap day
+        return spark.createDataFrame(rows, "period int, user string")
+
+    def test_rolling_equals_direct_window_registers(self, spark):
+        from spear_spark.operators.sketch import (
+            hll_register_table,
+            hll_register_table_by,
+            hll_rolling,
+            hll_rolling_distinct,
+            hll_distinct,
+        )
+
+        df = self._events(spark)
+        daily = hll_register_table_by(df, "period", F.col("user"))
+        rolled = hll_rolling(daily, window=3).collect()
+        assert sorted({r.period for r in rolled}) == [0, 1, 2, 4]
+        for p in [0, 1, 2, 4]:
+            got = {(r.reg, r.max_rho) for r in rolled if r.period == p}
+            win = df.filter((F.col("period") > p - 3) & (F.col("period") <= p))
+            direct = {(r.reg, r.max_rho)
+                      for r in hll_register_table(win, F.col("user")).collect()}
+            assert got == direct, f"period {p}"
+            est = {r.period: r.est_distinct
+                   for r in hll_rolling_distinct(daily, window=3).collect()}
+            solo = hll_distinct(win, F.col("user")).first()["est_distinct"]
+            assert est[p] == solo
+
+    def test_overlap_safe_and_guard(self, spark):
+        """Doubling the daily input (simulating per-period tables built
+        from overlapping sources) must not move any rolling register —
+        the idempotence Count-Min's SUM merge cannot offer."""
+        import pytest as _pytest
+
+        from spear_spark.operators.sketch import hll_register_table_by, hll_rolling
+
+        daily = hll_register_table_by(self._events(spark), "period", F.col("user"))
+        base = sorted(map(tuple, hll_rolling(daily, window=3).collect()))
+        doubled = sorted(map(tuple,
+                             hll_rolling(daily.unionByName(daily), window=3).collect()))
+        assert doubled == base
+        with _pytest.raises(ValueError, match="window"):
+            hll_rolling(daily, window=0)
+
+
+class TestRepeatedNgramProfile:
+    def test_planted_spans(self, spark):
+        """A span shared by two docs marks exactly one 8-gram position
+        in each; a within-doc repeat marks both positions; unique docs
+        score 0; docs shorter than n emit no row."""
+        from spear_spark.operators.dedup import repeated_ngram_profile
+
+        span = "s1 s2 s3 s4 s5 s6 s7 s8"
+        rows = [
+            (1, f"a1 a2 a3 {span}"),            # 11 toks -> 4 grams, 1 dup
+            (2, f"b1 b2 {span} b3"),            # 11 toks -> 4 grams, 1 dup
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # unique, 2 grams, 0 dup
+            (4, "d1 d2 d3 d4 d5 d6 d7"),        # 7 toks -> no row
+            (5, f"{span} {span}"),              # 16 toks -> 9 grams; pos 1 and 9
+                                                # identical, others span-straddling
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r.doc_id: r for r in
+               repeated_ngram_profile(df, "text", "doc_id").collect()}
+        assert set(out) == {1, 2, 3, 5}
+        assert (out[1].n_ngrams, out[1].n_dup) == (4, 1)
+        assert (out[2].n_ngrams, out[2].n_dup) == (4, 1)
+        assert (out[3].n_ngrams, out[3].n_dup) == (2, 0)
+        assert out[3].dup_frac == 0.0
+        # doc 5: grams at positions 1 and 9 are the span itself -- which
+        # docs 1 and 2 also contain, so those two are dup; the 7
+        # straddling grams (s_k..s8 s1..s_{k-1}) are unique to doc 5
+        assert (out[5].n_ngrams, out[5].n_dup) == (9, 2)
+        assert out[1].dup_frac == 0.25
+
+    def test_partitioning_invariance_and_guard(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import repeated_ngram_profile
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(map(tuple, repeated_ngram_profile(docs, "text", "doc_id").collect()))
+        b = sorted(map(tuple,
+                       repeated_ngram_profile(docs.repartition(13), "text", "doc_id").collect()))
+        assert a == b and len(a) > 0
+        with _pytest.raises(ValueError, match="n must be"):
+            repeated_ngram_profile(docs, "text", "doc_id", n=1)
