@@ -548,3 +548,90 @@ def enrich_stream(
     if how not in ("left", "inner"):
         raise ValueError("enrich_stream: how must be 'left' or 'inner'")
     return events.join(dim, key, how)
+
+
+def daily_cm_cells_stream(
+    events: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 1024,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-DAY streaming Count-Min cells (period, row, bucket, cnt) —
+    the continuous producer for the :func:`spear_spark.operators.
+    sketch.cm_rolling` lifecycle: maintain each day's sketch
+    incrementally as events arrive, persist the tiny finalized tables,
+    answer any sliding-window frequency query later without touching
+    raw events again.  Unlike :func:`count_min_stream` (one global
+    grid, watermark-free), the grouped domain here grows by d·w cells
+    per day, so the event-time window + watermark bound the state:
+    days older than the watermark finalize and evict.  ``period`` is
+    the same integer epoch-day ordinal as the batch rolling family
+    (``unix_micros(window.start) div 86_400_000_000``), so drained
+    output feeds ``cm_rolling`` directly — batch-equivalence tested
+    cell-for-cell against the batch per-day grid."""
+    from spear_spark.operators.sketch import _cm_bucket
+
+    k = F.col(key).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cm_bucket(k, r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(cells).alias("_c"))
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("_w"),
+            F.col("_c.row").alias("row"),
+            F.col("_c.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr("unix_micros(_w.start) div 86400000000").alias("period"),
+            "row",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
+def daily_hll_registers_stream(
+    events: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    m: int = 64,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-DAY streaming HLL registers (period, reg, max_rho) — the
+    continuous producer for :func:`spear_spark.operators.sketch.
+    hll_rolling`: each day's register table is maintained
+    incrementally (m rows per day, watermark-evicted), and because
+    HLL's MAX merge is idempotent, re-drains or overlapping replays
+    cannot corrupt the rolling estimate — the property Count-Min's
+    SUM path does not have.  Same epoch-day ordinal as the batch
+    family; batch-equivalence tested register-for-register."""
+    from spear_spark.operators.dedup import h64
+
+    hv = h64(F.col(key).cast("string"))
+    assert m == 64, "streaming variant pins m=64 (shift by 6)"
+    rest = F.shiftright(hv, 6)
+    lowbit = rest.bitwiseAND(-rest)
+    rho = F.when(rest == 0, F.lit(40)).otherwise(
+        F.least(F.bit_count(lowbit - 1) + 1, F.lit(40))
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), (hv % m).alias("reg"), rho.alias("rho"))
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("_w"), F.col("reg"))
+        .agg(F.max("rho").alias("max_rho"))
+        .select(
+            F.expr("unix_micros(_w.start) div 86400000000").alias("period"),
+            "reg",
+            "max_rho",
+        )
+    )

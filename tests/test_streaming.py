@@ -481,3 +481,76 @@ def test_bloom_words_stream_matches_batch_and_probes(spark, sf_dir):
     drained = spark.table("bloom_stream_test").unionByName(sentinel)
     flags = bloom_probe(ev.distinct(), "key", drained, n_bits, k, seed)
     assert flags.filter(~F.col("maybe_member")).count() == 0  # no false negatives
+
+
+def test_daily_cm_cells_stream_feeds_cm_rolling(spark, sf_dir):
+    """Drained per-day streaming cells equal the batch per-day grid
+    cell-for-cell, and feeding them to cm_rolling reproduces the batch
+    rolling sketch — the full continuous-profile lifecycle: stream
+    maintains daily tables, batch answers sliding-window queries."""
+    from spear_spark.operators.sketch import _cm_bucket, cm_rolling
+    from spear_spark.streaming import daily_cm_cells_stream, stream_events
+
+    stream = daily_cm_cells_stream(stream_events(spark, sf_dir), "user_id")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("daily_cm_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("daily_cm_test")
+    ev = load_table(spark, sf_dir, "events")
+    k = F.col("user_id").cast("string")
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), _cm_bucket(k, r, 1024).alias("bucket"))
+            for r in range(4)
+        ]
+    )
+    batch_daily = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("period"),
+            F.explode(cells).alias("_c"),
+        )
+        .groupBy("period", F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, batch_daily.collect())
+    )
+    rolled_from_stream = sorted(map(tuple, cm_rolling(drained, 7).collect()))
+    rolled_batch = sorted(map(tuple, cm_rolling(batch_daily, 7).collect()))
+    assert rolled_from_stream == rolled_batch
+
+
+def test_daily_hll_registers_stream_matches_batch(spark, sf_dir):
+    """Drained per-day streaming registers equal the batch per-day
+    register table — and survive a double-drain union unchanged
+    (MAX-idempotent), the replay-safety CM's SUM path lacks."""
+    from spear_spark.operators.sketch import hll_register_table_by, hll_rolling
+    from spear_spark.streaming import daily_hll_registers_stream, stream_events
+
+    stream = daily_hll_registers_stream(stream_events(spark, sf_dir), "user_id")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("daily_hll_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("daily_hll_test")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("period"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    batch_daily = hll_register_table_by(ev, "period", F.col("u"))
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, batch_daily.collect())
+    )
+    replayed = sorted(map(tuple,
+                          hll_rolling(drained.unionByName(drained), 7).collect()))
+    once = sorted(map(tuple, hll_rolling(batch_daily, 7).collect()))
+    assert replayed == once
