@@ -41,6 +41,10 @@ PICKS = [
     # round-7 additions
     "p77_kmeans_lloyd", "p78_cm_merge", "p79_hll_merge",
     "p80_group_distinct",
+    # round-8 additions
+    "p81_group_heavy_hitters", "p82_rolling_sketch",
+    "p83_health_report", "p84_rolling_distinct",
+    "p85_repeated_ngrams",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

@@ -550,3 +550,21 @@ def test_bloom_filter_replication_invariant(spark, sf_dir):
     kept = bloom_decontaminate(docs, "text", deny, "text", n_bits, k).count()
     kept10 = bloom_decontaminate(docs10, "text", deny10, "text", n_bits, k).count()
     assert kept10 == 10 * kept
+
+
+def test_repeated_ngrams_self_union_saturates(spark, sf_dir):
+    """Unioning the corpus with itself (fresh doc ids) makes EVERY
+    n-gram corpus-duplicated, so n_dup == n_ngrams for every doc —
+    the saturation limit of the Lee-et-al signal, and a 2× scale probe
+    of the no-self-join window plan."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.operators.dedup import repeated_ngram_profile
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    rows = repeated_ngram_profile(doubled, "text", "doc_id").collect()
+    assert rows and all(r.n_dup == r.n_ngrams and r.dup_frac == 1.0 for r in rows)
