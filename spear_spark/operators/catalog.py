@@ -3378,3 +3378,35 @@ def p84_rolling_distinct(spark: SparkSession, sf_dir: str) -> SDF:
 def p85_repeated_ngrams(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.repeated_ngram_profile(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p86 — histogram merge law, driver-certified (operators.stats.
+# hist_merge): per-shard (bucket, n) count tables (documents split by
+# doc_id parity) merged by per-bucket SUM, then decorated with edges
+# and share/cum_share — the oracle rebuilds the WHOLE-corpus histogram
+# directly, certifying merge(counts(A), counts(B)) == counts(A ∪ B)
+# bit-for-bit, completing the merge-certification trilogy (p78
+# Count-Min SUM, p79 HLL MAX, p86 histogram SUM).  The ratio columns
+# are recomputed from merged counts (shares are NOT mergeable).
+# ---------------------------------------------------------------------------
+@q(
+    "p86_hist_merge",
+    """
+    WITH h AS (SELECT CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket, COUNT(*) AS n
+               FROM documents GROUP BY 1)
+    SELECT bucket, CAST(bucket * 64.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 64.0 AS DOUBLE) AS hi, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+           ROUND(CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE) / SUM(n) OVER (), 6)
+             AS cum_share
+    FROM h ORDER BY bucket
+    """,
+)
+def p86_hist_merge(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import hist_decorate, hist_merge, histogram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = histogram_counts(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", 64.0)
+    odd = histogram_counts(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", 64.0)
+    return hist_decorate(hist_merge(even, odd), 64.0).orderBy("bucket")

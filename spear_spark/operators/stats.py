@@ -106,24 +106,62 @@ def fixed_width_histogram(
     on a single task regardless of input size (the window input IS the
     aggregated histogram, not the data).
     """
-    from pyspark.sql.window import Window as W
+    return hist_decorate(histogram_counts(df, value_col, width), width, decimals)
 
-    total = W.partitionBy()
-    order = W.partitionBy().orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+
+def histogram_counts(df: DataFrame, value_col: str, width: float) -> DataFrame:
+    """The MERGEABLE core of :func:`fixed_width_histogram`: the raw
+    (bucket, n) table — integer counts on a fixed bucket grid, so
+    tables from DISJOINT shards merge exactly by per-bucket SUM
+    (:func:`hist_merge`), completing the merge lifecycle the sketch
+    family has for Count-Min (SUM) and HLL (MAX).  The ratio columns
+    (share/cum_share) are NOT mergeable and are recomputed from the
+    merged counts by :func:`hist_decorate`."""
     return (
         df.select(F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "bucket",
-            (F.col("bucket") * F.lit(width)).cast("double").alias("lo"),
-            ((F.col("bucket") + 1) * F.lit(width)).cast("double").alias("hi"),
-            "n",
-            F.round(F.col("n") / F.sum("n").over(total), decimals).alias("share"),
-            F.round(
-                F.sum("n").over(order) / F.sum("n").over(total), decimals
-            ).alias("cum_share"),
-        )
+    )
+
+
+def hist_merge(*counts: DataFrame) -> DataFrame:
+    """Merge (bucket, n) histogram-count tables built with the SAME
+    bucket width over DISJOINT shards: per-bucket SUM equals the
+    counts of the union — exactly (integer bin counts are
+    associative-commutative).  Same disjointness contract as
+    ``sketch.cm_merge`` (a row in two shards is counted twice; widths
+    are the caller's contract — bucket indices carry no width
+    provenance).  Scale: a union of O(buckets)-row tables + one
+    bounded two-phase aggregate."""
+    if not counts:
+        raise ValueError("hist_merge: need at least one counts table")
+    merged = counts[0]
+    for c in counts[1:]:
+        merged = merged.unionByName(c)
+    return merged.groupBy("bucket").agg(F.sum("n").alias("n"))
+
+
+def hist_decorate(
+    counts: DataFrame, width: float, decimals: int = 6
+) -> DataFrame:
+    """Attach lo/hi edges and share/cum_share ratios to a (bucket, n)
+    counts table — the presentation step of
+    :func:`fixed_width_histogram`, applied AFTER any
+    :func:`hist_merge`.  The window input is the aggregated histogram
+    (O(buckets) rows), never the data."""
+    from pyspark.sql.window import Window as W
+
+    total = W.partitionBy()
+    order = W.partitionBy().orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return counts.select(
+        "bucket",
+        (F.col("bucket") * F.lit(width)).cast("double").alias("lo"),
+        ((F.col("bucket") + 1) * F.lit(width)).cast("double").alias("hi"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), decimals).alias("share"),
+        F.round(
+            F.sum("n").over(order) / F.sum("n").over(total), decimals
+        ).alias("cum_share"),
     )
 
 

@@ -3013,3 +3013,30 @@ class TestRepeatedNgramProfile:
         assert a == b and len(a) > 0
         with _pytest.raises(ValueError, match="n must be"):
             repeated_ngram_profile(docs, "text", "doc_id", n=1)
+
+
+def test_hist_merge_law(spark, sf_dir):
+    """merge(counts(A), counts(B)) == counts(A ∪ B) for disjoint
+    shards, and decorating the merged counts reproduces the whole
+    fixed_width_histogram — shares recompute exactly from merged
+    integer counts."""
+    import pytest as _pytest
+
+    from spear_spark.operators.stats import (
+        fixed_width_histogram,
+        hist_decorate,
+        hist_merge,
+        histogram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = histogram_counts(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", 64.0)
+    odd = histogram_counts(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", 64.0)
+    merged = sorted(map(tuple, hist_merge(even, odd).collect()))
+    whole = sorted(map(tuple, histogram_counts(docs, "n_chars", 64.0).collect()))
+    assert merged == whole
+    dec = sorted(map(tuple, hist_decorate(hist_merge(even, odd), 64.0).collect()))
+    direct = sorted(map(tuple, fixed_width_histogram(docs, "n_chars", 64.0).collect()))
+    assert dec == direct
+    with _pytest.raises(ValueError, match="at least one"):
+        hist_merge()
