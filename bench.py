@@ -139,6 +139,7 @@ HEADLINE = [
     "p83_health_report",
     "p84_rolling_distinct",
     "p85_repeated_ngrams",
+    "p86_hist_merge",
 ]
 
 

@@ -44,7 +44,7 @@ PICKS = [
     # round-8 additions
     "p81_group_heavy_hitters", "p82_rolling_sketch",
     "p83_health_report", "p84_rolling_distinct",
-    "p85_repeated_ngrams",
+    "p85_repeated_ngrams", "p86_hist_merge",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries
