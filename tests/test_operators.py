@@ -3040,3 +3040,29 @@ def test_hist_merge_law(spark, sf_dir):
     assert dec == direct
     with _pytest.raises(ValueError, match="at least one"):
         hist_merge()
+
+
+def test_round8_operators_partitioning_invariant(spark, sf_dir):
+    """The round-8 surfaces are deterministic aggregates end-to-end —
+    md5 hashes, integer registers/cells, exact percentiles — so
+    repartitioning the input must not move a single output value
+    (the property that makes them oracle-pairable at all)."""
+    from spear_spark.operators.profile import corpus_health_report
+    from spear_spark.operators.sketch import (
+        cm_heavy_hitters_by,
+        cm_rolling,
+        count_min_sketch_by,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs13 = docs.repartition(13)
+    for fn in (
+        lambda d: corpus_health_report(d, "source", "text", "doc_id"),
+        lambda d: cm_heavy_hitters_by(d, "source", "text", pct=1),
+        lambda d: cm_rolling(count_min_sketch_by(
+            d.withColumn("period", (F.col("doc_id") % 5).cast("int")),
+            "period", "text"), window=2),
+    ):
+        a = sorted(map(tuple, fn(docs).collect()))
+        b = sorted(map(tuple, fn(docs13).collect()))
+        assert a == b and len(a) > 0
