@@ -24,21 +24,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-8 window: the 6 new queries (grouped heavy hitters, rolling
+# Round-8 window: the 8 new queries (grouped heavy hitters, rolling
 # CM sketch, health report, rolling HLL distinct, repeated-n-gram
-# profile, histogram-merge law), ALL 20 remaining
+# profile, histogram-merge law, contamination spans, cluster
+# representatives), ALL 20 remaining
 # r04-evidence queries (closing the backlog the round-7 verdict
-# sequenced), and the 24 oldest r05-evidence queries.  The 21 r05
+# sequenced), and the 22 oldest r05-evidence queries.  The 23 r05
 # queries that didn't fit lead the round-9 rotation.
 _DRIVER_PRIORITY = [
     # ---- round 8 window ----
     # -- NEW in round 8 (no driver evidence yet): per-group Count-Min
     #    heavy hitters, 7-day rolling CM + HLL profiles, one-pass
     #    corpus health report, Lee-et-al repeated-n-gram profile,
-    #    driver-certified histogram merge law
-    # -- then the final 20 r04-evidence queries and the 24 oldest r05
+    #    driver-certified histogram merge law, span-level
+    #    decontamination, quality-aware cluster representatives
+    # -- then the final 20 r04-evidence queries and the 22 oldest r05
     "p81_group_heavy_hitters", "p82_rolling_sketch",
-    "p83_health_report", "p84_rolling_distinct", "p85_repeated_ngrams", "p86_hist_merge", "q17_event_gaps",
+    "p83_health_report", "p84_rolling_distinct", "p85_repeated_ngrams", "p86_hist_merge", "p87_contamination_spans",
+    "p88_cluster_representatives", "q17_event_gaps",
     "q19_sort_nulls", "q24_hourly_rollup",
     "q25_json_extract", "q29_asof_last_click",
     "q43_multigrain_rollup", "q50_sql_dialect",
@@ -59,11 +62,12 @@ _DRIVER_PRIORITY = [
     "p66_quality_funnel", "p67_centroid_shift",
     "p70_bigram_lm", "q01_pricing_summary",
     "q02_filter_topk", "q03_shipping_priority",
-    "q04_theta_join", "q05_self_join_pairs",
-    "q15_top3_per_nation",
+    "q04_theta_join",
+   
    
     # ---- below the fold (evidence r05+ and unchanged; order =
     # evidence age so future rotations stay mechanical) ----
+    "q05_self_join_pairs", "q15_top3_per_nation",
     "q16_range_frame", "q20_scalar_functions", "q23_select_no_from",
     "q26_rollup", "q27_pivot_segments",
     "q28_word_counts", "q30_right_join",

@@ -140,6 +140,8 @@ HEADLINE = [
     "p84_rolling_distinct",
     "p85_repeated_ngrams",
     "p86_hist_merge",
+    "p87_contamination_spans",
+    "p88_cluster_representatives",
 ]
 
 

@@ -45,6 +45,7 @@ PICKS = [
     "p81_group_heavy_hitters", "p82_rolling_sketch",
     "p83_health_report", "p84_rolling_distinct",
     "p85_repeated_ngrams", "p86_hist_merge",
+    "p87_contamination_spans", "p88_cluster_representatives",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

@@ -3410,3 +3410,108 @@ def p86_hist_merge(spark: SparkSession, sf_dir: str) -> SDF:
     even = histogram_counts(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", 64.0)
     odd = histogram_counts(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", 64.0)
     return hist_decorate(hist_merge(even, odd), 64.0).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# p87 — span-level decontamination (operators.dedup.
+# contamination_spans): WHERE each corpus doc touches the benchmark —
+# one row per contaminated 3-gram POSITION (1-based), the actionable
+# redaction map p38's doc-pair counts don't give.  Benchmark = docs
+# 0-9 (as in p38); the bench gram set broadcasts, the corpus side is
+# one positional explode + broadcast semi join, zero corpus shuffle.
+# ---------------------------------------------------------------------------
+@q(
+    "p87_contamination_spans",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest([struct_pack(pos := i,
+                                      gram := array_to_string(list_slice(t, i, i + 2), ' '))
+                          for i in generate_series(1, len(t) - 2)]) AS s
+           FROM toks WHERE doc_id >= 10),
+    g AS (SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.gram AS gram FROM g0),
+    bench AS (SELECT DISTINCT unnest([array_to_string(list_slice(t, i, i + 2), ' ')
+                                      for i in generate_series(1, len(t) - 2)]) AS gram
+              FROM toks WHERE doc_id < 10)
+    SELECT g.doc_id, g.pos, g.gram
+    FROM g SEMI JOIN bench USING (gram)
+    ORDER BY doc_id, pos
+    """,
+)
+def p87_contamination_spans(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return dedup.contamination_spans(corpus, bench, "text", "doc_id").orderBy(
+        "doc_id", "pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p88 — quality-aware dup-cluster representatives (operators.dedup.
+# cluster_representatives): per near-dup cluster (p21's Jaccard >= 0.5
+# connected components), keep the best p09-quality member (tie-break
+# min doc_id) — the curation policy that beats min-id canonicalization
+# when duplicates differ in extraction quality.  Spark side is ONE
+# two-phase aggregate (MAX over (score, -id) structs — no per-cluster
+# window sort); the oracle runs the recursive-CTE closure + the
+# quality formula + a ROW_NUMBER pick.
+# ---------------------------------------------------------------------------
+@q(
+    "p88_cluster_representatives",
+    rf"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    s AS (
+      SELECT doc_id, {_TOKS} AS t,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+      FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                 CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits,
+                 nc
+          FROM s),
+    q2 AS (SELECT doc_id,
+                  ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+                      + 0.4 * (hits / n_tok)
+                      + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) AS quality
+           FROM m),
+    j AS (SELECT l.cluster_id, l.doc_id, q2.quality
+          FROM labels l JOIN q2 USING (doc_id)),
+    best AS (SELECT cluster_id, doc_id, quality,
+                    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality DESC, doc_id) AS rn,
+                    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+             FROM j)
+    SELECT cluster_id, doc_id AS keep_id, quality AS keep_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM best WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def p88_cluster_representatives(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
+    labels = dedup.connected_components(pairs)
+    scores = docs.select("doc_id", text.quality_score("text").alias("score"))
+    return dedup.cluster_representatives(labels, scores).orderBy("cluster_id")

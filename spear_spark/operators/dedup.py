@@ -1057,6 +1057,28 @@ def bloom_decontaminate(
     ).drop("maybe_member")
 
 
+def ngram_list(text: Column | str, n: int) -> Column:
+    """POSITIONAL token n-grams — :func:`shingles` without the
+    ``array_distinct``: element i (1-based) is the n-gram starting at
+    token i, with multiplicity preserved, so span-level operators
+    (:func:`repeated_ngram_profile`, :func:`contamination_spans`) can
+    map grams back to token positions.  Same ``zip_with`` + ``let_``
+    construction as :func:`shingles` (see its docstring for why
+    ``transform`` + ``element_at`` is ~100× slower here)."""
+
+    def body(toks: Column) -> Column:
+        big = F.greatest(F.size(toks), F.lit(1))
+        grams = toks
+        for j in range(1, n):
+            shifted = F.slice(toks, j + 1, big)
+            grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+        n_grams = F.size(toks) - (n - 1)
+        empty = F.array().cast("array<string>")
+        return F.when(n_grams >= 1, F.slice(grams, 1, n_grams)).otherwise(empty)
+
+    return let_(tokens(text), body)
+
+
 def repeated_ngram_profile(
     df: DataFrame, text_col: str, id_col: str, n: int = 8
 ) -> DataFrame:
@@ -1087,21 +1109,11 @@ def repeated_ngram_profile(
     if n < 2:
         raise ValueError(f"repeated_ngram_profile: n must be >= 2, got {n}")
 
-    def grams_body(toks: Column) -> Column:
-        big = F.greatest(F.size(toks), F.lit(1))
-        grams = toks
-        for j in range(1, n):
-            shifted = F.slice(toks, j + 1, big)
-            grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
-        n_grams = F.size(toks) - (n - 1)
-        empty = F.array().cast("array<string>")
-        return F.when(n_grams >= 1, F.slice(grams, 1, n_grams)).otherwise(empty)
-
     from pyspark.sql import Window
 
     per_doc_hash = (
         df.select(
-            F.col(id_col), F.explode(let_(tokens(text_col), grams_body)).alias("gram")
+            F.col(id_col), F.explode(ngram_list(text_col, n)).alias("gram")
         )
         .select(F.col(id_col), h64(F.col("gram")).alias("hv"))
         .groupBy(id_col, "hv")
@@ -1122,5 +1134,80 @@ def repeated_ngram_profile(
             "n_ngrams",
             "n_dup",
             F.round(F.col("n_dup") / F.col("n_ngrams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def contamination_spans(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Span-level decontamination: WHERE each corpus document touches
+    the benchmark — one row (doc_id, pos, gram) per corpus n-gram
+    POSITION (1-based token index) whose gram appears anywhere in the
+    benchmark's n-gram set.  :func:`ngram_contamination` answers
+    "which docs are contaminated (and by which bench doc)"; this
+    answers "which token spans to redact" — the actionable output a
+    surgical decontamination pass needs (drop the spans, keep the
+    doc), cf. the span-removal variant of the n-gram overlap rule used
+    for LLM training corpora.
+
+    Scale: identical regime to :func:`ngram_contamination` — the
+    benchmark's DISTINCT gram set broadcasts (eval sets are tiny by
+    definition), the corpus side is one positional explode
+    (:func:`ngram_list` keeps multiplicity and position) + a
+    broadcast LEFT SEMI hash join; corpus rows never shuffle and no
+    aggregation state exists at all."""
+    c = corpus_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngram_list(text_col, n)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    b = benchmark_df.select(
+        F.explode(shingles(text_col, n)).alias("gram")
+    ).distinct()
+    return c.join(F.broadcast(b), "gram", "semi").select("doc_id", "pos", "gram")
+
+
+def cluster_representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection for dup clusters: given
+    cluster labels (:func:`connected_components` output) and a
+    per-doc quality score, keep the BEST-scoring member per cluster
+    (tie-break: smallest id) — the curation policy that beats
+    :func:`exact_dedup`'s min-id rule when duplicates differ in
+    extraction quality (same article, one copy boilerplate-mangled).
+    Returns (cluster_id, keep_id, keep_score, n_members).
+
+    Scale: one inner join labels ⋈ scores on the id, then ONE
+    two-phase aggregate — the argmax is ``MAX(struct(score, -id))``
+    (lexicographic struct ordering ⇒ max score, then min id), so
+    there is no per-cluster window sort and partials collapse
+    map-side; shuffle volume is one struct per (partition, cluster)."""
+    j = labels.join(scores, id_col).select(
+        F.col(cluster_col),
+        F.col(id_col),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    return (
+        j.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(F.col("_s").alias("s"), (-F.col(id_col)).alias("nid"))
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            F.col(cluster_col),
+            (-F.col("_m.nid")).alias("keep_id"),
+            F.col("_m.s").alias("keep_score"),
+            "n_members",
         )
     )

@@ -3066,3 +3066,83 @@ def test_round8_operators_partitioning_invariant(spark, sf_dir):
         a = sorted(map(tuple, fn(docs).collect()))
         b = sorted(map(tuple, fn(docs13).collect()))
         assert a == b and len(a) > 0
+
+
+class TestContaminationSpans:
+    def test_planted_span_positions(self, spark):
+        """The shared benchmark sentence marks exactly its own n-gram
+        positions in the corpus doc — 1-based, multiplicity-aware
+        (a doc repeating the bench phrase gets both positions)."""
+        from spear_spark.operators.dedup import contamination_spans
+
+        bench = spark.createDataFrame(
+            [(1, "the quick brown fox")], "doc_id int, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, "intro words the quick brown fox outro"),
+                (11, "the quick brown fox the quick brown fox"),
+                (12, "totally unrelated text here"),
+            ],
+            "doc_id int, text string",
+        )
+        rows = contamination_spans(corpus, bench, "text", "doc_id").collect()
+        got = sorted((r.doc_id, r.pos, r.gram) for r in rows)
+        # bench 3-grams: "the quick brown", "quick brown fox"
+        assert got == [
+            (10, 3, "the quick brown"), (10, 4, "quick brown fox"),
+            (11, 1, "the quick brown"), (11, 2, "quick brown fox"),
+            (11, 5, "the quick brown"), (11, 6, "quick brown fox"),
+        ]
+
+    def test_consistent_with_doc_level_contamination(self, spark, sf_dir):
+        """Every (doc, bench) pair p38-style contamination reports must
+        have >= min_overlap distinct contaminated grams in the span
+        view — the span operator can only add detail, never lose a
+        contaminated doc."""
+        from spear_spark.operators.dedup import contamination_spans, ngram_contamination
+
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") < 10)
+        corpus = docs.filter(F.col("doc_id") >= 10)
+        flagged = ngram_contamination(corpus, bench, "text", "doc_id", min_overlap=8)
+        spans = contamination_spans(corpus, bench, "text", "doc_id")
+        per_doc = {
+            r.doc_id: r.n
+            for r in spans.groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("n"))
+            .collect()
+        }
+        for r in flagged.collect():
+            assert per_doc.get(r.doc_id, 0) >= 8
+
+
+def test_cluster_representatives_argmax_and_tiebreak(spark):
+    """Best score wins; exact score ties fall to the smallest id; the
+    single-aggregate argmax (MAX over (score, -id) structs) must agree
+    with the obvious window formulation."""
+    from pyspark.sql import Window
+
+    from spear_spark.operators.dedup import cluster_representatives
+
+    labels = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (9, 200), (4, 300)],
+        "doc_id int, cluster_id int",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (7, 0.4), (9, 0.4), (4, 0.1)],
+        "doc_id int, score double",
+    )
+    got = {r.cluster_id: (r.keep_id, r.keep_score, r.n_members)
+           for r in cluster_representatives(labels, scores).collect()}
+    assert got == {100: (2, 0.9, 3), 200: (7, 0.4, 2), 300: (4, 0.1, 1)}
+    # cross-check against the window formulation on the same inputs
+    j = labels.join(scores, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), "doc_id")
+    ref = {
+        r.cluster_id: r.doc_id
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert {c: k for c, (k, _, _) in got.items()} == ref
