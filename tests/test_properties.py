@@ -350,3 +350,89 @@ def test_partitioned_bounded_range_law(spark, rows, preceding, following,
     a = sorted(tuple(r) for r in got.select("k", "v", "s").collect())
     b = sorted(tuple(r) for r in naive.select("k", "v", "s").collect())
     assert a == b
+
+
+# -- rolling-sketch merge laws over random corpora --------------------------
+
+_doc_st = st.text(
+    alphabet="ab cd", min_size=0, max_size=20
+)  # tiny alphabet -> heavy token collisions, the interesting regime
+_rolling_corpus_st = st.lists(
+    st.tuples(st.integers(0, 6), _doc_st), min_size=1, max_size=18
+)
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_rolling_corpus_st, window=st.integers(1, 4))
+def test_cm_rolling_equals_direct_window_sketch_prop(spark, rows, window):
+    """∀ corpora, ∀ windows: rolling cells at period p == the direct
+    sketch of rows in (p-window+1 .. p] — the hypothesis-widened form
+    of the planted-case law (random period gaps, empty docs, token
+    collisions)."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.operators.sketch import (
+        cm_rolling,
+        count_min_sketch,
+        count_min_sketch_by,
+    )
+
+    df = spark.createDataFrame(rows, "period int, text string")
+    daily = count_min_sketch_by(df, "period", "text")
+    rolled = cm_rolling(daily, window=window).collect()
+    periods = {r[0] for r in rows}
+    assert {r.period for r in rolled} <= periods
+    by_p: dict[int, dict] = {}
+    for r in rolled:
+        by_p.setdefault(r.period, {})[(r.row, r.bucket)] = r.cnt
+    for p in periods:
+        direct = {
+            (r.row, r.bucket): r.cnt
+            for r in count_min_sketch(
+                df.filter(
+                    (F.col("period") > p - window) & (F.col("period") <= p)
+                ),
+                "text",
+            ).collect()
+        }
+        assert by_p.get(p, {}) == direct
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 40)),
+                     min_size=1, max_size=25),
+       window=st.integers(1, 3))
+def test_hll_rolling_equals_direct_window_registers_prop(spark, rows, window):
+    """∀ corpora, ∀ windows: rolling registers at p == the register
+    table of the window's rows — and merging the daily table with
+    itself first never changes anything (MAX idempotence)."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.operators.sketch import (
+        hll_register_table,
+        hll_register_table_by,
+        hll_rolling,
+    )
+
+    df = spark.createDataFrame(rows, "period int, k int")
+    key = F.col("k").cast("string")
+    daily = hll_register_table_by(df, "period", key)
+    rolled = hll_rolling(daily, window=window).collect()
+    doubled = hll_rolling(daily.unionByName(daily), window=window).collect()
+    assert sorted(map(tuple, rolled)) == sorted(map(tuple, doubled))
+    by_p: dict[int, set] = {}
+    for r in rolled:
+        by_p.setdefault(r.period, set()).add((r.reg, r.max_rho))
+    for p in {r[0] for r in rows}:
+        direct = {
+            (r.reg, r.max_rho)
+            for r in hll_register_table(
+                df.filter(
+                    (F.col("period") > p - window) & (F.col("period") <= p)
+                ),
+                key,
+            ).collect()
+        }
+        assert by_p.get(p, set()) == direct
