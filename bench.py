@@ -142,6 +142,7 @@ HEADLINE = [
     "p86_hist_merge",
     "p87_contamination_spans",
     "p88_cluster_representatives",
+    "p89_hll_overlap",
 ]
 
 

@@ -3515,3 +3515,73 @@ def p88_cluster_representatives(spark: SparkSession, sf_dir: str) -> SDF:
     labels = dedup.connected_components(pairs)
     scores = docs.select("doc_id", text.quality_score("text").alias("score"))
     return dedup.cluster_representatives(labels, scores).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# p89 — pairwise HLL set overlap (operators.sketch.hll_overlap_by):
+# estimated shared users for every event-type pair via
+# inclusion-exclusion over register tables — union registers are the
+# per-(pair, reg) MAX (exact at the register level), every estimate
+# goes through the shared exact form, and negative IE noise clamps to
+# 0 identically in both engines, so the whole overlap matrix is
+# hash-exact cross-engine.  One corpus scan; pairs × m bounded rows
+# after it.
+# ---------------------------------------------------------------------------
+@q(
+    "p89_hll_overlap",
+    f"""
+    WITH h AS (SELECT event_type AS g,
+                      ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+               FROM events),
+    r AS (SELECT g, hv % {_HLL_M} AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 40
+                      ELSE LEAST(bit_count(((hv >> 6) & -(hv >> 6)) - 1) + 1, 40)
+                 END AS rho
+          FROM h),
+    regs AS (SELECT g, reg, MAX(rho) AS max_rho FROM r GROUP BY g, reg),
+    s1 AS (SELECT g,
+                  CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (40 - max_rho)), 0) AS BIGINT)
+                    AS s_present,
+                  COUNT(*) AS n_present
+           FROM regs GROUP BY g),
+    e1raw AS (SELECT g,
+                     CAST({_HLL_NUM} AS DOUBLE) * CAST({float(_POW40)!r} AS DOUBLE)
+                     / CAST(s_present + ({_HLL_M} - n_present) * {_POW40} AS DOUBLE) AS raw,
+                     {_HLL_M} - n_present AS v
+              FROM s1),
+    e1 AS (SELECT g, ROUND(CASE WHEN v > 0 AND raw <= {2.5 * _HLL_M!r}
+                                THEN ({_LC_LIST})[v + 1] ELSE raw END, 3) AS est
+           FROM e1raw),
+    groups AS (SELECT DISTINCT g FROM regs),
+    pairs AS (SELECT x.g AS ga, y.g AS gb FROM groups x JOIN groups y ON x.g < y.g),
+    uregs AS (SELECT p.ga, p.gb, r2.reg, MAX(r2.max_rho) AS max_rho
+              FROM pairs p JOIN regs r2 ON r2.g = p.ga OR r2.g = p.gb
+              GROUP BY p.ga, p.gb, r2.reg),
+    us AS (SELECT ga, gb,
+                  CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (40 - max_rho)), 0) AS BIGINT)
+                    AS s_present,
+                  COUNT(*) AS n_present
+           FROM uregs GROUP BY ga, gb),
+    ueraw AS (SELECT ga, gb,
+                     CAST({_HLL_NUM} AS DOUBLE) * CAST({float(_POW40)!r} AS DOUBLE)
+                     / CAST(s_present + ({_HLL_M} - n_present) * {_POW40} AS DOUBLE) AS raw,
+                     {_HLL_M} - n_present AS v
+              FROM us),
+    ue AS (SELECT ga, gb, ROUND(CASE WHEN v > 0 AND raw <= {2.5 * _HLL_M!r}
+                                     THEN ({_LC_LIST})[v + 1] ELSE raw END, 3)
+                    AS est_union
+           FROM ueraw)
+    SELECT ue.ga AS group_a, ue.gb AS group_b,
+           a.est AS est_a, b.est AS est_b, ue.est_union,
+           ROUND(GREATEST(0.0, a.est + b.est - ue.est_union), 3) AS est_overlap
+    FROM ue JOIN e1 a ON a.g = ue.ga JOIN e1 b ON b.g = ue.gb
+    ORDER BY group_a, group_b
+    """,
+)
+def p89_hll_overlap(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.hll_overlap_by(
+        ev, "event_type", F.col("user_id").cast("string")
+    ).orderBy("group_a", "group_b")

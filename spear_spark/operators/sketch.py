@@ -665,3 +665,80 @@ def hll_rolling_distinct(
     return per.select(
         F.col(period_col), F.round(_hll_est_expr(m), 3).alias("est_distinct")
     )
+
+
+def hll_overlap_by(
+    df: DataFrame, group_col: str, key: Column, m: int = HLL_M
+) -> DataFrame:
+    """Pairwise overlap estimates between groups' key sets via HLL
+    inclusion-exclusion: for every unordered group pair (a < b),
+    ``est_overlap = max(0, est(a) + est(b) - est(a ∪ b))`` — the
+    standard answer to "how many users/fingerprints do sources A and B
+    share?" without ever joining the raw sets.  The union estimate
+    comes from per-(pair, reg) MAX over the two groups' registers
+    (HLL's union is exact at the register level; only the cardinality
+    readout is approximate), and every estimate goes through the
+    shared exact `_hll_est_expr`, so the whole matrix is
+    deterministic and oracle-pairable.  Negative inclusion-exclusion
+    noise clamps to 0 (identically in both engines).
+
+    Returns (group_a, group_b, est_a, est_b, est_union, est_overlap),
+    one row per unordered pair, both groups' names sorted
+    lexicographically within the pair.
+
+    Scale: ONE corpus scan builds the |groups|·m register table;
+    everything after — the |groups|²/2-pair fan-out, the per-pair
+    register MAX, the estimates — runs over bounded relations
+    (pairs × m rows total).  For |groups| in the thousands the
+    pair fan-out is still only ~10⁶·m tiny rows; the corpus itself
+    is never touched again."""
+    regs = hll_register_table_by(df, group_col, key, m).localCheckpoint(eager=False)
+    per = regs.groupBy(group_col).agg(
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - max_rho)")),
+            F.lit(0).cast("bigint"),
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    est = per.select(F.col(group_col), F.round(_hll_est_expr(m), 3).alias("est"))
+    groups = regs.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.alias("x")
+        .join(F.broadcast(groups.alias("y")), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    union_regs = pairs.join(
+        F.broadcast(regs),
+        (F.col(group_col) == F.col("ga")) | (F.col(group_col) == F.col("gb")),
+    ).groupBy("ga", "gb", "reg").agg(F.max("max_rho").alias("max_rho"))
+    union_est = (
+        union_regs.groupBy("ga", "gb")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - max_rho)")),
+                F.lit(0).cast("bigint"),
+            ).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select("ga", "gb", F.round(_hll_est_expr(m), 3).alias("est_union"))
+    )
+    ea = est.select(F.col(group_col).alias("ga"), F.col("est").alias("est_a"))
+    eb = est.select(F.col(group_col).alias("gb"), F.col("est").alias("est_b"))
+    return (
+        union_est.join(F.broadcast(ea), "ga")
+        .join(F.broadcast(eb), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                ),
+                3,
+            ).alias("est_overlap"),
+        )
+    )

@@ -3146,3 +3146,49 @@ def test_cluster_representatives_argmax_and_tiebreak(spark):
         .collect()
     }
     assert {c: k for c, (k, _, _) in got.items()} == ref
+
+
+class TestHLLOverlap:
+    def test_inclusion_exclusion_consistency(self, spark, sf_dir):
+        """Per-pair union registers equal hll_register_table over the
+        two groups' rows, est_a/est_b equal hll_distinct_by, and the
+        overlap is exactly max(0, a + b - union) of those estimates."""
+        from spear_spark.operators.sketch import (
+            hll_distinct,
+            hll_distinct_by,
+            hll_overlap_by,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        key = F.col("user_id").cast("string")
+        rows = hll_overlap_by(ev, "event_type", key).collect()
+        singles = {r.event_type: r.est_distinct
+                   for r in hll_distinct_by(ev, "event_type", key).collect()}
+        n = len(singles)
+        assert len(rows) == n * (n - 1) // 2
+        for r in rows:
+            assert r.group_a < r.group_b
+            assert r.est_a == singles[r.group_a]
+            assert r.est_b == singles[r.group_b]
+            direct_union = hll_distinct(
+                ev.filter(F.col("event_type").isin(r.group_a, r.group_b)), key
+            ).first()["est_distinct"]
+            assert r.est_union == direct_union
+            assert r.est_overlap == round(
+                max(0.0, r.est_a + r.est_b - r.est_union), 3
+            )
+
+    def test_planted_overlap_accuracy(self, spark):
+        """Two groups sharing exactly half their keys: the estimated
+        overlap lands within HLL noise (3 estimators' 3σ) of truth."""
+        from spear_spark.operators.sketch import hll_overlap_by
+
+        a = spark.range(2000).select(
+            F.lit("a").alias("g"), F.concat(F.lit("k"), F.col("id")).alias("k")
+        )
+        b = spark.range(1000, 3000).select(
+            F.lit("b").alias("g"), F.concat(F.lit("k"), F.col("id")).alias("k")
+        )
+        r = hll_overlap_by(a.unionByName(b), "g", F.col("k")).collect()[0]
+        # true overlap 1000 of 2000-sized sets; sigma ~13% per estimate
+        assert abs(r.est_overlap - 1000) <= 3 * 0.13 * (2000 + 2000 + 3000)
