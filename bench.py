@@ -143,6 +143,7 @@ HEADLINE = [
     "p87_contamination_spans",
     "p88_cluster_representatives",
     "p89_hll_overlap",
+    "p90_prefix_jaccard",
 ]
 
 

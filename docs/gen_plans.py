@@ -46,7 +46,7 @@ PICKS = [
     "p83_health_report", "p84_rolling_distinct",
     "p85_repeated_ngrams", "p86_hist_merge",
     "p87_contamination_spans", "p88_cluster_representatives",
-    "p89_hll_overlap",
+    "p89_hll_overlap", "p90_prefix_jaccard",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

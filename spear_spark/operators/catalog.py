@@ -3585,3 +3585,35 @@ def p89_hll_overlap(spark: SparkSession, sf_dir: str) -> SDF:
     return sketch.hll_overlap_by(
         ev, "event_type", F.col("user_id").cast("string")
     ).orderBy("group_a", "group_b")
+
+
+# ---------------------------------------------------------------------------
+# p90 — prefix-filtered threshold similarity join (operators.dedup.
+# jaccard_prefix_pairs): all pairs with 3-gram Jaccard >= 0.5 via
+# PPJoin-style prefix filtering — candidates come only from each doc's
+# rarest n - ceil(t·n) + 1 shingles, then exact array-intersect
+# verification.  The oracle computes the SAME answer from the FULL
+# inverted index (no prefix), so the driver hash certifies the prefix
+# filter's losslessness cross-engine, not just cross-formulation.
+# ---------------------------------------------------------------------------
+@q(
+    "p90_prefix_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def p90_prefix_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )

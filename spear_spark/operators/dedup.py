@@ -1211,3 +1211,90 @@ def cluster_representatives(
             "n_members",
         )
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Threshold set-similarity join with PPJoin-style PREFIX FILTERING
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection"): all pairs with n-gram Jaccard >= ``threshold``,
+    LOSSLESSLY — law-tested equal to the full inverted index filtered
+    at the threshold — but generating candidates only from each doc's
+    rarest ``n - ceil(t·n) + 1`` shingles (global-df order): two docs
+    with Jaccard >= t MUST share a token inside both prefixes, so the
+    stop-shingle posting lists that dominate the full index's pair
+    space never produce a candidate.  A length filter
+    (``t·max(na,nb) <= min(na,nb)``) prunes size-incompatible pairs
+    before the distinct, and every surviving candidate is verified
+    EXACTLY via ``array_intersect`` on the full shingle arrays.
+
+    vs :func:`ngram_jaccard_pairs`: that operator returns ALL
+    overlapping pairs (any Jaccard) and needs ``max_df`` as a safety
+    knob that changes semantics under the cap; this one answers the
+    thresholded question exactly with pruning that needs no knob —
+    the right default when the question is "pairs above t", the wrong
+    one when you want the full similarity distribution.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 6dp.
+
+    Scale: one shingle explode; a df-count window and a per-doc rank
+    window (rarest-first) over the posting staging; the candidate
+    join touches only prefix postings (for near-dup corpora a small
+    fraction of the index); verification joins the bounded candidate
+    set back to the checkpointed shingle arrays.  The prefix length
+    carries a +1 safety margin so float ``ceil(t·n)`` boundary error
+    can only ever ADD candidates, never drop a true pair."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"jaccard_prefix_pairs: threshold in (0, 1], got {threshold}")
+    from pyspark.sql.window import Window as W
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("shs"))
+        .filter(F.size("shs") > 0)
+        .localCheckpoint(eager=False)
+    )
+    post = base.select(
+        F.col("id"), F.size("shs").alias("n"), F.explode("shs").alias("s")
+    )
+    ranked = post.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+    ranked = ranked.withColumn(
+        "rk", F.row_number().over(W.partitionBy("id").orderBy("df", "s"))
+    )
+    plen = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 2
+    pref = ranked.filter(F.col("rk") <= F.least(plen, F.col("n"))).select("id", "n", "s")
+    t = float(threshold)
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            (F.col("a.n") * t <= F.col("b.n") + 1e-9)
+            & (F.col("b.n") * t <= F.col("a.n") + 1e-9)
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    av = base.select(F.col("id").alias("doc_a"), F.col("shs").alias("_sa"))
+    bv = base.select(F.col("id").alias("doc_b"), F.col("shs").alias("_sb"))
+    i = F.size(F.array_intersect("_sa", "_sb"))
+    na, nb = F.size("_sa"), F.size("_sb")
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(i.cast("double") / (na + nb - i), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )

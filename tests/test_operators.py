@@ -3192,3 +3192,37 @@ class TestHLLOverlap:
         r = hll_overlap_by(a.unionByName(b), "g", F.col("k")).collect()[0]
         # true overlap 1000 of 2000-sized sets; sigma ~13% per estimate
         assert abs(r.est_overlap - 1000) <= 3 * 0.13 * (2000 + 2000 + 3000)
+
+
+class TestJaccardPrefixPairs:
+    def test_lossless_vs_full_index(self, spark, sf_dir):
+        """The prefix-filtered join must return EXACTLY the full
+        inverted index's pairs at the threshold — the losslessness
+        claim the prefix filter's correctness argument makes."""
+        from spear_spark.operators.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+        docs = load_table(spark, sf_dir, "documents")
+        for t in (0.3, 0.5, 0.8):
+            got = sorted(map(tuple, jaccard_prefix_pairs(
+                docs, "text", "doc_id", threshold=t).collect()))
+            want = sorted(map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id")
+                              .filter(F.col("jaccard") >= t).collect()))
+            assert got == want, f"threshold {t}"
+        assert len(sorted(map(tuple, jaccard_prefix_pairs(
+            docs, "text", "doc_id", threshold=0.3).collect()))) > 0
+
+    def test_threshold_edge_and_guard(self, spark):
+        """A pair at exactly t = 0.5 (2 shared of 3+3 shingles) must
+        survive the prefix + length filters and the final comparison."""
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import jaccard_prefix_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "t1 t2 t3 t4 t5"), (2, "t1 t2 t3 t4 t6"), (3, "u1 u2 u3 u4 u5")],
+            "doc_id int, text string",
+        )
+        rows = jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+        assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.5)]
+        with _pytest.raises(ValueError, match="threshold"):
+            jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.0)
