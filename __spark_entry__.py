@@ -24,13 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-8 window: the 10 new queries (grouped heavy hitters, rolling
+# Round-8 window: the 11 new queries (grouped heavy hitters, rolling
 # CM sketch, health report, rolling HLL distinct, repeated-n-gram
 # profile, histogram-merge law, contamination spans, cluster
 # representatives, pairwise HLL overlap, prefix-filtered Jaccard
-# join), ALL 20 remaining
+# join, MAD robust outliers), ALL 20 remaining
 # r04-evidence queries (closing the backlog the round-7 verdict
-# sequenced), and the 20 oldest r05-evidence queries.  The 25 r05
+# sequenced), and the 19 oldest r05-evidence queries.  The 26 r05
 # queries that didn't fit lead the round-9 rotation.
 _DRIVER_PRIORITY = [
     # ---- round 8 window ----
@@ -39,11 +39,12 @@ _DRIVER_PRIORITY = [
     #    corpus health report, Lee-et-al repeated-n-gram profile,
     #    driver-certified histogram merge law, span-level
     #    decontamination, quality-aware cluster representatives,
-    #    pairwise HLL set overlap, lossless prefix-filtered Jaccard
-    # -- then the final 20 r04-evidence queries and the 20 oldest r05
+    #    pairwise HLL set overlap, lossless prefix-filtered Jaccard,
+    #    MAD robust outliers
+    # -- then the final 20 r04-evidence queries and the 19 oldest r05
     "p81_group_heavy_hitters", "p82_rolling_sketch",
     "p83_health_report", "p84_rolling_distinct", "p85_repeated_ngrams", "p86_hist_merge", "p87_contamination_spans",
-    "p88_cluster_representatives", "p89_hll_overlap", "p90_prefix_jaccard", "q17_event_gaps",
+    "p88_cluster_representatives", "p89_hll_overlap", "p90_prefix_jaccard", "p91_mad_outliers", "q17_event_gaps",
     "q19_sort_nulls", "q24_hourly_rollup",
     "q25_json_extract", "q29_asof_last_click",
     "q43_multigrain_rollup", "q50_sql_dialect",

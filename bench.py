@@ -144,6 +144,7 @@ HEADLINE = [
     "p88_cluster_representatives",
     "p89_hll_overlap",
     "p90_prefix_jaccard",
+    "p91_mad_outliers",
 ]
 
 

@@ -47,6 +47,7 @@ PICKS = [
     "p85_repeated_ngrams", "p86_hist_merge",
     "p87_contamination_spans", "p88_cluster_representatives",
     "p89_hll_overlap", "p90_prefix_jaccard",
+    "p91_mad_outliers",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

@@ -3617,3 +3617,42 @@ def p90_prefix_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# p91 — robust per-language outliers via modified z-score (operators.
+# stats.mad_outliers): 0.6745·(x − median)/MAD with the Iglewicz-
+# Hoaglin 3.5 flag — the masking-proof twin of p61's moment-based
+# z-score (law-tested: planted extremes that inflate stddev into
+# silence still score in the hundreds here).  Exact percentiles both
+# engines (quantile_cont ≡ F.percentile, the p25 contract); MAD = 0
+# groups emit nothing.  Flag threshold 1.5 here so the driver row set
+# is non-empty on the well-behaved synthetic lengths.
+# ---------------------------------------------------------------------------
+@q(
+    "p91_mad_outliers",
+    """
+    WITH med AS (SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+                 FROM documents GROUP BY lang),
+    dev AS (SELECT d.lang, doc_id, n_chars,
+                   CAST(n_chars AS DOUBLE) - med AS delta,
+                   ABS(CAST(n_chars AS DOUBLE) - med) AS ad
+            FROM documents d JOIN med USING (lang)),
+    mad AS (SELECT lang, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY lang)
+    SELECT dev.lang, doc_id, n_chars,
+           ROUND(0.6745 * delta / mad, 6) AS mscore
+    FROM dev JOIN mad USING (lang)
+    WHERE mad > 0 AND ABS(ROUND(0.6745 * delta / mad, 6)) >= 1.5
+    ORDER BY lang, doc_id
+    """,
+)
+def p91_mad_outliers(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import mad_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 1.5 (not the 3.5 Iglewicz-Hoaglin flag) because the synthetic
+    # lengths are well-behaved: the entry must carry rows for the
+    # driver hash to be a non-trivial check (18 at sf0.01)
+    return mad_outliers(docs, "n_chars", ["lang"], "doc_id", threshold=1.5).orderBy(
+        "lang", "doc_id"
+    )

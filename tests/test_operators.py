@@ -3226,3 +3226,21 @@ class TestJaccardPrefixPairs:
         assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.5)]
         with _pytest.raises(ValueError, match="threshold"):
             jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.0)
+
+
+def test_mad_outliers_beat_zscore_masking(spark):
+    """The masking law: three planted extremes inflate stddev until
+    the z-score flags nothing at 2σ, while the modified z-score flags
+    exactly those three; an all-identical group (MAD = 0) emits no
+    rows instead of dividing by zero."""
+    from spear_spark.operators.stats import mad_outliers, zscore_outliers
+
+    rows = [("a", i, v) for i, v in enumerate([10, 11, 12, 13, 14, 15,
+                                               1000, 1000, 1000])]
+    rows += [("b", 100 + i, 7) for i in range(5)]  # constant group
+    df = spark.createDataFrame(rows, "g string, doc_id int, v int")
+    z = zscore_outliers(df, "v", ["g"], "doc_id", threshold=2.0).collect()
+    assert z == []  # masked
+    m = mad_outliers(df, "v", ["g"], "doc_id", threshold=3.5).collect()
+    assert sorted(r.doc_id for r in m) == [6, 7, 8]
+    assert all(r.g == "a" and r.mscore > 100 for r in m)
