@@ -352,6 +352,11 @@ def _shingle_pair_intersections(
     base = df.select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("shs")
     )
+    if max_df is not None:
+        # The df-cap branch reads the shingle arrays twice (once for the
+        # document-frequency tally, once for the posting explode); a lazy
+        # local checkpoint pays the string-side shingling exactly once.
+        base = base.localCheckpoint(eager=False)
     sh = base.select(
         F.struct(F.col("id"), F.size("shs").alias("n")).alias("d"),
         F.explode("shs").alias("s"),
@@ -359,20 +364,30 @@ def _shingle_pair_intersections(
     if max_df is not None:
         # df-cap BEFORE collect_list materializes the posting list — a
         # df-millions stop-shingle must never become one giant in-memory
-        # array.  count-over-window on `s`: WindowExec buffers rows in a
-        # spillable sorter (disk-safe even for a hot shingle), the filter
-        # drops capped shingles pre-collect, and both the window and the
-        # following groupBy share one Exchange on `s` — the cap costs
-        # zero extra shuffles and evaluates the shingle explode once
-        # (a count+semi-join formulation was measured ~25% slower: it
-        # recomputes the explode for the count pass).
-        from pyspark.sql.window import Window as W
-
-        sh = (
-            sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        # array.  The tally is a TWO-PHASE groupBy(s).count joined back
+        # to the postings, NOT count-over-window on `s`: a window
+        # partition is one task, so the hottest stop-shingle would be a
+        # single-task sort of O(corpus docs) rows at scale and AQE can
+        # split skewed joins but never window partitions.  The partial
+        # count collapses each map partition to its distinct vocabulary
+        # before the exchange, the surviving-shingle set joins on the
+        # same `s` hash partitioning the downstream groupBy needs, and
+        # the explode recompute is cheap off the checkpointed arrays
+        # (the older count+semi-join measurement that looked ~25% slower
+        # predates the checkpointed staging — see DESIGN.md round-9 A/B).
+        # shuffle_hash: the build side is the surviving-shingle set
+        # (vocabulary-sized, hash-sharded across partitions), and the
+        # hint keeps the posting stream UNSORTED — SortMergeJoin would
+        # reintroduce a full posting-side sort for no benefit, since the
+        # downstream groupBy hash-aggregates on the same partitioning.
+        ok = (
+            base.select(F.explode("shs").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_df)
-            .drop("df")
+            .select("s")
         )
+        sh = sh.join(ok.hint("shuffle_hash"), "s")
     postings = (
         sh.groupBy("s")
         .agg(F.array_sort(F.collect_list("d")).alias("ds"))
@@ -1242,13 +1257,16 @@ def jaccard_prefix_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 6dp.
 
-    Scale: one shingle explode; a df-count window and a per-doc rank
-    window (rarest-first) over the posting staging; the candidate
-    join touches only prefix postings (for near-dup corpora a small
-    fraction of the index); verification joins the bounded candidate
-    set back to the checkpointed shingle arrays.  The prefix length
-    carries a +1 safety margin so float ``ceil(t·n)`` boundary error
-    can only ever ADD candidates, never drop a true pair."""
+    Scale: one shingle explode off a checkpointed staging; document
+    frequency is a two-phase groupBy count joined back on the shingle
+    (never a window over `s` — the hottest stop-shingle must not become
+    a single-task sort); the per-doc rarest-first rank window is
+    bounded by one document's shingle set; the candidate join touches
+    only prefix postings (for near-dup corpora a small fraction of the
+    index); verification joins the bounded candidate set back to the
+    checkpointed shingle arrays.  The prefix length carries a +1 safety
+    margin so float ``ceil(t·n)`` boundary error can only ever ADD
+    candidates, never drop a true pair."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"jaccard_prefix_pairs: threshold in (0, 1], got {threshold}")
     from pyspark.sql.window import Window as W
@@ -1264,7 +1282,16 @@ def jaccard_prefix_pairs(
     post = base.select(
         F.col("id"), F.size("shs").alias("n"), F.explode("shs").alias("s")
     )
-    ranked = post.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+    # Global document frequency as a two-phase groupBy count joined back
+    # on `s` — NOT count-over-window: the hottest stop-shingle would be
+    # a single-task window sort of O(corpus docs) rows at 100×, and AQE
+    # cannot split window partitions.  The per-doc rank window below is
+    # safe (its partition is one document's shingle set, bounded).
+    # shuffle_hash keeps the posting stream unsorted (build side =
+    # vocabulary-sized df table, hash-sharded); SortMergeJoin would add
+    # a full posting-side sort the plan doesn't need.
+    dfc = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = post.join(dfc.hint("shuffle_hash"), "s")
     ranked = ranked.withColumn(
         "rk", F.row_number().over(W.partitionBy("id").orderBy("df", "s"))
     )

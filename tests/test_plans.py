@@ -361,3 +361,26 @@ def test_rank_filter_windows_use_group_limit(spark, sf_dir):
         assert plan.count("WindowGroupLimit") == 2, name
     plan = plan_for(spark, sf_dir, "q15_top3_per_nation")
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_shingle_df_is_two_phase_count_not_window(spark, sf_dir):
+    """Shingle document frequency (the df-cap in the Jaccard/containment
+    pair core, and p90's rarest-prefix ranking) must be a two-phase
+    groupBy count joined back on the shingle — never count-over-window
+    on `s`: the hottest stop-shingle's window partition is a single-task
+    sort of O(corpus docs) rows at scale, and AQE can split skewed joins
+    but not window partitions."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    for name in ("p05_ngram_jaccard", "p74_containment_pairs"):
+        plan = executed_plan(OPS[name][0](spark, sf_dir))
+        assert "windowspecdefinition(s#" not in plan, name
+        assert "ShuffledHashJoin" in plan, name
+        assert has_partial_aggregation(plan), name
+
+    plan = executed_plan(OPS["p90_prefix_jaccard"][0](spark, sf_dir))
+    assert "windowspecdefinition(s#" not in plan
+    # the only window left is the per-doc rarest-first rank (bounded by
+    # one document's shingle set)
+    assert "windowspecdefinition(id#" in plan
+    assert "ShuffledHashJoin" in plan
