@@ -3016,8 +3016,10 @@ def p78_cm_merge(spark: SparkSession, sf_dir: str) -> SDF:
     from spear_spark.operators import sketch
 
     docs = load_table(spark, sf_dir, "documents")
+    # != 0 for the odd shard (Spark % is signed: -3 % 2 == -1) so the
+    # two filters provably partition the table for any integer id.
     even = sketch.count_min_sketch(docs.filter(F.col("doc_id") % 2 == 0), "text")
-    odd = sketch.count_min_sketch(docs.filter(F.col("doc_id") % 2 == 1), "text")
+    odd = sketch.count_min_sketch(docs.filter(F.col("doc_id") % 2 != 0), "text")
     return sketch.cm_merge(even, odd).orderBy("row", "bucket")
 
 
@@ -3048,8 +3050,9 @@ def p79_hll_merge(spark: SparkSession, sf_dir: str) -> SDF:
 
     ev = load_table(spark, sf_dir, "events")
     key = F.col("user_id").cast("string")
+    # != 0: signed %, see p78 — the shards must partition for ANY id.
     even = sketch.hll_register_table(ev.filter(F.col("user_id") % 2 == 0), key)
-    odd = sketch.hll_register_table(ev.filter(F.col("user_id") % 2 == 1), key)
+    odd = sketch.hll_register_table(ev.filter(F.col("user_id") % 2 != 0), key)
     return sketch.hll_merge(even, odd).orderBy("reg")
 
 
@@ -3178,8 +3181,8 @@ def p81_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> SDF:
                       ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||t.tok),1,15))::BIGINT
                         % 1024 AS bucket
                FROM periods p, toks t, generate_series(0, 3) g(r))
-    SELECT pr.period, pr.tok, MIN(ro.cnt) AS est
-    FROM probes pr JOIN rolled ro USING (period, r, bucket)
+    SELECT pr.period, pr.tok, MIN(COALESCE(ro.cnt, 0)) AS est
+    FROM probes pr LEFT JOIN rolled ro USING (period, r, bucket)
     GROUP BY pr.period, pr.tok
     ORDER BY period, tok
     """,
@@ -3192,9 +3195,13 @@ def p82_rolling_sketch(spark: SparkSession, sf_dir: str) -> SDF:
     # FROM it (Count-Min linearity), and the probe set (observed days x
     # vocabulary) derives from the same staging -- at 100 TB nothing
     # downstream of the staging job touches the events table again.
+    # The token is the WHOLE event type (lower/trim), matching the
+    # oracle's single-token semantics exactly — a tokenize+explode here
+    # would silently desync the pairing if an event type ever contained
+    # whitespace.
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("unix_micros(ts) div 86400000000").alias("period"),
-        F.explode(text.tokens("event_type")).alias("tok"),
+        F.lower(F.trim(F.col("event_type"))).alias("tok"),
     )
     counts = (
         ev.groupBy("period", "tok")
@@ -3407,8 +3414,13 @@ def p86_hist_merge(spark: SparkSession, sf_dir: str) -> SDF:
     from spear_spark.operators.stats import hist_decorate, hist_merge, histogram_counts
 
     docs = load_table(spark, sf_dir, "documents")
+    # != 0 for the odd shard, NOT == 1: Spark's % is signed (-3 % 2 ==
+    # -1), so an == 1 test would drop negative odd ids from BOTH shards
+    # and silently undercount the merged histogram vs the whole-corpus
+    # oracle.  The two filters provably partition the table for any
+    # integer id.
     even = histogram_counts(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", 64.0)
-    odd = histogram_counts(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", 64.0)
+    odd = histogram_counts(docs.filter(F.col("doc_id") % 2 != 0), "n_chars", 64.0)
     return hist_decorate(hist_merge(even, odd), 64.0).orderBy("bucket")
 
 

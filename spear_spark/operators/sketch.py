@@ -580,13 +580,17 @@ def cm_probe_by(
     and never an undercount.  Returns (group, tok, est); probes whose
     group is absent from the sketch return no row (nothing was
     profiled there), probes whose group exists return est >= 0
-    regardless of whether the token was ever seen.
+    regardless of whether the token was ever seen: the cell lookup is
+    a LEFT join with empty cells read as 0, so a never-seen token
+    whose buckets all happen to be empty answers est = 0 exactly like
+    a single-machine CM array would (an inner join would silently drop
+    it from the MIN).
 
     Scale: the sketch is the BOUNDED side (≤ |groups|·d·w rows) and is
     broadcast; the probe set may be arbitrarily large and never
-    shuffles — each probe row fans out × depth, hash-joins against the
-    broadcast grid, and collapses back with a map-side-combinable
-    MIN."""
+    shuffles — the group-existence gate is a broadcast semi join, each
+    probe row fans out × depth, left-hash-joins against the broadcast
+    grid, and collapses back with a map-side-combinable MIN."""
     cells = F.array(
         *[
             F.struct(
@@ -596,7 +600,9 @@ def cm_probe_by(
             for r in range(depth)
         ]
     )
-    fan = probes.select(
+    fan = probes.join(
+        F.broadcast(sketch.select(group_col).distinct()), group_col, "semi"
+    ).select(
         F.col(group_col), F.col(tok_col), F.explode(cells).alias("_p")
     ).select(
         F.col(group_col),
@@ -605,9 +611,9 @@ def cm_probe_by(
         F.col("_p.bucket").alias("bucket"),
     )
     return (
-        fan.join(F.broadcast(sketch), [group_col, "row", "bucket"])
+        fan.join(F.broadcast(sketch), [group_col, "row", "bucket"], "left")
         .groupBy(group_col, tok_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias("est"))
     )
 
 

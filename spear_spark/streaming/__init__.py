@@ -28,6 +28,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Sketch geometry MUST match the batch family the streamed cells feed
+# (cm_rolling / hll_rolling merge streamed and batch-built tables):
+# import the constants rather than repeating literals so a batch-side
+# change can never silently desync the stream producers.
+from spear_spark.operators.sketch import CM_DEPTH, CM_WIDTH, HLL_M
+
 # legacy events.parquet physical schema (older testdata stored ts as
 # TIMESTAMP(NANOS), which Spark reads as long under nanosAsLong —
 # converted to µs in stream_events when present)
@@ -554,8 +560,8 @@ def daily_cm_cells_stream(
     events: DataFrame,
     key: str,
     ts_col: str = "ts",
-    depth: int = 4,
-    width: int = 1024,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
     watermark: str = "1 day",
 ) -> DataFrame:
     """Per-DAY streaming Count-Min cells (period, row, bucket, cnt) —
@@ -604,7 +610,7 @@ def daily_hll_registers_stream(
     events: DataFrame,
     key: str,
     ts_col: str = "ts",
-    m: int = 64,
+    m: int = HLL_M,
     watermark: str = "1 day",
 ) -> DataFrame:
     """Per-DAY streaming HLL registers (period, reg, max_rho) — the

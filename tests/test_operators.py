@@ -2855,6 +2855,21 @@ class TestRollingSketch:
         ghost = spark.createDataFrame([(99, "a")], "period int, tok string")
         assert cm_probe_by(daily, ghost, "period").count() == 0
 
+    def test_probe_never_seen_token_reads_zero(self, spark):
+        """Standard CM read for a token absent from an EXISTING group:
+        empty cells count as 0 in the MIN (left join + coalesce), so
+        with a near-empty sketch the probe answers est = 0 — it is not
+        silently dropped the way an inner cell join would."""
+        from spear_spark.operators.sketch import cm_probe_by, count_min_sketch_by
+
+        tiny = spark.createDataFrame([(0, "a")], "period int, text string")
+        daily = count_min_sketch_by(tiny, "period", "text")
+        probe = spark.createDataFrame(
+            [(0, "zz-never-seen")], "period int, tok string"
+        )
+        rows = cm_probe_by(daily, probe, "period").collect()
+        assert len(rows) == 1 and rows[0].est == 0
+
 
 class TestCorpusHealthReport:
     def test_columns_agree_with_standalone_operators(self, spark, sf_dir):
