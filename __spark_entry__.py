@@ -24,54 +24,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-8 window: the 11 new queries (grouped heavy hitters, rolling
-# CM sketch, health report, rolling HLL distinct, repeated-n-gram
-# profile, histogram-merge law, contamination spans, cluster
-# representatives, pairwise HLL overlap, prefix-filtered Jaccard
-# join, MAD robust outliers), ALL 20 remaining
-# r04-evidence queries (closing the backlog the round-7 verdict
-# sequenced), and the 19 oldest r05-evidence queries.  The 26 r05
-# queries that didn't fit lead the round-9 rotation.
+# Round-9 window: the 3 new queries (contamination intervals, CM
+# inner-product source overlap, densified rolling distinct), the 9
+# queries whose Spark side or oracle changed this round, ALL 26
+# r05-evidence rotations the round-8 verdict sequenced, and the 12
+# oldest r06-evidence queries.  After this round no evidence is older
+# than r06; the remaining 35 r06 queries lead the round-10 rotation
+# (they sit first below the fold, in order).
 _DRIVER_PRIORITY = [
-    # ---- round 8 window ----
-    # -- NEW in round 8 (no driver evidence yet): per-group Count-Min
-    #    heavy hitters, 7-day rolling CM + HLL profiles, one-pass
-    #    corpus health report, Lee-et-al repeated-n-gram profile,
-    #    driver-certified histogram merge law, span-level
-    #    decontamination, quality-aware cluster representatives,
-    #    pairwise HLL set overlap, lossless prefix-filtered Jaccard,
-    #    MAD robust outliers
-    # -- then the final 20 r04-evidence queries and the 19 oldest r05
-    "p81_group_heavy_hitters", "p82_rolling_sketch",
-    "p83_health_report", "p84_rolling_distinct", "p85_repeated_ngrams", "p86_hist_merge", "p87_contamination_spans",
-    "p88_cluster_representatives", "p89_hll_overlap", "p90_prefix_jaccard", "p91_mad_outliers", "q17_event_gaps",
-    "q19_sort_nulls", "q24_hourly_rollup",
-    "q25_json_extract", "q29_asof_last_click",
-    "q43_multigrain_rollup", "q50_sql_dialect",
-    "q51_partitioned_range", "q53_gapfill_hourly",
-    "q58_dialect_extensions", "q68_lateral_topn",
-    "q69_unpivot", "q70_qualify",
-    "q71_listagg", "q72_recursive_cte",
-    "q74_stats_aggregates", "q75_datetime_functions",
-    "q76_union_by_name", "q77_group_by_all",
-    "q78_semi_anti_join", "p05_ngram_jaccard",
-    "p06_embedding_nn", "p07_cosine_topk",
-    "p08_lang_id", "p09_quality_score",
-    "p10_token_stats", "p11_fingerprint",
-    "p47_kmeans_step", "p55_quantize_embeddings",
-    "p59_pagerank", "p60_winsorized_stats",
-    "p61_zscore_outliers", "p62_top_ngrams_per_lang",
-    "p63_bpe_pair_counts", "p64_srp_signatures",
-    "p66_quality_funnel", "p67_centroid_shift",
-    "p70_bigram_lm", "q01_pricing_summary",
+    # ---- round 9 window ----
+    # -- NEW in round 9 (no driver evidence yet): maximal redaction
+    #    intervals (island-merged p87 spans), Count-Min inner-product
+    #    source overlap (the multiset twin of p89), calendar-densified
+    #    rolling distinct (densify=True over planted gap days)
+    "p92_contamination_intervals", "p93_cm_source_overlap",
+    "p94_rolling_densified",
+    # -- CHANGED this round (need re-evidence): p83 grew dup_frac (new
+    #    oracle), p82 oracle-exact single-token + CM left-join probe
+    #    read, p85 two-phase corpus tally, p86/p78/p79 signed-modulo
+    #    shard fix, p05/p74/p90 shingle-df two-phase count (plans
+    #    changed; values identical)
+    "p83_health_report", "p82_rolling_sketch",
+    "p85_repeated_ngrams", "p86_hist_merge",
+    "p78_cm_merge", "p79_hll_merge",
+    "p05_ngram_jaccard", "p74_containment_pairs",
+    "p90_prefix_jaccard",
+    # -- the 26 r05-evidence rotations the round-8 verdict sequenced
     "q02_filter_topk", "q03_shipping_priority",
-    "q04_theta_join",
-   
-   
-    # ---- below the fold (evidence r05+ and unchanged; order =
-    # evidence age so future rotations stay mechanical) ----
-    "q05_self_join_pairs", "q15_top3_per_nation",
-    "q16_range_frame", "q20_scalar_functions", "q23_select_no_from",
+    "q04_theta_join", "q05_self_join_pairs",
+    "q15_top3_per_nation", "q16_range_frame",
+    "q20_scalar_functions", "q23_select_no_from",
     "q26_rollup", "q27_pivot_segments",
     "q28_word_counts", "q30_right_join",
     "q31_cross_join", "q32_named_window",
@@ -81,55 +63,82 @@ _DRIVER_PRIORITY = [
     "q48_cast_matrix", "q49_udaf_surfaces",
     "q52_untapped_segments", "q73_array_functions",
     "q80_retention_cohorts", "q81_interval_range_frame",
+    # -- 12 oldest r06-evidence queries (rotation keeps moving: after
+    #    this round no evidence is older than r06, and the remaining
+    #    35 r06 queries lead the round-10 window in the order below)
     "p01_dedup_exact", "p12_multimodal_decode",
     "p13_near_dedup", "p14_embedding_dedup",
     "p15_rolling_hash", "p16_winnowing",
     "p20_batch_topk", "p21_dup_clusters",
     "p22_salted_join", "p23_sequence_packing",
     "p24_stratified_sample", "p25_group_quantiles",
+
+    # ---- below the fold (order = evidence age, so future rotations
+    # stay mechanical: 35 r06 first, then r07, then r08) ----
     "p26_ann_ivf", "p27_tfidf_topterms",
     "p28_bm25", "p29_lsh_verified_dedup",
     "p30_bottom_k_sample", "p44_source_mix",
     "p68_budget_waterfill", "p69_image_ahash_pairs",
     "p71_pagerank_weighted", "p73_histogram_quantiles",
-    "p74_containment_pairs", "p75_bloom_decontaminate",
-    "p76_sparse_cosine_pairs", "q18_big_spenders",
-    "q21_aggregate_library", "q22_top_supplier_cte",
-    "q33_order_count_distribution", "q34_large_quantity_orders",
-    "q36_small_quantity_revenue", "q38_multi_distinct",
-    "q40_sessionize", "q42_arithmetic_edges",
-    "q44_min_price_supplier", "q45_waiting_suppliers",
-    "q54_priority_check", "q55_promo_revenue",
-    "q56_disjunctive_join", "q57_ship_lag_buckets",
-    "q63_product_profit", "q64_important_stock",
-    "q65_parts_supplier_relationship", "q66_part_promotion",
-    "q67_grouping_sets", "q79_event_funnel",
-    "q82_symmetric_range_frame", "q83_session_window",
-    "p77_kmeans_lloyd", "p78_cm_merge",
-    "p79_hll_merge", "p80_group_distinct",
-    "p72_pagerank_convergence", "p65_mix_reweight",
-    "p02_minhash_signatures", "p03_minhash_lsh_pairs",
-    "p04_simhash", "p18_clean_corpus",
-    "p19_simhash_near_pairs", "p31_repetition_stats",
-    "p32_heavy_hitters", "p34_zorder_key",
-    "p35_priority_sample", "p36_token_typicality",
-    "p37_incremental_dedup", "p38_decontaminate",
-    "p39_embedding_outliers", "p41_skew_profile",
-    "p42_chunk_documents", "p43_global_row_numbers",
-    "q59_local_supplier_volume", "q60_volume_shipping",
-    "q61_market_share", "q62_returned_items",
-    "p17_range_join", "p33_distinct_sketch",
-    "p40_redact_pii", "p45_asof_nearest",
-    "p46_interval_overlap", "p48_segment_dedup",
-    "p49_token_entropy", "p50_length_histogram",
-    "p51_cdc_upsert", "p52_corpus_surprisal",
-    "p53_balanced_shards", "p54_cross_source_dups",
-    "p56_cluster_balanced_sample", "p57_leakage_safe_split",
-    "p58_normalize_text", "q06_forecast_revenue",
-    "q07_customer_orders_left", "q08_nation_coverage",
-    "q09_customers_without_orders", "q10_union_bag",
-    "q11_intersect_multiset", "q12_except_multiset",
-    "q13_distinct", "q14_window_aggregates",
+    "p75_bloom_decontaminate", "p76_sparse_cosine_pairs",
+    "q18_big_spenders", "q21_aggregate_library",
+    "q22_top_supplier_cte", "q33_order_count_distribution",
+    "q34_large_quantity_orders", "q36_small_quantity_revenue",
+    "q38_multi_distinct", "q40_sessionize",
+    "q42_arithmetic_edges", "q44_min_price_supplier",
+    "q45_waiting_suppliers", "q54_priority_check",
+    "q55_promo_revenue", "q56_disjunctive_join",
+    "q57_ship_lag_buckets", "q63_product_profit",
+    "q64_important_stock", "q65_parts_supplier_relationship",
+    "q66_part_promotion", "q67_grouping_sets",
+    "q79_event_funnel", "q82_symmetric_range_frame",
+    "q83_session_window", "p77_kmeans_lloyd",
+    "p80_group_distinct", "p72_pagerank_convergence",
+    "p65_mix_reweight", "p02_minhash_signatures",
+    "p03_minhash_lsh_pairs", "p04_simhash",
+    "p18_clean_corpus", "p19_simhash_near_pairs",
+    "p31_repetition_stats", "p32_heavy_hitters",
+    "p34_zorder_key", "p35_priority_sample",
+    "p36_token_typicality", "p37_incremental_dedup",
+    "p38_decontaminate", "p39_embedding_outliers",
+    "p41_skew_profile", "p42_chunk_documents",
+    "p43_global_row_numbers", "q59_local_supplier_volume",
+    "q60_volume_shipping", "q61_market_share",
+    "q62_returned_items", "p17_range_join",
+    "p33_distinct_sketch", "p40_redact_pii",
+    "p45_asof_nearest", "p46_interval_overlap",
+    "p48_segment_dedup", "p49_token_entropy",
+    "p50_length_histogram", "p51_cdc_upsert",
+    "p52_corpus_surprisal", "p53_balanced_shards",
+    "p54_cross_source_dups", "p56_cluster_balanced_sample",
+    "p57_leakage_safe_split", "p58_normalize_text",
+    "q06_forecast_revenue", "q07_customer_orders_left",
+    "q08_nation_coverage", "q09_customers_without_orders",
+    "q10_union_bag", "q11_intersect_multiset",
+    "q12_except_multiset", "q13_distinct",
+    "q14_window_aggregates", "p81_group_heavy_hitters",
+    "p84_rolling_distinct", "p87_contamination_spans",
+    "p88_cluster_representatives", "p89_hll_overlap",
+    "p91_mad_outliers", "q17_event_gaps",
+    "q19_sort_nulls", "q24_hourly_rollup",
+    "q25_json_extract", "q29_asof_last_click",
+    "q43_multigrain_rollup", "q50_sql_dialect",
+    "q51_partitioned_range", "q53_gapfill_hourly",
+    "q58_dialect_extensions", "q68_lateral_topn",
+    "q69_unpivot", "q70_qualify",
+    "q71_listagg", "q72_recursive_cte",
+    "q74_stats_aggregates", "q75_datetime_functions",
+    "q76_union_by_name", "q77_group_by_all",
+    "q78_semi_anti_join", "p06_embedding_nn",
+    "p07_cosine_topk", "p08_lang_id",
+    "p09_quality_score", "p10_token_stats",
+    "p11_fingerprint", "p47_kmeans_step",
+    "p55_quantize_embeddings", "p59_pagerank",
+    "p60_winsorized_stats", "p61_zscore_outliers",
+    "p62_top_ngrams_per_lang", "p63_bpe_pair_counts",
+    "p64_srp_signatures", "p66_quality_funnel",
+    "p67_centroid_shift", "p70_bigram_lm",
+    "q01_pricing_summary",
 ]
 
 

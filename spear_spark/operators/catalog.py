@@ -3221,14 +3221,15 @@ def p82_rolling_sketch(spark: SparkSession, sf_dir: str) -> SDF:
 # ---------------------------------------------------------------------------
 # p83 — one-pass per-source corpus health report (operators.profile.
 # corpus_health_report): doc counts, exact token-length quantiles,
-# total occurrences, HLL distinct-token estimate, and Count-Min
-# heavy-hitter count per source — the grouped sketch family assembled
-# from a single corpus scan (plan-pinned: the final plan reads no
-# parquet; every branch consumes the checkpointed token staging).  The
-# oracle rebuilds all five columns in SQL with the same md5 register /
-# cell math and the same integer threshold, so the whole report —
-# exact stats AND both approximate sketches — is hash-exact
-# cross-engine.
+# total occurrences, HLL distinct-token estimate, Count-Min
+# heavy-hitter count, and corpus-repeated 8-gram share (p85's
+# boilerplate signal rolled up per source) — the grouped sketch
+# family assembled from a single corpus scan (plan-pinned: the final
+# plan reads no parquet; every branch consumes the checkpointed
+# doc-grain token-array staging).  The oracle rebuilds all six
+# columns in SQL with the same md5 register / cell / gram math and
+# the same integer thresholds, so the whole report — exact stats AND
+# both approximate sketches — is hash-exact cross-engine.
 # ---------------------------------------------------------------------------
 @q(
     "p83_health_report",
@@ -3279,13 +3280,30 @@ def p82_rolling_sketch(spark: SparkSession, sf_dir: str) -> SDF:
             FROM probes JOIN grid USING (source, r, bucket) GROUP BY source, tok),
     heavy AS (SELECT source, COUNT(*) AS n_heavy
               FROM est JOIN totals USING (source)
-              WHERE est * 100 >= 1 * total_tokens GROUP BY source)
+              WHERE est * 100 >= 1 * total_tokens GROUP BY source),
+    ta AS (SELECT source, {_TOKS} AS t FROM documents),
+    g AS (SELECT source,
+                 unnest([array_to_string(list_slice(t, i, i + 7), ' ')
+                         for i in generate_series(1, len(t) - 7)]) AS gram
+          FROM ta),
+    ghc AS (SELECT source, ('0x'||substr(md5(gram),1,15))::BIGINT AS hv,
+                   COUNT(*) AS c
+            FROM g GROUP BY source, hv),
+    gt AS (SELECT hv, SUM(c) AS total FROM ghc GROUP BY hv),
+    dup AS (SELECT source,
+                   CASE WHEN SUM(c) > 0
+                        THEN ROUND(CAST(SUM(CASE WHEN total >= 2 THEN c ELSE 0 END)
+                                        AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                   END AS dup_frac
+            FROM ghc JOIN gt USING (hv) GROUP BY source)
     SELECT d.source, d.n_docs, t.total_tokens, hll.est_distinct_toks,
-           COALESCE(heavy.n_heavy, 0) AS n_heavy, d.q50_len, d.q90_len
+           COALESCE(heavy.n_heavy, 0) AS n_heavy, dup.dup_frac,
+           d.q50_len, d.q90_len
     FROM doc_stats d
     JOIN totals t USING (source)
     JOIN hll USING (source)
     LEFT JOIN heavy USING (source)
+    LEFT JOIN dup USING (source)
     ORDER BY source
     """,
 )
@@ -3667,4 +3685,167 @@ def p91_mad_outliers(spark: SparkSession, sf_dir: str) -> SDF:
     # driver hash to be a non-trivial check (18 at sf0.01)
     return mad_outliers(docs, "n_chars", ["lang"], "doc_id", threshold=1.5).orderBy(
         "lang", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p92 — maximal redaction intervals (operators.dedup.
+# contamination_intervals): p87's per-position contamination rows
+# merged into the [start_pos, end_pos] token spans a redaction pass
+# actually executes — island detection over positions (two positions
+# share an interval when the later starts <= n tokens after the
+# earlier, i.e. their covered [pos, pos+n-1] ranges overlap or touch).
+# Same benchmark split as p87/p38 (docs 0-9); the oracle replays the
+# identical lag/running-sum island rewrite on the same span set.
+# ---------------------------------------------------------------------------
+@q(
+    "p92_contamination_intervals",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest([struct_pack(pos := i,
+                                      gram := array_to_string(list_slice(t, i, i + 2), ' '))
+                          for i in generate_series(1, len(t) - 2)]) AS s
+           FROM toks WHERE doc_id >= 10),
+    g AS (SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.gram AS gram FROM g0),
+    bench AS (SELECT DISTINCT unnest([array_to_string(list_slice(t, i, i + 2), ' ')
+                                      for i in generate_series(1, len(t) - 2)]) AS gram
+              FROM toks WHERE doc_id < 10),
+    spans AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN bench USING (gram)),
+    brk AS (SELECT doc_id, pos,
+                   CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3
+                        THEN 1 ELSE 0 END AS b
+            FROM spans),
+    isl AS (SELECT doc_id, pos,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk)
+    SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_pos,
+           CAST(MAX(pos) + 2 AS INTEGER) AS end_pos,
+           COUNT(*) AS n_positions
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, start_pos
+    """,
+)
+def p92_contamination_intervals(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return dedup.contamination_intervals(corpus, bench, "text", "doc_id").orderBy(
+        "doc_id", "start_pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p93 — Count-Min inner-product source overlap (operators.sketch.
+# cm_inner_product_by): pairwise token-DISTRIBUTION mass shared
+# between sources via the classic CM join-size estimator (min over
+# hash rows of the cell-wise product sum) — the multiset complement
+# to p89's HLL set overlap.  The oracle rebuilds the identical
+# per-source cell grid from exact counts (CM linearity), replays the
+# same product/MIN with the nr=depth empty-row rule, and completes
+# the pair matrix, so the approximate estimator is hash-exact
+# cross-engine.
+# ---------------------------------------------------------------------------
+@q(
+    "p93_cm_source_overlap",
+    rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+    exact AS (SELECT source, tk, COUNT(*) AS c FROM tok GROUP BY source, tk),
+    cells AS (SELECT source, g.r,
+                     ('0x'||substr(md5(CAST(g.r AS VARCHAR)||':'||tk),1,15))::BIGINT
+                       % 1024 AS bucket,
+                     c
+              FROM exact, generate_series(0, 3) g(r)),
+    grid AS (SELECT source, r, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+             FROM cells GROUP BY source, r, bucket),
+    prods AS (SELECT a.source AS ga, b.source AS gb, a.r,
+                     SUM(a.cnt * b.cnt) AS ip
+              FROM grid a JOIN grid b
+                ON a.r = b.r AND a.bucket = b.bucket AND a.source < b.source
+              GROUP BY a.source, b.source, a.r),
+    per AS (SELECT ga, gb, MIN(ip) AS mn, COUNT(*) AS nr FROM prods GROUP BY ga, gb),
+    srcs AS (SELECT DISTINCT source FROM exact),
+    pairs AS (SELECT x.source AS ga, y.source AS gb
+              FROM srcs x JOIN srcs y ON x.source < y.source)
+    SELECT pairs.ga AS group_a, pairs.gb AS group_b,
+           CAST(COALESCE(CASE WHEN nr = 4 THEN mn ELSE 0 END, 0) AS BIGINT)
+             AS est_inner
+    FROM pairs LEFT JOIN per USING (ga, gb)
+    ORDER BY group_a, group_b
+    """,
+)
+def p93_cm_source_overlap(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    grid = sketch.count_min_sketch_by(docs, "source", "text")
+    return sketch.cm_inner_product_by(grid, "source").orderBy("group_a", "group_b")
+
+
+# ---------------------------------------------------------------------------
+# p94 — calendar-densified rolling distinct (operators.sketch.
+# hll_rolling_distinct with densify=True): every fifth epoch-day is
+# REMOVED from the events feed to plant real calendar gaps, then the
+# 3-day rolling distinct-user estimate is asked for EVERY period in
+# the observed [min, max] range — a gap day still answers with its
+# trailing window (the question p82/p84's observed-period contract
+# documents as out of scope).  The oracle replays the same gap
+# filter, rolling fan-out, and min..max densification.
+# ---------------------------------------------------------------------------
+@q(
+    "p94_rolling_densified",
+    f"""
+    WITH ev0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period,
+                        user_id
+                 FROM events),
+    ev AS (SELECT period,
+                  ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+           FROM ev0 WHERE period % 5 <> 0),
+    r AS (SELECT period, hv % {_HLL_M} AS reg,
+                 CASE WHEN (hv >> 6) = 0 THEN 40
+                      ELSE LEAST(bit_count(((hv >> 6) & -(hv >> 6)) - 1) + 1, 40)
+                 END AS rho
+          FROM ev),
+    daily AS (SELECT period, reg, MAX(rho) AS max_rho FROM r GROUP BY period, reg),
+    contrib AS (SELECT period + s.o AS period, reg, max_rho
+                FROM daily, generate_series(0, 2) s(o)),
+    rolled AS (SELECT period, reg, MAX(max_rho) AS max_rho
+               FROM contrib GROUP BY period, reg),
+    bounds AS (SELECT MIN(period) AS lo, MAX(period) AS hi FROM daily),
+    keep AS (SELECT unnest(generate_series(lo, hi)) AS period FROM bounds),
+    regs AS (SELECT rolled.* FROM rolled SEMI JOIN keep USING (period)),
+    s AS (SELECT period,
+                 CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (40 - max_rho)), 0) AS BIGINT)
+                   AS s_present,
+                 COUNT(*) AS n_present
+          FROM regs GROUP BY period),
+    est AS (SELECT period,
+                   CAST({_HLL_NUM} AS DOUBLE) * CAST({float(_POW40)!r} AS DOUBLE)
+                   / CAST(s_present + ({_HLL_M} - n_present) * {_POW40} AS DOUBLE) AS raw,
+                   {_HLL_M} - n_present AS v
+            FROM s)
+    SELECT period, ROUND(CASE WHEN v > 0 AND raw <= {2.5 * _HLL_M!r}
+                              THEN ({_LC_LIST})[v + 1] ELSE raw END, 3)
+             AS est_distinct
+    FROM est ORDER BY period
+    """,
+)
+def p94_rolling_densified(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators import sketch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("period"),
+            F.col("user_id").cast("string").alias("user"),
+        )
+        # plant real calendar gaps: every fifth epoch-day vanishes
+        # (periods are positive epoch-days; the oracle applies the
+        # identical filter)
+        .filter(F.col("period") % 5 != 0)
+    )
+    daily = sketch.hll_register_table_by(ev, "period", F.col("user"))
+    return sketch.hll_rolling_distinct(daily, window=3, densify=True).orderBy(
+        "period"
     )

@@ -1072,6 +1072,23 @@ def bloom_decontaminate(
     ).drop("maybe_member")
 
 
+def ngram_list_from_tokens(toks: Column, n: int) -> Column:
+    """:func:`ngram_list`'s body over an ALREADY-TOKENIZED array column
+    — for pipelines that stage the token arrays once (e.g. the corpus
+    health report's single-scan staging) and build n-grams without
+    re-tokenizing the text.  ``toks`` should be a plain column
+    reference (cheap to mention repeatedly); wrap computed expressions
+    in ``let_`` like :func:`ngram_list` does."""
+    big = F.greatest(F.size(toks), F.lit(1))
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, big)
+        grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    n_grams = F.size(toks) - (n - 1)
+    empty = F.array().cast("array<string>")
+    return F.when(n_grams >= 1, F.slice(grams, 1, n_grams)).otherwise(empty)
+
+
 def ngram_list(text: Column | str, n: int) -> Column:
     """POSITIONAL token n-grams — :func:`shingles` without the
     ``array_distinct``: element i (1-based) is the n-gram starting at
@@ -1080,18 +1097,7 @@ def ngram_list(text: Column | str, n: int) -> Column:
     map grams back to token positions.  Same ``zip_with`` + ``let_``
     construction as :func:`shingles` (see its docstring for why
     ``transform`` + ``element_at`` is ~100× slower here)."""
-
-    def body(toks: Column) -> Column:
-        big = F.greatest(F.size(toks), F.lit(1))
-        grams = toks
-        for j in range(1, n):
-            shifted = F.slice(toks, j + 1, big)
-            grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
-        n_grams = F.size(toks) - (n - 1)
-        empty = F.array().cast("array<string>")
-        return F.when(n_grams >= 1, F.slice(grams, 1, n_grams)).otherwise(empty)
-
-    return let_(tokens(text), body)
+    return let_(tokens(text), lambda toks: ngram_list_from_tokens(toks, n))
 
 
 def repeated_ngram_profile(
@@ -1113,18 +1119,18 @@ def repeated_ngram_profile(
     that paragraph's positions.
 
     Scale: explode all n-gram positions -> two-phase (doc, hash)
-    count -> corpus totals via a window SUM over the hash partitioning
-    (one shuffle, NO self-join: the aggregated (doc, hash) relation is
-    both the per-doc contribution and the corpus tally) -> per-doc
-    rollup.  State is vocabulary-sized, never pairwise; the heaviest
-    hash partition is bounded by the doc count.  The 60-bit md5 gram
-    hash makes a false "duplicated" mark a ~2^-60 event and keeps the
-    shuffle key fixed-width (the oracle hashes identically, so even
-    a collision would pair exactly)."""
+    count -> corpus totals as a second two-phase SUM on the hash,
+    joined back to the checkpointed (doc, hash) relation (never a
+    window over the hash: a boilerplate gram present in most docs
+    would make the hottest hash partition a single-task sort of
+    O(corpus docs) rows, the same straggler class as the shingle-df
+    window removed in round 9) -> per-doc rollup.  State is
+    vocabulary-sized, never pairwise.  The 60-bit md5 gram hash makes
+    a false "duplicated" mark a ~2^-60 event and keeps the shuffle key
+    fixed-width (the oracle hashes identically, so even a collision
+    would pair exactly)."""
     if n < 2:
         raise ValueError(f"repeated_ngram_profile: n must be >= 2, got {n}")
-
-    from pyspark.sql import Window
 
     per_doc_hash = (
         df.select(
@@ -1133,10 +1139,13 @@ def repeated_ngram_profile(
         .select(F.col(id_col), h64(F.col("gram")).alias("hv"))
         .groupBy(id_col, "hv")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    total = F.sum("c").over(Window.partitionBy("hv"))
+    # shuffle_hash: build side = vocabulary-sized totals (hash-sharded);
+    # SortMergeJoin would re-sort the (doc, hash) stream for no benefit.
+    totals = per_doc_hash.groupBy("hv").agg(F.sum("c").alias("_total"))
     return (
-        per_doc_hash.withColumn("_total", total)
+        per_doc_hash.join(totals.hint("shuffle_hash"), "hv")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_ngrams"),
@@ -1184,6 +1193,54 @@ def contamination_spans(
         F.explode(shingles(text_col, n)).alias("gram")
     ).distinct()
     return c.join(F.broadcast(b), "gram", "semi").select("doc_id", "pos", "gram")
+
+
+def contamination_intervals(
+    corpus_df: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Maximal redaction spans from :func:`contamination_spans`: each
+    contaminated n-gram POSITION covers tokens [pos, pos+n-1]; this
+    merges overlapping-or-adjacent covered ranges into maximal
+    [start_pos, end_pos] TOKEN intervals per doc — the unit a redaction
+    pass actually executes ("cut tokens 17–31"), where per-position
+    rows are only the raw signal.  Two positions belong to one interval
+    when the later starts at most ``n`` tokens after the earlier
+    (ranges overlap for a gap < n, touch end-to-start at exactly n), so
+    interval token coverage EQUALS the union of the positions' covered
+    ranges — law-tested.  Returns (doc_id, start_pos, end_pos,
+    n_positions) with end_pos = last covered token index.
+
+    Scale: the spans stage is zero-corpus-shuffle (broadcast semi
+    join); the island detection is one lag + one running-sum window
+    PARTITIONED BY DOC — bounded by a single document's positions, the
+    benign window class (never keyed on a corpus-wide value like a
+    gram)."""
+    from pyspark.sql.window import Window as W
+
+    spans = contamination_spans(corpus_df, benchmark_df, text_col, id_col, n)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(w) + n, F.lit(1)
+    ).otherwise(F.lit(0))
+    # first position of a doc has NULL lag -> when() is false -> 0; the
+    # running sum then starts islands at 0, which is fine as a key.
+    islands = spans.select("doc_id", "pos").withColumn("_brk", brk).withColumn(
+        "_isl",
+        F.sum("_brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + (n - 1)).alias("end_pos"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .select("doc_id", "start_pos", "end_pos", "n_positions")
+    )
 
 
 def cluster_representatives(

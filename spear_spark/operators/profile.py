@@ -1,17 +1,18 @@
 """One-pass per-group corpus health report — the grouped capstone of
 the sketch family: per source, document counts and token-length
 quantiles, total token occurrences, an HLL distinct-token estimate,
-and the number of Count-Min heavy hitters, all derived from ONE corpus
+the number of Count-Min heavy hitters, and the corpus-repeated n-gram
+share (the Lee-et-al boilerplate signal), all derived from ONE corpus
 scan.
 
 A 100 TB curation run asks exactly this before touching a mixture:
 "which sources are tiny / low-diversity / boilerplate-dominated /
-short-doc-skewed?"  Answering it with five separate operators means
-five corpus scans; here the token explode runs once into a lazily
-checkpointed (group, doc_id, tok) staging, the (group, tok) exact
-counts are checkpointed once more, and every downstream branch —
-lengths, totals, HLL registers, the CM cell grid, the probes — reads
-those bounded relations (plan-pinned: the final plan contains no
+short-doc-skewed?"  Answering it with six separate operators means six
+corpus scans; here the tokenizer runs once into a lazily checkpointed
+doc-grain (group, doc_id, token-array) staging, and every downstream
+branch — lengths, exact counts, HLL registers, the CM cell grid, the
+probes, the repeated-gram tally — reads that bounded relation or a
+checkpointed aggregate of it (plan-pinned: the final plan contains no
 parquet scan at all; the corpus is read exactly once, inside the
 staging checkpoint job).
 
@@ -19,8 +20,9 @@ Exactness discipline matches the rest of the sketch family (every
 hash is md5-derived, the HLL estimate is `sketch._hll_est_expr`'s
 integer-register form, the heavy-hitter threshold is the integer
 ``est * 100 >= pct * total`` comparison, quantiles are exact
-percentiles rounded to 6 decimals), so the whole report is hash-exact
-against a DuckDB rebuild despite containing two approximate sketches.
+percentiles rounded to 6 decimals, dup_frac is a ratio of exact
+integer position counts), so the whole report is hash-exact against a
+DuckDB rebuild despite containing two approximate sketches.
 
 Reference parity: the grouped generalization of the reference's
 aggregation surface (spear-core/src/main/scala/spear/expressions/
@@ -35,6 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spear_spark.operators.dedup import h64, ngram_list_from_tokens
 from spear_spark.operators.sketch import (
     CM_DEPTH,
     CM_WIDTH,
@@ -57,13 +60,16 @@ def corpus_health_report(
     m: int = HLL_M,
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
+    ngram_n: int = 8,
 ) -> DataFrame:
     """Per-group profile: (group, n_docs, total_tokens,
-    est_distinct_toks, n_heavy, q<pct>_len...), one row per group.
+    est_distinct_toks, n_heavy, dup_frac, q<pct>_len...), one row per
+    group.
 
     - ``n_docs`` / ``q*_len``: document count and exact token-length
-      quantiles (rounded to 6 decimals) from the doc-grain rollup of
-      the shared token staging.
+      quantiles (rounded to 6 decimals) over docs with >= 1 token,
+      read straight off the doc-grain staging (length = array size; no
+      per-doc re-aggregation of exploded tokens).
     - ``total_tokens``: token occurrences (sum of exact counts).
     - ``est_distinct_toks``: per-group HLL estimate over the DISTINCT
       token set — the (group, tok) counts table IS that set, so the
@@ -73,17 +79,30 @@ def corpus_health_report(
       group-keyed sketch is summed FROM the counts; probes go through
       :func:`sketch.cm_probe_by` against the broadcast grid).  Groups
       with no heavy hitters report 0.
+    - ``dup_frac``: share of the group's ``ngram_n``-gram POSITIONS
+      sitting on grams repeated >= 2 times CORPUS-wide (across groups,
+      across docs, or within one — multiplicity counts), i.e. the
+      per-group rollup of :func:`dedup.repeated_ngram_profile`'s
+      signal — column-agreement law-tested against it.  NULL for a
+      group whose docs are all shorter than ``ngram_n`` tokens.
 
-    Scale: after the one corpus scan, every relation is bounded —
-    |docs| lengths collapse to |groups| rows map-side, the counts
-    table is vocabulary-sized with bounded sketch state (|groups|·m
-    registers, |groups|·d·w cells), and the final assembly joins
-    |groups|-row aggregates broadcast-side."""
-    toks = df.select(
-        F.col(group_col), F.col(doc_id_col).alias("_doc"), F.explode(tokens(text_col)).alias("tok")
+    Scale: after the one corpus scan, every relation is bounded or
+    linear-in-staging — doc lengths collapse to |groups| rows
+    map-side, the counts table is vocabulary-sized with bounded sketch
+    state (|groups|·m registers, |groups|·d·w cells), the gram tally
+    is (group, hash)-grained with its corpus total computed as a
+    second two-phase SUM joined back (never a window over the hash —
+    a boilerplate gram would make the hottest hash partition one
+    task), and the final assembly joins |groups|-row aggregates
+    broadcast-side."""
+    arrs = df.select(
+        F.col(group_col),
+        F.col(doc_id_col).alias("_doc"),
+        tokens(text_col).alias("_t"),
     ).localCheckpoint(eager=False)
     counts = (
-        toks.groupBy(group_col, "tok")
+        arrs.select(F.col(group_col), F.explode("_t").alias("tok"))
+        .groupBy(group_col, "tok")
         .agg(F.count(F.lit(1)).alias("exact"))
         .localCheckpoint(eager=False)
     )
@@ -94,9 +113,11 @@ def corpus_health_report(
         )
         for q in qs
     ]
+    # length = array size; the >0 filter keeps the historical contract
+    # (a tokenless doc is not a document for length stats).
     doc_stats = (
-        toks.groupBy(group_col, "_doc")
-        .agg(F.count(F.lit(1)).alias("len"))
+        arrs.select(F.col(group_col), F.size("_t").alias("len"))
+        .filter(F.col("len") > 0)
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n_docs"), *q_aggs)
     )
@@ -129,17 +150,50 @@ def corpus_health_report(
         .agg(F.count(F.lit(1)).alias("n_heavy"))
     )
 
+    # Repeated-gram share: (group, hash) exact counts off the staged
+    # token arrays; the corpus total per hash is a second two-phase SUM
+    # joined back shuffle_hash (build side = vocabulary-sized totals).
+    gh = (
+        arrs.select(
+            F.col(group_col),
+            F.explode(ngram_list_from_tokens(F.col("_t"), ngram_n)).alias("gram"),
+        )
+        .select(F.col(group_col), h64(F.col("gram")).alias("hv"))
+        .groupBy(group_col, "hv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    gtot = gh.groupBy("hv").agg(F.sum("c").alias("_total"))
+    dup = (
+        gh.join(gtot.hint("shuffle_hash"), "hv")
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").alias("_npos"),
+            F.sum(
+                F.when(F.col("_total") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).alias("_ndup"),
+        )
+        .select(
+            F.col(group_col),
+            F.when(
+                F.col("_npos") > 0, F.round(F.col("_ndup") / F.col("_npos"), 6)
+            ).alias("dup_frac"),
+        )
+    )
+
     qcols = [f"q{int(round(q * 100)):02d}_len" for q in qs]
     return (
         doc_stats.join(F.broadcast(totals), group_col)
         .join(F.broadcast(hll), group_col)
         .join(F.broadcast(heavy), group_col, "left")
+        .join(F.broadcast(dup), group_col, "left")
         .select(
             F.col(group_col),
             "n_docs",
             "total_tokens",
             "est_distinct_toks",
             F.coalesce(F.col("n_heavy"), F.lit(0).cast("bigint")).alias("n_heavy"),
+            "dup_frac",
             *qcols,
         )
     )

@@ -519,7 +519,10 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
 
 
 def cm_rolling(
-    daily: DataFrame, window: int, period_col: str = "period"
+    daily: DataFrame,
+    window: int,
+    period_col: str = "period",
+    densify: bool = False,
 ) -> DataFrame:
     """Rolling Count-Min profiles from per-period sketch tables — the
     sliding-window lifecycle :func:`cm_merge` alone cannot provide:
@@ -537,18 +540,24 @@ def cm_rolling(
     EXACT sketch of raw rows in periods (p-window+1 .. p] — law-tested
     against a direct sketch of the window's rows.
 
-    Emitted periods are the periods OBSERVED in the input: a gap
-    period (no rows that day) gets no output row even though a window
-    ending there would be non-empty — rolling profiles answer "the 7
-    days ending on each day WITH data"; densify the input with empty
-    periods first if calendar alignment is needed.
+    By default emitted periods are the periods OBSERVED in the input:
+    a gap period (no rows that day) gets no output row even though a
+    window ending there would be non-empty — rolling profiles answer
+    "the 7 days ending on each day WITH data".  ``densify=True``
+    answers the calendar-aligned question instead: every integer
+    period in [min, max] of the observed range emits its window's
+    cells, so a gap day still reports the trailing-window sketch of
+    the days before it.  (A period whose WHOLE window is empty — a gap
+    longer than the window — has an empty sketch and naturally emits
+    no cells under either mode.)
 
     Scale: each of the ≤ |periods|·d·w input cells fans out × window
-    into one bounded two-phase aggregate; the observed-period
-    restriction is a broadcast semi-join on a |periods|-row table.
-    Nothing downstream of the daily sketch build touches the corpus,
-    which is the point — profile each day once, keep the tiny tables,
-    answer any rolling query later."""
+    into one bounded two-phase aggregate; the period restriction is a
+    broadcast semi-join on a |periods|-row table (densify: the same
+    table built by exploding a sequence over the 1-row min/max
+    aggregate — no driver collect).  Nothing downstream of the daily
+    sketch build touches the corpus, which is the point — profile each
+    day once, keep the tiny tables, answer any rolling query later."""
     if window < 1:
         raise ValueError(f"cm_rolling: window must be >= 1, got {window}")
     contrib = daily.select(
@@ -562,8 +571,20 @@ def cm_rolling(
     rolled = contrib.groupBy(period_col, "row", "bucket").agg(
         F.sum("cnt").alias("cnt")
     )
-    observed = daily.select(period_col).distinct()
-    return rolled.join(F.broadcast(observed), period_col, "semi")
+    keep = _emit_periods(daily, period_col, densify)
+    return rolled.join(F.broadcast(keep), period_col, "semi")
+
+
+def _emit_periods(daily: DataFrame, period_col: str, densify: bool) -> DataFrame:
+    """The period set a rolling profile emits: observed periods, or —
+    densified — every integer period in [min, max] of the observed
+    range, built by exploding a sequence over the 1-row min/max
+    aggregate (stays a DataFrame end-to-end; no driver collect)."""
+    if not densify:
+        return daily.select(period_col).distinct()
+    return daily.agg(
+        F.min(period_col).alias("_lo"), F.max(period_col).alias("_hi")
+    ).select(F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(period_col))
 
 
 def cm_probe_by(
@@ -617,8 +638,70 @@ def cm_probe_by(
     )
 
 
+def cm_inner_product_by(
+    sketch: DataFrame, group_col: str, depth: int = CM_DEPTH
+) -> DataFrame:
+    """Pairwise token-DISTRIBUTION overlap between groups via Count-Min
+    inner products — the multiset complement to :func:`hll_overlap_by`
+    (which answers "how many distinct keys do A and B share?"; this
+    answers "how much occurrence MASS do their token distributions
+    share"): for every unordered group pair (a < b),
+    ``est_inner = min over rows r of Σ_bucket cnt_a[r,·]·cnt_b[r,·]``
+    — the classic CM join-size / inner-product estimator (Cormode &
+    Muthukrishnan 2005): a one-sided OVERestimate of the exact
+    Σ_tok f_a(tok)·f_b(tok), never an undercount, with collision error
+    shrinking as 1/width.  Returns the complete (group_a, group_b,
+    est_inner) matrix, lexicographic within the pair; pairs sharing no
+    non-empty cell in some hash row read exactly 0 (an empty cell
+    contributes a zero product, so a missing row-group means that
+    row's inner product is 0 and the MIN is 0 — matching the
+    single-machine array semantics).
+
+    Scale: the sketch table is BOUNDED (≤ |groups|·d·w rows) — the
+    pair products are a broadcast self-join on (row, bucket), at most
+    d·w·|groups|² tiny integer rows, collapsed by one two-phase SUM
+    then a |pairs|-row MIN; the corpus is never touched (build the
+    grouped sketch once, answer any pair later).  ``est_inner`` is
+    int64: at extreme per-group counts (> ~3·10⁹ occurrences landing
+    in one cell pair) switch the product to decimal(38,0) on both
+    engines before trusting the sum."""
+    s = sketch.localCheckpoint(eager=False)
+    a = s.select(
+        F.col(group_col).alias("ga"), "row", "bucket", F.col("cnt").alias("_ca")
+    )
+    b = s.select(
+        F.col(group_col).alias("gb"), "row", "bucket", F.col("cnt").alias("_cb")
+    )
+    per_row = (
+        a.join(F.broadcast(b), ["row", "bucket"])
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb", "row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    per_pair = per_row.groupBy("ga", "gb").agg(
+        F.min("_ip").alias("_min"), F.count(F.lit(1)).alias("_nr")
+    )
+    groups = s.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.alias("x")
+        .join(F.broadcast(groups.alias("y")), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    return pairs.join(F.broadcast(per_pair), ["ga", "gb"], "left").select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.when(F.col("_nr") == depth, F.col("_min"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("est_inner"),
+    )
+
+
 def hll_rolling(
-    daily: DataFrame, window: int, period_col: str = "period"
+    daily: DataFrame,
+    window: int,
+    period_col: str = "period",
+    densify: bool = False,
 ) -> DataFrame:
     """Rolling HLL register tables from per-period tables
     (``hll_register_table_by`` grouped on an integer period ordinal) —
@@ -631,11 +714,13 @@ def hll_rolling(
     overlapping sources.
 
     Same shape and contracts as :func:`cm_rolling`: integer periods,
-    output restricted to periods observed in the input, each of the
-    ≤ |periods|·m input rows fans out × window into one bounded
-    two-phase aggregate.  Feed the result's per-period registers to
-    the ``_hll_est_expr`` pipeline (see ``hll_distinct_by``) for
-    "7-day rolling distinct users per day"."""
+    output restricted to observed periods (or, with ``densify=True``,
+    every calendar period in the observed [min, max] range — a gap day
+    still reports its trailing window), each of the ≤ |periods|·m
+    input rows fans out × window into one bounded two-phase aggregate.
+    Feed the result's per-period registers to the ``_hll_est_expr``
+    pipeline (see ``hll_distinct_by``) for "7-day rolling distinct
+    users per day"."""
     if window < 1:
         raise ValueError(f"hll_rolling: window must be >= 1, got {window}")
     contrib = daily.select(
@@ -648,19 +733,25 @@ def hll_rolling(
     rolled = contrib.groupBy(period_col, "reg").agg(
         F.max("max_rho").alias("max_rho")
     )
-    observed = daily.select(period_col).distinct()
-    return rolled.join(F.broadcast(observed), period_col, "semi")
+    keep = _emit_periods(daily, period_col, densify)
+    return rolled.join(F.broadcast(keep), period_col, "semi")
 
 
 def hll_rolling_distinct(
-    daily: DataFrame, window: int, period_col: str = "period", m: int = HLL_M
+    daily: DataFrame,
+    window: int,
+    period_col: str = "period",
+    m: int = HLL_M,
+    densify: bool = False,
 ) -> DataFrame:
     """(period, est_distinct): the rolling-window distinct estimate
     per observed period — :func:`hll_rolling`'s registers fed through
     the shared exact estimate expression, so "7-day rolling distinct
     users" carries the same cross-engine hash-exactness discipline as
-    every other HLL surface in this module."""
-    regs = hll_rolling(daily, window, period_col)
+    every other HLL surface in this module.  ``densify=True`` emits
+    calendar-gap periods too (their window still has registers unless
+    the whole window is empty — see :func:`cm_rolling`)."""
+    regs = hll_rolling(daily, window, period_col, densify=densify)
     per = regs.groupBy(period_col).agg(
         F.coalesce(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - max_rho)")),

@@ -2904,6 +2904,28 @@ class TestCorpusHealthReport:
             assert r.q50_len == qg[src].q50
             assert r.q90_len == qg[src].q90
 
+    def test_dup_frac_agrees_with_repeated_ngram_profile(self, spark, sf_dir):
+        """dup_frac is the per-source rollup of p85's per-doc signal:
+        sum(n_dup)/sum(n_ngrams) over the source's docs, with the SAME
+        corpus-wide >= 2 rule — the report must not reinvent the
+        estimator."""
+        from spear_spark.operators.dedup import repeated_ngram_profile
+        from spear_spark.operators.profile import corpus_health_report
+
+        docs = load_table(spark, sf_dir, "documents")
+        rep = {r.source: r.dup_frac for r in
+               corpus_health_report(docs, "source", "text", "doc_id").collect()}
+        per_doc = repeated_ngram_profile(docs, "text", "doc_id")
+        want = {
+            r.source: round(r.nd / r.nn, 6)
+            for r in per_doc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.sum("n_dup").alias("nd"), F.sum("n_ngrams").alias("nn"))
+            .collect()
+        }
+        for src in want:
+            assert rep[src] == want[src], src
+
     def test_single_scan_plan_shape(self, spark, sf_dir):
         """The report's final plan must read NO parquet at all — every
         branch consumes the two checkpointed stagings, so the corpus
@@ -3259,3 +3281,192 @@ def test_mad_outliers_beat_zscore_masking(spark):
     m = mad_outliers(df, "v", ["g"], "doc_id", threshold=3.5).collect()
     assert sorted(r.doc_id for r in m) == [6, 7, 8]
     assert all(r.g == "a" and r.mscore > 100 for r in m)
+
+
+class TestContaminationIntervals:
+    def _spans_and_intervals(self, spark):
+        from spear_spark.operators.dedup import (
+            contamination_intervals,
+            contamination_spans,
+        )
+
+        bench = spark.createDataFrame(
+            [(0, "secret eval answer key")], "doc_id int, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                # two touching hits -> one interval; a far hit -> its own
+                (10, "x secret eval answer key y z secret eval answer q"),
+                (11, "clean text with no overlap at all"),
+                (12, "secret eval answer key"),
+            ],
+            "doc_id int, text string",
+        )
+        spans = contamination_spans(corpus, bench, "text", "doc_id").collect()
+        ivs = contamination_intervals(corpus, bench, "text", "doc_id").collect()
+        return spans, ivs
+
+    def test_interval_coverage_equals_position_coverage(self, spark):
+        """The law the operator exists for: the union of interval token
+        ranges equals the union of the positions' covered [pos, pos+n-1]
+        ranges — merging must neither drop nor add covered tokens."""
+        n = 3
+        spans, ivs = self._spans_and_intervals(spark)
+        from_positions = {
+            (r.doc_id, t) for r in spans for t in range(r.pos, r.pos + n)
+        }
+        from_intervals = {
+            (r.doc_id, t) for r in ivs for t in range(r.start_pos, r.end_pos + 1)
+        }
+        assert from_intervals == from_positions
+        # position counts partition across intervals
+        assert sum(r.n_positions for r in ivs) == len(spans)
+
+    def test_intervals_are_maximal_and_disjoint(self, spark):
+        """No two intervals of one doc overlap or touch — otherwise the
+        island merge wasn't maximal."""
+        n = 3
+        _, ivs = self._spans_and_intervals(spark)
+        by_doc = {}
+        for r in ivs:
+            assert r.start_pos <= r.end_pos
+            by_doc.setdefault(r.doc_id, []).append((r.start_pos, r.end_pos))
+        for doc, ranges in by_doc.items():
+            ranges.sort()
+            for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+                assert s2 > e1 + 1, f"doc {doc}: [{s1},{e1}] and [{s2},{e2}] mergeable"
+
+    def test_clean_doc_emits_nothing(self, spark):
+        _, ivs = self._spans_and_intervals(spark)
+        assert all(r.doc_id != 11 for r in ivs)
+
+
+class TestCmInnerProduct:
+    def _exact_inner(self, df, ga, gb):
+        from collections import Counter
+
+        rows = df.collect()
+        ca = Counter(t for r in rows if r.g == ga for t in r.text.split())
+        cb = Counter(t for r in rows if r.g == gb for t in r.text.split())
+        return sum(ca[t] * cb[t] for t in ca)
+
+    def test_one_sided_overestimate(self, spark):
+        """CM inner product never undercounts the exact distribution
+        overlap (Cormode-Muthukrishnan): est >= exact for every pair."""
+        from spear_spark.operators.sketch import (
+            cm_inner_product_by,
+            count_min_sketch_by,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", "x x y z shared shared"),
+                ("b", "y shared shared shared w"),
+                ("c", "totally disjoint tokens here"),
+            ],
+            "g string, text string",
+        )
+        grid = count_min_sketch_by(df, "g", "text")
+        out = {(r.group_a, r.group_b): r.est_inner
+               for r in cm_inner_product_by(grid, "g").collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}  # full matrix
+        for (ga, gb), est in out.items():
+            assert est >= self._exact_inner(df, ga, gb), (ga, gb)
+
+    def test_small_vocab_is_exact(self, spark):
+        """With |vocab| << width the grid has no collisions, so the
+        estimator equals the exact inner product (planted-overlap
+        accuracy contract)."""
+        from spear_spark.operators.sketch import (
+            cm_inner_product_by,
+            count_min_sketch_by,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "t1 t1 t2"), ("b", "t1 t2 t2 t2"), ("c", "t9")],
+            "g string, text string",
+        )
+        grid = count_min_sketch_by(df, "g", "text")
+        out = {(r.group_a, r.group_b): r.est_inner
+               for r in cm_inner_product_by(grid, "g").collect()}
+        # exact: a.b = 2*1 + 1*3 = 5, a.c = 0, b.c = 0 (no collisions
+        # guaranteed only probabilistically, but 4 tokens over 4x1024
+        # cells collide with prob ~1e-2 per row and the MIN over 4
+        # independent rows makes a wrong answer ~1e-8)
+        assert out[("a", "b")] == 5
+        assert out[("a", "c")] == 0
+        assert out[("b", "c")] == 0
+
+
+class TestRollingDensify:
+    def _corpus(self, spark):
+        rows = [
+            (0, "a a b"), (1, "a c"), (4, "b d"), (5, "c"),  # gap at 2, 3
+        ]
+        return spark.createDataFrame(rows, "period int, text string")
+
+    def test_densified_gap_day_equals_direct_window_sketch(self, spark):
+        """THE densify law: a calendar-gap period's cells equal the
+        direct sketch of the window's raw rows — including gap periods
+        the observed-period mode would drop entirely."""
+        from spear_spark.operators.sketch import (
+            cm_rolling,
+            count_min_sketch,
+            count_min_sketch_by,
+        )
+
+        df = self._corpus(spark)
+        daily = count_min_sketch_by(df, "period", "text")
+        rolled = cm_rolling(daily, window=3, densify=True).collect()
+        periods = sorted({r.period for r in rolled})
+        assert periods == [0, 1, 2, 3, 4, 5]  # gap days 2 and 3 present
+        for p in periods:
+            got = {(r.row, r.bucket): r.cnt for r in rolled if r.period == p}
+            direct = {
+                (r.row, r.bucket): r.cnt
+                for r in count_min_sketch(
+                    df.filter((F.col("period") > p - 3) & (F.col("period") <= p)),
+                    "text",
+                ).collect()
+            }
+            assert got == direct, f"period {p}"
+
+    def test_densify_superset_of_observed_mode(self, spark):
+        """Densified output restricted to observed periods equals the
+        default mode exactly; on gapless input the two modes agree."""
+        from spear_spark.operators.sketch import cm_rolling, count_min_sketch_by
+
+        daily = count_min_sketch_by(self._corpus(spark), "period", "text")
+        dense = cm_rolling(daily, window=3, densify=True).collect()
+        sparse = cm_rolling(daily, window=3).collect()
+        observed = {0, 1, 4, 5}
+        assert sorted(t for t in map(tuple, dense) if t[0] in observed) == sorted(
+            map(tuple, sparse)
+        )
+        gapless = self._corpus(spark).withColumn(
+            "period", F.when(F.col("period") > 1, F.col("period") - 2).otherwise(F.col("period"))
+        )
+        d2 = count_min_sketch_by(gapless, "period", "text")
+        assert sorted(map(tuple, cm_rolling(d2, 2, densify=True).collect())) == sorted(
+            map(tuple, cm_rolling(d2, 2).collect())
+        )
+
+    def test_hll_densified_distinct_matches_direct(self, spark):
+        """hll_rolling_distinct(densify=True) on a gap day equals the
+        estimate over the window's raw keys."""
+        from spear_spark.operators.sketch import (
+            hll_distinct,
+            hll_register_table_by,
+            hll_rolling_distinct,
+        )
+
+        rows = [(0, "u1"), (0, "u2"), (1, "u2"), (4, "u3"), (4, "u1")]
+        df = spark.createDataFrame(rows, "period int, k string")
+        daily = hll_register_table_by(df, "period", F.col("k"))
+        dense = {r.period: r.est_distinct
+                 for r in hll_rolling_distinct(daily, window=3, densify=True).collect()}
+        assert set(dense) == {0, 1, 2, 3, 4}  # gap days 2, 3 emitted
+        for p in dense:
+            win = df.filter((F.col("period") > p - 3) & (F.col("period") <= p))
+            direct = hll_distinct(win, F.col("k")).collect()[0][0]
+            assert dense[p] == direct, f"period {p}"
