@@ -3849,3 +3849,84 @@ def p94_rolling_densified(spark: SparkSession, sf_dir: str) -> SDF:
     return sketch.hll_rolling_distinct(daily, window=3, densify=True).orderBy(
         "period"
     )
+
+
+# ---------------------------------------------------------------------------
+# p95 — n-gram novelty profile (operators.dedup.ngram_novelty_profile):
+# per doc in ingestion order (doc_id), the share of its 8-gram
+# positions on grams never seen in ANY earlier doc — the complement of
+# p85's repeated-gram share and the growth-curve signal a corpus
+# expansion asks before paying to train on a new shard.  Same md5 gram
+# hashing; the first-doc tally is a two-phase MIN joined back (no
+# window over the hash).  Oracle replays the identical min-doc rule.
+# ---------------------------------------------------------------------------
+@q(
+    "p95_ngram_novelty",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(list_slice(t, i, i + 7), ' ')
+                         for i in generate_series(1, len(t) - 7)]) AS gram
+          FROM toks),
+    dh AS (SELECT doc_id, ('0x'||substr(md5(gram),1,15))::BIGINT AS hv,
+                  COUNT(*) AS c
+           FROM g GROUP BY doc_id, hv),
+    fs AS (SELECT hv, MIN(doc_id) AS first_doc FROM dh GROUP BY hv),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(CASE WHEN doc_id = first_doc THEN c ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM dh JOIN fs USING (hv) GROUP BY doc_id)
+    SELECT doc_id, n_ngrams, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6)
+             AS novelty_frac
+    FROM agg ORDER BY doc_id
+    """,
+)
+def p95_ngram_novelty(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_novelty_profile(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p96 — source lexical cosine matrix (operators.relevance.
+# group_lexical_cosine): pairwise cosine between sources' exact
+# token-count vectors — the mixture diagnostic completing the
+# source-similarity triptych (p89 distinct-set overlap, p93 CM
+# distribution mass, p96 exact angular similarity).  Dot and both
+# squared norms are exact int64 sums; the only floating point is the
+# final sqrt/multiply/divide chain, IEEE-identical cross-engine, so
+# the 6dp matrix is hash-exact.
+# ---------------------------------------------------------------------------
+@q(
+    "p96_source_cosine",
+    rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+    cnt AS (SELECT source, tk, COUNT(*) AS c FROM tok GROUP BY source, tk),
+    nrm AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+            FROM cnt GROUP BY source),
+    dots AS (SELECT a.source AS ga, b.source AS gb,
+                    CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+             FROM cnt a JOIN cnt b ON a.tk = b.tk AND a.source < b.source
+             GROUP BY a.source, b.source),
+    srcs AS (SELECT DISTINCT source FROM cnt),
+    pairs AS (SELECT x.source AS ga, y.source AS gb
+              FROM srcs x JOIN srcs y ON x.source < y.source)
+    SELECT pairs.ga AS group_a, pairs.gb AS group_b,
+           ROUND(CAST(COALESCE(dot, 0) AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+             AS cos_sim
+    FROM pairs
+    LEFT JOIN dots USING (ga, gb)
+    JOIN nrm na ON pairs.ga = na.source
+    JOIN nrm nb ON pairs.gb = nb.source
+    ORDER BY group_a, group_b
+    """,
+)
+def p96_source_cosine(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import group_lexical_cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_lexical_cosine(docs, "source", "text").orderBy(
+        "group_a", "group_b"
+    )

@@ -1162,6 +1162,57 @@ def repeated_ngram_profile(
     )
 
 
+def ngram_novelty_profile(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Per-document NOVELTY of token n-grams in ingestion order (the id
+    as the order): how many of a doc's n-gram positions sit on grams
+    NEVER seen in any earlier document — the complement of
+    :func:`repeated_ngram_profile`'s boilerplate signal, and the
+    growth-curve question a corpus-expansion run asks ("how much genuinely
+    new content does each shard add before we pay to train on it?").
+    A gram's every occurrence inside its FIRST document counts as novel
+    (including repeats within that doc); occurrences in later docs never
+    do.  Returns (id, n_ngrams, n_novel, novelty_frac) for every doc
+    with >= 1 n-gram; rounded to 6dp.
+
+    Scale: identical regime to :func:`repeated_ngram_profile` — explode
+    positions, two-phase (doc, hash) count into a checkpointed staging,
+    the gram's first-doc as a second two-phase MIN joined back
+    shuffle_hash (never a window over the hash: a boilerplate gram
+    would make the hottest hash partition one task), one per-doc
+    rollup.  Vocabulary-sized state, never pairwise."""
+    if n < 2:
+        raise ValueError(f"ngram_novelty_profile: n must be >= 2, got {n}")
+
+    per_doc_hash = (
+        df.select(F.col(id_col), F.explode(ngram_list(text_col, n)).alias("gram"))
+        .select(F.col(id_col), h64(F.col("gram")).alias("hv"))
+        .groupBy(id_col, "hv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    firsts = per_doc_hash.groupBy("hv").agg(F.min(id_col).alias("_first"))
+    return (
+        per_doc_hash.join(firsts.hint("shuffle_hash"), "hv")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("_first"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_ngrams"), 6).alias("novelty_frac"),
+        )
+    )
+
+
 def contamination_spans(
     corpus_df: DataFrame,
     benchmark_df: DataFrame,

@@ -301,12 +301,22 @@ def sparse_cosine_pairs(
         F.round(F.col("tfidf") / F.col("_norm"), decimals + 3).alias("_u"),
     )
     if max_df is not None:
-        w = Window.partitionBy("term")
-        unit = (
-            unit.withColumn("_df", F.count(F.lit(1)).over(w))
+        # Two-phase groupBy count + join, NOT count-over-window on the
+        # term: a stop term's window partition is a single-task sort of
+        # O(corpus docs) rows at scale (AQE splits skewed joins, never
+        # window partitions) — same fix as the shingle-df path in
+        # dedup._shingle_pair_intersections.  The checkpoint pays the
+        # tf-idf pipeline once for both the tally and the probe side;
+        # shuffle_hash keeps the posting stream unsorted (build side =
+        # vocabulary-sized surviving-term set).
+        unit = unit.localCheckpoint(eager=False)
+        ok = (
+            unit.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_df)
-            .drop("_df")
+            .select("term")
         )
+        unit = unit.join(ok.hint("shuffle_hash"), "term")
     postings = (
         unit.select(F.struct(F.col("_id"), F.col("_u")).alias("d"), "term")
         .groupBy("term")
@@ -336,3 +346,75 @@ def sparse_cosine_pairs(
     if top:
         out = out.orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b").limit(top)
     return out
+
+
+def group_lexical_cosine(
+    df: DataFrame, group_col: str, text_col: str, decimals: int = 6
+) -> DataFrame:
+    """Pairwise LEXICAL cosine similarity between groups' token-COUNT
+    vectors — the source-level mixture diagnostic ("which sources say
+    the same things?") complementing :func:`sparse_cosine_pairs`
+    (doc pairs, TF-IDF-weighted) and the sketch overlaps (p89 set
+    cardinality, p93 distribution mass): cos(a, b) =
+    Σ c_a·c_b / (√Σc_a² · √Σc_b²) over exact per-(group, token)
+    occurrence counts.  Returns the complete (group_a, group_b,
+    cos_sim) matrix, lexicographic within the pair, zero-overlap pairs
+    included at 0.0.
+
+    Cross-engine exactness: dot and both squared norms are EXACT int64
+    sums; the only floating-point is the final sqrt/multiply/divide
+    chain — each IEEE-deterministic on exact integer inputs, so the
+    6dp rounding is hash-exact against the oracle (no accumulated
+    double association noise anywhere).  int64 caveat: Σc² overflows
+    past ~3·10⁹ occurrences of one token in one group — switch the
+    products to decimal(38,0) on both engines at that scale.
+
+    Scale: one explode collapsed map-side into the vocabulary-sized
+    (group, token, c) staging (checkpointed — norms and the pair stage
+    both read it); the pair stage is a self-join on the token key
+    producing ≤ |groups|² rows per token, collapsed by a two-phase
+    (group_a, group_b) SUM; norms broadcast onto the |pairs|-row
+    matrix.  Nothing is ever doc-pairwise."""
+    counts = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    norms = counts.groupBy(group_col).agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    a = counts.select(
+        F.col(group_col).alias("ga"), "tok", F.col("c").alias("_ca")
+    )
+    b = counts.select(
+        F.col(group_col).alias("gb"), "tok", F.col("c").alias("_cb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    groups = counts.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.alias("x")
+        .join(F.broadcast(groups.alias("y")), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    na = norms.select(F.col(group_col).alias("ga"), F.col("n2").alias("_na2"))
+    nb = norms.select(F.col(group_col).alias("gb"), F.col("n2").alias("_nb2"))
+    return (
+        pairs.join(F.broadcast(dots), ["ga", "gb"], "left")
+        .join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.round(
+                F.coalesce(F.col("_dot"), F.lit(0)).cast("double")
+                / (F.sqrt(F.col("_na2").cast("double")) * F.sqrt(F.col("_nb2").cast("double"))),
+                decimals,
+            ).alias("cos_sim"),
+        )
+    )

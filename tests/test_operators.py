@@ -3470,3 +3470,94 @@ class TestRollingDensify:
             win = df.filter((F.col("period") > p - 3) & (F.col("period") <= p))
             direct = hll_distinct(win, F.col("k")).collect()[0][0]
             assert dense[p] == direct, f"period {p}"
+
+
+class TestNgramNovelty:
+    def test_first_doc_fully_novel_and_copy_zero(self, spark):
+        """The planted laws: the first doc in id order is 100% novel;
+        an exact copy appended under a LATER id is 0% novel; a doc of
+        never-seen grams is 100% novel regardless of position."""
+        from spear_spark.operators.dedup import ngram_novelty_profile
+
+        base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        fresh = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, fresh)], "doc_id int, text string"
+        )
+        out = {r.doc_id: r for r in
+               ngram_novelty_profile(df, "text", "doc_id").collect()}
+        assert out[1].novelty_frac == 1.0
+        assert out[2].novelty_frac == 0.0
+        assert out[3].novelty_frac == 1.0
+        assert out[1].n_ngrams == 3 and out[3].n_ngrams == 2  # 10-7, 9-7
+
+    def test_within_first_doc_repeats_count_as_novel(self, spark):
+        """Every occurrence inside a gram's FIRST doc is novel — a doc
+        that repeats its own fresh gram is still 100% novel (novelty is
+        about the corpus prefix, not within-doc uniqueness)."""
+        from spear_spark.operators.dedup import ngram_novelty_profile
+
+        rep = "a b c d e f g h a b c d e f g h"
+        out = ngram_novelty_profile(
+            spark.createDataFrame([(7, rep)], "doc_id int, text string"),
+            "text", "doc_id",
+        ).collect()
+        assert len(out) == 1 and out[0].novelty_frac == 1.0
+
+    def test_n_ngrams_agrees_with_repeated_profile(self, spark, sf_dir):
+        """Both profiles count the same positional 8-gram universe."""
+        from spear_spark.operators.dedup import (
+            ngram_novelty_profile,
+            repeated_ngram_profile,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").limit(60)
+        a = {r.doc_id: r.n_ngrams for r in
+             ngram_novelty_profile(docs, "text", "doc_id").collect()}
+        b = {r.doc_id: r.n_ngrams for r in
+             repeated_ngram_profile(docs, "text", "doc_id").collect()}
+        assert a == b
+
+
+class TestGroupLexicalCosine:
+    def test_hand_computed_matrix(self, spark):
+        from math import sqrt
+
+        from spear_spark.operators.relevance import group_lexical_cosine
+
+        df = spark.createDataFrame(
+            [("a", "t1 t1 t2"), ("b", "t1 t2 t2"), ("c", "zz")],
+            "g string, text string",
+        )
+        out = {(r.group_a, r.group_b): r.cos_sim
+               for r in group_lexical_cosine(df, "g", "text").collect()}
+        # a = (2,1), b = (1,2): cos = (2+2)/5 = 0.8
+        assert out[("a", "b")] == round(4 / (sqrt(5.0) * sqrt(5.0)), 6) == 0.8
+        assert out[("a", "c")] == 0.0  # disjoint pair still emitted
+        assert out[("b", "c")] == 0.0
+        assert len(out) == 3  # complete C(3,2) matrix
+
+    def test_identical_distributions_score_one(self, spark):
+        from spear_spark.operators.relevance import group_lexical_cosine
+
+        df = spark.createDataFrame(
+            [("a", "x y z"), ("b", "x y z"), ("b", "x y z")],
+            "g string, text string",
+        )
+        out = group_lexical_cosine(df, "g", "text").collect()
+        assert len(out) == 1 and out[0].cos_sim == 1.0
+
+    def test_scale_invariance(self, spark):
+        """Cosine sees direction, not mass: doubling one group's counts
+        leaves the matrix unchanged."""
+        from spear_spark.operators.relevance import group_lexical_cosine
+
+        base = [("a", "t1 t1 t2 t3"), ("b", "t1 t2 t2")]
+        df1 = spark.createDataFrame(base, "g string, text string")
+        df2 = spark.createDataFrame(base + [("a", "t1 t1 t2 t3")],
+                                    "g string, text string")
+        m1 = {(r.group_a, r.group_b): r.cos_sim
+              for r in group_lexical_cosine(df1, "g", "text").collect()}
+        m2 = {(r.group_a, r.group_b): r.cos_sim
+              for r in group_lexical_cosine(df2, "g", "text").collect()}
+        assert m1 == m2

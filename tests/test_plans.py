@@ -384,3 +384,12 @@ def test_shingle_df_is_two_phase_count_not_window(spark, sf_dir):
     # one document's shingle set)
     assert "windowspecdefinition(id#" in plan
     assert "ShuffledHashJoin" in plan
+
+    # same rule for the TF-IDF term-df cap (p76) and the repeated-gram
+    # corpus tally (p85): no window keyed on a corpus-wide value
+    plan = executed_plan(OPS["p76_sparse_cosine_pairs"][0](spark, sf_dir))
+    assert "windowspecdefinition(term#" not in plan
+    assert "ShuffledHashJoin" in plan
+    plan = executed_plan(OPS["p85_repeated_ngrams"][0](spark, sf_dir))
+    assert "windowspecdefinition(hv#" not in plan
+    assert "ShuffledHashJoin" in plan
