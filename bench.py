@@ -145,6 +145,12 @@ HEADLINE = [
     "p89_hll_overlap",
     "p90_prefix_jaccard",
     "p91_mad_outliers",
+    # round-9 additions
+    "p92_contamination_intervals",
+    "p93_cm_source_overlap",
+    "p94_rolling_densified",
+    "p95_ngram_novelty",
+    "p96_source_cosine",
 ]
 
 
