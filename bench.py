@@ -151,6 +151,7 @@ HEADLINE = [
     "p94_rolling_densified",
     "p95_ngram_novelty",
     "p96_source_cosine",
+    "p97_max_dup_span",
 ]
 
 

@@ -52,6 +52,7 @@ PICKS = [
     "p92_contamination_intervals", "p93_cm_source_overlap",
     "p94_rolling_densified", "p95_ngram_novelty",
     "p96_source_cosine",
+    "p97_max_dup_span",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

@@ -3930,3 +3930,44 @@ def p96_source_cosine(spark: SparkSession, sf_dir: str) -> SDF:
     return group_lexical_cosine(docs, "source", "text").orderBy(
         "group_a", "group_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# p97 — longest duplicated span per doc (operators.dedup.max_dup_span):
+# positions on corpus-repeated 8-grams merged into maximal islands
+# (the p92 interval rule), each doc reporting its longest island's
+# token length + island count — the span-granular readout of p85's
+# dup_frac and the unit substring dedup actually cuts.  Oracle replays
+# the identical gram hashing, >= 2 tally, and island rewrite.
+# ---------------------------------------------------------------------------
+@q(
+    "p97_max_dup_span",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([struct_pack(pos := i,
+                                     gram := array_to_string(list_slice(t, i, i + 7), ' '))
+                         for i in generate_series(1, len(t) - 7)]) AS s
+          FROM toks),
+    p AS (SELECT doc_id, CAST(s.pos AS INTEGER) AS pos,
+                 ('0x'||substr(md5(s.gram),1,15))::BIGINT AS hv FROM g),
+    tot AS (SELECT hv, COUNT(*) AS total FROM p GROUP BY hv),
+    rep AS (SELECT doc_id, pos FROM p JOIN tot USING (hv) WHERE total >= 2),
+    brk AS (SELECT doc_id, pos,
+                   CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                        THEN 1 ELSE 0 END AS b
+            FROM rep),
+    isl AS (SELECT doc_id, pos,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk),
+    sp AS (SELECT doc_id, island, MAX(pos) + 7 - MIN(pos) + 1 AS len
+           FROM isl GROUP BY doc_id, island)
+    SELECT doc_id, CAST(MAX(len) AS INTEGER) AS max_dup_span,
+           COUNT(*) AS n_dup_spans
+    FROM sp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def p97_max_dup_span(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.max_dup_span(docs, "text", "doc_id").orderBy("doc_id")

@@ -1213,6 +1213,60 @@ def ngram_novelty_profile(
     )
 
 
+def max_dup_span(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Longest contiguous DUPLICATED token span per document — the
+    span-granular readout of :func:`repeated_ngram_profile`'s ratio:
+    positions whose n-gram occurs >= 2 times corpus-wide are merged
+    into maximal islands (the :func:`contamination_intervals` rule:
+    positions <= n apart share an island because their covered
+    [pos, pos+n-1] ranges overlap or touch), and each doc reports its
+    longest island's token length plus the island count.  This is the
+    unit the Lee-et-al substring-dedup paper actually cuts — "this doc
+    embeds a 214-token boilerplate block" — where dup_frac only says
+    "31% duplicated somewhere".  Docs with no duplicated position emit
+    no row.  Returns (id, max_dup_span, n_dup_spans).
+
+    Scale: the corpus-total tally is the p85 regime (two-phase
+    (doc, hash) staging checkpoint, two-phase hash SUM joined back
+    shuffle_hash — never a window over the hash); the island windows
+    partition by DOC (bounded by one document's positions, the benign
+    window class)."""
+    if n < 2:
+        raise ValueError(f"max_dup_span: n must be >= 2, got {n}")
+    from pyspark.sql.window import Window as W
+
+    pos = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(ngram_list(text_col, n)).alias("pos0", "gram"),
+        )
+        .select(
+            F.col(id_col), (F.col("pos0") + 1).alias("pos"), h64(F.col("gram")).alias("hv")
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = pos.groupBy("hv").agg(F.count(F.lit(1)).alias("_total"))
+    rep = (
+        pos.join(totals.hint("shuffle_hash"), "hv")
+        .filter(F.col("_total") >= 2)
+        .select(F.col(id_col), "pos")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + n, F.lit(1)).otherwise(F.lit(0))
+    islands = rep.withColumn("_brk", brk).withColumn(
+        "_isl", F.sum("_brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        (F.max("pos") + (n - 1) - F.min("pos") + 1).alias("_len")
+    )
+    return spans.groupBy(id_col).agg(
+        F.max("_len").alias("max_dup_span"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+    )
+
+
 def contamination_spans(
     corpus_df: DataFrame,
     benchmark_df: DataFrame,

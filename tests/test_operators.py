@@ -3561,3 +3561,54 @@ class TestGroupLexicalCosine:
         m2 = {(r.group_a, r.group_b): r.cos_sim
               for r in group_lexical_cosine(df2, "g", "text").collect()}
         assert m1 == m2
+
+
+class TestMaxDupSpan:
+    def test_planted_shared_paragraph_measures_its_length(self, spark):
+        """Two docs embed the same 12-token paragraph in otherwise
+        unique text: each reports max_dup_span == 12 (the island over
+        the paragraph's 12-8+1 = 5 positions covers exactly its
+        tokens), one island each."""
+        from spear_spark.operators.dedup import max_dup_span
+
+        para = " ".join(f"p{i}" for i in range(12))
+        a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 " + para + " a10 a11 a12 a13 a14 a15 a16 a17"
+        b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 " + para + " b10 b11 b12 b13 b14 b15 b16 b17"
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9")],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in max_dup_span(df, "text", "doc_id").collect()}
+        assert set(out) == {1, 2}  # the clean doc emits nothing
+        assert out[1].max_dup_span == 12 and out[2].max_dup_span == 12
+        assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+
+    def test_within_doc_repetition_counts(self, spark):
+        """A doc repeating its own 8-gram is self-duplicated — the
+        corpus-wide >= 2 rule counts multiplicity, matching p85."""
+        from spear_spark.operators.dedup import max_dup_span
+
+        block = "r1 r2 r3 r4 r5 r6 r7 r8"
+        text = block + " m1 m2 m3 m4 m5 m6 m7 m8 m9 " + block
+        out = max_dup_span(
+            spark.createDataFrame([(9, text)], "doc_id int, text string"),
+            "text", "doc_id",
+        ).collect()
+        assert len(out) == 1
+        assert out[0].max_dup_span == 8 and out[0].n_dup_spans == 2
+
+    def test_span_set_consistent_with_dup_positions(self, spark, sf_dir):
+        """On real data: each doc's island count and max length must be
+        reproducible from repeated_ngram_profile's universe — docs with
+        n_dup == 0 are absent, docs with n_dup > 0 present, and
+        max_dup_span is between n and the doc's token count."""
+        from spear_spark.operators.dedup import max_dup_span, repeated_ngram_profile
+
+        docs = load_table(spark, sf_dir, "documents").limit(80)
+        spans = {r.doc_id: r for r in max_dup_span(docs, "text", "doc_id").collect()}
+        prof = {r.doc_id: r for r in
+                repeated_ngram_profile(docs, "text", "doc_id").collect()}
+        for d, r in prof.items():
+            assert (d in spans) == (r.n_dup > 0), d
+        for d, s in spans.items():
+            assert 8 <= s.max_dup_span <= prof[d].n_ngrams + 7, d
