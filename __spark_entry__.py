@@ -24,14 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-9 window: the 6 new queries (contamination intervals, CM
+# Round-9 window: the 8 new queries (contamination intervals, CM
 # inner-product source overlap, densified rolling distinct, n-gram
-# novelty profile, source lexical cosine, longest duplicated span),
-# the 9 queries whose Spark side or oracle changed this round, ALL 26
-# r05-evidence rotations the round-8 verdict sequenced, and the 9
-# oldest r06-evidence queries.  After this round no evidence is older
-# than r06; the remaining 38 r06 queries lead the round-10 rotation
-# (they sit first below the fold, in order).
+# novelty profile, source lexical cosine, longest duplicated span,
+# per-group ECDF, daily volume anomalies), the 9 queries whose Spark
+# side or oracle changed this round, ALL 26 r05-evidence rotations
+# the round-8 verdict sequenced, and the 7 oldest r06-evidence
+# queries.  After this round no evidence is older than r06; the
+# remaining 40 r06 queries lead the round-10 rotation (they sit first
+# below the fold, in order).
 _DRIVER_PRIORITY = [
     # ---- round 9 window ----
     # -- NEW in round 9 (no driver evidence yet): maximal redaction
@@ -68,18 +69,19 @@ _DRIVER_PRIORITY = [
     #    cosine matrix, longest duplicated span) — new work displaces
     #    three r06 rotation slots
     "p95_ngram_novelty", "p96_source_cosine",
-    "p97_max_dup_span",
-    # -- 9 oldest r06-evidence queries (rotation keeps moving: after
+    "p97_max_dup_span", "p98_length_ecdf",
+    "p99_volume_anomalies",
+    # -- 7 oldest r06-evidence queries (rotation keeps moving: after
     #    this round no evidence is older than r06, and the remaining
-    #    38 r06 queries lead the round-10 window in the order below)
+    #    40 r06 queries lead the round-10 window in the order below)
     "p01_dedup_exact", "p12_multimodal_decode",
     "p13_near_dedup", "p14_embedding_dedup",
     "p15_rolling_hash", "p16_winnowing",
-    "p20_batch_topk", "p21_dup_clusters",
-    "p22_salted_join",
+    "p20_batch_topk",
 
     # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: 38 r06 first, then r07, then r08) ----
+    # stay mechanical: 40 r06 first, then r07, then r08) ----
+    "p21_dup_clusters", "p22_salted_join",
     "p23_sequence_packing",
     "p24_stratified_sample", "p25_group_quantiles",
     "p26_ann_ivf", "p27_tfidf_topterms",

@@ -152,6 +152,8 @@ HEADLINE = [
     "p95_ngram_novelty",
     "p96_source_cosine",
     "p97_max_dup_span",
+    "p98_length_ecdf",
+    "p99_volume_anomalies",
 ]
 
 

@@ -53,6 +53,8 @@ PICKS = [
     "p94_rolling_densified", "p95_ngram_novelty",
     "p96_source_cosine",
     "p97_max_dup_span",
+    "p98_length_ecdf",
+    "p99_volume_anomalies",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

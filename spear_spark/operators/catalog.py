@@ -3971,3 +3971,78 @@ def p96_source_cosine(spark: SparkSession, sf_dir: str) -> SDF:
 def p97_max_dup_span(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.max_dup_span(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p98 — per-group ECDF (operators.stats.group_ecdf): the percentile
+# rank of every distinct document length within its language, WITHOUT
+# a per-group row sort — rows collapse into two-phase (lang, n_chars)
+# counts and the cumulative SUM runs over the domain-bounded
+# distinct-value relation (percent_rank-over-rows would sort a whole
+# language on one task at 100 TB).  Oracle replays the identical
+# aggregate-then-cumulate rewrite.
+# ---------------------------------------------------------------------------
+@q(
+    "p98_length_ecdf",
+    """
+    WITH c AS (SELECT lang, n_chars, COUNT(*) AS n
+               FROM documents GROUP BY lang, n_chars),
+    cum AS (SELECT lang, n_chars, n,
+                   SUM(n) OVER (PARTITION BY lang ORDER BY n_chars
+                                ROWS UNBOUNDED PRECEDING) AS cum_n,
+                   SUM(n) OVER (PARTITION BY lang) AS total
+            FROM c)
+    SELECT lang, n_chars, n, CAST(cum_n AS BIGINT) AS cum_n,
+           ROUND(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ecdf
+    FROM cum ORDER BY lang, n_chars
+    """,
+)
+def p98_length_ecdf(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import group_ecdf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_ecdf(docs, "n_chars", ["lang"]).orderBy("lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# p99 — daily volume anomalies (composition: per-type daily counts →
+# operators.stats.mad_outliers): days whose event volume deviates from
+# THEIR event type's median by >= 2 modified z-scores — the pipeline
+# health monitor ("ingest dropped 40% on day 17") built entirely from
+# existing mergeable pieces; robust scoring matters precisely because
+# an outage day would inflate a stddev-based z.  Oracle replays the
+# count + median/MAD/threshold math (p91's pattern on the counts CTE).
+# ---------------------------------------------------------------------------
+@q(
+    "p99_volume_anomalies",
+    """
+    WITH cnt AS (SELECT event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period,
+                        COUNT(*) AS n
+                 FROM events GROUP BY event_type, period),
+    med AS (SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+            FROM cnt GROUP BY event_type),
+    dev AS (SELECT cnt.event_type, period, n,
+                   CAST(n AS DOUBLE) - med AS delta,
+                   ABS(CAST(n AS DOUBLE) - med) AS ad
+            FROM cnt JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT dev.event_type, period, n,
+           ROUND(0.6745 * delta / mad, 6) AS mscore
+    FROM dev JOIN mad USING (event_type)
+    WHERE mad > 0 AND ABS(ROUND(0.6745 * delta / mad, 6)) >= 2.0
+    ORDER BY event_type, period
+    """,
+)
+def p99_volume_anomalies(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.select(
+        F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").alias("period"),
+    ).groupBy("event_type", "period").agg(F.count(F.lit(1)).alias("n"))
+    return mad_outliers(cnt, "n", ["event_type"], "period", threshold=2.0).orderBy(
+        "event_type", "period"
+    )

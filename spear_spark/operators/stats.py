@@ -371,3 +371,49 @@ def mad_outliers(
         .select(*g, F.col(id_col), F.col(value_col), score.alias("mscore"))
         .filter(F.abs(F.col("mscore")) >= F.lit(float(threshold)))
     )
+
+
+def group_ecdf(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group empirical CDF / percentile rank WITHOUT a per-group
+    row sort: P(X <= v) for every distinct (group, value) — the
+    quantile-normalization primitive ("is this doc long for ITS
+    source?") that `percent_rank() OVER (PARTITION BY group ORDER BY
+    v)` answers with a full per-group sort of every ROW on one task.
+    Here rows collapse first into a two-phase (group, value) count, the
+    cumulative SUM runs over the per-group DISTINCT-VALUE relation —
+    bounded by the value domain, not the row count — and the group
+    total broadcasts back.  Returns (group..., value, n, cum_n, ecdf)
+    with ecdf = cum_n / total rounded to ``decimals``.
+
+    Contract: meant for discrete / integer-grained values (lengths,
+    counts, bucketed scores) where the per-group distinct-value set is
+    domain-bounded.  For continuous doubles quantize first
+    (:func:`histogram_quantiles`'s binning) or the distinct relation
+    degenerates back to row-grain — the same contract DuckDB-style
+    engines assume for ECDF over histograms."""
+    from pyspark.sql.window import Window as W
+
+    g = list(group_cols)
+    counts = df.groupBy(*g, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        W.partitionBy(*g)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum_n", F.sum("n").over(w_cum))
+    tot = counts.groupBy(*g).agg(F.sum("n").alias("_total"))
+    return (
+        cum.join(F.broadcast(tot), g)
+        .select(
+            *g,
+            F.col(value_col),
+            "n",
+            "cum_n",
+            F.round(F.col("cum_n") / F.col("_total"), decimals).alias("ecdf"),
+        )
+    )

@@ -3612,3 +3612,39 @@ class TestMaxDupSpan:
             assert (d in spans) == (r.n_dup > 0), d
         for d, s in spans.items():
             assert 8 <= s.max_dup_span <= prof[d].n_ngrams + 7, d
+
+
+class TestGroupEcdf:
+    def test_matches_direct_definition(self, spark):
+        """ecdf(g, v) == P(X <= v) within group, inclusive; last value
+        of each group closes at exactly 1.0; cum_n is monotone."""
+        from spear_spark.operators.stats import group_ecdf
+
+        rows = [("a", v) for v in [1, 1, 2, 5, 5, 5, 9]] + [("b", v) for v in [3, 4]]
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = sorted(group_ecdf(df, "v", ["g"]).collect(),
+                     key=lambda r: (r.g, r.v))
+        data = {"a": [1, 1, 2, 5, 5, 5, 9], "b": [3, 4]}
+        for r in out:
+            vals = data[r.g]
+            assert r.cum_n == sum(1 for x in vals if x <= r.v)
+            assert r.ecdf == round(r.cum_n / len(vals), 6)
+        for g in data:
+            grp = [r for r in out if r.g == g]
+            assert grp[-1].ecdf == 1.0
+            assert all(a.cum_n < b.cum_n for a, b in zip(grp, grp[1:]))
+
+    def test_collapses_rows_before_the_window(self, spark, sf_dir):
+        """The scale contract: the cumulative window runs over the
+        per-group DISTINCT-value relation, so output rows = distinct
+        (group, value) pairs, not input rows; and the plan's aggregate
+        is two-phase below the window."""
+        from spear_spark.operators.stats import group_ecdf
+        from spear_spark.plans import executed_plan, has_partial_aggregation
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = group_ecdf(docs, "n_chars", ["lang"])
+        distinct = docs.select("lang", "n_chars").distinct().count()
+        assert out.count() == distinct
+        plan = executed_plan(out)
+        assert has_partial_aggregation(plan)
