@@ -436,3 +436,127 @@ def test_hll_rolling_equals_direct_window_registers_prop(spark, rows, window):
             ).collect()
         }
         assert by_p.get(p, set()) == direct
+
+
+# -- round-9 operator laws under random data --------------------------------
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8),
+    min_size=2, max_size=6,
+))
+def test_cm_inner_product_one_sided_on_random_corpora(spark, docs):
+    """CM inner product never undercounts the exact token-distribution
+    overlap, for ANY corpus — the Cormode-Muthukrishnan one-sided law
+    under random multisets."""
+    from collections import Counter
+
+    from spear_spark.operators.sketch import cm_inner_product_by, count_min_sketch_by
+
+    rows = [(f"g{i}", " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "g string, text string")
+    grid = count_min_sketch_by(df, "g", "text")
+    got = {(r.group_a, r.group_b): r.est_inner
+           for r in cm_inner_product_by(grid, "g").collect()}
+    bags = {g: Counter(t.split()[0] for t in txt.split()) for g, txt in rows}
+    names = sorted(bags)
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            exact = sum(bags[ga][t] * bags[gb][t] for t in bags[ga])
+            assert got[(ga, gb)] >= exact, (ga, gb)
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.sampled_from("ab"), st.integers(0, 9)),
+    min_size=1, max_size=30,
+))
+def test_group_ecdf_matches_python_on_random_values(spark, rows):
+    """group_ecdf == the inclusive P(X <= v) definition for any
+    multiset; closes at 1.0 per group."""
+    from spear_spark.operators.stats import group_ecdf
+
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = group_ecdf(df, "v", ["g"]).collect()
+    from collections import defaultdict
+    vals = defaultdict(list)
+    for g, v in rows:
+        vals[g].append(v)
+    assert {(r.g, r.v) for r in out} == {(g, v) for g, v in rows}
+    for r in out:
+        below = sum(1 for x in vals[r.g] if x <= r.v)
+        assert r.cum_n == below
+        assert r.ecdf == round(below / len(vals[r.g]), 6)
+    for g, xs in vals.items():
+        top = max(xs)
+        [last] = [r for r in out if r.g == g and r.v == top]
+        assert last.ecdf == 1.0
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(0, 12), min_size=1, max_size=8, unique=True),
+       st.integers(1, 4))
+def test_rolling_densify_agrees_with_direct_sketch(spark, periods, window):
+    """For ANY observed-period set and window size, every densified
+    period's cells equal the direct sketch of the window's raw rows
+    (and the period range is exactly [min, max])."""
+    from spear_spark.operators.sketch import (
+        cm_rolling,
+        count_min_sketch,
+        count_min_sketch_by,
+    )
+
+    rows = [(p, f"t{p} t{p} u{p % 3}") for p in periods]
+    df = spark.createDataFrame(rows, "period int, text string")
+    daily = count_min_sketch_by(df, "period", "text")
+    rolled = cm_rolling(daily, window=window, densify=True).collect()
+    lo, hi = min(periods), max(periods)
+    got_periods = sorted({r.period for r in rolled})
+    # a period inside [lo, hi] emits cells iff its window is non-empty
+    expect = [p for p in range(lo, hi + 1)
+              if any(p - window < q <= p for q in periods)]
+    assert got_periods == expect
+    for p in got_periods:
+        got = {(r.row, r.bucket): r.cnt for r in rolled if r.period == p}
+        direct = {
+            (r.row, r.bucket): r.cnt
+            for r in count_min_sketch(
+                df.filter((F.col("period") > p - window) & (F.col("period") <= p)),
+                "text",
+            ).collect()
+        }
+        assert got == direct, (p, window)
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=25))
+def test_interval_islands_cover_exactly_the_positions(spark, raw_positions):
+    """Island merging over ANY position set: interval coverage equals
+    the union of per-position [pos, pos+n-1] ranges, intervals are
+    disjoint and non-adjacent."""
+    from pyspark.sql.window import Window as W
+
+    n = 3
+    positions = sorted(set(raw_positions))
+    df = spark.createDataFrame([(1, p) for p in positions], "doc_id int, pos int")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + n, F.lit(1)).otherwise(F.lit(0))
+    islands = df.withColumn("_brk", brk).withColumn(
+        "_isl", F.sum("_brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ivs = (
+        islands.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n - 1).alias("e"))
+        .collect()
+    )
+    want = {t for p in positions for t in range(p, p + n)}
+    got = {t for r in ivs for t in range(r.s, r.e + 1)}
+    assert got == want
+    spans = sorted((r.s, r.e) for r in ivs)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 > e1 + 1
