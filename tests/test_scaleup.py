@@ -568,3 +568,74 @@ def test_repeated_ngrams_self_union_saturates(spark, sf_dir):
     )
     rows = repeated_ngram_profile(doubled, "text", "doc_id").collect()
     assert rows and all(r.n_dup == r.n_ngrams and r.dup_frac == 1.0 for r in rows)
+
+
+def test_cm_inner_product_scales_quadratically_under_duplication(spark, sf_dir):
+    """Count-Min linearity through the inner product: duplicating every
+    row doubles each (group, token) count, so every cell doubles and
+    every pairwise inner product lands at EXACTLY 4x — the collision
+    structure is identical (same tokens, same hashes), so this is an
+    equality, not a bound.  The companion cosine (p96) is invariant
+    under the same duplication (direction, not mass)."""
+    from spear_spark.operators.relevance import group_lexical_cosine
+    from spear_spark.operators.sketch import cm_inner_product_by, count_min_sketch_by
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").limit(200)
+    doubled = docs.unionAll(docs)
+    base = {(r.group_a, r.group_b): r.est_inner
+            for r in cm_inner_product_by(
+                count_min_sketch_by(docs, "source", "text"), "source").collect()}
+    big = {(r.group_a, r.group_b): r.est_inner
+           for r in cm_inner_product_by(
+               count_min_sketch_by(doubled, "source", "text"), "source").collect()}
+    assert set(base) == set(big)
+    for k in base:
+        assert big[k] == 4 * base[k], k
+    cos_a = {(r.group_a, r.group_b): r.cos_sim
+             for r in group_lexical_cosine(docs, "source", "text").collect()}
+    cos_b = {(r.group_a, r.group_b): r.cos_sim
+             for r in group_lexical_cosine(doubled, "source", "text").collect()}
+    assert cos_a == cos_b
+
+
+def test_max_dup_span_saturates_under_duplication(spark, sf_dir):
+    """Duplicating the corpus makes EVERY gram corpus-repeated, so each
+    doc with >= 1 gram must report exactly one island covering all its
+    positions: max_dup_span == token_count, n_dup_spans == 1 — the
+    saturation law that pins both the >= 2 rule and the island merge."""
+    from spear_spark.operators.dedup import max_dup_span, repeated_ngram_profile
+    from spear_spark.operators.text import tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    spans = {r.doc_id: r for r in max_dup_span(doubled, "text", "doc_id").collect()}
+    lens = {r.doc_id: r.n for r in
+            doubled.select("doc_id", F.size(tok_fn("text")).alias("n")).collect()}
+    grams = {r.doc_id: r.n_ngrams for r in
+             repeated_ngram_profile(doubled, "text", "doc_id").collect()}
+    assert set(spans) == set(grams)  # every doc with >= 1 gram saturates
+    for d, r in spans.items():
+        assert r.n_dup_spans == 1, d
+        assert r.max_dup_span == lens[d] == grams[d] + 7, d
+
+
+def test_novelty_profile_under_duplication(spark, sf_dir):
+    """Appending an exact copy of the corpus under HIGHER ids leaves
+    every original doc's novelty unchanged (the prefix it sees is
+    identical) and gives every copy novelty 0 (nothing it contains is
+    first-seen)."""
+    from spear_spark.operators.dedup import ngram_novelty_profile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    base = {r.doc_id: (r.n_novel, r.n_ngrams) for r in
+            ngram_novelty_profile(docs, "text", "doc_id").collect()}
+    big = {r.doc_id: (r.n_novel, r.n_ngrams) for r in
+           ngram_novelty_profile(doubled, "text", "doc_id").collect()}
+    for d, (novel, total) in base.items():
+        assert big[d] == (novel, total), d
+        assert big[d + 10_000_000] == (0, total), d
