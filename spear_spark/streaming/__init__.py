@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -640,4 +641,91 @@ def daily_hll_registers_stream(
             "reg",
             "max_rho",
         )
+    )
+
+
+NOVEL_GRAMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("n_pos", LongType()),
+        StructField("n_novel", LongType()),
+    ]
+)
+_NOVEL_GRAMS_STATE_SCHEMA = StructType(
+    [StructField("seen", ArrayType(LongType()))]
+)
+
+
+def novel_grams_stream(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    buckets: int = 64,
+) -> DataFrame:
+    """Streaming FIRST-SEEN n-gram tracker — the continuous producer
+    for :func:`spear_spark.operators.dedup.ngram_novelty_profile`'s
+    question ("how much genuinely new content is arriving?") without
+    re-scanning the corpus per batch: gram hashes shard over
+    ``buckets`` via ``pmod``, each shard's ``applyInPandasWithState``
+    state is the set of hashes it has ever seen, and every batch emits
+    (doc_id, bucket, n_pos, n_novel) — this doc's positions landing in
+    this shard, and how many sit on grams never seen in any earlier
+    batch or in a lower-id doc of the same batch.  Summing over
+    buckets per doc reproduces the batch profile EXACTLY when batches
+    arrive in id order (the backfill drain shape) — equivalence-tested
+    file-for-file.
+
+    State design for scale: the seen-set is VOCABULARY-bounded (the
+    same bound any exact first-seen tracker must pay), sharded evenly
+    over ``buckets`` keys so no single state row holds the vocabulary;
+    for truly unbounded gram spaces swap the exact set for the Bloom
+    state of :func:`bloom_words_stream` (lossy: novelty becomes a
+    deterministic UNDERcount, never an overcount).  The per-batch
+    min-doc rule is computed inside the shard's pandas group, so
+    within-batch replays of the same doc id are idempotent."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spear_spark.operators.dedup import h64, ngram_list
+
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(ngram_list(text_col, n)).alias("gram"),
+    ).select(
+        "doc_id",
+        h64(F.col("gram")).alias("hv"),
+    ).withColumn("bucket", F.pmod(F.col("hv"), F.lit(buckets)).cast("long"))
+
+    def update(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            first_doc = pdf.groupby("hv")["doc_id"].min()
+            is_first = pdf["doc_id"].values == first_doc.loc[pdf["hv"]].values
+            unseen = ~pdf["hv"].isin(seen).values
+            out = (
+                pdf.assign(_novel=(is_first & unseen).astype("int64"))
+                .groupby("doc_id", as_index=False)
+                .agg(n_pos=("hv", "size"), n_novel=("_novel", "sum"))
+            )
+            seen |= set(int(h) for h in pdf["hv"].unique())
+            state.update((list(seen),))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"].astype("int64"),
+                    "bucket": key[0],
+                    "n_pos": out["n_pos"].astype("int64"),
+                    "n_novel": out["n_novel"].astype("int64"),
+                }
+            )
+
+    return grams.groupBy("bucket").applyInPandasWithState(
+        update,
+        NOVEL_GRAMS_SCHEMA,
+        _NOVEL_GRAMS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

@@ -554,3 +554,52 @@ def test_daily_hll_registers_stream_matches_batch(spark, sf_dir):
                           hll_rolling(drained.unionByName(drained), 7).collect()))
     once = sorted(map(tuple, hll_rolling(batch_daily, 7).collect()))
     assert replayed == once
+
+
+def test_novel_grams_stream_matches_batch_profile(spark, sf_dir, tmp_path):
+    """Drained streaming novelty, summed over hash buckets per doc,
+    equals ngram_novelty_profile EXACTLY when batches arrive in doc-id
+    order (the backfill drain shape): file 1 = docs below the median
+    id, file 2 = the rest, maxFilesPerTrigger=1 — grams first seen in
+    batch 1 must not count as novel again in batch 2, and the
+    within-batch min-doc rule must match the batch operator's."""
+    import os
+    import time
+
+    from spear_spark.operators.dedup import ngram_novelty_profile
+    from spear_spark.streaming import novel_grams_stream
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+    docs.filter(F.col("doc_id") < 30).toPandas().to_parquet(f1)
+    time.sleep(1.1)  # FileStreamSource orders batches by mod time
+    docs.filter(F.col("doc_id") >= 30).toPandas().to_parquet(f2)
+    os.utime(f2)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = novel_grams_stream(stream, "text", "doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("novel_grams_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = (
+        spark.table("novel_grams_test")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pos").alias("n_ngrams"), F.sum("n_novel").alias("n_novel"))
+    )
+    got = {r.doc_id: (r.n_ngrams, r.n_novel) for r in drained.collect()}
+    want = {r.doc_id: (r.n_ngrams, r.n_novel)
+            for r in ngram_novelty_profile(docs, "text", "doc_id").collect()}
+    assert got == want
