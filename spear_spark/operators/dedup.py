@@ -1458,8 +1458,25 @@ def jaccard_prefix_pairs(
         "rk", F.row_number().over(W.partitionBy("id").orderBy("df", "s"))
     )
     plen = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 2
-    pref = ranked.filter(F.col("rk") <= F.least(plen, F.col("n"))).select("id", "n", "s")
+    pref = ranked.filter(F.col("rk") <= F.least(plen, F.col("n"))).select(
+        "id", "n", "s", "rk"
+    )
     t = float(threshold)
+    # PPJoin position filter: both docs rank their shingles in the SAME
+    # global (df, s) order, so a pair meeting on the token at ranks
+    # (ra, rb) can share at most ub = 1 + min(na - ra, nb - rb)
+    # shingles, while Jaccard >= t needs overlap o >= t/(1+t)·(na+nb);
+    # prune rows whose ub (+1 safety margin, mirroring the prefix
+    # margin) can't reach that bound.  Lossless: a true pair's
+    # FIRST shared token gives ub >= o, so at least one of its join
+    # rows always survives to the distinct.
+    ub = (
+        F.lit(1)
+        + F.least(
+            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+        )
+        + F.lit(1)
+    )
     cand = (
         pref.alias("a")
         .join(
@@ -1469,6 +1486,10 @@ def jaccard_prefix_pairs(
         .filter(
             (F.col("a.n") * t <= F.col("b.n") + 1e-9)
             & (F.col("b.n") * t <= F.col("a.n") + 1e-9)
+            & (
+                ub.cast("double") * (1.0 + t)
+                >= t * (F.col("a.n") + F.col("b.n")) - 1e-9
+            )
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
