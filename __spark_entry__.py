@@ -24,14 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-9 window: the 8 new queries (contamination intervals, CM
+# Round-9 window: the 12 new queries (contamination intervals, CM
 # inner-product source overlap, densified rolling distinct, n-gram
 # novelty profile, source lexical cosine, longest duplicated span,
-# per-group ECDF, daily volume anomalies), the 9 queries whose Spark
+# per-group ECDF, daily volume anomalies, reproducible training order,
+# weighted mix schedule, per-source dedup report, lexical diversity
+# profile), the 9 queries whose Spark
 # side or oracle changed this round, ALL 26 r05-evidence rotations
-# the round-8 verdict sequenced, and the 7 oldest r06-evidence
-# queries.  After this round no evidence is older than r06; the
-# remaining 40 r06 queries lead the round-10 rotation (they sit first
+# the round-8 verdict sequenced, and the 3 oldest r06-evidence
+# queries (p100-p103 displaced four r06 slots; the floor stays r06
+# either way).  After this round no evidence is older than r06; the
+# remaining 44 r06 queries lead the round-10 rotation (they sit first
 # below the fold, in order).
 _DRIVER_PRIORITY = [
     # ---- round 9 window ----
@@ -71,16 +74,22 @@ _DRIVER_PRIORITY = [
     "p95_ngram_novelty", "p96_source_cosine",
     "p97_max_dup_span", "p98_length_ecdf",
     "p99_volume_anomalies",
-    # -- 7 oldest r06-evidence queries (rotation keeps moving: after
-    #    this round no evidence is older than r06, and the remaining
-    #    40 r06 queries lead the round-10 window in the order below)
+    # -- four more NEW queries (reproducible training order, weighted
+    #    mix schedule, per-source dedup report, lexical diversity) —
+    #    new work displaces four r06 rotation slots (the floor stays
+    #    r06 either way; the displaced four lead the round-10 window)
+    "p100_training_order", "p101_mix_schedule",
+    "p102_dedup_report", "p103_distinct_ngrams",
+    # -- 3 oldest r06-evidence queries (rotation keeps moving: the
+    #    remaining 44 r06 queries lead the round-10 window in the
+    #    order below)
     "p01_dedup_exact", "p12_multimodal_decode",
-    "p13_near_dedup", "p14_embedding_dedup",
-    "p15_rolling_hash", "p16_winnowing",
-    "p20_batch_topk",
+    "p13_near_dedup",
 
     # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: 40 r06 first, then r07, then r08) ----
+    # stay mechanical: 44 r06 first, then r07, then r08) ----
+    "p14_embedding_dedup", "p15_rolling_hash",
+    "p16_winnowing", "p20_batch_topk",
     "p21_dup_clusters", "p22_salted_join",
     "p23_sequence_packing",
     "p24_stratified_sample", "p25_group_quantiles",

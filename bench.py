@@ -154,6 +154,10 @@ HEADLINE = [
     "p97_max_dup_span",
     "p98_length_ecdf",
     "p99_volume_anomalies",
+    "p100_training_order",
+    "p101_mix_schedule",
+    "p102_dedup_report",
+    "p103_distinct_ngrams",
 ]
 
 

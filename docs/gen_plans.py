@@ -55,6 +55,10 @@ PICKS = [
     "p97_max_dup_span",
     "p98_length_ecdf",
     "p99_volume_anomalies",
+    "p100_training_order",
+    "p101_mix_schedule",
+    "p102_dedup_report",
+    "p103_distinct_ngrams",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

@@ -4046,3 +4046,169 @@ def p99_volume_anomalies(spark: SparkSession, sf_dir: str) -> SDF:
     return mad_outliers(cnt, "n", ["event_type"], "period", threshold=2.0).orderBy(
         "event_type", "period"
     )
+
+
+# ---------------------------------------------------------------------------
+# p100 — reproducible training order (operators.ids.training_order):
+# the seeded global corpus shuffle a training run streams in — rank of
+# the md5 shuffle key, ties by id.  ORDER BY rand() is retry-
+# nondeterministic and row_number-over-it is a one-task window; here
+# the key is a pure function of (seed, id) and the rank comes from
+# hash-domain fixed buckets (uniform BY CONSTRUCTION — no min/max
+# pre-pass) + bounded driver prefix sums + a bucket-partitioned
+# window.  Oracle is the single-window ROW_NUMBER over the identical
+# md5 key.
+# ---------------------------------------------------------------------------
+@q(
+    "p100_training_order",
+    """
+    SELECT doc_id,
+           ('0x'||substr(md5('17_'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+             AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY ('0x'||substr(md5('17_'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+                           doc_id) AS BIGINT) AS position
+    FROM documents ORDER BY position
+    """,
+)
+def p100_training_order(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.ids import training_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_order(spark, docs, "doc_id", seed=17).orderBy("position")
+
+
+# p101's weight grid: weight 1 + i%4 per source (integer stride
+# scheduling needs an integer grid; lcm = 12).
+_MIX_WEIGHTS = {f"src{i}": 1 + i % 4 for i in range(20)}
+
+
+# ---------------------------------------------------------------------------
+# p101 — weighted mix schedule (operators.sampling.mix_schedule):
+# stride-scheduling interleave (Waldspurger & Weihl) of the 20 sources
+# at integer weights 1..4 — sched_key = src_rank * (lcm/weight), so
+# sorting by (sched_key, source, src_rank) yields a training stream
+# whose every prefix carries each source in proportion to its weight.
+# Intra-source order is the p100 seeded shuffle (grouped variant), so
+# the whole schedule is a pure function of (ids, seed, weights).
+# Oracle replays the identical per-source ROW_NUMBER + stride product.
+# ---------------------------------------------------------------------------
+@q(
+    "p101_mix_schedule",
+    f"""
+    WITH r AS (SELECT doc_id, source,
+               ('0x'||substr(md5('19_'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS sk
+               FROM documents),
+    rk AS (SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY sk, doc_id) AS src_rank
+           FROM r),
+    w AS (SELECT * FROM (VALUES {", ".join(f"('src{i}', {12 // (1 + i % 4)})" for i in range(20))})
+          AS t(source, stride))
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(src_rank * stride AS BIGINT) AS sched_key
+    FROM rk JOIN w USING (source)
+    ORDER BY sched_key, source, src_rank
+    """,
+)
+def p101_mix_schedule(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import mix_schedule
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_schedule(
+        spark, docs, "doc_id", "source", _MIX_WEIGHTS, seed=19
+    ).orderBy("sched_key", "source", "src_rank")
+
+
+# ---------------------------------------------------------------------------
+# p102 — per-source dedup report (operators.dedup.dedup_report): the
+# end-to-end curation dashboard — exact md5 dedup (min-id keep), then
+# Jaccard >= 0.5 connected components on the survivors (p21's CC, p88's
+# pair rule) with min-id cluster representatives — tallied per source:
+# (n_docs, n_exact_kept, n_final_kept, retention).  Docs count against
+# their OWN source even when their duplicate lives elsewhere, so
+# cross-source duplication shows as asymmetric retention.  Oracle
+# replays exact-keep + the recursive-CTE closure + the same tallies.
+# ---------------------------------------------------------------------------
+@q(
+    "p102_dedup_report",
+    rf"""
+    WITH RECURSIVE
+    ex AS (SELECT doc_id, source, text, md5(text) AS h FROM documents),
+    keep AS (SELECT h, MIN(doc_id) AS kid FROM ex GROUP BY h),
+    surv AS (SELECT doc_id, source, text
+             FROM ex JOIN keep ON ex.h = keep.h AND ex.doc_id = keep.kid),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM surv),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in generate_series(1, len(t)-2)]) AS s
+           FROM toks),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT doc_a, doc_b
+              FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+                         JOIN cnt cb ON doc_b = cb.doc_id
+              WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    lab AS (SELECT s.doc_id, s.source, COALESCE(l.cluster_id, s.doc_id) AS cluster
+            FROM surv s LEFT JOIN labels l USING (doc_id)),
+    pe AS (SELECT source, COUNT(*) AS n_exact_kept,
+                  SUM(CASE WHEN cluster = doc_id THEN 1 ELSE 0 END) AS n_final_kept
+           FROM lab GROUP BY source),
+    pa AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT pa.source, n_docs,
+           CAST(COALESCE(n_exact_kept, 0) AS BIGINT) AS n_exact_kept,
+           CAST(COALESCE(n_final_kept, 0) AS BIGINT) AS n_final_kept,
+           ROUND(CAST(COALESCE(n_final_kept, 0) AS DOUBLE) / n_docs, 6) AS retention
+    FROM pa LEFT JOIN pe USING (source) ORDER BY source
+    """,
+)
+def p102_dedup_report(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_report(docs, "text", "doc_id", "source", threshold=0.5).orderBy(
+        "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p103 — lexical diversity profile (operators.text.distinct_ngram_stats):
+# distinct-1/-2/-3 per source (Li et al. 2016) — distinct n-grams over
+# total n-gram positions; n=1 is the type-token ratio.  The template/
+# mode-collapse detector a mixture audit runs per source.  Two-phase
+# (source, n, gram) count then a bounded (source, n) rollup — no
+# COUNT(DISTINCT) expand, no window.  Oracle counts the same gram
+# relations directly.
+# ---------------------------------------------------------------------------
+@q(
+    "p103_distinct_ngrams",
+    rf"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT source, 1 AS n, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT source, 2, unnest([t[i]||' '||t[i+1]
+                                for i in generate_series(1, len(t)-1)]) FROM toks
+      UNION ALL
+      SELECT source, 3, unnest([t[i]||' '||t[i+1]||' '||t[i+2]
+                                for i in generate_series(1, len(t)-2)]) FROM toks)
+    SELECT source, n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
+             AS distinct_ratio
+    FROM g GROUP BY source, n ORDER BY source, n
+    """,
+)
+def p103_distinct_ngrams(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.distinct_ngram_stats(docs, "text", "source").orderBy("source", "n")

@@ -144,3 +144,103 @@ def balanced_shards(
         size_col,
         ((F.col("global_id") - 1) % n_shards).cast("int").alias("shard"),
     )
+
+
+def seeded_shuffle_ranks(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+    seed: int = 17,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic seeded shuffle rank, optionally per group: every
+    row gets ``shuffle_key = h64(seed || '_' || id)`` (the repo's
+    md5-based 60-bit uniform, reproducible in any engine) and
+    ``rank`` = 1-based position of that key within its group ordered by
+    ``(shuffle_key, id)``.  Equivalent to
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY shuffle_key, id)``
+    but with no whole-group single-task sort: shuffle keys are uniform
+    over [0, 2^60) BY CONSTRUCTION, so fixed hash-domain buckets
+    (``key >> (60 - log2(n_buckets))``) split every group evenly with
+    no min/max pre-pass, per-(group, bucket) counts are prefix-summed
+    driver-side (bounded: |groups| x n_buckets rows), and the window
+    partitions by (group, bucket) — parallel even when one group is the
+    whole corpus.
+
+    Unlike :func:`global_row_numbers` (which needs unique *integer*
+    keys in their natural order), this ranks by a derived uniform hash,
+    so it works for any id type and any group count, and the bucket
+    histogram is balanced regardless of id distribution.
+    """
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 60 - n_buckets.bit_length() + 1  # 60 - log2(n_buckets)
+    gcols = list(group_cols)
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}_"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = df.select(*gcols, F.col(id_col), key.alias("_sk")).withColumn(
+        "_bkt", F.shiftright(F.col("_sk"), shift)
+    )
+    counts = (
+        base.groupBy(*gcols, "_bkt").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    from collections import defaultdict
+
+    per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
+    for r in counts:
+        per_group[tuple(r[c] for c in gcols)].append((int(r["_bkt"]), int(r["_n"])))
+    rows = []
+    for gkey, lst in per_group.items():
+        off = 0
+        for bkt, n in sorted(lst):
+            rows.append((*gkey, bkt, off))
+            off += n
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    off_schema = StructType(
+        [df.schema[c] for c in gcols]
+        + [StructField("_bkt", LongType()), StructField("_off", LongType())]
+    )
+    off_df = spark.createDataFrame(rows, off_schema)
+    w = Window.partitionBy(*gcols, "_bkt").orderBy("_sk", id_col)
+    return (
+        base.join(F.broadcast(off_df), gcols + ["_bkt"])
+        .withColumn("rank", (F.row_number().over(w) + F.col("_off")).cast("bigint"))
+        .select(*gcols, id_col, F.col("_sk").alias("shuffle_key"), "rank")
+    )
+
+
+def training_order(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    seed: int = 17,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Reproducible global corpus shuffle for training runs: assign
+    every document a deterministic pseudo-random ``position`` (1..n) by
+    ranking the seeded md5 shuffle key globally — the same order on
+    every rerun, every cluster size, every partitioning, with no
+    random state and no single-task global sort.  Changing ``seed``
+    yields an independent epoch order.
+
+    This is the batch answer to "shuffle 100 TB before training,
+    reproducibly": a global ORDER BY rand() is nondeterministic across
+    retries (task rerun = new sample) and a row_number over it is a
+    one-task window; here the key is a pure function of the id and the
+    rank comes from :func:`seeded_shuffle_ranks`'s bucket-parallel
+    pattern.  Readers stream packs in ``position`` order; a different
+    epoch = a different seed.
+
+    Returns ``(id, shuffle_key, position)``.
+    """
+    out = seeded_shuffle_ranks(
+        spark, df, id_col, (), seed=seed, n_buckets=n_buckets
+    )
+    return out.select(id_col, "shuffle_key", F.col("rank").alias("position"))

@@ -453,3 +453,70 @@ def budget_waterfill(
         alloc.cast("long").alias("alloc"),
         (~F.col("_unc")).alias("capped"),
     ).orderBy("source")
+
+
+def mix_schedule(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: Mapping[str, int],
+    seed: int = 19,
+    default_weight: int = 1,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Weighted multi-source interleave for the training stream: order
+    the corpus so every prefix contains each source in proportion to
+    its integer weight (stride scheduling — Waldspurger & Weihl, OSDI
+    '94).  Each doc gets a seeded shuffle rank WITHIN its source
+    (:func:`spear_spark.operators.ids.seeded_shuffle_ranks`, so the
+    intra-source order is itself a reproducible shuffle), then
+    ``sched_key = src_rank * stride(source)`` with
+    ``stride = lcm(weights) / weight`` — exact int64 arithmetic, no
+    float pass values.  Sorting by ``(sched_key, group, src_rank)``
+    yields the interleaved stream: a weight-3 source appears 3x as
+    often as a weight-1 source in any window longer than one stride
+    cycle, and the whole schedule is a pure function of (ids, seed,
+    weights) — rerun-stable across cluster sizes.
+
+    Returns ``(id, group, src_rank, sched_key)``; consumers sort by
+    ``(sched_key, group, src_rank)`` (range-partitioned sort — no
+    single-task stage) or feed it to the packing operators.
+
+    Scale: the only shuffles are the rank helper's bounded-bucket
+    window and the final sort; strides are broadcast literals.  With
+    ranks <= corpus size (~1e12 at 100 TB) and strides <= lcm(weights),
+    ``sched_key`` stays far inside int64 for any sane weight set (the
+    guard below rejects lcm > 2^20).
+    """
+    from math import lcm
+
+    from spear_spark.operators.ids import seeded_shuffle_ranks
+
+    if not weights:
+        raise ValueError("mix_schedule: weights must be non-empty")
+    vals = list(weights.values()) + [default_weight]
+    if any((not isinstance(v, int)) or v < 1 for v in vals):
+        raise ValueError(
+            f"mix_schedule: weights must be positive integers, got {weights} "
+            f"(default {default_weight}) — scale rational weights to a "
+            "common integer grid first"
+        )
+    big = lcm(*vals)
+    if big > (1 << 20):
+        raise ValueError(
+            f"mix_schedule: lcm(weights) = {big} > 2^20 — reduce the weight "
+            "grid so sched_key cannot overflow int64 at corpus scale"
+        )
+    stride = F.lit(big // default_weight)
+    for g, wv in sorted(weights.items()):
+        stride = F.when(F.col(group_col) == g, F.lit(big // wv)).otherwise(stride)
+    ranks = seeded_shuffle_ranks(
+        spark, df, id_col, (group_col,), seed=seed, n_buckets=n_buckets
+    )
+    return ranks.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("rank").alias("src_rank"),
+        (F.col("rank") * stride).cast("bigint").alias("sched_key"),
+    )

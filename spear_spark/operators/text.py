@@ -551,3 +551,47 @@ def quality_funnel(
         )
         .orderBy("stage")
     )
+
+
+def distinct_ngram_stats(df, text_col: str, group_col: str, max_n: int = 3):
+    """Corpus lexical-diversity profile per group: for n = 1..``max_n``,
+    the total n-gram positions, the distinct n-gram count, and
+    distinct-n = distinct/total — the standard diversity metric
+    (Li et al. 2016's distinct-1/-2) that flags template-generated or
+    mode-collapsed text (low distinct-n) before it dilutes a training
+    mix; n=1 is the classic type-token ratio.
+
+    Returns ``(group, n, total_ngrams, distinct_ngrams,
+    distinct_ratio)`` — one row per (group, n).
+
+    Scale: one explode per n over the tokenized scan, unioned, then a
+    two-phase ``(group, n, gram)`` count followed by a bounded
+    ``(group, n)`` rollup — the same aggregate-the-aggregate shape as
+    the health report's gram tallies; no COUNT(DISTINCT) expand, no
+    window, state bounded by vocabulary size.
+    """
+    from pyspark.sql import functions as F
+
+    from spear_spark.operators.dedup import ngram_list
+
+    levels = [
+        df.select(
+            F.col(group_col),
+            F.lit(n).alias("n"),
+            F.explode(ngram_list(F.col(text_col), n)).alias("gram"),
+        )
+        for n in range(1, max_n + 1)
+    ]
+    grams = levels[0]
+    for lv in levels[1:]:
+        grams = grams.unionAll(lv)
+    per_gram = grams.groupBy(group_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_gram.groupBy(group_col, "n").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("distinct_ratio"),
+    )

@@ -3648,3 +3648,253 @@ class TestGroupEcdf:
         assert out.count() == distinct
         plan = executed_plan(out)
         assert has_partial_aggregation(plan)
+
+
+class TestTrainingOrder:
+    def test_positions_are_a_permutation(self, spark, sf_dir):
+        from spear_spark.operators.ids import training_order
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        n = docs.count()
+        pos = [r.position for r in training_order(spark, docs, "doc_id").collect()]
+        assert sorted(pos) == list(range(1, n + 1))
+
+    def test_matches_single_window_row_number(self, spark):
+        """The bucket-parallel rank must equal the one-task
+        ROW_NUMBER() OVER (ORDER BY shuffle_key, id) it replaces."""
+        from pyspark.sql.window import Window as W
+
+        from spear_spark.operators.ids import training_order
+
+        df = spark.createDataFrame([(i,) for i in range(97)], "doc_id int")
+        out = training_order(spark, df, "doc_id", seed=23)
+        direct = out.withColumn(
+            "ref", F.row_number().over(W.orderBy("shuffle_key", "doc_id"))
+        )
+        assert direct.filter(F.col("position") != F.col("ref")).count() == 0
+
+    def test_bucket_count_invariance(self, spark):
+        """The schedule is a pure function of (ids, seed): n_buckets is
+        a parallelism knob, never a semantics knob."""
+        from spear_spark.operators.ids import training_order
+
+        df = spark.createDataFrame([(i * 7 % 211,) for i in range(211)], "doc_id int")
+        a = {(r.doc_id, r.position)
+             for r in training_order(spark, df, "doc_id", n_buckets=256).collect()}
+        b = {(r.doc_id, r.position)
+             for r in training_order(spark, df, "doc_id", n_buckets=16).collect()}
+        assert a == b
+
+    def test_partitioning_invariance(self, spark):
+        from spear_spark.operators.ids import training_order
+
+        df = spark.createDataFrame([(i,) for i in range(150)], "doc_id int")
+        a = {(r.doc_id, r.position)
+             for r in training_order(spark, df, "doc_id").collect()}
+        b = {(r.doc_id, r.position)
+             for r in training_order(spark, df.repartition(13), "doc_id").collect()}
+        assert a == b
+
+    def test_different_seed_different_epoch_same_set(self, spark):
+        from spear_spark.operators.ids import training_order
+
+        df = spark.createDataFrame([(i,) for i in range(80)], "doc_id int")
+        e1 = [r.doc_id for r in
+              training_order(spark, df, "doc_id", seed=1).orderBy("position").collect()]
+        e2 = [r.doc_id for r in
+              training_order(spark, df, "doc_id", seed=2).orderBy("position").collect()]
+        assert sorted(e1) == sorted(e2) and e1 != e2
+
+    def test_grouped_ranks_cover_each_group(self, spark, sf_dir):
+        from spear_spark.operators.ids import seeded_shuffle_ranks
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        out = seeded_shuffle_ranks(spark, docs, "doc_id", ("source",))
+        sizes = {r.source: r.cnt for r in
+                 docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.source, []).append(r.rank)
+        assert set(got) == set(sizes)
+        for s, ranks in got.items():
+            assert sorted(ranks) == list(range(1, sizes[s] + 1))
+
+    def test_rejects_non_power_of_two_buckets(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.ids import training_order
+
+        df = spark.createDataFrame([(1,)], "doc_id int")
+        with _pytest.raises(ValueError, match="power of two"):
+            training_order(spark, df, "doc_id", n_buckets=100)
+
+
+class TestMixSchedule:
+    def test_prefix_proportions_track_weights(self, spark):
+        """Stride scheduling's contract: after any whole number of
+        cycles, each group's appearance count is proportional to its
+        weight (exactly, when groups are large enough)."""
+        from spear_spark.operators.sampling import mix_schedule
+
+        rows = [(i, f"g{i % 3}") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id int, g string")
+        weights = {"g0": 1, "g1": 2, "g2": 3}
+        out = (mix_schedule(spark, df, "doc_id", "g", weights)
+               .orderBy("sched_key", "g", "src_rank").collect())
+        # lcm = 6; one cycle of sched_key <= 6k emits k g0, 2k g1, 3k g2
+        from collections import Counter
+
+        for k in (6, 30, 60):
+            c = Counter(r.g for r in out if r.sched_key <= k)
+            assert c["g0"] * 2 == c["g1"] and c["g0"] * 3 == c["g2"], (k, c)
+
+    def test_equal_weights_reduce_to_round_robin(self, spark):
+        from spear_spark.operators.sampling import mix_schedule
+
+        rows = [(i, f"g{i % 2}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id int, g string")
+        out = (mix_schedule(spark, df, "doc_id", "g", {"g0": 1, "g1": 1})
+               .orderBy("sched_key", "g").collect())
+        # alternating pairs: every consecutive block of 2 holds both groups
+        for i in range(0, len(out), 2):
+            assert {out[i].g, out[i + 1].g} == {"g0", "g1"}
+
+    def test_deterministic_across_partitioning(self, spark):
+        from spear_spark.operators.sampling import mix_schedule
+
+        rows = [(i, f"g{i % 4}") for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id int, g string")
+        w = {"g0": 1, "g1": 2, "g2": 3, "g3": 4}
+        a = {tuple(r) for r in mix_schedule(spark, df, "doc_id", "g", w).collect()}
+        b = {tuple(r) for r in
+             mix_schedule(spark, df.repartition(11), "doc_id", "g", w).collect()}
+        assert a == b
+
+    def test_rejects_bad_weights(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.sampling import mix_schedule
+
+        df = spark.createDataFrame([(1, "a")], "doc_id int, g string")
+        with _pytest.raises(ValueError, match="positive integers"):
+            mix_schedule(spark, df, "doc_id", "g", {"a": 0})
+        with _pytest.raises(ValueError, match="positive integers"):
+            mix_schedule(spark, df, "doc_id", "g", {"a": 1.5})
+        with _pytest.raises(ValueError, match="lcm"):
+            mix_schedule(spark, df, "doc_id", "g",
+                         {"a": 2**19, "b": (2**19) - 1})
+
+
+class TestDedupReport:
+    def test_planted_exact_and_near_dups(self, spark):
+        """src_a: 3 docs, one an exact copy (drops at stage 1) and one
+        a near-dup of the survivor (drops at stage 2) -> keeps 1.
+        src_b: 1 unique doc -> keeps 1."""
+        from spear_spark.operators.dedup import dedup_report
+
+        base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        near = base + " extra"
+        df = spark.createDataFrame(
+            [(1, "src_a", base), (2, "src_a", base), (3, "src_a", near),
+             (4, "src_b", "u1 u2 u3 u4 u5 u6 u7 u8")],
+            "doc_id int, source string, text string",
+        )
+        out = {r.source: r for r in
+               dedup_report(df, "text", "doc_id", "source").collect()}
+        a, b = out["src_a"], out["src_b"]
+        assert (a.n_docs, a.n_exact_kept, a.n_final_kept) == (3, 2, 1)
+        assert (b.n_docs, b.n_exact_kept, b.n_final_kept) == (1, 1, 1)
+        assert a.retention == round(1 / 3, 6) and b.retention == 1.0
+
+    def test_cross_source_dup_charged_to_its_own_source(self, spark):
+        """An exact copy living in src_b of a doc in src_a is dropped
+        from src_b's tally — asymmetric retention shows WHERE the
+        duplication lives."""
+        from spear_spark.operators.dedup import dedup_report
+
+        t = "x1 x2 x3 x4 x5 x6 x7 x8"
+        df = spark.createDataFrame(
+            [(1, "src_a", t), (2, "src_b", t)],
+            "doc_id int, source string, text string",
+        )
+        out = {r.source: r for r in
+               dedup_report(df, "text", "doc_id", "source").collect()}
+        assert out["src_a"].n_final_kept == 1 and out["src_b"].n_final_kept == 0
+        assert out["src_b"].retention == 0.0
+
+    def test_stage_counts_monotone(self, spark, sf_dir):
+        from spear_spark.operators.dedup import dedup_report
+
+        docs = load_table(spark, sf_dir, "documents")
+        for r in dedup_report(docs, "text", "doc_id", "source").collect():
+            assert r.n_final_kept <= r.n_exact_kept <= r.n_docs
+
+    def test_final_keeps_equal_cluster_count(self, spark, sf_dir):
+        """Global law: sum(n_final_kept) == number of distinct
+        clusters among exact survivors (each cluster keeps exactly
+        one representative)."""
+        from spear_spark.operators.dedup import (
+            connected_components,
+            dedup_report,
+            ngram_jaccard_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        rep = dedup_report(docs, "text", "doc_id", "source")
+        total_kept = rep.agg(F.sum("n_final_kept")).collect()[0][0]
+        hashed = docs.select("doc_id", F.md5("text").alias("h"))
+        surv = hashed.join(
+            hashed.groupBy("h").agg(F.min("doc_id").alias("kid")), "h"
+        ).filter(F.col("doc_id") == F.col("kid")).select("doc_id")
+        surv_docs = docs.join(surv, "doc_id", "semi")
+        pairs = ngram_jaccard_pairs(surv_docs, "text", "doc_id").filter(
+            F.col("jaccard") >= 0.5
+        )
+        labels = connected_components(pairs)
+        n_clustered = labels.select("cluster_id").distinct().count()
+        n_singleton = surv_docs.join(labels, "doc_id", "anti").count()
+        assert total_kept == n_clustered + n_singleton
+
+
+class TestDistinctNgramStats:
+    def test_hand_computed_example(self, spark):
+        from spear_spark.operators.text import distinct_ngram_stats
+
+        df = spark.createDataFrame(
+            [("a", "t1 t2 t1 t2"), ("a", "t1 t1")],
+            "g string, text string",
+        )
+        out = {r.n: r for r in
+               distinct_ngram_stats(df, "text", "g").collect()}
+        # unigrams: 6 positions, {t1, t2} distinct
+        assert (out[1].total_ngrams, out[1].distinct_ngrams) == (6, 2)
+        # bigrams: 3 + 1 positions, {t1 t2, t2 t1, t1 t1}
+        assert (out[2].total_ngrams, out[2].distinct_ngrams) == (4, 3)
+        # trigrams: 2 + 0 positions, {t1 t2 t1, t2 t1 t2}
+        assert (out[3].total_ngrams, out[3].distinct_ngrams) == (2, 2)
+        assert out[1].distinct_ratio == round(2 / 6, 6)
+
+    def test_distinct_bounded_by_total(self, spark, sf_dir):
+        from spear_spark.operators.text import distinct_ngram_stats
+
+        docs = load_table(spark, sf_dir, "documents")
+        for r in distinct_ngram_stats(docs, "text", "source").collect():
+            assert 1 <= r.distinct_ngrams <= r.total_ngrams
+
+    def test_duplicating_the_corpus_halves_the_ratio_floor(self, spark):
+        """Concatenating the corpus with itself doubles totals but
+        keeps the distinct sets — the degeneracy signal the metric
+        exists for."""
+        from spear_spark.operators.text import distinct_ngram_stats
+
+        rows = [("a", f"u{i} u{i+1} u{i+2} u{i+3}") for i in range(6)]
+        df1 = spark.createDataFrame(rows, "g string, text string")
+        df2 = spark.createDataFrame(rows + rows, "g string, text string")
+        s1 = {r.n: r for r in distinct_ngram_stats(df1, "text", "g").collect()}
+        s2 = {r.n: r for r in distinct_ngram_stats(df2, "text", "g").collect()}
+        for n in (1, 2, 3):
+            assert s2[n].total_ngrams == 2 * s1[n].total_ngrams
+            assert s2[n].distinct_ngrams == s1[n].distinct_ngrams
+            assert s2[n].distinct_ratio == round(
+                s1[n].distinct_ratio / 2, 6
+            ) or abs(s2[n].distinct_ratio - s1[n].distinct_ratio / 2) < 1e-6

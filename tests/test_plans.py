@@ -393,3 +393,39 @@ def test_shingle_df_is_two_phase_count_not_window(spark, sf_dir):
     plan = executed_plan(OPS["p85_repeated_ngrams"][0](spark, sf_dir))
     assert "windowspecdefinition(hv#" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_p100_training_order_window_is_bucket_partitioned(spark, sf_dir):
+    """The training-order rank must run as per-bucket windows behind a
+    (bucket) hash exchange with the offset table broadcast — a global
+    ROW_NUMBER (empty windowspecdefinition partition) would be the
+    one-task sort this operator exists to avoid."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p100_training_order"][0](spark, sf_dir))
+    assert "windowspecdefinition(_bkt" in plan
+    assert "hashpartitioning(_bkt" in plan
+    assert has_broadcast_join(plan)
+
+
+def test_p101_mix_schedule_window_partitions_by_group_and_bucket(spark, sf_dir):
+    """The grouped variant partitions its window by (source, bucket):
+    even a group holding the whole corpus splits across buckets, so no
+    source is ever a single-task sort."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p101_mix_schedule"][0](spark, sf_dir))
+    assert "windowspecdefinition(source" in plan
+    assert "_bkt" in plan.split("windowspecdefinition(source", 1)[1][:40]
+    assert has_broadcast_join(plan)
+
+
+def test_p103_diversity_is_two_phase_no_expand(spark, sf_dir):
+    """distinct-n must plan as aggregate-the-aggregate (partial counts
+    before both exchanges) with no COUNT(DISTINCT) Expand node — the
+    expand would triple the exploded gram volume before the shuffle."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p103_distinct_ngrams"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert "Expand" not in plan
