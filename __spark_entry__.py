@@ -24,18 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-9 window: the 12 new queries (contamination intervals, CM
+# Round-9 window: the 15 new queries (contamination intervals, CM
 # inner-product source overlap, densified rolling distinct, n-gram
 # novelty profile, source lexical cosine, longest duplicated span,
 # per-group ECDF, daily volume anomalies, reproducible training order,
 # weighted mix schedule, per-source dedup report, lexical diversity
-# profile), the 9 queries whose Spark
-# side or oracle changed this round, ALL 26 r05-evidence rotations
-# the round-8 verdict sequenced, and the 3 oldest r06-evidence
-# queries (p100-p103 displaced four r06 slots; the floor stays r06
-# either way).  After this round no evidence is older than r06; the
-# remaining 44 r06 queries lead the round-10 rotation (they sit first
-# below the fold, in order).
+# profile, source JSD matrix, curriculum order, dup-cluster size
+# profile), the 9 queries whose Spark side or oracle changed this
+# round, and ALL 26 r05-evidence rotations the round-8 verdict
+# sequenced (15+9+26 = 50; new work displaced the last r06 rotation
+# slots — the floor stays r06 either way).  After this round no
+# evidence is older than r06; the remaining 47 r06 queries lead the
+# round-10 rotation (they sit first below the fold, in order).
 _DRIVER_PRIORITY = [
     # ---- round 9 window ----
     # -- NEW in round 9 (no driver evidence yet): maximal redaction
@@ -80,14 +80,17 @@ _DRIVER_PRIORITY = [
     #    r06 either way; the displaced four lead the round-10 window)
     "p100_training_order", "p101_mix_schedule",
     "p102_dedup_report", "p103_distinct_ngrams",
-    # -- 3 oldest r06-evidence queries (rotation keeps moving: the
-    #    remaining 44 r06 queries lead the round-10 window in the
-    #    order below)
-    "p01_dedup_exact", "p12_multimodal_decode",
-    "p13_near_dedup",
+    # -- three more NEW queries (source JSD matrix, curriculum order,
+    #    dup-cluster size profile) — these fill the window's last
+    #    three slots, displacing the final r06 rotations (which now
+    #    lead the round-10 window below the fold)
+    "p104_source_jsd", "p105_curriculum_order",
+    "p106_dup_cluster_profile",
 
     # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: 44 r06 first, then r07, then r08) ----
+    # stay mechanical: 47 r06 first, then r07, then r08) ----
+    "p01_dedup_exact", "p12_multimodal_decode",
+    "p13_near_dedup",
     "p14_embedding_dedup", "p15_rolling_hash",
     "p16_winnowing", "p20_batch_topk",
     "p21_dup_clusters", "p22_salted_join",

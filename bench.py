@@ -158,6 +158,9 @@ HEADLINE = [
     "p101_mix_schedule",
     "p102_dedup_report",
     "p103_distinct_ngrams",
+    "p104_source_jsd",
+    "p105_curriculum_order",
+    "p106_dup_cluster_profile",
 ]
 
 

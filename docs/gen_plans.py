@@ -59,6 +59,9 @@ PICKS = [
     "p101_mix_schedule",
     "p102_dedup_report",
     "p103_distinct_ngrams",
+    "p104_source_jsd",
+    "p105_curriculum_order",
+    "p106_dup_cluster_profile",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

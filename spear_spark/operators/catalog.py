@@ -4212,3 +4212,130 @@ def p102_dedup_report(spark: SparkSession, sf_dir: str) -> SDF:
 def p103_distinct_ngrams(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return text.distinct_ngram_stats(docs, "text", "source").orderBy("source", "n")
+
+
+# ---------------------------------------------------------------------------
+# p104 — source JSD matrix (operators.relevance.group_js_divergence):
+# pairwise Jensen-Shannon divergence between sources' unigram
+# DISTRIBUTIONS — completes the source-similarity family with the
+# probability-space answer (p96 asks "same words?", p104 asks "same
+# frequencies?"; symmetric, bounded [0,1] in log2, =1 on disjoint
+# vocab).  Only the vocabulary intersection joins: the one-sided
+# tails fold into 1 - Σ∩p - Σ∩q exactly.  Oracle replays the same
+# intersection-only identity.
+# ---------------------------------------------------------------------------
+@q(
+    "p104_source_jsd",
+    rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+    cnt AS (SELECT source, tk, COUNT(*) AS c FROM tok GROUP BY source, tk),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    j AS (SELECT a.source AS ga, b.source AS gb,
+                 CAST(a.c AS DOUBLE) / na.n AS p,
+                 CAST(b.c AS DOUBLE) / nb.n AS q
+          FROM cnt a JOIN cnt b ON a.tk = b.tk AND a.source < b.source
+          JOIN tot na ON na.source = a.source
+          JOIN tot nb ON nb.source = b.source),
+    inter AS (SELECT ga, gb,
+                     SUM(p * log2(2.0 * p / (p + q))
+                         + q * log2(2.0 * q / (p + q))) AS s,
+                     SUM(p) AS pa, SUM(q) AS qb
+              FROM j GROUP BY ga, gb),
+    srcs AS (SELECT DISTINCT source FROM cnt),
+    pairs AS (SELECT x.source AS ga, y.source AS gb
+              FROM srcs x JOIN srcs y ON x.source < y.source)
+    SELECT ga AS group_a, gb AS group_b,
+           ROUND(0.5 * COALESCE(s, 0) + 1
+                 - 0.5 * (COALESCE(pa, 0) + COALESCE(qb, 0)), 6) AS jsd
+    FROM pairs LEFT JOIN inter USING (ga, gb) ORDER BY group_a, group_b
+    """,
+)
+def p104_source_jsd(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import group_js_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_js_divergence(docs, "source", "text").orderBy("group_a", "group_b")
+
+
+# ---------------------------------------------------------------------------
+# p105 — curriculum order (operators.ids.curriculum_order): rank the
+# corpus by difficulty (n_chars ASC — easy first), cut into 4
+# contiguous stages (stage = (rank-1)·k DIV n + 1), seeded-shuffle
+# WITHIN each stage — the curriculum-learning schedule as a pure
+# function of (ids, scores, seed).  The rank reuses the p43/p53
+# bucket-parallel composite-key pattern and the shuffle is p100's
+# hash-bucketed window; position offsets are exact int64
+# ceil((stage-1)·n/k).  Oracle replays rank → stage arithmetic →
+# one global ROW_NUMBER over (stage, md5 key, id).
+# ---------------------------------------------------------------------------
+@q(
+    "p105_curriculum_order",
+    """
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk
+          FROM documents),
+    st AS (SELECT doc_id, CAST((rk - 1) * 4 // n + 1 AS INT) AS stage,
+                  ('0x'||substr(md5('23_'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS sk
+           FROM r CROSS JOIN nn)
+    SELECT doc_id, stage,
+           CAST(ROW_NUMBER() OVER (ORDER BY stage, sk, doc_id) AS BIGINT) AS position
+    FROM st ORDER BY position
+    """,
+)
+def p105_curriculum_order(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.ids import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_order(
+        spark, docs, "doc_id", "n_chars", n_stages=4, seed=23
+    ).orderBy("position")
+
+
+# ---------------------------------------------------------------------------
+# p106 — duplicate-cluster size profile (operators.dedup.
+# dup_cluster_profile): near-dup pairs (Jaccard >= 0.5) -> connected
+# components -> exact cluster-size histogram (singletons at size 1) —
+# the structural duplication readout that distinguishes "two giant
+# template clusters" from "scattered pair overlap".  Oracle: p21's
+# recursive-CTE closure + the same size tallies.
+# ---------------------------------------------------------------------------
+@q(
+    "p106_dup_cluster_profile",
+    f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT doc_a, doc_b
+              FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+                         JOIN cnt cb ON doc_b = cb.doc_id
+              WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    lab AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN labels l USING (doc_id)),
+    sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(cluster_size) AS DOUBLE) / tot.n, 6) AS doc_frac
+    FROM sizes CROSS JOIN tot GROUP BY cluster_size, tot.n ORDER BY cluster_size
+    """,
+)
+def p106_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_cluster_profile(docs, "text", "doc_id", threshold=0.5).orderBy(
+        "cluster_size"
+    )

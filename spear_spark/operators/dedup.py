@@ -1581,3 +1581,52 @@ def dedup_report(
             ).alias("retention"),
         )
     )
+
+
+def dup_cluster_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Duplicate-cluster size distribution: near-dup pairs (n-gram
+    Jaccard ≥ ``threshold``) → connected components → exact cluster
+    sizes, tallied as ``(cluster_size, n_clusters, n_docs, doc_frac)``
+    — one row per observed size, singletons included at size 1.
+
+    This is the "how duplicated is this corpus, structurally?" readout
+    that sits between :func:`dedup_report`'s per-source retention and
+    p83's scalar dup ratio: a corpus whose duplicates sit in two
+    10⁵-doc template clusters needs a different fix (kill the
+    boilerplate source) than one with 10⁵ scattered pairs (normal
+    crawl overlap), and only the size histogram tells them apart.
+    ``doc_frac`` = n_docs / corpus size, so the size-1 row is the
+    unduplicated share.
+
+    Scale: the pair graph and CC touch only docs that matched
+    something; singleton docs join the label table with a broadcast-
+    sized left join and never enter CC.  The tallies are two bounded
+    two-phase aggregates (per-cluster, then per-size — at most
+    |distinct sizes| rows).  Same ``max_df`` contract as
+    :func:`ngram_jaccard_pairs`.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n, max_df=max_df
+    ).filter(F.col("jaccard") >= F.lit(float(threshold)))
+    labels = connected_components(pairs)
+    total = df.count()
+    lab = (
+        df.select(id_col)
+        .join(labels.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("_cluster"))
+    )
+    sizes = lab.groupBy("_cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.round(
+            F.sum("cluster_size").cast("double") / F.lit(float(total)), 6
+        ).alias("doc_frac"),
+    )

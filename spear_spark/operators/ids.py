@@ -244,3 +244,103 @@ def training_order(
         spark, df, id_col, (), seed=seed, n_buckets=n_buckets
     )
     return out.select(id_col, "shuffle_key", F.col("rank").alias("position"))
+
+
+def curriculum_order(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_stages: int = 4,
+    seed: int = 23,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Curriculum training order: rank the corpus by difficulty score
+    (ascending — easy first), cut the ranking into ``n_stages``
+    contiguous stages, then shuffle WITHIN each stage with the seeded
+    md5 key — the standard curriculum-learning schedule (easy→hard
+    stage progression, decorrelated batches inside a stage) as a pure
+    function of (ids, scores, seed): rerun-stable across retries and
+    cluster sizes, no random state.
+
+    ``stage = (rank-1)·k ÷ n + 1`` over the global (score, id) rank,
+    so stage sizes differ by at most one; ``position`` is the global
+    1-based streaming order (stage-major, seeded-shuffle within) via
+    the exact offset ``ceil((stage-1)·n/k)`` — pure int64 arithmetic,
+    reproducible in any engine.  Returns ``(id, stage, position)``.
+
+    Scale: the difficulty rank reuses :func:`balanced_shards`'
+    composite-key trick ((score − min)·2³³ + id through
+    :func:`global_row_numbers` — bucket-parallel, no SinglePartition
+    window) with the same enforced 33-bit id / 30-bit score-range
+    bounds, and the intra-stage shuffle is
+    :func:`seeded_shuffle_ranks`' hash-bucketed window.  Driver state:
+    two bounded collects (min/max + per-bucket counts) and the scalar
+    row count — nothing proportional to the data.
+    """
+    if n_stages < 1:
+        raise ValueError(f"curriculum_order: n_stages must be >= 1, got {n_stages}")
+    row = df.agg(
+        F.min(score_col).alias("mn"),
+        F.max(score_col).alias("mx"),
+        F.min(id_col).alias("mn_id"),
+        F.max(id_col).alias("mx_id"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("null_ids"),
+        F.sum(F.col(score_col).isNull().cast("long")).alias("null_scores"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if row.n == 0:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("stage"),
+            F.lit(None).cast("bigint").alias("position"),
+        ).filter(F.lit(False))
+    if row.null_ids or row.null_scores:
+        raise ValueError(
+            f"curriculum_order: {id_col}/{score_col} must be non-null "
+            f"({row.null_ids} null ids, {row.null_scores} null scores)"
+        )
+    for col, kind in ((id_col, "id"), (score_col, "score")):
+        dt = df.schema[col].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"curriculum_order requires an integral {kind} column; "
+                f"{col} is {dt} (bucket or rescale the score explicitly first)"
+            )
+    if int(row.mn_id) < 0 or int(row.mx_id) >= (1 << 33):
+        raise ValueError(
+            f"curriculum_order: ids must be in [0, 2^33); got "
+            f"[{row.mn_id}, {row.mx_id}] — remap ids first"
+        )
+    if int(row.mx) - int(row.mn) >= (1 << 30):
+        raise ValueError(
+            f"curriculum_order: score range {int(row.mx) - int(row.mn)} "
+            f"exceeds 2^30 — rescale {score_col} first"
+        )
+    n = int(row.n)
+    k = int(n_stages)
+    composite = (
+        (F.col(score_col) - F.lit(int(row.mn))).cast("bigint") * F.lit(1 << 33)
+        + F.col(id_col)
+    ).alias("_ck")
+    ranked = global_row_numbers(
+        spark, df.select(F.col(id_col), composite), "_ck", n_buckets=n_buckets
+    )
+    # exact int64 DIV throughout (double-division floor is off-by-one
+    # past 2^53; ranks reach 1e12 at corpus scale, rank*k ~ 1e13)
+    staged = ranked.select(
+        id_col,
+        F.expr(f"CAST((global_id - 1) * {k} DIV {n} + 1 AS INT)").alias("stage"),
+    )
+    shuffled = seeded_shuffle_ranks(
+        spark, staged, id_col, ("stage",), seed=seed, n_buckets=n_buckets
+    )
+    # offset(stage) = ceil((stage-1)·n/k) = ((stage-1)·n + k - 1) DIV k
+    return shuffled.select(
+        F.col(id_col),
+        F.col("stage"),
+        (
+            F.expr(f"((CAST(stage AS BIGINT) - 1) * {n} + {k} - 1) DIV {k}")
+            + F.col("rank")
+        ).alias("position"),
+    )

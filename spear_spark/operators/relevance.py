@@ -418,3 +418,87 @@ def group_lexical_cosine(
             ).alias("cos_sim"),
         )
     )
+
+
+def group_js_divergence(
+    df: DataFrame, group_col: str, text_col: str, decimals: int = 6
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (log2, so ∈ [0, 1]) between
+    groups' unigram DISTRIBUTIONS — the probability-space complement of
+    :func:`group_lexical_cosine`'s count-vector angle: cosine asks "do
+    the sources use the same words?", JSD asks "with the same
+    *frequencies*?", and unlike KL it is symmetric, bounded, and finite
+    on disjoint support (JSD = 1 exactly), which is what makes it the
+    standard mixture-shift diagnostic between corpus snapshots.
+
+    Only the vocabulary INTERSECTION is ever joined: with
+    p = c_a/N_a, q = c_b/N_b, the one-sided tails collapse to
+    Σ_{A∖B} p = 1 − Σ_{∩} p (and symmetrically), so
+
+        JSD = ½·Σ_{∩} [p·log2(2p/(p+q)) + q·log2(2q/(p+q))]
+              + 1 − ½·(Σ_{∩} p + Σ_{∩} q)
+
+    — the same token-keyed equi-join shape as the cosine matrix, no
+    full-outer join, no union-vocabulary fan-out.  Returns the complete
+    ``(group_a, group_b, jsd)`` matrix (lexicographic pairs,
+    disjoint-vocabulary pairs at 1.0).
+
+    Determinism: counts and totals are exact int64; the double terms
+    are summed once per pair and rounded to ``decimals``.  At
+    real-corpus vocabulary sizes the per-pair sum accumulates ~|V∩|
+    double terms whose association order differs across engines —
+    the 6dp round absorbs that at test scale; at 100 TB compare with
+    a tolerance, not a hash (same caveat as any float reduction).
+
+    Scale: vocabulary-sized (group, token, c) staging (checkpointed,
+    read by totals and the pair stage), ≤ |groups|² rows per token in
+    the pair join collapsed by a two-phase SUM, totals broadcast.
+    """
+    counts = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("c").alias("n"))
+    a = counts.select(F.col(group_col).alias("ga"), "tok", F.col("c").alias("_ca"))
+    b = counts.select(F.col(group_col).alias("gb"), "tok", F.col("c").alias("_cb"))
+    na = totals.select(F.col(group_col).alias("ga"), F.col("n").alias("_na"))
+    nb = totals.select(F.col(group_col).alias("gb"), F.col("n").alias("_nb"))
+    p = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    qq = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    term = p * F.log2(F.lit(2.0) * p / (p + qq)) + qq * F.log2(
+        F.lit(2.0) * qq / (p + qq)
+    )
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+        .groupBy("ga", "gb")
+        .agg(
+            F.sum(term).alias("_s"),
+            F.sum(p).alias("_pa"),
+            F.sum(qq).alias("_qb"),
+        )
+    )
+    groups = counts.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.alias("x")
+        .join(F.broadcast(groups.alias("y")), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    return pairs.join(F.broadcast(inter), ["ga", "gb"], "left").select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.round(
+            F.lit(0.5) * F.coalesce(F.col("_s"), F.lit(0.0))
+            + F.lit(1.0)
+            - F.lit(0.5)
+            * (
+                F.coalesce(F.col("_pa"), F.lit(0.0))
+                + F.coalesce(F.col("_qb"), F.lit(0.0))
+            ),
+            decimals,
+        ).alias("jsd"),
+    )

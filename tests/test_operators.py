@@ -3898,3 +3898,194 @@ class TestDistinctNgramStats:
             assert s2[n].distinct_ratio == round(
                 s1[n].distinct_ratio / 2, 6
             ) or abs(s2[n].distinct_ratio - s1[n].distinct_ratio / 2) < 1e-6
+
+
+class TestGroupJsDivergence:
+    def test_identical_distributions_zero(self, spark):
+        rows = [("a", "x y z x"), ("b", "x x y z")]
+        df = spark.createDataFrame(rows, "g string, text string")
+        from spear_spark.operators.relevance import group_js_divergence
+
+        out = group_js_divergence(df, "g", "text").collect()
+        assert len(out) == 1 and out[0].jsd == 0.0
+
+    def test_disjoint_vocab_is_exactly_one(self, spark):
+        rows = [("a", "x y z"), ("b", "u v w u")]
+        df = spark.createDataFrame(rows, "g string, text string")
+        from spear_spark.operators.relevance import group_js_divergence
+
+        out = group_js_divergence(df, "g", "text").collect()
+        assert out[0].jsd == 1.0
+
+    def test_matches_union_vocabulary_reference(self, spark):
+        """The intersection-only identity must equal the textbook
+        union-vocabulary JSD computed independently in Python."""
+        from math import log2
+
+        from spear_spark.operators.relevance import group_js_divergence
+
+        ta, tb = "x y z x w w", "x u y y y u u"
+        df = spark.createDataFrame(
+            [("a", ta), ("b", tb)], "g string, text string"
+        )
+        from collections import Counter
+
+        ca, cb = Counter(ta.split()), Counter(tb.split())
+        na, nb = sum(ca.values()), sum(cb.values())
+        ref = 0.0
+        for tok in set(ca) | set(cb):
+            p, q = ca[tok] / na, cb[tok] / nb
+            m = (p + q) / 2
+            if p:
+                ref += 0.5 * p * log2(p / m)
+            if q:
+                ref += 0.5 * q * log2(q / m)
+        out = group_js_divergence(df, "g", "text").collect()[0]
+        assert abs(out.jsd - ref) < 1e-6
+
+    def test_full_matrix_bounded_on_corpus(self, spark, sf_dir):
+        from spear_spark.operators.relevance import group_js_divergence
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_src = docs.select("source").distinct().count()
+        out = group_js_divergence(docs, "source", "text").collect()
+        assert len(out) == n_src * (n_src - 1) // 2
+        for r in out:
+            assert 0.0 <= r.jsd <= 1.0
+            assert r.group_a < r.group_b
+
+    def test_partitioning_invariance(self, spark, sf_dir):
+        from spear_spark.operators.relevance import group_js_divergence
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = {(r.group_a, r.group_b): r.jsd
+             for r in group_js_divergence(docs, "source", "text").collect()}
+        b = {(r.group_a, r.group_b): r.jsd
+             for r in group_js_divergence(
+                 docs.repartition(17), "source", "text").collect()}
+        assert a == b
+
+
+class TestCurriculumOrder:
+    def test_positions_permutation_stage_sizes(self, spark, sf_dir):
+        from spear_spark.operators.ids import curriculum_order
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        n = docs.count()
+        out = curriculum_order(spark, docs, "doc_id", "n_chars", n_stages=4).collect()
+        assert sorted(r.position for r in out) == list(range(1, n + 1))
+        from collections import Counter
+
+        sizes = Counter(r.stage for r in out)
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+    def test_stages_ordered_by_difficulty(self, spark, sf_dir):
+        """Stage boundaries must respect the score order: the hardest
+        doc of stage i is never harder than the easiest of stage i+1."""
+        from spear_spark.operators.ids import curriculum_order
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        out = curriculum_order(spark, docs, "doc_id", "n_chars", n_stages=4)
+        joined = out.join(docs, "doc_id")
+        stats = {
+            r.stage: (r.mn, r.mx)
+            for r in joined.groupBy("stage").agg(
+                F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+            ).collect()
+        }
+        for s in (1, 2, 3):
+            assert stats[s][1] <= stats[s + 1][0]
+
+    def test_positions_are_stage_major_shuffled_within(self, spark):
+        """Reference semantics: ROW_NUMBER over (stage, md5 key, id)."""
+        from pyspark.sql.window import Window as W
+
+        from spear_spark.operators.ids import curriculum_order
+
+        rows = [(i, (i * 37) % 97) for i in range(130)]
+        df = spark.createDataFrame(rows, "doc_id int, score int")
+        out = curriculum_order(spark, df, "doc_id", "score", n_stages=5, seed=23)
+        key = F.conv(
+            F.substring(F.md5(F.concat(F.lit("23_"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        ref = out.withColumn("_sk", key).withColumn(
+            "ref", F.row_number().over(W.orderBy("stage", "_sk", "doc_id"))
+        )
+        assert ref.filter(F.col("position") != F.col("ref")).count() == 0
+
+    def test_bucket_and_partitioning_invariance(self, spark):
+        from spear_spark.operators.ids import curriculum_order
+
+        rows = [(i, i % 11) for i in range(160)]
+        df = spark.createDataFrame(rows, "doc_id int, score int")
+        a = {(r.doc_id, r.stage, r.position)
+             for r in curriculum_order(spark, df, "doc_id", "score").collect()}
+        b = {(r.doc_id, r.stage, r.position)
+             for r in curriculum_order(
+                 spark, df.repartition(9), "doc_id", "score", n_buckets=16
+             ).collect()}
+        assert a == b
+
+    def test_rejects_nulls_and_non_integral_scores(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.ids import curriculum_order
+
+        df = spark.createDataFrame([(1, None), (2, 5)], "doc_id int, score int")
+        with _pytest.raises(ValueError, match="non-null"):
+            curriculum_order(spark, df, "doc_id", "score")
+        df2 = spark.createDataFrame([(1, 0.5)], "doc_id int, score double")
+        with _pytest.raises(ValueError, match="integral"):
+            curriculum_order(spark, df2, "doc_id", "score")
+
+
+class TestDupClusterProfile:
+    def test_planted_cluster_sizes(self, spark):
+        """Three identical docs + a duplicate pair + unique docs →
+        exactly one size-3 cluster, one size-2, the rest singletons."""
+        from spear_spark.operators.dedup import dup_cluster_profile
+
+        tri = "alpha beta gamma delta epsilon"
+        duo = "zeta eta theta iota kappa"
+        rows = [(0, tri), (1, tri), (2, tri), (3, duo), (4, duo)] + [
+            (5 + i, f"solo{i}a solo{i}b solo{i}c solo{i}d") for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        prof = {r.cluster_size: (r.n_clusters, r.n_docs)
+                for r in dup_cluster_profile(df, "text", "doc_id").collect()}
+        assert prof == {3: (1, 3), 2: (1, 2), 1: (4, 4)}
+
+    def test_mass_conservation(self, spark, sf_dir):
+        from spear_spark.operators.dedup import dup_cluster_profile
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = dup_cluster_profile(docs, "text", "doc_id").collect()
+        assert sum(r.n_docs for r in rows) == docs.count()
+        for r in rows:
+            assert r.n_docs == r.cluster_size * r.n_clusters
+        assert abs(sum(r.doc_frac for r in rows) - 1.0) < 1e-4
+
+    def test_agrees_with_direct_cc_labels(self, spark, sf_dir):
+        from collections import Counter
+
+        from spear_spark.operators.dedup import (
+            connected_components,
+            dup_cluster_profile,
+            ngram_jaccard_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, "text", "doc_id").filter(
+            F.col("jaccard") >= 0.5
+        )
+        labels = {r.doc_id: r.cluster_id
+                  for r in connected_components(pairs).collect()}
+        clusters = Counter()
+        for r in docs.select("doc_id").collect():
+            clusters[labels.get(r.doc_id, r.doc_id)] += 1
+        ref = Counter(clusters.values())
+        got = {r.cluster_size: r.n_clusters
+               for r in dup_cluster_profile(docs, "text", "doc_id").collect()}
+        assert got == dict(ref)

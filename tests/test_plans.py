@@ -429,3 +429,38 @@ def test_p103_diversity_is_two_phase_no_expand(spark, sf_dir):
     plan = executed_plan(OPS["p103_distinct_ngrams"][0](spark, sf_dir))
     assert has_partial_aggregation(plan)
     assert "Expand" not in plan
+
+
+def test_p104_jsd_is_equi_join_no_cartesian(spark, sf_dir):
+    """The JSD matrix must join counts on the token KEY (never
+    all-pairs over docs or vocab) with totals broadcast and partial
+    aggregation below every exchange; the only nested-loop is the
+    bounded |sources|² pair frame."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p104_source_jsd"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(plan)
+    assert has_broadcast_join(plan)
+
+
+def test_p105_curriculum_windows_are_bucket_partitioned(spark, sf_dir):
+    """Both windows — the difficulty rank and the intra-stage shuffle —
+    must partition by their bucket columns; a global or stage-only
+    window would be the single-task sort the operator exists to
+    avoid."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p105_curriculum_order"][0](spark, sf_dir))
+    assert "windowspecdefinition(_b," in plan or "windowspecdefinition(_b#" in plan
+    assert "windowspecdefinition(stage" in plan
+    assert "_bkt" in plan.split("windowspecdefinition(stage", 1)[1][:40]
+    assert has_broadcast_join(plan)
+
+
+def test_p106_profile_aggregates_partial_no_cartesian(spark, sf_dir):
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p106_dup_cluster_profile"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(plan)

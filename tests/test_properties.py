@@ -560,3 +560,110 @@ def test_interval_islands_cover_exactly_the_positions(spark, raw_positions):
     spans = sorted((r.s, r.e) for r in ivs)
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert s2 > e1 + 1
+
+
+# -- p104/p105/p106 laws under random data ----------------------------------
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.sampled_from("abc"),
+              st.lists(st.sampled_from(["u", "v", "w", "x", "y"]),
+                       min_size=1, max_size=10)),
+    min_size=2, max_size=8,
+))
+def test_group_jsd_matches_python_on_random_corpora(spark, docs):
+    """The intersection-only identity equals the textbook
+    union-vocabulary JSD for ANY multi-group corpus, every pair."""
+    from collections import Counter
+    from math import log2
+
+    from spear_spark.operators.relevance import group_js_divergence
+
+    rows = [(g, " ".join(toks)) for g, toks in docs]
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = {(r.group_a, r.group_b): r.jsd
+           for r in group_js_divergence(df, "g", "text").collect()}
+    bags = {}
+    for g, toks in docs:
+        bags.setdefault(g, Counter()).update(toks)
+    names = sorted(bags)
+    assert set(got) == {(a, b) for i, a in enumerate(names) for b in names[i + 1:]}
+    for (ga, gb), jsd in got.items():
+        na, nb = sum(bags[ga].values()), sum(bags[gb].values())
+        ref = 0.0
+        for tok in set(bags[ga]) | set(bags[gb]):
+            p, q = bags[ga][tok] / na, bags[gb][tok] / nb
+            m = (p + q) / 2
+            if p:
+                ref += 0.5 * p * log2(p / m)
+            if q:
+                ref += 0.5 * q * log2(q / m)
+        assert abs(jsd - ref) < 1e-6, (ga, gb)
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 50)),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]),
+       st.integers(1, 5))
+def test_curriculum_order_matches_python_reference(spark, rows, k):
+    """For ANY (id, score) set and stage count: positions equal the
+    pure-Python replay (sort by (score, id) → stage arithmetic → sort
+    by (stage, md5 key, id))."""
+    import hashlib
+
+    from spear_spark.operators.ids import curriculum_order
+
+    df = spark.createDataFrame(rows, "doc_id int, score int")
+    got = {r.doc_id: (r.stage, r.position)
+           for r in curriculum_order(
+               spark, df, "doc_id", "score", n_stages=k, seed=23).collect()}
+    n = len(rows)
+    ranked = sorted(rows, key=lambda t: (t[1], t[0]))
+    stage = {d: (i * k) // n + 1 for i, (d, _) in enumerate(ranked)}
+    def sk(d):
+        return int(hashlib.md5(f"23_{d}".encode()).hexdigest()[:15], 16)
+    final = sorted(rows, key=lambda t: (stage[t[0]], sk(t[0]), t[0]))
+    want = {d: (stage[d], i + 1) for i, (d, _) in enumerate(final)}
+    assert got == want
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(st.sampled_from(["red", "blue", "green", "gold", "iron", "clay"]),
+             min_size=3, max_size=7),
+    min_size=1, max_size=10,
+))
+def test_dup_cluster_profile_matches_union_find(spark, texts):
+    """The size histogram equals a pure-Python union-find over the
+    exact shingle-Jaccard >= 0.5 graph, for ANY random corpus —
+    including docs whose shingle sets are empty or identical."""
+    from collections import Counter
+
+    from spear_spark.operators.dedup import dup_cluster_profile
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.cluster_size: r.n_clusters
+           for r in dup_cluster_profile(df, "text", "doc_id").collect()}
+    sh = {
+        i: {" ".join(t[j:j + 3]) for j in range(len(t) - 2)}
+        for i, t in enumerate(texts)
+    }
+    parent = list(range(len(texts)))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            if inter and round(inter / len(sh[a] | sh[b]), 6) >= 0.5:
+                parent[find(a)] = find(b)
+    sizes = Counter(find(i) for i in range(len(texts)))
+    want = dict(Counter(sizes.values()))
+    assert got == want

@@ -639,3 +639,54 @@ def test_novelty_profile_under_duplication(spark, sf_dir):
     for d, (novel, total) in base.items():
         assert big[d] == (novel, total), d
         assert big[d + 10_000_000] == (0, total), d
+
+
+def test_jsd_invariant_under_corpus_duplication(spark, sf_dir):
+    """Duplicating every document doubles every count and total, so
+    each group's DISTRIBUTION — and therefore the whole JSD matrix —
+    is exactly unchanged (the mass-vs-direction contrast with p93's
+    CM inner product, which lands at 4x under the same duplication)."""
+    from spear_spark.operators.relevance import group_js_divergence
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    doubled = docs.unionAll(docs)
+    a = {(r.group_a, r.group_b): r.jsd
+         for r in group_js_divergence(docs, "source", "text").collect()}
+    b = {(r.group_a, r.group_b): r.jsd
+         for r in group_js_divergence(doubled, "source", "text").collect()}
+    assert a == b
+
+
+def test_curriculum_order_invariant_under_score_translation(spark, sf_dir):
+    """Shifting every difficulty score by a constant changes no rank,
+    no stage, no position — the schedule depends on score ORDER only
+    (the min-subtraction in the composite key makes this exact)."""
+    from spear_spark.operators.ids import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shifted = docs.select(
+        "doc_id", (F.col("n_chars") + 1000).alias("n_chars")
+    )
+    a = {(r.doc_id, r.stage, r.position)
+         for r in curriculum_order(spark, docs, "doc_id", "n_chars").collect()}
+    b = {(r.doc_id, r.stage, r.position)
+         for r in curriculum_order(spark, shifted, "doc_id", "n_chars").collect()}
+    assert a == b
+
+
+def test_dup_cluster_profile_doubles_sizes_under_duplication(spark, sf_dir):
+    """Appending an exact copy of the corpus under new ids merges each
+    copy into its original's cluster (Jaccard 1) and adds no
+    cross-cluster edges (pairwise Jaccards are unchanged), so the
+    histogram maps size s → 2s with the SAME cluster counts."""
+    from spear_spark.operators.dedup import dup_cluster_profile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(150)
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    base = {r.cluster_size: r.n_clusters
+            for r in dup_cluster_profile(docs, "text", "doc_id").collect()}
+    big = {r.cluster_size: r.n_clusters
+           for r in dup_cluster_profile(doubled, "text", "doc_id").collect()}
+    assert big == {2 * s: n for s, n in base.items()}
