@@ -502,3 +502,81 @@ def group_js_divergence(
             decimals,
         ).alias("jsd"),
     )
+
+
+def jsd_vs_reference(
+    counts: DataFrame,
+    key_cols: Sequence[str],
+    ref_counts: DataFrame,
+    tok_col: str = "tok",
+    c_col: str = "c",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key Jensen-Shannon divergence against a REFERENCE token
+    distribution — the drift-monitor readout over any (key…, token,
+    count) table: each key's distribution (a day's ingest, a source, a
+    shard) is scored against the reference corpus's, giving the
+    continuous "has what we're ingesting drifted from what we trained
+    on?" signal.  Composes with any count producer — a batch explode,
+    or :func:`spear_spark.streaming.daily_token_counts_stream`'s
+    drained daily tables (batch-equivalence tested there), so drift is
+    computed from tiny persisted aggregates, never by re-scanning raw
+    text.
+
+    Same intersection-only identity as :func:`group_js_divergence`
+    (one-sided tails fold into 1 − Σ∩p − Σ∩q); returns
+    ``(key…, jsd)`` for every key present in ``counts``, 1.0 when the
+    key shares no vocabulary with the reference.
+
+    Scale: the reference is a vocabulary-sized table joined on the
+    token key (broadcast when it fits — typical: a capped top-K
+    reference vocabulary); per-key totals broadcast back; one
+    two-phase SUM per key.  The reference total is computed once and
+    attached as a literal-free cross join of a 1-row aggregate
+    (broadcast, no collect).
+    """
+    keys = list(key_cols)
+    # key columns are re-aliased on every derived side: totals and inter
+    # both stem from `counts`, and some leaf plans (memory-sink views)
+    # defeat Spark's same-exprId self-join deduplication
+    tks = [f"_tk{i}" for i in range(len(keys))]
+    totals = counts.groupBy(*keys).agg(F.sum(c_col).alias("_nk")).select(
+        *[F.col(k).alias(a) for k, a in zip(keys, tks)], "_nk"
+    )
+    ref = ref_counts.select(
+        F.col(tok_col).alias("_rtok"), F.col(c_col).alias("_rc")
+    )
+    ref_tot = ref.agg(F.sum("_rc").alias("_nr"))
+    p = F.col(c_col).cast("double") / F.col("_nk").cast("double")
+    qq = F.col("_rc").cast("double") / F.col("_nr").cast("double")
+    term = p * F.log2(F.lit(2.0) * p / (p + qq)) + qq * F.log2(
+        F.lit(2.0) * qq / (p + qq)
+    )
+    tot_cond = None
+    for k, a in zip(keys, tks):
+        c = F.col(k).eqNullSafe(F.col(a))
+        tot_cond = c if tot_cond is None else tot_cond & c
+    inter = (
+        counts.join(F.broadcast(ref), F.col(tok_col) == F.col("_rtok"))
+        .join(F.broadcast(totals), tot_cond)
+        .crossJoin(F.broadcast(ref_tot))
+        .groupBy(*keys)
+        .agg(
+            F.sum(term).alias("_s"),
+            F.sum(p).alias("_pa"),
+            F.sum(qq).alias("_qb"),
+        )
+    )
+    return totals.join(F.broadcast(inter), tot_cond, "left").select(
+        *[F.col(a).alias(k) for k, a in zip(keys, tks)],
+        F.round(
+            F.lit(0.5) * F.coalesce(F.col("_s"), F.lit(0.0))
+            + F.lit(1.0)
+            - F.lit(0.5)
+            * (
+                F.coalesce(F.col("_pa"), F.lit(0.0))
+                + F.coalesce(F.col("_qb"), F.lit(0.0))
+            ),
+            decimals,
+        ).alias("jsd"),
+    )

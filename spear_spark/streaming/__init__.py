@@ -729,3 +729,50 @@ def novel_grams_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def daily_token_counts_stream(
+    docs: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-DAY streaming token counts (period, tok, c) — the continuous
+    producer for the ingest-drift monitor: maintain each day's token
+    distribution incrementally as documents arrive, persist the tiny
+    finalized tables, and score any day (or any union of days) against
+    a reference corpus later with :func:`spear_spark.operators.
+    relevance.jsd_vs_reference` — without ever re-scanning raw text.
+    Same integer epoch-day ``period`` ordinal as the daily CM/HLL
+    producers (``unix_micros(window.start) div 86_400_000_000``), so
+    all three daily families align on the key.
+
+    Tokenization is :func:`spear_spark.operators.text.tokens` — the
+    exact batch tokenizer — so a drained day equals the batch
+    explode+count of that day's documents row-for-row
+    (batch-equivalence tested).  Because the counts are additive
+    int64s, unioning drained days and re-aggregating (SUM) is exact;
+    like the CM SUM path (and unlike HLL's MAX), a *double* drain of
+    the same day double-counts — use the idempotent
+    :func:`write_batches_idempotent` sink pattern for replay safety.
+
+    State design for scale: event-time window + watermark bound the
+    state store to the open days' vocabularies; days older than the
+    watermark finalize and evict.  The per-batch shuffle is the
+    (period, tok) hash-aggregate — map-side partially combined, no
+    raw-token exchange beyond the day's new rows."""
+    from spear_spark.operators.text import tokens
+
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("_w"), F.col("tok")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.expr("unix_micros(_w.start) div 86400000000").alias("period"),
+            "tok",
+            "c",
+        )
+    )

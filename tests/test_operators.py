@@ -3966,6 +3966,67 @@ class TestGroupJsDivergence:
         assert a == b
 
 
+def _token_counts(df, group_col):
+    from spear_spark.operators.text import tokens
+
+    return (
+        df.select(F.col(group_col).alias("g"),
+                  F.explode(tokens("text")).alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+class TestJsdVsReference:
+    def test_self_reference_is_zero(self, spark):
+        from spear_spark.operators.relevance import jsd_vs_reference
+
+        rows = [("a", "x y z x"), ("b", "u v u")]
+        counts = _token_counts(
+            spark.createDataFrame(rows, "g string, text string"), "g"
+        )
+        ref = counts.filter(F.col("g") == "a").select("tok", "c")
+        out = {r.g: r.jsd for r in
+               jsd_vs_reference(counts, ["g"], ref).collect()}
+        assert out["a"] == 0.0 and out["b"] == 1.0  # disjoint vocab → 1
+
+    def test_matches_group_js_divergence_pairs(self, spark, sf_dir):
+        """Scoring each source's counts against source S's counts must
+        reproduce group_js_divergence's (source, S) matrix column —
+        the drift readout IS the pairwise operator, refactored to a
+        fixed reference side."""
+        from spear_spark.operators.relevance import (
+            group_js_divergence,
+            jsd_vs_reference,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        srcs = sorted(r.source for r in docs.select("source").distinct().collect())
+        ref_src = srcs[-1]
+        counts = _token_counts(docs, "source")
+        ref = counts.filter(F.col("g") == ref_src).select("tok", "c")
+        got = {r.g: r.jsd for r in
+               jsd_vs_reference(counts, ["g"], ref).collect()}
+        want = {(r.group_a, r.group_b): r.jsd
+                for r in group_js_divergence(docs, "source", "text").collect()}
+        assert got[ref_src] == 0.0
+        for s in srcs[:-1]:
+            assert got[s] == want[(s, ref_src)]
+
+    def test_partitioning_invariance(self, spark, sf_dir):
+        from spear_spark.operators.relevance import jsd_vs_reference
+
+        docs = load_table(spark, sf_dir, "documents")
+        counts = _token_counts(docs, "source")
+        ref = counts.filter(F.col("g") == "src0").select("tok", "c")
+        a = {r.g: r.jsd for r in
+             jsd_vs_reference(counts, ["g"], ref).collect()}
+        b = {r.g: r.jsd for r in
+             jsd_vs_reference(counts.repartition(17), ["g"],
+                              ref.repartition(5)).collect()}
+        assert a == b
+
+
 class TestCurriculumOrder:
     def test_positions_permutation_stage_sizes(self, spark, sf_dir):
         from spear_spark.operators.ids import curriculum_order

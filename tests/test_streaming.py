@@ -603,3 +603,78 @@ def test_novel_grams_stream_matches_batch_profile(spark, sf_dir, tmp_path):
     want = {r.doc_id: (r.n_ngrams, r.n_novel)
             for r in ngram_novelty_profile(docs, "text", "doc_id").collect()}
     assert got == want
+
+
+def test_daily_token_counts_stream_drift_monitor(spark, sf_dir, tmp_path):
+    """Full ingest-drift lifecycle: drained per-day streaming token
+    counts equal the batch explode+count of each day's documents
+    row-for-row, and feeding them to jsd_vs_reference reproduces the
+    pairwise group_js_divergence of (that day's docs, reference docs)
+    — drift is computed from tiny persisted daily tables, never by
+    re-scanning raw text."""
+    from spear_spark.operators.relevance import (
+        group_js_divergence,
+        jsd_vs_reference,
+    )
+    from spear_spark.operators.text import tokens
+    from spear_spark.streaming import daily_token_counts_stream
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select(
+            "doc_id",
+            "text",
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-01-0"),
+                    (F.col("doc_id") % 3 + 1).cast("string"),
+                    F.lit(" 12:00:00"),
+                )
+            ).alias("ts"),
+        )
+    )
+    src = str(tmp_path / "docs_ts_stream")
+    docs.write.parquet(src)
+    stream = daily_token_counts_stream(
+        spark.readStream.schema(docs.schema).parquet(src), "text"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("daily_tok_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("daily_tok_test")
+    batch_daily = (
+        docs.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("period"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .groupBy("period", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, batch_daily.collect())
+    )
+    # drift readout from the drained tables == pairwise JSD on raw text
+    ref_docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 90) & (F.col("doc_id") < 150)
+    )
+    ref_counts = (
+        ref_docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {r.period: r.jsd for r in
+           jsd_vs_reference(drained, ["period"], ref_counts).collect()}
+    day_of = F.expr("unix_micros(ts) div 86400000000").cast("string")
+    tagged = docs.select(day_of.alias("g"), "text").unionByName(
+        ref_docs.select(F.lit("zref").alias("g"), "text")
+    )
+    want = {int(r.group_a): r.jsd
+            for r in group_js_divergence(tagged, "g", "text").collect()
+            if r.group_b == "zref"}
+    assert len(got) == 3 and got == want
