@@ -350,8 +350,8 @@ def mad_outliers(
 
     Scale shape: two exact-percentile aggregates (median, then MAD
     over broadcast-joined deviations) and a broadcast probe — two
-    corpus passes.  At 100 TB swap the exact percentiles for
-    :func:`histogram_quantiles` bins to stay mergeable; the exact form
+    corpus passes.  At 100 TB use :func:`mad_outliers_approx` — the
+    same two passes over mergeable histogram bins; the exact form
     here is the oracle-pairable contract."""
     g = list(group_cols)
     v = F.col(value_col).cast("double")
@@ -368,6 +368,105 @@ def mad_outliers(
     return (
         dev.join(F.broadcast(mad), g)
         .filter(F.col("_mad") > 0)
+        .select(*g, F.col(id_col), F.col(value_col), score.alias("mscore"))
+        .filter(F.abs(F.col("mscore")) >= F.lit(float(threshold)))
+    )
+
+
+def _hist_median_est(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    out_name: str,
+) -> DataFrame:
+    """Per-group approximate median from a fixed-width histogram —
+    the :func:`histogram_quantiles` rule (type-1 rank, upper bin
+    edge, NULLs dropped, out-of-range values clamped into the edge
+    bins) specialized to q = 0.5 and generalized to a composite group
+    key.  Returns one row per group: (group..., out_name)."""
+    from pyspark.sql.window import Window as W
+
+    g = list(group_cols)
+    w = (float(hi) - float(lo)) / int(n_bins)
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long"), F.lit(0)),
+        F.lit(int(n_bins) - 1),
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .select(*g, bin_.alias("_bin"))
+        .groupBy(*g, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = W.partitionBy(*g).orderBy("_bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy(*g)
+    return (
+        counts.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(w_all))
+        .filter(F.col("_cum") >= F.ceil(F.lit(0.5) * F.col("_n")))
+        .groupBy(*g)
+        .agg(
+            (F.lit(float(lo)) + (F.min("_bin") + F.lit(1)) * F.lit(w)).alias(out_name)
+        )
+    )
+
+
+def mad_outliers_approx(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    threshold: float = 3.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`mad_outliers`'s mergeable 100 TB form — the histogram-bin
+    swap its docstring prescribes.  Both percentile passes (the group
+    median, then the MAD over absolute deviations) run as fixed-width
+    histogram medians (:func:`histogram_quantiles` rule: integer bin
+    counts are associative-commutative-exact, so unlike
+    ``percentile_approx``'s partition-layout-dependent GK sketch the
+    result is run-stable and oracle-pairable), with error ≤ one bin
+    width per pass whenever the true statistic lies inside the range:
+    values bin over [lo, hi], deviations over [0, hi−lo], both with
+    ``n_bins`` bins.
+
+    Degenerate groups need no special case here: the MAD estimate is
+    an upper bin edge, so it is floored at one deviation-bin width —
+    the resolution-floor regularization practitioners add as +ε —
+    and a constant group's |deviation| ≤ one value-bin width scores
+    ≈ 0.6745, never reaching any sane threshold.
+
+    Scale shape: two (group, bin) two-phase counts (each ≤ n_bins rows
+    per group after the partial), two broadcast probes — two corpus
+    scans, nothing downstream of an aggregate sees corpus-sized data,
+    and every intermediate is mergeable across shards.  Returns the
+    same (group..., id, value, mscore) shape as :func:`mad_outliers`.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("mad_outliers_approx: need n_bins >= 1 and hi > lo")
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    med = _hist_median_est(df, value_col, g, lo, hi, n_bins, "_med")
+    dev = df.join(F.broadcast(med), g).select(
+        *g,
+        F.col(id_col),
+        F.col(value_col),
+        (v - F.col("_med")).alias("_delta"),
+        F.abs(v - F.col("_med")).alias("_ad"),
+    )
+    mad = _hist_median_est(
+        dev, "_ad", g, 0.0, float(hi) - float(lo), n_bins, "_mad"
+    )
+    score = F.round(F.lit(0.6745) * F.col("_delta") / F.col("_mad"), decimals)
+    return (
+        dev.join(F.broadcast(mad), g)
         .select(*g, F.col(id_col), F.col(value_col), score.alias("mscore"))
         .filter(F.abs(F.col("mscore")) >= F.lit(float(threshold)))
     )

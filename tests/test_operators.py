@@ -3283,6 +3283,72 @@ def test_mad_outliers_beat_zscore_masking(spark):
     assert all(r.g == "a" and r.mscore > 100 for r in m)
 
 
+class TestMadOutliersApprox:
+    """Laws for the mergeable histogram-binned MAD — the 100 TB form
+    p91's exact operator prescribes in its docstring."""
+
+    def _df(self, spark):
+        rows = [("a", i, v) for i, v in enumerate([10, 11, 12, 13, 14, 15,
+                                                   1000, 1000, 1000])]
+        rows += [("b", 100 + i, 7) for i in range(5)]  # constant group
+        return spark.createDataFrame(rows, "g string, doc_id int, v int")
+
+    def test_masking_law_and_constant_group(self, spark):
+        """Same planted-extremes dataset as the exact masking law: the
+        approx variant flags exactly the three extremes, and the
+        constant group's resolution-floored MAD scores ~0.6745 —
+        suppressed without a zero-division special case."""
+        from spear_spark.operators.stats import mad_outliers_approx
+
+        out = mad_outliers_approx(
+            self._df(spark), "v", ["g"], "doc_id",
+            lo=0.0, hi=1100.0, n_bins=1100, threshold=3.5,
+        ).collect()
+        assert sorted(r.doc_id for r in out) == [6, 7, 8]
+        assert all(r.g == "a" and r.mscore > 100 for r in out)
+
+    def test_agrees_with_exact_on_wide_margins(self, spark, sf_dir):
+        """On real per-source doc lengths with unit-width bins, every
+        doc the exact modified-z flags (p91's lang grouping and 1.5
+        threshold) is within one bin-width's score error of the approx
+        flag set: the two sets agree exactly once scores within 0.5 of
+        the threshold are set aside."""
+        from spear_spark.operators.stats import mad_outliers, mad_outliers_approx
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "lang", "doc_id", F.length("text").alias("n_chars")
+        )
+        hi = docs.agg(F.max("n_chars")).first()[0] + 1.0
+        exact = {r.doc_id: r.mscore for r in mad_outliers(
+            docs, "n_chars", ["lang"], "doc_id", threshold=1.5).collect()}
+        approx = {r.doc_id: r.mscore for r in mad_outliers_approx(
+            docs, "n_chars", ["lang"], "doc_id",
+            lo=0.0, hi=hi, n_bins=int(hi), threshold=1.5).collect()}
+        assert exact, "fixture should plant at least one robust outlier"
+        confident_exact = {d for d, s in exact.items() if abs(s) >= 2.0}
+        confident_approx = {d for d, s in approx.items() if abs(s) >= 2.0}
+        assert confident_exact - set(approx) == set()
+        assert confident_approx - set(exact) == set()
+
+    def test_partitioning_and_replication_invariance(self, spark):
+        """Integer bin counts are associative-commutative-exact, so the
+        result is identical under repartitioning, and a self-union
+        (every shard duplicated — the merge law) leaves each row's
+        score unchanged: median and MAD are replication-invariant."""
+        from spear_spark.operators.stats import mad_outliers_approx
+
+        df = self._df(spark)
+        args = ("v", ["g"], "doc_id")
+        kw = dict(lo=0.0, hi=1100.0, n_bins=1100, threshold=3.5)
+        base = sorted(map(tuple, mad_outliers_approx(df, *args, **kw).collect()))
+        repart = sorted(map(tuple, mad_outliers_approx(
+            df.repartition(7, "doc_id"), *args, **kw).collect()))
+        assert base == repart
+        doubled = sorted(set(map(tuple, mad_outliers_approx(
+            df.unionAll(df), *args, **kw).collect())))
+        assert base == doubled
+
+
 class TestContaminationIntervals:
     def _spans_and_intervals(self, spark):
         from spear_spark.operators.dedup import (
