@@ -88,7 +88,11 @@ _DRIVER_PRIORITY = [
     "p106_dup_cluster_profile",
 
     # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: 47 r06 first, then r07, then r08) ----
+    # stay mechanical: 47 r06 first, then r07, then r08).  Round-10
+    # window additionally gets a NEW entry for stats.mad_outliers_approx
+    # (mergeable histogram-binned MAD — implemented + law-tested in
+    # round 9, deterministic hence oracle-pairable) ahead of the r06
+    # rotations. ----
     "p01_dedup_exact", "p12_multimodal_decode",
     "p13_near_dedup",
     "p14_embedding_dedup", "p15_rolling_hash",
