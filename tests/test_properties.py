@@ -667,3 +667,55 @@ def test_dup_cluster_profile_matches_union_find(spark, texts):
     sizes = Counter(find(i) for i in range(len(texts)))
     want = dict(Counter(sizes.values()))
     assert got == want
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.sampled_from("ab"), st.integers(0, 30)),
+    min_size=2, max_size=25,
+))
+def test_mad_outliers_approx_matches_python_binned_rule(spark, rows):
+    """mad_outliers_approx == a pure-Python replay of its histogram
+    rule (type-1 bin median for the group median, then for the MAD over
+    absolute deviations, score = 0.6745*delta/mad_est) on any random
+    grouped multiset — compared away from the threshold boundary where
+    6-decimal rounding could legitimately disagree."""
+    import math
+    from collections import defaultdict
+    from itertools import groupby
+
+    from spear_spark.operators.stats import mad_outliers_approx
+
+    lo, hi, n_bins, threshold = 0.0, 31.0, 31, 1.0
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, doc_id int, v int")
+    out = {r.doc_id: r.mscore for r in mad_outliers_approx(
+        df, "v", ["g"], "doc_id",
+        lo=lo, hi=hi, n_bins=n_bins, threshold=threshold).collect()}
+
+    def hist_med(vals, lo_, hi_, nb):
+        w_ = (hi_ - lo_) / nb
+        bins = sorted(
+            min(max(math.floor((x - lo_) / w_), 0), nb - 1) for x in vals
+        )
+        target, cum = math.ceil(0.5 * len(bins)), 0
+        for b, grp in groupby(bins):
+            cum += len(list(grp))
+            if cum >= target:
+                return lo_ + (b + 1) * w_
+
+    by_g = defaultdict(list)
+    for g, i, v in data:
+        by_g[g].append((i, v))
+    scores = {}
+    for g, pairs in by_g.items():
+        med = hist_med([v for _, v in pairs], lo, hi, n_bins)
+        mad = hist_med([abs(v - med) for _, v in pairs], 0.0, hi - lo, n_bins)
+        for i, v in pairs:
+            scores[i] = 0.6745 * (v - med) / mad
+    for i, s in scores.items():
+        if abs(s) >= threshold + 1e-5:
+            assert i in out and abs(out[i] - s) <= 1e-6
+    for i in out:
+        assert abs(scores[i]) >= threshold - 1e-5
