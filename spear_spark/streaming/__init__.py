@@ -776,3 +776,41 @@ def daily_token_counts_stream(
             "c",
         )
     )
+
+def daily_event_counts_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-DAY streaming event volumes (period, key, n) — the
+    continuous producer for the volume-anomaly monitor: maintain each
+    day's per-type counts incrementally as events arrive, persist the
+    tiny finalized rows, and score any drained span with
+    :func:`spear_spark.operators.stats.mad_outliers` (p99's exact
+    math: modified z of a day's volume against ITS type's median) —
+    the "ingest dropped 40% on day 17" page, without re-scanning raw
+    events.  Same integer epoch-day ``period`` ordinal as the daily
+    token/CM/HLL producers, so all the daily monitor tables align on
+    the key.
+
+    A drained day equals the batch groupBy count of that day's events
+    row-for-row (batch-equivalence tested), and because the counts are
+    additive int64s, drained shards re-aggregate exactly — but a
+    *double* drain of the same day double-counts (the CM/token-count
+    caveat, not HLL's idempotent MAX): use the
+    :func:`write_batches_idempotent` sink pattern for replay safety.
+
+    State design for scale: event-time window + watermark bound the
+    state store to |open days| · |key domain| rows; the per-batch
+    shuffle is a map-side-combined (day, key) hash-aggregate."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("_w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr("unix_micros(_w.start) div 86400000000").alias("period"),
+            key_col,
+            "n",
+        )
+    )

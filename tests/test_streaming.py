@@ -678,3 +678,45 @@ def test_daily_token_counts_stream_drift_monitor(spark, sf_dir, tmp_path):
             for r in group_js_divergence(tagged, "g", "text").collect()
             if r.group_b == "zref"}
     assert len(got) == 3 and got == want
+
+
+def test_daily_event_counts_stream_volume_monitor(spark, sf_dir, tmp_path):
+    """Volume-anomaly monitor lifecycle: drained per-day streaming
+    event counts equal the batch (period, event_type) groupBy count
+    row-for-row, and feeding them to mad_outliers reproduces
+    p99_volume_anomalies exactly — the anomaly page is computed from
+    tiny persisted daily rows, never by re-scanning raw events."""
+    from spear_spark.operators.stats import mad_outliers
+    from spear_spark.streaming import daily_event_counts_stream, stream_events
+
+    stream = daily_event_counts_stream(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("daily_ev_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("daily_ev_test")
+    ev = load_table(spark, sf_dir, "events")
+    batch_daily = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("period"),
+        "event_type",
+    ).groupBy("period", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, batch_daily.collect())
+    )
+    # persist the tiny daily rows (the production pattern) — also the
+    # memory-sink-view fix: mad_outliers self-joins its input, which a
+    # MemoryPlan view's shared exprIds cannot survive
+    persisted = str(tmp_path / "daily_ev_counts")
+    drained.write.parquet(persisted)
+    got = sorted(map(tuple, mad_outliers(
+        spark.read.parquet(persisted), "n", ["event_type"], "period",
+        threshold=2.0,
+    ).select("event_type", "period", "n", "mscore").collect()))
+    import __spark_entry__ as entry_mod
+    want = sorted(map(tuple, entry_mod.queries()["p99_volume_anomalies"](
+        spark, sf_dir).collect()))
+    assert got == want and got  # non-degenerate: the fixture has anomalies
