@@ -464,3 +464,30 @@ def test_p106_profile_aggregates_partial_no_cartesian(spark, sf_dir):
     plan = executed_plan(OPS["p106_dup_cluster_profile"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert has_partial_aggregation(plan)
+
+
+def test_mad_outliers_approx_windows_only_over_bin_aggregates(spark, sf_dir):
+    """The mergeable MAD's windows must run over the (group, bin)
+    aggregate — never over corpus rows: both medians come from ≤ n_bins
+    rows per group behind a partial aggregation, the two one-row-per-
+    group estimate tables broadcast back, and no sort-merge join ever
+    appears.  A window keyed on row-grain data would reintroduce the
+    single-task per-group sort the operator exists to avoid."""
+    from spear_spark.operators.stats import mad_outliers_approx
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(
+        mad_outliers_approx(
+            docs, "n_chars", ["lang"], "doc_id",
+            lo=0.0, hi=20000.0, n_bins=1000, threshold=1.5,
+        )
+    )
+    # windows partition by the group key over bin-count rows (ordered
+    # by _bin), never over doc_id/value row-grain
+    assert "windowspecdefinition(lang" in plan
+    assert "_bin" in plan
+    assert "windowspecdefinition(doc_id" not in plan
+    assert has_partial_aggregation(plan)
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
