@@ -595,3 +595,134 @@ def distinct_ngram_stats(df, text_col: str, group_col: str, max_n: int = 3):
             F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
         ).alias("distinct_ratio"),
     )
+
+
+def _merge_pair(syms: tuple, a: str, b: str) -> tuple:
+    """Standard BPE merge application: replace every left-to-right
+    non-overlapping adjacent (a, b) occurrence with the fused symbol."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_learn(df, text_col: str, n_merges: int, top_words: int = 50_000):
+    """Learn a BPE merge table from the corpus — the full vocabulary-
+    construction loop p63's single pair-scan is one step of (Sennrich,
+    Haddow & Birch 2016).  Returns (rank, left, right, merged, cnt):
+    the merge learned at each rank and the weighted pair count that
+    won it; ties break by (left, right) ascending, so the table is
+    deterministic.  Stops early if the symbol stream runs out of pairs.
+
+    Scale shape — the standard trainer design, not an iterated corpus
+    scan: BPE statistics are a pure function of the WORD-FREQUENCY
+    table, so ONE two-phase (word, freq) aggregate over the corpus
+    (pre-tokens = ``BPE_PATTERN`` runs, the p63 tokenizer) is the only
+    corpus pass; the table is capped at ``top_words`` by (freq desc,
+    word asc) — a TakeOrderedAndProject heap, and the cap is the
+    standard trainer practice (the top words carry effectively all
+    pair mass; GPT-2-style trainers learn from capped word-frequency
+    dicts).  The merge loop then runs driver-side over that bounded
+    table — a bounded collect of ``top_words`` rows, data-size-
+    independent like the k-means centroid fetch, NOT a corpus
+    collect."""
+    if n_merges < 0:
+        raise ValueError("bpe_learn: n_merges must be >= 0")
+    if not 0 < top_words <= 10_000_000:
+        # the cap sizes BOTH the TakeOrderedAndProject heap and the
+        # driver-side trainer state — an absurd cap would OOM the heap
+        # long before the collect
+        raise ValueError("bpe_learn: top_words must be in (0, 10_000_000]")
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("w"))
+        .limit(int(top_words))
+    )
+    vocab: dict[tuple, int] = {
+        tuple(r["w"]): int(r["freq"]) for r in words.collect()
+    }
+    merges = []
+    for rank in range(int(n_merges)):
+        counts: dict[tuple, int] = {}
+        for syms, freq in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        vocab = {_merge_pair(syms, a, b): freq for syms, freq in vocab.items()}
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string, cnt long"
+    )
+
+
+def bpe_apply(df, text_col: str, merges, out_col: str = "bpe_tokens"):
+    """Encode ``text_col`` with a learned BPE merge table (the output
+    of :func:`bpe_learn`, or an iterable of (left, right) pairs in
+    rank order): pre-tokenize with ``BPE_PATTERN``, start each word as
+    characters, and apply the merges in rank order — the standard
+    encoder, equivalent to repeatedly fusing the lowest-rank pair
+    present.  Appends ``out_col`` (array<string>) to the input rows.
+
+    Scale shape: the merge table is bounded (``n_merges`` rows —
+    collected once, shipped in the task closure) and encoding is an
+    Arrow-batched ``mapInPandas`` projection — no shuffle, no per-row
+    Python UDF; a per-batch word cache collapses the per-word merge
+    loop to once per distinct word per batch (Zipf makes that a large
+    saving)."""
+    import re
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    if isinstance(merges, DataFrame):
+        merge_list = [
+            (r["left"], r["right"])
+            for r in merges.select("rank", "left", "right").orderBy("rank").collect()
+        ]
+    else:
+        merge_list = [(a, b) for a, b in merges]
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(StringType()))]
+    )
+    # re.ASCII pins \s to Java's ASCII whitespace class so the encoder
+    # pre-tokenizes exactly like the JVM-side regexp_extract_all in
+    # bpe_learn/bpe_pair_counts
+    pat = re.compile(BPE_PATTERN, re.ASCII)
+
+    def encode_batches(batches):
+        cache: dict[str, list] = {}
+
+        def enc_word(w):
+            got = cache.get(w)
+            if got is None:
+                syms = tuple(w)
+                for a, b in merge_list:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_pair(syms, a, b)
+                got = cache[w] = list(syms)
+            return got
+
+        for pdf in batches:
+            pdf[out_col] = [
+                None
+                if t is None
+                else [s for w in pat.findall(str(t).lower()) for s in enc_word(w)]
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema)

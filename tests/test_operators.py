@@ -4216,3 +4216,96 @@ class TestDupClusterProfile:
         got = {r.cluster_size: r.n_clusters
                for r in dup_cluster_profile(docs, "text", "doc_id").collect()}
         assert got == dict(ref)
+
+
+class TestBpeLearn:
+    """Laws for the full BPE trainer (bpe_learn/bpe_apply) — the
+    vocabulary-construction loop p63's single pair-scan is one step of."""
+
+    def _docs(self, spark, sf_dir):
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 120)
+            .select("doc_id", "text")
+        )
+
+    def test_first_merge_equals_pair_counts_top1(self, spark, sf_dir):
+        """Cross-operator consistency: rank-0 of the learned table is
+        exactly p63's top pair (same tokenizer, same count, same
+        tie-break) — the trainer's first step IS the single-scan
+        operator."""
+        from spear_spark.operators.text import bpe_learn, bpe_pair_counts
+
+        docs = self._docs(spark, sf_dir)
+        [top] = bpe_pair_counts(docs, "text", top=1).collect()
+        [first] = bpe_learn(docs, "text", n_merges=1, top_words=200_000).collect()
+        assert first.merged == top.pair and first.cnt == top.cnt
+
+    def test_winning_counts_never_increase(self, spark, sf_dir):
+        """BPE invariant: each merge's winning count is <= the previous
+        one (merging only removes occurrences of existing pairs; a new
+        fused pair's count is bounded by the count that won the fuse)."""
+        from spear_spark.operators.text import bpe_learn
+
+        cnts = [r.cnt for r in bpe_learn(
+            self._docs(spark, sf_dir), "text", n_merges=25, top_words=200_000
+        ).orderBy("rank").collect()]
+        assert len(cnts) == 25 and all(a >= b for a, b in zip(cnts, cnts[1:]))
+
+    def test_apply_reproduces_learned_segmentation(self, spark, sf_dir):
+        """Encoding the training corpus with the learned table yields
+        exactly the symbol statistics the trainer tracked: the corpus-
+        wide BPE-token counts equal an independent Python replay of the
+        merges over the (word, freq) table — learn and apply agree."""
+        from spear_spark.operators.text import (
+            BPE_PATTERN,
+            _merge_pair,
+            bpe_apply,
+            bpe_learn,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        merges = bpe_learn(docs, "text", n_merges=20, top_words=200_000)
+        got = {
+            r.s: r.n
+            for r in bpe_apply(docs, "text", merges)
+            .select(F.explode("bpe_tokens").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        wf = (
+            docs.select(F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
+            ).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("freq")).collect()
+        )
+        vocab = {tuple(r.w): int(r.freq) for r in wf}
+        for m in merges.orderBy("rank").collect():
+            vocab = {
+                _merge_pair(syms, m.left, m.right): f for syms, f in vocab.items()
+            }
+        want: dict = {}
+        for syms, f in vocab.items():
+            for s in syms:
+                want[s] = want.get(s, 0) + f
+        assert got == want
+
+    def test_replication_and_partition_invariance(self, spark, sf_dir):
+        """Doubling the corpus doubles every winning count but changes
+        no merge decision; repartitioning changes nothing at all."""
+        from spear_spark.operators.text import bpe_learn
+
+        docs = self._docs(spark, sf_dir)
+        base = bpe_learn(docs, "text", n_merges=10, top_words=200_000).collect()
+        rep = bpe_learn(
+            docs.repartition(7), "text", n_merges=10, top_words=200_000
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, rep))
+        dbl = {r.rank: r for r in bpe_learn(
+            docs.unionAll(docs), "text", n_merges=10, top_words=200_000
+        ).collect()}
+        for r in base:
+            d = dbl[r.rank]
+            assert (d.left, d.right, d.merged) == (r.left, r.right, r.merged)
+            assert d.cnt == 2 * r.cnt
