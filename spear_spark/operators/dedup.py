@@ -1630,3 +1630,48 @@ def dup_cluster_profile(
             F.sum("cluster_size").cast("double") / F.lit(float(total)), 6
         ).alias("doc_frac"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.9,
+    tol: float = 1e-3,
+    max_iters: int = 25,
+    init_centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup at embedding scale — k-means-cluster the embedding space,
+    then compare pairs ONLY within a cluster and drop the higher id of
+    every pair with cosine ≥ ``threshold``.  Returns (drop_id,
+    keep_id), the :func:`near_dedup_embedding` contract.
+
+    The named composition of audited pieces: the convergence-
+    terminated :func:`~spear_spark.operators.similarity.kmeans_lloyd`
+    fit (bounded k-row collects per round), the deterministic
+    :func:`~spear_spark.operators.similarity.ivf_assign_fixed` cell
+    assignment (pure projection, lowest-index tie-break), and the
+    blocked exact-cosine verify.  Semantics exactly as published:
+    clusters bound the pair space to Σ|cell|² instead of n² — the
+    trade being that a near-dup pair straddling a cell boundary is
+    missed (exact duplicates never are: identical vectors assign to
+    identical cells), which is the paper's approximation too.  Every
+    emitted pair is exactly verified, so drops are SOUND: a subset of
+    the brute-force threshold pairs (law-tested).
+
+    100 TB shape: the fit is data-size-independent driver state; the
+    assignment is a narrow projection (``_cell`` becomes the shuffle /
+    write-partitioning key); the pair join shuffles each cell's rows
+    once.  Cap cell sizes upstream (raise k) if a cell outgrows the
+    Σ|cell|² budget — the paper's k=50k regime at web scale."""
+    from spear_spark.operators.similarity import ivf_assign_fixed, kmeans_lloyd
+
+    info: dict = {}
+    kmeans_lloyd(
+        df, vec_col, id_col, k=k, tol=tol, max_iters=max_iters,
+        init_centroids=init_centroids, info=info,
+    )
+    assigned = ivf_assign_fixed(df, vec_col, info["centroids"])
+    return near_dedup_embedding(assigned, vec_col, id_col, "_cell", threshold)

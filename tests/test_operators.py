@@ -4309,3 +4309,68 @@ class TestBpeLearn:
             d = dbl[r.rank]
             assert (d.left, d.right, d.merged) == (r.left, r.right, r.merged)
             assert d.cnt == 2 * r.cnt
+
+
+class TestSemDedup:
+    """Laws for the SemDeDup composition (Abbas et al. 2023): cluster-
+    blocked exact-cosine dedup over embeddings."""
+
+    def _emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+
+    def test_drops_are_sound_subset_of_brute_force(self, spark, sf_dir):
+        """Every SemDeDup drop is exactly verified, so the drop set is
+        a subset of the brute-force all-pairs threshold drops (cluster
+        blocking can only MISS boundary pairs, never invent one), and
+        each drop's keep_id is one of the brute-force partners."""
+        from spear_spark.operators.dedup import near_dedup_embedding, semdedup
+        from spear_spark.operators.similarity import cosine
+
+        emb = self._emb(spark, sf_dir)
+        got = {r.drop_id: r.keep_id for r in semdedup(
+            emb, "embedding", "vec_id", k=8, threshold=0.3).collect()}
+        brute = near_dedup_embedding(
+            emb.withColumn("_one", F.lit(1)), "embedding", "vec_id", "_one",
+            threshold=0.3,
+        ).collect()
+        brute_drops = {r.drop_id for r in brute}
+        assert got, "0.3 on the synthetic tail should yield pairs"
+        assert set(got) <= brute_drops
+        # each kept partner must genuinely clear the threshold
+        a = emb.selectExpr("vec_id as ida", "embedding as va")
+        b = emb.selectExpr("vec_id as idb", "embedding as vb")
+        pairs = {(r.ida, r.idb) for r in a.crossJoin(b).select(
+            "ida", "idb", cosine(F.col("va"), F.col("vb")).alias("c")
+        ).filter(F.col("c") >= 0.3).collect()}
+        assert all((keep, drop) in pairs for drop, keep in got.items())
+
+    def test_planted_exact_duplicates_always_drop(self, spark, sf_dir):
+        """Identical vectors assign to identical cells (deterministic
+        argmin), so an exact duplicate can never escape across a
+        cluster boundary — every planted copy is dropped with its
+        original (the lower id) as keep."""
+        from spear_spark.operators.dedup import semdedup
+
+        emb = self._emb(spark, sf_dir)
+        copies = emb.filter(F.col("vec_id") % 50 == 3).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        planted = {r.vec_id for r in copies.select("vec_id").collect()}
+        out = {r.drop_id: r.keep_id for r in semdedup(
+            emb.unionByName(copies), "embedding", "vec_id",
+            k=8, threshold=0.999).collect()}
+        assert planted <= set(out)
+        assert all(out[c] == c - 10_000 for c in planted)
+
+    def test_deterministic_across_runs_and_partitioning(self, spark, sf_dir):
+        from spear_spark.operators.dedup import semdedup
+
+        emb = self._emb(spark, sf_dir)
+        one = sorted(map(tuple, semdedup(
+            emb, "embedding", "vec_id", k=8, threshold=0.3).collect()))
+        two = sorted(map(tuple, semdedup(
+            emb.repartition(11), "embedding", "vec_id", k=8,
+            threshold=0.3).collect()))
+        assert one == two and one
