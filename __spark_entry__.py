@@ -89,10 +89,13 @@ _DRIVER_PRIORITY = [
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: 47 r06 first, then r07, then r08).  Round-10
-    # window additionally gets a NEW entry for stats.mad_outliers_approx
-    # (mergeable histogram-binned MAD — implemented + law-tested in
-    # round 9, deterministic hence oracle-pairable) ahead of the r06
-    # rotations. ----
+    # window additionally gets NEW entries ahead of the r06 rotations
+    # for the round-9 late-session operators (implemented + law-tested,
+    # deterministic hence oracle-pairable): stats.mad_outliers_approx
+    # (histogram-binned MAD; straight DuckDB replay of the bin rule),
+    # dedup.semdedup (pair via init_centroids + the p77 pinned-round
+    # trick so the oracle can replay fixed Lloyd rounds), and
+    # text.bpe_learn (recursive-CTE merge replay, or rows-only). ----
     "p01_dedup_exact", "p12_multimodal_decode",
     "p13_near_dedup",
     "p14_embedding_dedup", "p15_rolling_hash",
