@@ -687,6 +687,8 @@ def bpe_apply(df, text_col: str, merges, out_col: str = "bpe_tokens"):
     from pyspark.sql import DataFrame
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
+    if out_col in df.columns:
+        raise ValueError(f"bpe_apply: column {out_col!r} already exists")
     if isinstance(merges, DataFrame):
         merge_list = [
             (r["left"], r["right"])
