@@ -653,7 +653,10 @@ def near_dedup_embedding(
 ) -> DataFrame:
     """Embedding-cosine near-dedup within blocks: drop the larger id of
     every pair with cosine ≥ threshold.  Returns (drop_id, keep_id).
-    Blocking (label / LSH bucket / IVF cell) bounds the pair space."""
+    Blocking (label / LSH bucket / IVF cell) bounds the pair space.
+    Contract: vectors must be non-zero — cosine against a zero-norm
+    vector is 0/0, an ANSI divide-by-zero in both engines (filter or
+    impute upstream)."""
     from spear_spark.operators.similarity import cosine
 
     a = df.select(

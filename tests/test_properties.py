@@ -719,3 +719,39 @@ def test_mad_outliers_approx_matches_python_binned_rule(spark, rows):
             assert i in out and abs(out[i] - s) <= 1e-6
     for i in out:
         assert abs(scores[i]) >= threshold - 1e-5
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(-5, 5), st.integers(-5, 5))
+    .filter(lambda t: any(t)),  # zero-norm vectors are outside the
+    # cosine contract (0/0 — ANSI divide-by-zero, same in both engines)
+    min_size=4, max_size=16,
+))
+def test_semdedup_sound_on_random_vectors(spark, rows):
+    """SemDeDup soundness on arbitrary small corpora: cluster blocking
+    can only MISS pairs, never invent them, so the drop set is a subset
+    of the brute-force threshold drops for any non-zero vector multiset
+    (exact duplicates and collinear clumps included)."""
+    from hypothesis import assume
+
+    from spear_spark.operators.dedup import near_dedup_embedding, semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    try:
+        got = semdedup(
+            df, "embedding", "vec_id", k=3, threshold=0.95,
+            tol=1e-3, max_iters=60,
+        ).collect()
+    except RuntimeError:
+        assume(False)  # oscillating Lloyd run — out of this law's scope
+        return
+    brute = near_dedup_embedding(
+        df.withColumn("_one", F.lit(1)), "embedding", "vec_id", "_one",
+        threshold=0.95,
+    ).collect()
+    assert {r.drop_id for r in got} <= {r.drop_id for r in brute}
