@@ -17,7 +17,7 @@ stream at 100 TB.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -519,4 +519,38 @@ def mix_schedule(
         F.col(group_col),
         F.col("rank").alias("src_rank"),
         (F.col("rank") * stride).cast("bigint").alias("sched_key"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Per-group row caps under a DETERMINISTIC ranking: keep at most
+    ``n`` rows per group, best-first by ``order_by`` — the per-host /
+    per-domain document cap every web-corpus recipe applies ("at most
+    N pages per site, highest quality first"), and
+    :func:`priority_sample`'s deterministic-order twin (that one ranks
+    by seeded random priority; this one by explicit columns).
+
+    Contract: ``order_by`` must be a TOTAL order (tie-break on a
+    unique id last) or the kept set is partitioning-dependent.
+
+    Scale shape: the rank-then-filter window is WindowGroupLimit-
+    eligible (row_number, default frame, constant filter), so each
+    task keeps an n-row per-group heap BEFORE the exchange — a hot
+    host shuffles at most n rows per upstream task, never its full
+    row set, and the post-exchange sort is over the surviving ≤
+    n × tasks rows per group (plan-pinned: partial + final
+    WindowGroupLimit)."""
+    if n < 1:
+        raise ValueError("cap_per_group: n must be >= 1")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*group_cols).orderBy(*cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
     )

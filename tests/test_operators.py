@@ -4374,3 +4374,40 @@ class TestSemDedup:
             emb.repartition(11), "embedding", "vec_id", k=8,
             threshold=0.3).collect()))
         assert one == two and one
+
+
+class TestCapPerGroup:
+    """Laws for the deterministic per-group cap (the per-host document
+    cap): groupwise top-n under a total order."""
+
+    def test_matches_python_groupwise_topn(self, spark, sf_dir):
+        from spear_spark.operators.sampling import cap_per_group
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        out = cap_per_group(
+            docs, ["lang"], 3, [F.desc("n_chars"), F.col("doc_id")]
+        ).collect()
+        rows = docs.collect()
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        want = {
+            (r.doc_id, r.lang, r.n_chars)
+            for rs in by_lang.values()
+            for r in sorted(rs, key=lambda r: (-r.n_chars, r.doc_id))[:3]
+        }
+        assert {(r.doc_id, r.lang, r.n_chars) for r in out} == want
+        assert len(out) == len(want)  # no duplicate survivors
+
+    def test_partitioning_invariant_under_total_order(self, spark, sf_dir):
+        from spear_spark.operators.sampling import cap_per_group
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        args = (["source"], 5, [F.desc("n_chars"), F.col("doc_id")])
+        a = sorted(map(tuple, cap_per_group(docs, *args).collect()))
+        b = sorted(map(tuple, cap_per_group(docs.repartition(13), *args).collect()))
+        assert a == b

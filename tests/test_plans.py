@@ -491,3 +491,17 @@ def test_mad_outliers_approx_windows_only_over_bin_aggregates(spark, sf_dir):
     assert has_partial_aggregation(plan)
     assert has_broadcast_join(plan)
     assert "SortMergeJoin" not in plan
+
+
+def test_cap_per_group_uses_window_group_limit(spark, sf_dir):
+    """The per-group cap must plan as partial + final WindowGroupLimit
+    so a hot host's rows heap-prune per task BEFORE the exchange — the
+    same pin as the rank-filter top-k family."""
+    from spear_spark.operators.sampling import cap_per_group
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(
+        cap_per_group(docs, ["source"], 5, [F.desc("n_chars"), F.col("doc_id")])
+    )
+    assert plan.count("WindowGroupLimit") == 2
