@@ -94,8 +94,9 @@ _DRIVER_PRIORITY = [
     # deterministic hence oracle-pairable): stats.mad_outliers_approx
     # (histogram-binned MAD; straight DuckDB replay of the bin rule),
     # dedup.semdedup (pair via init_centroids + the p77 pinned-round
-    # trick so the oracle can replay fixed Lloyd rounds), and
-    # text.bpe_learn (recursive-CTE merge replay, or rows-only). ----
+    # trick so the oracle can replay fixed Lloyd rounds),
+    # text.bpe_learn (recursive-CTE merge replay, or rows-only), and
+    # sampling.cap_per_group (oracle: QUALIFY row_number <= n). ----
     "p01_dedup_exact", "p12_multimodal_decode",
     "p13_near_dedup",
     "p14_embedding_dedup", "p15_rolling_hash",
