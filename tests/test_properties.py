@@ -755,3 +755,29 @@ def test_semdedup_sound_on_random_vectors(spark, rows):
         threshold=0.95,
     ).collect()
     assert {r.drop_id for r in got} <= {r.drop_id for r in brute}
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.sampled_from("abc"), st.integers(0, 9)),
+    min_size=1, max_size=30,
+), st.integers(1, 5))
+def test_cap_per_group_matches_python_topn(spark, rows, n):
+    """cap_per_group == Python groupwise sorted[:n] under the same
+    total order, for any grouped multiset and cap."""
+    from spear_spark.operators.sampling import cap_per_group
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid int, g string, v int")
+    out = {(r.rid, r.g, r.v) for r in cap_per_group(
+        df, ["g"], n, [F.desc("v"), F.col("rid")]).collect()}
+    by_g: dict = {}
+    for rid, g, v in data:
+        by_g.setdefault(g, []).append((rid, v))
+    want = {
+        (rid, g, v)
+        for g, rs in by_g.items()
+        for rid, v in sorted(rs, key=lambda t: (-t[1], t[0]))[:n]
+    }
+    assert out == want
