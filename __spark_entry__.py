@@ -24,85 +24,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-9 window: the 15 new queries (contamination intervals, CM
-# inner-product source overlap, densified rolling distinct, n-gram
-# novelty profile, source lexical cosine, longest duplicated span,
-# per-group ECDF, daily volume anomalies, reproducible training order,
-# weighted mix schedule, per-source dedup report, lexical diversity
-# profile, source JSD matrix, curriculum order, dup-cluster size
-# profile), the 9 queries whose Spark side or oracle changed this
-# round, and ALL 26 r05-evidence rotations the round-8 verdict
-# sequenced (15+9+26 = 50; new work displaced the last r06 rotation
-# slots — the floor stays r06 either way).  After this round no
-# evidence is older than r06; the remaining 47 r06 queries lead the
-# round-10 rotation (they sit first below the fold, in order).
+# Round-10 window: the 5 NEW queries certifying the round-9 late
+# operators (cap_per_group, mad_outliers_approx, semdedup, bpe_learn,
+# bpe_apply), the 2 queries whose PLAN changed this round (p103 now
+# stages tokens once behind a lazy localCheckpoint; p106's corpus
+# denominator went lazy — values identical, plans re-certified), and
+# the FIRST 43 of the 47 r06-evidence rotations the round-9 verdict
+# sequenced (5+2+43 = 50).  The remaining 4 r06 queries (q67, q79,
+# q82, q83) lead the round-11 window below the fold — after round 10
+# they are the only queries with evidence older than r07.
 _DRIVER_PRIORITY = [
-    # ---- round 9 window ----
-    # -- NEW in round 9 (no driver evidence yet): maximal redaction
-    #    intervals (island-merged p87 spans), Count-Min inner-product
-    #    source overlap (the multiset twin of p89), calendar-densified
-    #    rolling distinct (densify=True over planted gap days)
-    "p92_contamination_intervals", "p93_cm_source_overlap",
-    "p94_rolling_densified",
-    # -- CHANGED this round (need re-evidence): p83 grew dup_frac (new
-    #    oracle), p82 oracle-exact single-token + CM left-join probe
-    #    read, p85 two-phase corpus tally, p86/p78/p79 signed-modulo
-    #    shard fix, p05/p74/p90 shingle-df two-phase count (plans
-    #    changed; values identical)
-    "p83_health_report", "p82_rolling_sketch",
-    "p85_repeated_ngrams", "p86_hist_merge",
-    "p78_cm_merge", "p79_hll_merge",
-    "p05_ngram_jaccard", "p74_containment_pairs",
-    "p90_prefix_jaccard",
-    # -- the 26 r05-evidence rotations the round-8 verdict sequenced
-    "q02_filter_topk", "q03_shipping_priority",
-    "q04_theta_join", "q05_self_join_pairs",
-    "q15_top3_per_nation", "q16_range_frame",
-    "q20_scalar_functions", "q23_select_no_from",
-    "q26_rollup", "q27_pivot_segments",
-    "q28_word_counts", "q30_right_join",
-    "q31_cross_join", "q32_named_window",
-    "q35_complex_types", "q37_string_functions",
-    "q39_cube", "q41_ranking_functions",
-    "q46_rand_sample", "q47_local_relation",
-    "q48_cast_matrix", "q49_udaf_surfaces",
-    "q52_untapped_segments", "q73_array_functions",
-    "q80_retention_cohorts", "q81_interval_range_frame",
-    # -- three more NEW queries (n-gram novelty profile, source lexical
-    #    cosine matrix, longest duplicated span) — new work displaces
-    #    three r06 rotation slots
-    "p95_ngram_novelty", "p96_source_cosine",
-    "p97_max_dup_span", "p98_length_ecdf",
-    "p99_volume_anomalies",
-    # -- four more NEW queries (reproducible training order, weighted
-    #    mix schedule, per-source dedup report, lexical diversity) —
-    #    new work displaces four r06 rotation slots (the floor stays
-    #    r06 either way; the displaced four lead the round-10 window)
-    "p100_training_order", "p101_mix_schedule",
-    "p102_dedup_report", "p103_distinct_ngrams",
-    # -- three more NEW queries (source JSD matrix, curriculum order,
-    #    dup-cluster size profile) — these fill the window's last
-    #    three slots, displacing the final r06 rotations (which now
-    #    lead the round-10 window below the fold)
-    "p104_source_jsd", "p105_curriculum_order",
-    "p106_dup_cluster_profile",
-
-    # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: 47 r06 first, then r07, then r08).  Round-10
-    # window additionally gets NEW entries ahead of the r06 rotations
-    # for the round-9 late-session operators (implemented + law-tested,
-    # deterministic hence oracle-pairable): stats.mad_outliers_approx
-    # (histogram-binned MAD; straight DuckDB replay of the bin rule),
-    # dedup.semdedup (pair via init_centroids + the p77 pinned-round
-    # trick so the oracle can replay fixed Lloyd rounds),
-    # text.bpe_learn (recursive-CTE merge replay, or rows-only), and
-    # sampling.cap_per_group (oracle: QUALIFY row_number <= n). ----
+    # ---- round 10 window ----
+    # -- NEW in round 10 (no driver evidence yet): the four round-9
+    #    late operators, oracle-paired per the round-9 verdict designs
+    #    (QUALIFY row_number cap; DuckDB replay of the binned MAD
+    #    rule; p77-pinned-round Lloyd + p26 assignment + p14 pair
+    #    rule; unrolled-CTE BPE merge replay — learn AND encode)
+    "p107_cap_per_group", "p108_mad_outliers_approx",
+    "p109_semdedup", "p110_bpe_learn",
+    "p111_bpe_segment",
+    # -- PLAN changed this round (values identical, re-evidence):
+    "p103_distinct_ngrams", "p106_dup_cluster_profile",
+    # -- the first 43 of the 47 r06-evidence rotations
     "p01_dedup_exact", "p12_multimodal_decode",
-    "p13_near_dedup",
-    "p14_embedding_dedup", "p15_rolling_hash",
-    "p16_winnowing", "p20_batch_topk",
-    "p21_dup_clusters", "p22_salted_join",
-    "p23_sequence_packing",
+    "p13_near_dedup", "p14_embedding_dedup",
+    "p15_rolling_hash", "p16_winnowing",
+    "p20_batch_topk", "p21_dup_clusters",
+    "p22_salted_join", "p23_sequence_packing",
     "p24_stratified_sample", "p25_group_quantiles",
     "p26_ann_ivf", "p27_tfidf_topterms",
     "p28_bm25", "p29_lsh_verified_dedup",
@@ -119,55 +67,89 @@ _DRIVER_PRIORITY = [
     "q55_promo_revenue", "q56_disjunctive_join",
     "q57_ship_lag_buckets", "q63_product_profit",
     "q64_important_stock", "q65_parts_supplier_relationship",
-    "q66_part_promotion", "q67_grouping_sets",
-    "q79_event_funnel", "q82_symmetric_range_frame",
-    "q83_session_window", "p77_kmeans_lloyd",
-    "p80_group_distinct", "p72_pagerank_convergence",
-    "p65_mix_reweight", "p02_minhash_signatures",
-    "p03_minhash_lsh_pairs", "p04_simhash",
-    "p18_clean_corpus", "p19_simhash_near_pairs",
-    "p31_repetition_stats", "p32_heavy_hitters",
-    "p34_zorder_key", "p35_priority_sample",
-    "p36_token_typicality", "p37_incremental_dedup",
-    "p38_decontaminate", "p39_embedding_outliers",
-    "p41_skew_profile", "p42_chunk_documents",
-    "p43_global_row_numbers", "q59_local_supplier_volume",
-    "q60_volume_shipping", "q61_market_share",
-    "q62_returned_items", "p17_range_join",
-    "p33_distinct_sketch", "p40_redact_pii",
-    "p45_asof_nearest", "p46_interval_overlap",
-    "p48_segment_dedup", "p49_token_entropy",
-    "p50_length_histogram", "p51_cdc_upsert",
-    "p52_corpus_surprisal", "p53_balanced_shards",
-    "p54_cross_source_dups", "p56_cluster_balanced_sample",
-    "p57_leakage_safe_split", "p58_normalize_text",
-    "q06_forecast_revenue", "q07_customer_orders_left",
-    "q08_nation_coverage", "q09_customers_without_orders",
-    "q10_union_bag", "q11_intersect_multiset",
-    "q12_except_multiset", "q13_distinct",
-    "q14_window_aggregates", "p81_group_heavy_hitters",
-    "p84_rolling_distinct", "p87_contamination_spans",
-    "p88_cluster_representatives", "p89_hll_overlap",
-    "p91_mad_outliers", "q17_event_gaps",
-    "q19_sort_nulls", "q24_hourly_rollup",
-    "q25_json_extract", "q29_asof_last_click",
-    "q43_multigrain_rollup", "q50_sql_dialect",
-    "q51_partitioned_range", "q53_gapfill_hourly",
-    "q58_dialect_extensions", "q68_lateral_topn",
-    "q69_unpivot", "q70_qualify",
-    "q71_listagg", "q72_recursive_cte",
-    "q74_stats_aggregates", "q75_datetime_functions",
-    "q76_union_by_name", "q77_group_by_all",
-    "q78_semi_anti_join", "p06_embedding_nn",
-    "p07_cosine_topk", "p08_lang_id",
-    "p09_quality_score", "p10_token_stats",
-    "p11_fingerprint", "p47_kmeans_step",
-    "p55_quantize_embeddings", "p59_pagerank",
-    "p60_winsorized_stats", "p61_zscore_outliers",
-    "p62_top_ngrams_per_lang", "p63_bpe_pair_counts",
-    "p64_srp_signatures", "p66_quality_funnel",
-    "p67_centroid_shift", "p70_bigram_lm",
-    "q01_pricing_summary",
+    "q66_part_promotion",
+
+    # ---- below the fold (order = evidence age, so future rotations
+    # stay mechanical: the 4 remaining r06 queries lead the round-11
+    # window, then the r07/r08 block, then the round-9 window's 48
+    # r09-evidence queries, then this round's 43 freshly-rotated
+    # entries are implicit catalog-order leftovers at the end). ----
+    # -- r06 evidence (rotate FIRST in round 11):
+    "q67_grouping_sets", "q79_event_funnel",
+    "q82_symmetric_range_frame", "q83_session_window",
+    # -- r07/r08 evidence:
+    "p77_kmeans_lloyd", "p80_group_distinct",
+    "p72_pagerank_convergence", "p65_mix_reweight",
+    "p02_minhash_signatures", "p03_minhash_lsh_pairs",
+    "p04_simhash", "p18_clean_corpus",
+    "p19_simhash_near_pairs", "p31_repetition_stats",
+    "p32_heavy_hitters", "p34_zorder_key",
+    "p35_priority_sample", "p36_token_typicality",
+    "p37_incremental_dedup", "p38_decontaminate",
+    "p39_embedding_outliers", "p41_skew_profile",
+    "p42_chunk_documents", "p43_global_row_numbers",
+    "q59_local_supplier_volume", "q60_volume_shipping",
+    "q61_market_share", "q62_returned_items",
+    "p17_range_join", "p33_distinct_sketch",
+    "p40_redact_pii", "p45_asof_nearest",
+    "p46_interval_overlap", "p48_segment_dedup",
+    "p49_token_entropy", "p50_length_histogram",
+    "p51_cdc_upsert", "p52_corpus_surprisal",
+    "p53_balanced_shards", "p54_cross_source_dups",
+    "p56_cluster_balanced_sample", "p57_leakage_safe_split",
+    "p58_normalize_text", "q06_forecast_revenue",
+    "q07_customer_orders_left", "q08_nation_coverage",
+    "q09_customers_without_orders", "q10_union_bag",
+    "q11_intersect_multiset", "q12_except_multiset",
+    "q13_distinct", "q14_window_aggregates",
+    "p81_group_heavy_hitters", "p84_rolling_distinct",
+    "p87_contamination_spans", "p88_cluster_representatives",
+    "p89_hll_overlap", "p91_mad_outliers",
+    "q17_event_gaps", "q19_sort_nulls",
+    "q24_hourly_rollup", "q25_json_extract",
+    "q29_asof_last_click", "q43_multigrain_rollup",
+    "q50_sql_dialect", "q51_partitioned_range",
+    "q53_gapfill_hourly", "q58_dialect_extensions",
+    "q68_lateral_topn", "q69_unpivot",
+    "q70_qualify", "q71_listagg",
+    "q72_recursive_cte", "q74_stats_aggregates",
+    "q75_datetime_functions", "q76_union_by_name",
+    "q77_group_by_all", "q78_semi_anti_join",
+    "p06_embedding_nn", "p07_cosine_topk",
+    "p08_lang_id", "p09_quality_score",
+    "p10_token_stats", "p11_fingerprint",
+    "p47_kmeans_step", "p55_quantize_embeddings",
+    "p59_pagerank", "p60_winsorized_stats",
+    "p61_zscore_outliers", "p62_top_ngrams_per_lang",
+    "p63_bpe_pair_counts", "p64_srp_signatures",
+    "p66_quality_funnel", "p67_centroid_shift",
+    "p70_bigram_lm", "q01_pricing_summary",
+    # -- r09 evidence (round-9 window, minus the two re-certified
+    #    plan-changed entries which sit in the round-10 window):
+    "p92_contamination_intervals", "p93_cm_source_overlap",
+    "p94_rolling_densified", "p83_health_report",
+    "p82_rolling_sketch", "p85_repeated_ngrams",
+    "p86_hist_merge", "p78_cm_merge",
+    "p79_hll_merge", "p05_ngram_jaccard",
+    "p74_containment_pairs", "p90_prefix_jaccard",
+    "q02_filter_topk", "q03_shipping_priority",
+    "q04_theta_join", "q05_self_join_pairs",
+    "q15_top3_per_nation", "q16_range_frame",
+    "q20_scalar_functions", "q23_select_no_from",
+    "q26_rollup", "q27_pivot_segments",
+    "q28_word_counts", "q30_right_join",
+    "q31_cross_join", "q32_named_window",
+    "q35_complex_types", "q37_string_functions",
+    "q39_cube", "q41_ranking_functions",
+    "q46_rand_sample", "q47_local_relation",
+    "q48_cast_matrix", "q49_udaf_surfaces",
+    "q52_untapped_segments", "q73_array_functions",
+    "q80_retention_cohorts", "q81_interval_range_frame",
+    "p95_ngram_novelty", "p96_source_cosine",
+    "p97_max_dup_span", "p98_length_ecdf",
+    "p99_volume_anomalies", "p100_training_order",
+    "p101_mix_schedule", "p102_dedup_report",
+    "p104_source_jsd", "p105_curriculum_order",
 ]
 
 

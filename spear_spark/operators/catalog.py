@@ -4339,3 +4339,261 @@ def p106_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.dup_cluster_profile(docs, "text", "doc_id", threshold=0.5).orderBy(
         "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# p107 — deterministic per-group row cap (operators.sampling.
+# cap_per_group): at most 5 docs per source, longest-first with doc_id
+# tie-break — the "at most N pages per host, best first" web-corpus
+# cap.  The rank-then-filter window is WindowGroupLimit-eligible
+# (plan-pinned in test_plans), so each task keeps a 5-row per-group
+# heap BEFORE the exchange; a hot source shuffles <= 5 rows per
+# upstream task, never its full row set.
+# ---------------------------------------------------------------------------
+@q(
+    "p107_cap_per_group",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 5 ORDER BY source, doc_id
+    """,
+)
+def p107_cap_per_group(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return cap_per_group(
+        docs, ["source"], 5, [F.desc("n_chars"), "doc_id"]
+    ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p108 — mergeable histogram-MAD outliers (operators.stats.
+# mad_outliers_approx): p91's exact per-group percentile pair swapped
+# for two fixed-width histogram medians (the histogram_quantiles
+# type-1 / upper-bin-edge rule) so both passes are
+# associative-commutative integer bin counts — run-stable, mergeable
+# across shards, nothing downstream of an aggregate sees corpus-sized
+# data.  Oracle: a straight DuckDB replay of the same binned rule
+# (bins over [0, 600] x 48 for values, [0, 600] x 48 for deviations;
+# medians are exact multiples of the 12.5 bin width in both engines,
+# so the score arithmetic is identical, not epsilon-tolerant).
+# Threshold 1.25 (vs p91's 1.5): the bin-edge MAD estimate is an
+# UPPER edge, deflating scores by up to one bin width per pass.
+# ---------------------------------------------------------------------------
+@q(
+    "p108_mad_outliers_approx",
+    """
+    WITH v AS (SELECT lang, doc_id, n_chars, CAST(n_chars AS DOUBLE) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+    b1 AS (SELECT lang, LEAST(GREATEST(CAST(FLOOR(v / 12.5) AS BIGINT), 0), 47)
+                    AS bin, COUNT(*) AS c
+           FROM v GROUP BY 1, 2),
+    cum1 AS (SELECT lang, bin,
+                    SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                    SUM(c) OVER (PARTITION BY lang) AS n FROM b1),
+    m1 AS (SELECT lang, 0.0 + (MIN(bin) + 1) * 12.5 AS med
+           FROM cum1 WHERE cum >= CEIL(0.5 * n) GROUP BY lang),
+    d AS (SELECT v.lang, doc_id, n_chars, v.v - m1.med AS delta,
+                 ABS(v.v - m1.med) AS ad
+          FROM v JOIN m1 USING (lang)),
+    b2 AS (SELECT lang, LEAST(GREATEST(CAST(FLOOR(ad / 12.5) AS BIGINT), 0), 47)
+                    AS bin, COUNT(*) AS c
+           FROM d GROUP BY 1, 2),
+    cum2 AS (SELECT lang, bin,
+                    SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                    SUM(c) OVER (PARTITION BY lang) AS n FROM b2),
+    m2 AS (SELECT lang, 0.0 + (MIN(bin) + 1) * 12.5 AS mad
+           FROM cum2 WHERE cum >= CEIL(0.5 * n) GROUP BY lang)
+    SELECT d.lang, doc_id, n_chars, ROUND(0.6745 * delta / mad, 6) AS mscore
+    FROM d JOIN m2 USING (lang)
+    WHERE ABS(ROUND(0.6745 * delta / mad, 6)) >= 1.25
+    ORDER BY lang, doc_id
+    """,
+)
+def p108_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import mad_outliers_approx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mad_outliers_approx(
+        docs, "n_chars", ["lang"], "doc_id",
+        lo=0.0, hi=600.0, n_bins=48, threshold=1.25,
+    ).orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p109 — SemDeDup (operators.dedup.semdedup, Abbas et al. 2023):
+# k-means-blocked exact-cosine embedding dedup — the convergence-
+# terminated Lloyd fit (p77's engine, SAME pinned-stop-round trick:
+# tol=0.3 stops at exactly 2 rounds on the catalog embeddings at
+# every SF, asserted loudly), deterministic cell assignment, then
+# drop the higher id of every WITHIN-CELL pair with cosine >= 0.35
+# (p14's threshold; the synthetic embeddings have no true dups, so
+# the tail of the distribution exercises the pipeline).  Oracle:
+# p77's unrolled Lloyd rounds + p26's assignment + p14's pair rule,
+# composed.  Drops are SOUND by construction (every emitted pair is
+# exactly verified; cross-cell pairs are the paper's approximation).
+# ---------------------------------------------------------------------------
+_P109_THRESHOLD = 0.35
+
+
+def _p109_oracle(rounds: int = _P77_STOP_ROUND) -> str:
+    head = """
+    WITH cents0 AS (
+      SELECT CAST(ce AS DOUBLE[]) AS ce,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci FROM
+        (SELECT vec_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8) c0)"""
+    body = "".join(
+        _p77_lloyd_round(i, f"cents{i - 1}") for i in range(1, rounds + 1)
+    )
+    tail = f""",
+    distF AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM embeddings e CROSS JOIN cents{rounds} c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    asgF AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM distF) t WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_COS} AS cos
+      FROM embeddings a, asgF sa, embeddings b, asgF sb, range(1, 65) r(i)
+      WHERE sa.vec_id = a.vec_id AND sb.vec_id = b.vec_id
+        AND sa.cell = sb.cell AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT vb AS drop_id, MIN(va) AS keep_id
+    FROM pairs WHERE cos >= {_P109_THRESHOLD}
+    GROUP BY vb ORDER BY drop_id"""
+    return head + body + tail
+
+
+@q("p109_semdedup", _p109_oracle())
+def p109_semdedup(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    info: dict = {}
+    out = dedup.semdedup(
+        emb, "embedding", "vec_id",
+        k=8, threshold=_P109_THRESHOLD, tol=0.3, max_iters=10, info=info,
+    ).orderBy("drop_id")
+    assert info["iterations"] == _P77_STOP_ROUND, (
+        f"p109: Lloyd converged in {info['iterations']} rounds, oracle "
+        f"unrolls {_P77_STOP_ROUND} (drifts {info.get('drifts')})"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# p110/p111 — full BPE trainer + encoder (operators.text.bpe_learn /
+# bpe_apply, Sennrich et al. 2016).  The catalog pair runs on a
+# letters-only projection (lower + strip non-[a-z ]), which makes the
+# oracle exactly replayable in SQL: the trainer's merge loop unrolls
+# as chained CTE stages over the capped word-frequency table — each
+# symbol sequence serialized as '<s1><s2>...' so a single
+# left-to-right non-overlapping replace('<a><b>' -> '<ab>') IS
+# _merge_pair (delimiters make cross-symbol false matches
+# impossible), pair counts come from regexp re-splitting, and the
+# argmax tie-break (cnt DESC, left, right) matches the trainer's
+# min((-cnt, pair)).  The encoder oracle reuses the learned b{i}
+# stages and applies the same replaces per document ('#' between
+# words so no merge crosses a word boundary).  Exact — the whole
+# pipeline is integer counts + string rewrites, no FP anywhere.
+# ---------------------------------------------------------------------------
+_BPE_N_MERGES = 8
+_BPE_CLEAN_SQL = "regexp_replace(lower(text), '[^a-z ]+', ' ', 'g')"
+
+
+def _bpe_learn_cte(n_merges: int) -> str:
+    """Shared trainer CTE stages: w0 (capped word-freq table), v0..vN
+    (symbolized vocab per merge round), c{i}/b{i} (pair counts + the
+    round's winning merge)."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all({_BPE_CLEAN_SQL}, '[a-z]+')) AS w
+        FROM documents)
+      GROUP BY w ORDER BY freq DESC, w LIMIT 50000),
+    v0 AS MATERIALIZED (
+      SELECT '<' || array_to_string(regexp_extract_all(w, '.'), '><') || '>' AS s,
+             freq FROM w0)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT u.pair[1] AS l, u.pair[2] AS r, SUM(t.freq) AS cnt
+      FROM (SELECT freq, regexp_extract_all(s, '<([a-z]+)>', 1) AS sy FROM v{i}) t,
+           UNNEST([[t.sy[k], t.sy[k+1]]
+                   for k in generate_series(1, len(t.sy)-1)]) AS u(pair)
+      GROUP BY 1, 2),
+    b{i} AS MATERIALIZED (
+      SELECT {i} AS rank, l, r, cnt FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    v{i + 1} AS MATERIALIZED (
+      SELECT replace(s, '<'||(SELECT l FROM b{i})||'><'||(SELECT r FROM b{i})||'>',
+                        '<'||(SELECT l FROM b{i})||(SELECT r FROM b{i})||'>') AS s,
+             freq FROM v{i})"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_apply_cte(n_merges: int) -> str:
+    """Encoder CTE stages over the learned b{i} merges: e0 symbolizes
+    each document ('#' separates words), e{i+1} applies merge i."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+      SELECT doc_id, array_to_string(
+        ['<' || array_to_string(regexp_extract_all(w, '.'), '><') || '>'
+         for w in regexp_extract_all({_BPE_CLEAN_SQL}, '[a-z]+')], '#') AS s
+      FROM documents)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+      SELECT doc_id,
+             replace(s, '<'||(SELECT l FROM b{i})||'><'||(SELECT r FROM b{i})||'>',
+                        '<'||(SELECT l FROM b{i})||(SELECT r FROM b{i})||'>') AS s
+      FROM e{i})"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_clean_docs(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]+", " ").alias("text"),
+    )
+
+
+@q(
+    "p110_bpe_learn",
+    f"""WITH {_bpe_learn_cte(_BPE_N_MERGES)}
+    SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+           l || r AS merged, CAST(cnt AS BIGINT) AS cnt
+    FROM ({' UNION ALL '.join(f'SELECT * FROM b{i}' for i in range(_BPE_N_MERGES))})
+    ORDER BY rank""",
+)
+def p110_bpe_learn(spark: SparkSession, sf_dir: str) -> SDF:
+    return text.bpe_learn(
+        _bpe_clean_docs(spark, sf_dir), "text", n_merges=_BPE_N_MERGES
+    ).orderBy("rank")
+
+
+@q(
+    "p111_bpe_segment",
+    f"""WITH {_bpe_learn_cte(_BPE_N_MERGES)},
+    {_bpe_apply_cte(_BPE_N_MERGES)}
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(s, '<([a-z]+)>', 1), '|') AS bpe_text
+    FROM e{_BPE_N_MERGES} ORDER BY doc_id""",
+)
+def p111_bpe_segment(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = _bpe_clean_docs(spark, sf_dir)
+    merges = text.bpe_learn(docs, "text", n_merges=_BPE_N_MERGES)
+    return (
+        text.bpe_apply(docs, "text", merges)
+        .select("doc_id", F.concat_ws("|", F.col("bpe_tokens")).alias("bpe_text"))
+        .orderBy("doc_id")
+    )

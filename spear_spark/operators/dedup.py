@@ -1534,8 +1534,11 @@ def dedup_report(
     This is the curation dashboard number ("web crawl keeps 61% after
     dedup, books keep 99%") that decides mixture weights before
     training; every stage reuses the repo's scale-shaped primitives
-    (:func:`exact first-occurrence <exact_dedup>` semantics as a
-    two-phase min-id aggregate, :func:`ngram_jaccard_pairs` with its
+    (min-id-per-hash exact stage — NOTE: keyed on RAW ``md5(text)``,
+    case/whitespace-SENSITIVE by design so the report counts only
+    byte-identical copies as exact dups; :func:`exact_dedup`'s
+    normalized ``md5(lower(trim(text)))`` key is the looser variant —
+    :func:`ngram_jaccard_pairs` with its
     ``max_df`` pair-explosion cap, :func:`connected_components`'s
     large-star/small-star rounds).  A doc always counts against its OWN
     group even when its duplicate lives elsewhere, so cross-source
@@ -1562,9 +1565,11 @@ def dedup_report(
         survivors, text_col, id_col, shingle_n=shingle_n, max_df=max_df
     ).filter(F.col("jaccard") >= threshold)
     labels = connected_components(pairs)
-    lab = exact_kept.join(labels, id_col, "left").withColumn(
-        "_cluster", F.coalesce(F.col("cluster_id"), ids)
-    )
+    # connected_components always emits (doc_id, cluster_id) — re-key to
+    # the caller's id column before joining (id_col != "doc_id" callers)
+    lab = exact_kept.join(
+        labels.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("_cluster", F.coalesce(F.col("cluster_id"), ids))
     per_exact = lab.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_exact_kept"),
         F.sum((F.col("_cluster") == ids).cast("long")).alias("n_final_kept"),
@@ -1619,19 +1624,30 @@ def dup_cluster_profile(
         df, text_col, id_col, shingle_n=shingle_n, max_df=max_df
     ).filter(F.col("jaccard") >= F.lit(float(threshold)))
     labels = connected_components(pairs)
-    total = df.count()
+    # denominator stays lazy (1-row aggregate broadcast back, the
+    # jsd_vs_reference ref_tot pattern) — no plan-construction action
+    tot = df.agg(F.count(F.lit(1)).alias("_n"))
     lab = (
         df.select(id_col)
         .join(labels.withColumnRenamed("doc_id", id_col), id_col, "left")
         .select(F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("_cluster"))
     )
     sizes = lab.groupBy("_cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return sizes.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).alias("n_clusters"),
-        F.sum("cluster_size").alias("n_docs"),
-        F.round(
-            F.sum("cluster_size").cast("double") / F.lit(float(total)), 6
-        ).alias("doc_frac"),
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("_n"), 6).alias(
+                "doc_frac"
+            ),
+        )
     )
 
 
@@ -1644,6 +1660,7 @@ def semdedup(
     tol: float = 1e-3,
     max_iters: int = 25,
     init_centroids=None,
+    info: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     dedup at embedding scale — k-means-cluster the embedding space,
@@ -1671,7 +1688,8 @@ def semdedup(
     Σ|cell|² budget — the paper's k=50k regime at web scale."""
     from spear_spark.operators.similarity import ivf_assign_fixed, kmeans_lloyd
 
-    info: dict = {}
+    if info is None:
+        info = {}  # caller may pass a dict to observe iterations/drifts
     kmeans_lloyd(
         df, vec_col, id_col, k=k, tol=tol, max_iters=max_iters,
         init_centroids=init_centroids, info=info,

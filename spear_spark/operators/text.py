@@ -564,21 +564,28 @@ def distinct_ngram_stats(df, text_col: str, group_col: str, max_n: int = 3):
     Returns ``(group, n, total_ngrams, distinct_ngrams,
     distinct_ratio)`` — one row per (group, n).
 
-    Scale: one explode per n over the tokenized scan, unioned, then a
-    two-phase ``(group, n, gram)`` count followed by a bounded
-    ``(group, n)`` rollup — the same aggregate-the-aggregate shape as
-    the health report's gram tallies; no COUNT(DISTINCT) expand, no
-    window, state bounded by vocabulary size.
+    Scale: tokens are staged ONCE (one corpus scan + tokenize, lineage
+    cut with a lazy ``localCheckpoint`` so the ``max_n``-way union
+    fan-out rereads the staged arrays, not the text — the health
+    report's staging pattern), then one explode per n over the staged
+    arrays, unioned, then a two-phase ``(group, n, gram)`` count
+    followed by a bounded ``(group, n)`` rollup — the same
+    aggregate-the-aggregate shape as the health report's gram tallies;
+    no COUNT(DISTINCT) expand, no window, state bounded by vocabulary
+    size.
     """
     from pyspark.sql import functions as F
 
-    from spear_spark.operators.dedup import ngram_list
+    from spear_spark.operators.dedup import ngram_list_from_tokens
 
+    staged = df.select(
+        F.col(group_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
     levels = [
-        df.select(
+        staged.select(
             F.col(group_col),
             F.lit(n).alias("n"),
-            F.explode(ngram_list(F.col(text_col), n)).alias("gram"),
+            F.explode(ngram_list_from_tokens(F.col("_toks"), n)).alias("gram"),
         )
         for n in range(1, max_n + 1)
     ]

@@ -691,6 +691,18 @@ def novel_grams_stream(
 
     from spear_spark.operators.dedup import h64, ngram_list
 
+    id_type = {f.name: f.dataType.typeName() for f in docs.schema.fields}.get(
+        id_col
+    )
+    if id_type not in {"byte", "short", "integer", "long"}:
+        # a string id would silently CAST to NULL and collapse every doc
+        # into one NULL doc_id row; fail loudly instead (the
+        # connected_components contract) — re-key string ids to dense
+        # longs upstream (xxhash64 / an id table) before streaming.
+        raise TypeError(
+            f"novel_grams_stream requires an integral id column; "
+            f"{id_col!r} has type {id_type!r} — re-key to long first"
+        )
     grams = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(ngram_list(text_col, n)).alias("gram"),
