@@ -826,3 +826,140 @@ def daily_event_counts_stream(
             "n",
         )
     )
+
+
+SEMDEDUP_STREAM_SCHEMA = StructType(
+    [StructField("drop_id", LongType()), StructField("keep_id", LongType())]
+)
+_SEMDEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+    ]
+)
+
+
+def _round6_half_up(x: float) -> float:
+    """Exact Python twin of Spark's ``F.round(col, 6)`` on doubles:
+    Scala rounds ``BigDecimal.decimal(d)`` (Double.toString, i.e. the
+    SHORTEST decimal repr — same contract as Python ``repr(float)``)
+    with HALF_UP.  ``floor(x*1e6+0.5)`` twins would diverge on
+    representation boundaries; this one cannot."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def semdedup_stream(
+    docs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Streaming SemDeDup twin — the continuous producer for
+    :func:`spear_spark.operators.dedup.semdedup`'s drop decisions
+    without re-scanning the corpus per batch.  Centroids are FIXED
+    inputs (the paper's deployment shape: fit Lloyd offline on a
+    sample — ``kmeans_lloyd`` — then assign the firehose against the
+    frozen index); each arriving vector is cell-assigned with the
+    exact batch rule (:func:`~spear_spark.operators.similarity.
+    ivf_assign_fixed`, a stream-safe pure projection), and every
+    cell's ``applyInPandasWithState`` state is the (id, vector) set it
+    has ever seen.  A new doc emits ``(drop_id, keep_id)`` when some
+    earlier-id doc in its cell has cosine ≥ ``threshold``; keep_id is
+    the MINIMUM such partner, and dropped docs STAY in state as
+    partner candidates — exactly the batch pair rule, so a drained
+    id-ordered stream equals ``semdedup``'s output row-for-row
+    (equivalence-tested; the novel_grams_stream backfill contract).
+
+    Exactness: the cosine is computed per element in float64 with a
+    LEFT-TO-RIGHT accumulation (``np.cumsum`` rows) — bitwise the
+    batch ``F.aggregate`` fold — then rounded with
+    :func:`_round6_half_up`, Spark's exact rounding twin, before the
+    threshold test.  Replayed ids are skipped (idempotent).
+
+    State design for scale: one state row per cell holding that cell's
+    vectors — state is bounded by CELL geometry, not stream length,
+    and the paper's regime (k ~ 50k at web scale) keeps cells small;
+    raise k upstream when a cell outgrows its Σ|cell|² verify budget,
+    the same knob as batch :func:`semdedup`.  Within a batch the
+    per-cell work is one (new × seen) rounded-cosine block — the same
+    arithmetic the batch pair join pays, arriving incrementally."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spear_spark.operators.similarity import ivf_assign_fixed
+
+    id_type = {f.name: f.dataType.typeName() for f in docs.schema.fields}.get(
+        id_col
+    )
+    if id_type not in {"byte", "short", "integer", "long"}:
+        raise TypeError(
+            f"semdedup_stream requires an integral id column; {id_col!r} "
+            f"has type {id_type!r} — re-key to long first"
+        )
+    thr = float(threshold)
+    assigned = ivf_assign_fixed(
+        docs.select(
+            F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v")
+        ),
+        "_v",
+        centroids,
+    )
+
+    def _row_dots(mat: np.ndarray, v: np.ndarray) -> np.ndarray:
+        # left-to-right float64 fold per row (cumsum is sequential by
+        # construction) — bitwise the JVM aggregate() accumulation
+        return np.cumsum(mat * v, axis=1, dtype=np.float64)[:, -1]
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st_ids, st_vecs = state.get
+            ids = [int(i) for i in st_ids]
+            vecs = [np.asarray(v, dtype=np.float64) for v in st_vecs]
+        else:
+            ids, vecs = [], []
+        seen = set(ids)
+        norms = [
+            float(np.sqrt(np.cumsum(v * v, dtype=np.float64)[-1])) for v in vecs
+        ]
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("vec_id")
+        drops: list[tuple[int, int]] = []
+        for vid, raw in zip(pdf["vec_id"], pdf["_v"]):
+            d = int(vid)
+            if d in seen:
+                continue  # replayed id — idempotent
+            v = np.asarray(raw, dtype=np.float64)
+            nv = float(np.sqrt(np.cumsum(v * v, dtype=np.float64)[-1]))
+            keep = None
+            if ids:
+                mat = np.asarray(vecs, dtype=np.float64)
+                cos = _row_dots(mat, v) / (np.asarray(norms) * nv)
+                for a_id, c in zip(ids, cos):
+                    if a_id < d and _round6_half_up(float(c)) >= thr:
+                        keep = a_id if keep is None else min(keep, a_id)
+            if keep is not None:
+                drops.append((d, keep))
+            ids.append(d)
+            vecs.append(v)
+            norms.append(nv)
+            seen.add(d)
+        state.update(([int(i) for i in ids], [[float(x) for x in v] for v in vecs]))
+        if drops:
+            yield pd.DataFrame(
+                {
+                    "drop_id": [a for a, _ in drops],
+                    "keep_id": [b for _, b in drops],
+                }
+            ).astype("int64")
+
+    return assigned.groupBy("_cell").applyInPandasWithState(
+        update,
+        SEMDEDUP_STREAM_SCHEMA,
+        _SEMDEDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

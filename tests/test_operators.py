@@ -4411,3 +4411,96 @@ class TestCapPerGroup:
         a = sorted(map(tuple, cap_per_group(docs, *args).collect()))
         b = sorted(map(tuple, cap_per_group(docs.repartition(13), *args).collect()))
         assert a == b
+
+
+class TestBpeMultibyte:
+    """Cross-engine tokenizer exactness on non-ASCII input: bpe_learn
+    tokenizes JVM-side (regexp_extract_all, Java Pattern \\s = ASCII
+    whitespace) while bpe_apply re-tokenizes in Python (re.ASCII pins
+    \\s/[a-z] to the same ASCII classes).  These laws plant a corpus of
+    multibyte edge cases so any drift between the two tokenizers —
+    or between the two engines' lower() — fails loudly instead of
+    silently desynchronizing trainer and encoder."""
+
+    TEXTS = [
+        "héllo wörld ünïcode ÿ café naïve",
+        "İstanbul STRASSE ß ligature ﬁne",  # case-fold edges: İ → i+U+0307, ß stays
+        "nbsp\u00a0separated\u00a0words",  # NBSP is NOT \s in either engine
+        "中文 字符 mixed with ascii tokens",
+        "emoji 🙂 and combining e\u0301 accents",  # non-BMP + combining mark
+        "tabs\tand\nnewlines\u000bvertical",  # VT IS \s in both engines
+        "digits 123 mixed42tokens 7x7",
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "doc_id long, text string"
+        )
+
+    def test_jvm_and_python_tokenizers_agree(self, spark):
+        """The (word, freq) table the JVM trainer aggregates equals the
+        Python encoder's pre-tokenization word counts exactly — the
+        single contract both BPE surfaces rest on."""
+        import re
+        from collections import Counter
+
+        from spear_spark.operators.text import BPE_PATTERN
+
+        got = {
+            (r.w, r.freq)
+            for r in self._docs(spark)
+            .select(
+                F.explode(
+                    F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .collect()
+        }
+        pat = re.compile(BPE_PATTERN, re.ASCII)
+        want = Counter(w for t in self.TEXTS for w in pat.findall(t.lower()))
+        assert got == set(want.items())
+
+    def test_learn_apply_agreement_on_utf8_corpus(self, spark):
+        """End-to-end on the multibyte corpus: encoding with the
+        JVM-learned table yields exactly the symbol statistics of a
+        Python replay whose word table comes from the PYTHON tokenizer
+        — cross-engine by construction, so either tokenizer drifting
+        breaks the equality."""
+        import re
+        from collections import Counter
+
+        from spear_spark.operators.text import (
+            BPE_PATTERN,
+            _merge_pair,
+            bpe_apply,
+            bpe_learn,
+        )
+
+        docs = self._docs(spark)
+        merges = bpe_learn(docs, "text", n_merges=10, top_words=200_000)
+        got = {
+            r.s: r.n
+            for r in bpe_apply(docs, "text", merges)
+            .select(F.explode("bpe_tokens").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        pat = re.compile(BPE_PATTERN, re.ASCII)
+        vocab = {
+            tuple(w): f
+            for w, f in Counter(
+                w for t in self.TEXTS for w in pat.findall(t.lower())
+            ).items()
+        }
+        for m in merges.orderBy("rank").collect():
+            vocab = {
+                _merge_pair(syms, m.left, m.right): f for syms, f in vocab.items()
+            }
+        want: dict = {}
+        for syms, f in vocab.items():
+            for s in syms:
+                want[s] = want.get(s, 0) + f
+        assert got == want

@@ -720,3 +720,87 @@ def test_daily_event_counts_stream_volume_monitor(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, entry_mod.queries()["p99_volume_anomalies"](
         spark, sf_dir).collect()))
     assert got == want and got  # non-degenerate: the fixture has anomalies
+
+
+def test_semdedup_stream_matches_batch_drops(spark, sf_dir, tmp_path):
+    """Drained streaming SemDeDup equals the batch operator's drop set
+    row-for-row when batches arrive in id order (the backfill drain
+    shape, same contract as the novelty tracker): centroids are fit
+    ONCE with the batch Lloyd engine, frozen, and fed to both sides —
+    file 1 = vectors below the median id, file 2 = the rest,
+    maxFilesPerTrigger=1, so a cross-batch near-pair must be caught by
+    the state (earlier-id vectors persist as partner candidates even
+    after being dropped, the batch pair rule)."""
+    import os
+    import time
+
+    from spear_spark.operators.dedup import semdedup
+    from spear_spark.streaming import semdedup_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+
+    # batch side fits Lloyd itself; capture the frozen centroids
+    info: dict = {}
+    want = {
+        (r.drop_id, r.keep_id)
+        for r in semdedup(
+            emb, "embedding", "vec_id", k=8, threshold=0.35, tol=0.3,
+            max_iters=10, info=info,
+        ).collect()
+    }
+    assert want, "batch semdedup found no drops — threshold too high for the law"
+
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+    emb.filter(F.col("vec_id") < mid).toPandas().to_parquet(f1)
+    time.sleep(1.1)  # FileStreamSource orders batches by mod time
+    emb.filter(F.col("vec_id") >= mid).toPandas().to_parquet(f2)
+    os.utime(f2)
+
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = semdedup_stream(
+        stream, "embedding", "vec_id", info["centroids"], threshold=0.35
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("semdedup_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.drop_id, r.keep_id)
+        for r in spark.table("semdedup_stream_test").collect()
+    }
+    assert got == want
+
+
+def test_semdedup_stream_rejects_string_ids(spark, sf_dir):
+    import pytest
+
+    from spear_spark.streaming import semdedup_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        semdedup_stream(emb, "embedding", "vec_id", [[0.0] * 64], 0.9)
+
+
+def test_novel_grams_stream_rejects_string_ids(spark, sf_dir):
+    import pytest
+
+    from spear_spark.streaming import novel_grams_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        novel_grams_stream(docs, "text", "doc_id")
