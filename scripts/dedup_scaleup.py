@@ -106,6 +106,37 @@ def main() -> None:
             f"{name}: 1x={times['1x']:.2f}s {REPS}x={times[f'{REPS}x']:.2f}s "
             f"ratio={ratio:.1f} ({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
         )
+
+    # --- boilerplate-header skew scenario (VERDICT r9 #4) ------------
+    # Plant ONE 8-token header into 50% of docs: its shingles reach
+    # df = corpus/2, the df-cap's worst case.  The two-phase df-count +
+    # shuffle_hash join must keep wall time ~linear in corpus size —
+    # the count-over-window formulation this replaced went single-task
+    # on the hot shingle (one sort of O(corpus) posting rows).
+    header = "subscribe to our newsletter for daily updates now"
+    hot = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit(header + " "), F.col("text"))
+    ).otherwise(F.col("text"))
+    base_hot = replicate(docs, 1).select("doc_id", hot.alias("text")).localCheckpoint()
+    big_hot = (
+        replicate(docs, REPS).select("doc_id", hot.alias("text")).localCheckpoint()
+    )
+    times = {}
+    for label, d in (("1x", base_hot), (f"{REPS}x", big_hot)):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dedup.ngram_jaccard_pairs(d, "text", "doc_id", max_df=64).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        times[label] = statistics.median(runs)
+    ratio = times[f"{REPS}x"] / times["1x"]
+    print(
+        f"p05_boilerplate_skew(hot df=50%, max_df=64): 1x={times['1x']:.2f}s "
+        f"{REPS}x={times[f'{REPS}x']:.2f}s ratio={ratio:.1f} "
+        f"({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
+    )
     spark.stop()
 
 

@@ -690,3 +690,57 @@ def test_dup_cluster_profile_doubles_sizes_under_duplication(spark, sf_dir):
     big = {r.cluster_size: r.n_clusters
            for r in dup_cluster_profile(doubled, "text", "doc_id").collect()}
     assert big == {2 * s: n for s, n in base.items()}
+
+
+def test_jaccard_df_cap_neutralizes_boilerplate_skew(spark):
+    """Adversarial boilerplate skew for the round-9 two-phase df-count
+    rewrite: ONE 8-token header planted in 50% of a 2,000-doc corpus
+    (so its shingles have df=1,000 >> max_df=64) over unique per-pair
+    bodies.  The law has two halves:
+
+    (a) correctness under skew — the df-cap prunes every header
+        shingle, so the output is EXACTLY the 1,000 planted body pairs
+        (even doc 2i vs odd doc 2i+1; J = 10/18 >= 0.5): boilerplate
+        neither invents an even-even pair (their only shared shingles
+        are capped away) nor hides a real one;
+    (b) pair-space bound — the hot shingle must never reach the
+        posting-pair generator: uncapped it alone would emit
+        ~6 * C(1000,2) ~= 3M candidate rows, so asserting EVERY
+        executed exchange carries < 400k records (vs ~30k kept
+        postings) proves the two-phase count + shuffle_hash join keeps
+        the shuffle linear in the corpus, with the map-side partial
+        collapsing the hot shingle to one row per task.
+    """
+    from spear_spark.operators.dedup import ngram_jaccard_pairs
+    from spear_spark.plans import exchange_record_counts
+
+    n = 2_000
+    header = "subscribe to our newsletter for daily updates now"
+    body = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("w"), F.col("pair").cast("string"), F.lit(f"q{j}"))
+            for j in range(12)
+        ],
+    )
+    docs = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), F.floor(F.col("id") / 2).alias("pair"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.concat(F.lit(header + " "), body)
+            )
+            .otherwise(body)
+            .alias("text"),
+        )
+    )
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", max_df=64).filter(
+        F.col("jaccard") >= 0.5
+    )
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert got == {(2 * i, 2 * i + 1) for i in range(n // 2)}
+
+    counts = exchange_record_counts(out, run=False)
+    assert counts, "expected shuffle exchanges in the pair pipeline"
+    assert max(counts) < 400_000, counts
