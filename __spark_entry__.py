@@ -30,9 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # stages tokens once behind a lazy localCheckpoint; p106's corpus
 # denominator went lazy — values identical, plans re-certified), and
 # the FIRST 43 of the 47 r06-evidence rotations the round-9 verdict
-# sequenced (5+2+43 = 50).  The remaining 4 r06 queries (q67, q79,
-# q82, q83) lead the round-11 window below the fold — after round 10
-# they are the only queries with evidence older than r07.
+# sequenced, plus the late p112 (Gopher rule table) displacing the
+# last rotation slot (6+2+42 = 50).  The remaining 5 r06 queries
+# (q66, q67, q79, q82, q83) lead the round-11 window below the fold
+# — after round 10 they are the only queries with evidence older
+# than r07.
 _DRIVER_PRIORITY = [
     # ---- round 10 window ----
     # -- NEW in round 10 (no driver evidence yet): the four round-9
@@ -42,10 +44,10 @@ _DRIVER_PRIORITY = [
     #    rule; unrolled-CTE BPE merge replay — learn AND encode)
     "p107_cap_per_group", "p108_mad_outliers_approx",
     "p109_semdedup", "p110_bpe_learn",
-    "p111_bpe_segment",
+    "p111_bpe_segment", "p112_gopher_rules",
     # -- PLAN changed this round (values identical, re-evidence):
     "p103_distinct_ngrams", "p106_dup_cluster_profile",
-    # -- the first 43 of the 47 r06-evidence rotations
+    # -- the first 42 of the 47 r06-evidence rotations
     "p01_dedup_exact", "p12_multimodal_decode",
     "p13_near_dedup", "p14_embedding_dedup",
     "p15_rolling_hash", "p16_winnowing",
@@ -67,14 +69,14 @@ _DRIVER_PRIORITY = [
     "q55_promo_revenue", "q56_disjunctive_join",
     "q57_ship_lag_buckets", "q63_product_profit",
     "q64_important_stock", "q65_parts_supplier_relationship",
-    "q66_part_promotion",
 
     # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: the 4 remaining r06 queries lead the round-11
+    # stay mechanical: the 5 remaining r06 queries lead the round-11
     # window, then the r07/r08 block, then the round-9 window's 48
-    # r09-evidence queries, then this round's 43 freshly-rotated
+    # r09-evidence queries, then this round's 42 freshly-rotated
     # entries are implicit catalog-order leftovers at the end). ----
     # -- r06 evidence (rotate FIRST in round 11):
+    "q66_part_promotion",
     "q67_grouping_sets", "q79_event_funnel",
     "q82_symmetric_range_frame", "q83_session_window",
     # -- r07/r08 evidence:

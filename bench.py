@@ -161,6 +161,13 @@ HEADLINE = [
     "p104_source_jsd",
     "p105_curriculum_order",
     "p106_dup_cluster_profile",
+    # round-10 additions (earlier entries unchanged for comparability)
+    "p107_cap_per_group",
+    "p108_mad_outliers_approx",
+    "p109_semdedup",
+    "p110_bpe_learn",
+    "p111_bpe_segment",
+    "p112_gopher_rules",
 ]
 
 

@@ -4597,3 +4597,50 @@ def p111_bpe_segment(spark: SparkSession, sf_dir: str) -> SDF:
         .select("doc_id", F.concat_ws("|", F.col("bpe_tokens")).alias("bpe_text"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p112 — Gopher/MassiveText quality-filter rule table (operators.text.
+# gopher_rules, Rae et al. 2021 §A.1.1): per-doc metrics + one boolean
+# per published rule + the composite keep verdict.  min_words=20 and
+# min_stopword_hits=1 are tuned to the synthetic corpus (10-99-word
+# docs whose only Gopher stopword is 'the') so every rule exercises
+# both branches.  Pure projection — Exchange-free (plan-pinned); at
+# 100 TB this is the single-pass gate in front of every other filter.
+# ---------------------------------------------------------------------------
+@q(
+    "p112_gopher_rules",
+    rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6)
+               AS mean_word_len,
+             ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len(t), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS stopword_hits
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents))
+    SELECT *,
+           (words_ok AND word_len_ok AND symbol_ok AND alpha_ok AND stopword_ok)
+             AS keep
+    FROM (
+      SELECT m.*,
+             n_words BETWEEN 20 AND 100000 AS words_ok,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS word_len_ok,
+             symbol_ratio <= 0.1 AS symbol_ok,
+             alpha_word_frac >= 0.8 AS alpha_ok,
+             stopword_hits >= 1 AS stopword_ok
+      FROM m)
+    ORDER BY doc_id
+    """,
+)
+def p112_gopher_rules(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(
+        docs, "text", "doc_id", min_words=20, min_stopword_hits=1
+    ).orderBy("doc_id")

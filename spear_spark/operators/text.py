@@ -735,3 +735,97 @@ def bpe_apply(df, text_col: str, merges, out_col: str = "bpe_tokens"):
             yield pdf
 
     return df.mapInPandas(encode_batches, schema)
+
+
+#: Gopher's "stop word" presence list (Rae et al. 2021, §A.1.1 — the
+#: MassiveText rule requires >= 2 of these to appear in a document).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> "DataFrame":
+    """Gopher / MassiveText quality-filter rules (Rae et al. 2021,
+    §A.1.1) as a per-document flag table — the published heuristic
+    gate most web-corpus recipes start from, adapted to the repo's
+    whitespace tokenizer: word count in [min_words, max_words], mean
+    word length in [min, max], symbol-to-word ratio ('#' chars and
+    '...' runs) <= max, fraction of words containing an [a-z] letter
+    >= min, and at least ``min_stopword_hits`` DISTINCT
+    :data:`GOPHER_STOPWORDS` present.  Emits the raw metrics, one
+    boolean per rule, and ``keep`` = AND of all rules — keep the
+    metrics, not just the verdict, so threshold re-tuning is a filter
+    over this table, not a corpus re-scan.
+
+    Scale shape: a single pure-Column projection per document — no
+    join, no shuffle, no UDF (plan-pinned Exchange-free); ratios are
+    rounded to 6dp so the flags are engine-exact (counts and lengths
+    are integers; the divisions are single double ops)."""
+    from pyspark.sql import DataFrame  # noqa: F401 — annotation only
+
+    from spear_spark.functions import let_
+
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        mean_len = F.round(
+            F.length(F.concat_ws("", toks)).cast("double") / n, 6
+        )
+        alpha = F.round(
+            F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double") / n,
+            6,
+        )
+        sym = F.round((n_hash + n_ellipsis).cast("double") / n, 6)
+        stop = F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        )
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            sym.alias("symbol_ratio"),
+            alpha.alias("alpha_word_frac"),
+            stop.cast("long").alias("stopword_hits"),
+        )
+
+    m = let_(tokens(t), body)
+    out = df.select(F.col(id_col), m.alias("_m")).select(
+        id_col,
+        "_m.n_words",
+        "_m.mean_word_len",
+        "_m.symbol_ratio",
+        "_m.alpha_word_frac",
+        "_m.stopword_hits",
+    )
+    words_ok = F.col("n_words").between(int(min_words), int(max_words))
+    len_ok = F.col("mean_word_len").between(
+        float(min_mean_word_len), float(max_mean_word_len)
+    )
+    sym_ok = F.col("symbol_ratio") <= F.lit(float(max_symbol_ratio))
+    alpha_ok = F.col("alpha_word_frac") >= F.lit(float(min_alpha_word_frac))
+    stop_ok = F.col("stopword_hits") >= F.lit(int(min_stopword_hits))
+    return out.select(
+        "*",
+        words_ok.alias("words_ok"),
+        len_ok.alias("word_len_ok"),
+        sym_ok.alias("symbol_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stopword_ok"),
+        (words_ok & len_ok & sym_ok & alpha_ok & stop_ok).alias("keep"),
+    )

@@ -4504,3 +4504,90 @@ class TestBpeMultibyte:
             for s in syms:
                 want[s] = want.get(s, 0) + f
         assert got == want
+
+
+class TestGopherRules:
+    """Laws for the Gopher/MassiveText quality-filter rule table (Rae
+    et al. 2021 §A.1.1): each rule trips on a planted violator and the
+    metrics equal an independent Python replay."""
+
+    DOCS = [
+        # (id, text, violated_rule_or_None)
+        (0, "the quick brown foxes jumped over lazy dogs and that have been "
+            "with more text " * 5, None),
+        (1, "too short doc the have", "words_ok"),  # 5 words < min
+        (2, ("a b c d " * 20) + "the have", "word_len_ok"),  # mean len ~1
+        (3, ("extraordinarily incomprehensible " * 15) + "the have",
+         "word_len_ok"),  # mean len > 10
+        (4, ("spam # ### word ... more ..... the have " * 10), "symbol_ok"),
+        (5, ("1234 5678 9 ## 00 " * 12) + "the have 42 17 99 31 8",
+         None),  # digits: alpha frac low — see below
+        (6, ("plain words without stop terms here " * 10), "stopword_ok"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t, _ in self.DOCS], "doc_id long, text string"
+        )
+
+    def test_rules_match_python_replay(self, spark):
+        from spear_spark.operators.text import GOPHER_STOPWORDS, gopher_rules
+
+        got = {
+            r.doc_id: r.asDict()
+            for r in gopher_rules(
+                self._df(spark), "text", "doc_id", min_words=20,
+                min_alpha_word_frac=0.5,
+            ).collect()
+        }
+        for i, t, _ in self.DOCS:
+            toks = t.strip().lower().split()
+            n = len(toks)
+            mean_len = round(sum(map(len, toks)) / n, 6)
+            sym = round(
+                (t.count("#") + (len(t) - len(t.replace("...", ""))) / 3) / n, 6
+            )
+            alpha = round(
+                sum(1 for w in toks if any("a" <= c <= "z" for c in w)) / n, 6
+            )
+            stop = len(set(toks) & set(GOPHER_STOPWORDS))
+            g = got[i]
+            assert g["n_words"] == n
+            assert g["mean_word_len"] == mean_len
+            assert g["symbol_ratio"] == sym
+            assert g["alpha_word_frac"] == alpha
+            assert g["stopword_hits"] == stop
+            assert g["words_ok"] == (20 <= n <= 100_000)
+            assert g["word_len_ok"] == (3.0 <= mean_len <= 10.0)
+            assert g["symbol_ok"] == (sym <= 0.1)
+            assert g["alpha_ok"] == (alpha >= 0.5)
+            assert g["stopword_ok"] == (stop >= 2)
+            assert g["keep"] == all(
+                g[k] for k in
+                ("words_ok", "word_len_ok", "symbol_ok", "alpha_ok", "stopword_ok")
+            )
+
+    def test_planted_violators_fail_their_rule(self, spark):
+        from spear_spark.operators.text import gopher_rules
+
+        got = {
+            r.doc_id: r.asDict()
+            for r in gopher_rules(
+                self._df(spark), "text", "doc_id", min_words=20,
+                min_alpha_word_frac=0.5,
+            ).collect()
+        }
+        assert got[0]["keep"] is True
+        for i, _, rule in self.DOCS:
+            if rule is not None:
+                assert got[i][rule] is False, (i, rule)
+                assert got[i]["keep"] is False
+        # doc 5: digit-heavy — alpha fraction must sit below the
+        # default 0.8 even though the relaxed 0.5 run above passes it
+        strict = {
+            r.doc_id: r.alpha_ok
+            for r in gopher_rules(
+                self._df(spark), "text", "doc_id", min_words=20
+            ).collect()
+        }
+        assert strict[5] is False

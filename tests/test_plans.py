@@ -505,3 +505,19 @@ def test_cap_per_group_uses_window_group_limit(spark, sf_dir):
         cap_per_group(docs, ["source"], 5, [F.desc("n_chars"), F.col("doc_id")])
     )
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_gopher_rules_is_exchange_free(spark, sf_dir):
+    """The Gopher rule table is the gate in FRONT of every other
+    filter — it must stay a single narrow projection: zero shuffle
+    Exchanges in the executed plan and no Python (BatchEvalPython)
+    node."""
+    from spear_spark.operators.text import gopher_rules
+    from spear_spark.plans import exchange_record_counts, executed_plan
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_rules(docs, "text", "doc_id")
+    plan = executed_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert exchange_record_counts(out, run=False) == []
