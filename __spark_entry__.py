@@ -71,11 +71,19 @@ _DRIVER_PRIORITY = [
     "q64_important_stock", "q65_parts_supplier_relationship",
 
     # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: the 5 remaining r06 queries lead the round-11
-    # window, then the r07/r08 block, then the round-9 window's 48
-    # r09-evidence queries, then this round's 42 freshly-rotated
-    # entries are implicit catalog-order leftovers at the end). ----
-    # -- r06 evidence (rotate FIRST in round 11):
+    # stay mechanical: the two NEW late-round-10 entries lead the
+    # round-11 window, then the 5 remaining r06 queries, then the
+    # r07/r08 block, then the round-9 window's 48 r09-evidence
+    # queries, then this round's 42 freshly-rotated entries are
+    # implicit catalog-order leftovers at the end). ----
+    # -- NEW late in round 10 (implemented + law-tested + oracle-paired
+    #    + preflight-green, but the round-10 window was already locked
+    #    at 50): PSI drift monitor (stats.psi_vs_reference — DuckDB
+    #    replay of the eps-floored binned-share rule) and greedy
+    #    k-center coreset (similarity.kcenter_coreset — p77-style
+    #    unrolled selection-round oracle).  Certify FIRST in round 11:
+    "p113_psi_drift", "p114_kcenter_coreset",
+    # -- r06 evidence (rotate next in round 11):
     "q66_part_promotion",
     "q67_grouping_sets", "q79_event_funnel",
     "q82_symmetric_range_frame", "q83_session_window",

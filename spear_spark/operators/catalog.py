@@ -4644,3 +4644,99 @@ def p112_gopher_rules(spark: SparkSession, sf_dir: str) -> SDF:
     return text.gopher_rules(
         docs, "text", "doc_id", min_words=20, min_stopword_hits=1
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p113 — PSI drift monitor (operators.stats.psi_vs_reference): each
+# language's n_chars distribution scored against the pooled corpus —
+# the numeric-profile drift axis complementing p104's token-space JSD.
+# Binned counts are exact integers; the eps-floored share terms are
+# single double ops per bin; the 24-term SUM is epsilon-tolerant under
+# ROUND(..., 6) (the JSD family's documented caveat).
+# ---------------------------------------------------------------------------
+@q(
+    "p113_psi_drift",
+    """
+    WITH v AS (SELECT lang,
+                      LEAST(GREATEST(CAST(FLOOR(CAST(n_chars AS DOUBLE) / 25.0)
+                                          AS BIGINT), 0), 23) AS bin
+               FROM documents WHERE n_chars IS NOT NULL),
+    gc AS (SELECT lang, bin, COUNT(*) AS gc FROM v GROUP BY 1, 2),
+    gt AS (SELECT lang, SUM(gc) AS gn FROM gc GROUP BY lang),
+    rc AS (SELECT bin, COUNT(*) AS rc FROM v GROUP BY bin),
+    rt AS (SELECT SUM(rc) AS rn FROM rc),
+    grid AS (SELECT gt.lang, gt.gn, gs.b AS bin
+             FROM gt CROSS JOIN generate_series(0, 23) gs(b)),
+    terms AS (
+      SELECT grid.lang,
+             GREATEST(CAST(COALESCE(gc.gc, 0) AS DOUBLE) / grid.gn, 1e-6) AS p,
+             GREATEST(CAST(COALESCE(rc.rc, 0) AS DOUBLE) / rt.rn, 1e-6) AS q
+      FROM grid LEFT JOIN gc ON gc.lang = grid.lang AND gc.bin = grid.bin
+                LEFT JOIN rc ON rc.bin = grid.bin
+                CROSS JOIN rt)
+    SELECT lang, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+    FROM terms GROUP BY lang ORDER BY lang
+    """,
+)
+def p113_psi_drift(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import psi_vs_reference
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_vs_reference(
+        docs, docs, "n_chars", ["lang"], lo=0.0, hi=600.0, n_bins=24
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# p114 — greedy k-center coreset (operators.similarity.kcenter_coreset,
+# Gonzalez 1985): 6-point farthest-point traversal over the embedding
+# table — the diverse-subset selection primitive.  Fully deterministic
+# (rounded d2 + min-id tie-breaks), so the oracle replays the whole
+# trajectory as unrolled CTE rounds: each round joins the corpus
+# against the chosen-so-far set, takes MIN distance per candidate, and
+# picks the (d DESC, id ASC) argmax — the p77 unroll pattern applied
+# to selection instead of assignment.
+# ---------------------------------------------------------------------------
+_P114_K = 6
+
+
+def _p114_oracle(k: int = _P114_K) -> str:
+    head = """
+    WITH cv0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings ORDER BY vec_id LIMIT 1)"""
+    parts = []
+    for r in range(1, k):
+        parts.append(f""",
+    dd{r} AS (
+      SELECT e.vec_id AS vid, c.vec_id AS cid,
+             ROUND(SUM((CAST(e.embedding[i] AS DOUBLE) - c.v[i])
+                       * (CAST(e.embedding[i] AS DOUBLE) - c.v[i])), 6) AS dd
+      FROM embeddings e CROSS JOIN cv{r - 1} c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.vec_id),
+    mind{r} AS (SELECT vid, MIN(dd) AS d FROM dd{r} GROUP BY vid),
+    pick{r} AS (SELECT vid, d FROM mind{r} ORDER BY d DESC, vid LIMIT 1),
+    cv{r} AS (
+      SELECT vec_id, v FROM cv{r - 1}
+      UNION ALL
+      SELECT p.vid, CAST(e.embedding AS DOUBLE[])
+      FROM pick{r} p JOIN embeddings e ON e.vec_id = p.vid)""")
+    sel = " UNION ALL ".join(
+        [f"SELECT 0 AS sel_round, vec_id, 0.0 AS d2 FROM cv0"]
+        + [f"SELECT {r}, vid, d FROM pick{r}" for r in range(1, k)]
+    )
+    tail = f"""
+    SELECT CAST(sel_round AS INTEGER) AS sel_round,
+           CAST(vec_id AS BIGINT) AS vec_id, d2
+    FROM ({sel}) ORDER BY sel_round"""
+    return head + "".join(parts) + tail
+
+
+@q("p114_kcenter_coreset", _p114_oracle())
+def p114_kcenter_coreset(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "embedding", "vec_id", k=_P114_K).orderBy(
+        "sel_round"
+    )

@@ -773,3 +773,70 @@ def centroid_shift(
         )
         .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985's 2-approx
+    farthest-point traversal) over an embedding column — the diverse-
+    subset primitive behind coverage-maximizing training-data
+    selection ("pick k docs spanning the embedding space", seed sets
+    for active learning / annotation): start from the MINIMUM-id
+    vector, then repeatedly take the point FARTHEST (max rounded
+    squared L2, min-id tie-break) from the chosen set until k points
+    are selected.  Returns the driver-assembled selection table
+    ``(sel_round, vec_id, d2)`` with ``d2`` the distance-to-chosen-set
+    at selection time (0.0 for the seed) — fully deterministic
+    (rounded distances + id tie-breaks, the :func:`ivf_assign_fixed`
+    conventions), so the whole trajectory is oracle-replayable.
+
+    Scale shape: each of the k−1 rounds is ONE corpus projection
+    (min over ≤ k rounded :func:`l2sq` literal distances — the
+    centroid-literal regime of :func:`kmeans_lloyd`, well under the
+    plan-bloat threshold for the k ≤ a-few-dozen coresets this is
+    for) + a TakeOrderedAndProject argmax returning a single row: the
+    driver only ever holds k × dims floats, exactly the k-means fetch
+    contract.  For k beyond literal-plan range, switch to the sampled
+    2-pass variant (cluster with :func:`kmeans_lloyd`, then k-center
+    the bounded centroid table) — the standard composition.  Stops
+    early (fewer rows than k, or max distance 0.0 = all remaining
+    points duplicate a chosen one) rather than padding.
+    """
+    if k < 1:
+        raise ValueError("kcenter_coreset: k must be >= 1")
+    seed_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("kcenter_coreset: empty input")
+    chosen_ids = [int(seed_rows[0][id_col])]
+    chosen_vecs = [[float(x) for x in seed_rows[0][vec_col]]]
+    out = [(0, chosen_ids[0], 0.0)]
+    for r in range(1, int(k)):
+        mind = F.least(
+            *[l2sq(F.col(vec_col), vec_lit(c), decimals) for c in chosen_vecs]
+        ) if len(chosen_vecs) > 1 else l2sq(
+            F.col(vec_col), vec_lit(chosen_vecs[0]), decimals
+        )
+        far = (
+            df.select(F.col(id_col), F.col(vec_col), mind.alias("_d"))
+            .orderBy(F.desc("_d"), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not far or float(far[0]["_d"]) <= 0.0:
+            break  # remaining points all duplicate a chosen one
+        chosen_ids.append(int(far[0][id_col]))
+        chosen_vecs.append([float(x) for x in far[0][vec_col]])
+        out.append((r, chosen_ids[-1], float(far[0]["_d"])))
+    return df.sparkSession.createDataFrame(
+        out, "sel_round int, vec_id long, d2 double"
+    )

@@ -516,3 +516,94 @@ def group_ecdf(
             F.round(F.col("cum_n") / F.col("_total"), decimals).alias("ecdf"),
         )
     )
+
+
+def psi_vs_reference(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    eps: float = 1e-6,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group Population Stability Index against a reference corpus
+    — the classic scorecard-monitoring drift metric
+    (PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), rule of thumb: < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 shifted) over BINNED VALUE distributions
+    (lengths, quality scores, token counts), complementing the
+    token-space JSD monitor (:func:`spear_spark.operators.relevance.
+    jsd_vs_reference`): JSD asks "is the vocabulary drifting?", PSI
+    asks "is this numeric profile drifting?" — the pair covers both
+    monitor axes a curation dashboard tracks.
+
+    Binning is the :func:`histogram_quantiles` clamp rule (fixed-width
+    over [lo, hi], out-of-range values clamped into the edge bins,
+    NULLs dropped) so the bin counts are associative-commutative
+    integers — mergeable across shards, run-stable, oracle-pairable.
+    Empty bins take the standard ``eps`` substitution on the SHARE
+    (p = greatest(count/total, eps)), making every term finite and the
+    whole statistic a deterministic function of the two count tables;
+    identical distributions give exactly 0.0 (p == q per bin → every
+    term is 0.0 before any rounding).
+
+    Scale shape: two two-phase (…, bin) counts (each ≤ n_bins rows per
+    group after the partial), the complete bin grid is generated per
+    group (groups × n_bins rows — bounded by geometry, not data), the
+    reference bin table and both totals broadcast back, one bounded
+    per-group SUM.  Nothing downstream of an aggregate sees data-sized
+    rows.  Returns ``(group…, psi)`` rounded to ``decimals``; the
+    per-bin double terms sum unordered, so treat the last digit as
+    epsilon-tolerant (the JSD family's documented caveat — ROUND(…, 6)
+    absorbs association noise in practice).
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("psi_vs_reference: need n_bins >= 1 and hi > lo")
+    g = list(group_cols)
+    w = (float(hi) - float(lo)) / int(n_bins)
+
+    def bin_of(c):
+        v = c.cast("double")
+        return F.least(
+            F.greatest(
+                F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long"), F.lit(0)
+            ),
+            F.lit(int(n_bins) - 1),
+        )
+
+    gc = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, bin_of(F.col(value_col)).alias("_bin"))
+        .groupBy(*g, "_bin")
+        .agg(F.count(F.lit(1)).alias("_gc"))
+    )
+    gtot = gc.groupBy(*g).agg(F.sum("_gc").alias("_gn"))
+    rc = (
+        ref.filter(F.col(value_col).isNotNull())
+        .select(bin_of(F.col(value_col)).alias("_bin"))
+        .groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("_rc"))
+    )
+    rtot = rc.agg(F.sum("_rc").alias("_rn"))
+    # complete bin grid per group: groups × [0, n_bins) — geometry-bounded
+    grid = gtot.select(
+        *g, "_gn", F.explode(F.sequence(F.lit(0), F.lit(int(n_bins) - 1))).alias("_bin")
+    )
+    p = F.greatest(
+        F.coalesce(F.col("_gc"), F.lit(0)).cast("double") / F.col("_gn"),
+        F.lit(float(eps)),
+    )
+    q = F.greatest(
+        F.coalesce(F.col("_rc"), F.lit(0)).cast("double") / F.col("_rn"),
+        F.lit(float(eps)),
+    )
+    term = (p - q) * F.log(p / q)
+    return (
+        grid.join(gc, [*g, "_bin"], "left")
+        .join(F.broadcast(rc), "_bin", "left")
+        .crossJoin(F.broadcast(rtot))
+        .groupBy(*g)
+        .agg(F.round(F.sum(term), decimals).alias("psi"))
+    )

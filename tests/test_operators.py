@@ -4591,3 +4591,169 @@ class TestGopherRules:
             ).collect()
         }
         assert strict[5] is False
+
+
+class TestPsiVsReference:
+    """Laws for the PSI drift monitor (stats.psi_vs_reference)."""
+
+    def test_identical_distribution_is_exactly_zero(self, spark, sf_dir):
+        from spear_spark.operators.stats import psi_vs_reference
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = psi_vs_reference(
+            docs, docs, "n_chars", ["lang"], lo=0.0, hi=600.0, n_bins=24
+        ).collect()
+        # each group vs the pooled reference is NOT zero; a group vs
+        # itself is: score each lang against a same-lang reference
+        for lang in {r.lang for r in docs.select("lang").distinct().collect()}:
+            sub = docs.filter(F.col("lang") == lang)
+            [row] = psi_vs_reference(
+                sub, sub, "n_chars", ["lang"], lo=0.0, hi=600.0, n_bins=24
+            ).collect()
+            assert row.psi == 0.0
+        assert len(out) > 0  # pooled-reference scores exist for every lang
+
+    def test_matches_python_replay(self, spark, sf_dir):
+        import math
+
+        from spear_spark.operators.stats import psi_vs_reference
+
+        lo, hi, nb, eps = 0.0, 600.0, 24, 1e-6
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = docs.select("lang", "n_chars").collect()
+        w = (hi - lo) / nb
+
+        def bin_of(v):
+            return min(max(int(math.floor((float(v) - lo) / w)), 0), nb - 1)
+
+        ref: dict = {}
+        per: dict = {}
+        for r in rows:
+            if r.n_chars is None:
+                continue
+            b = bin_of(r.n_chars)
+            ref[b] = ref.get(b, 0) + 1
+            per.setdefault(r.lang, {})[b] = per.setdefault(r.lang, {}).get(b, 0) + 1
+        rn = sum(ref.values())
+        want = {}
+        for lang, cnts in per.items():
+            gn = sum(cnts.values())
+            psi = 0.0
+            for b in range(nb):
+                p = max(cnts.get(b, 0) / gn, eps)
+                q = max(ref.get(b, 0) / rn, eps)
+                psi += (p - q) * math.log(p / q)
+            want[lang] = round(psi, 6)
+        got = {
+            r.lang: r.psi
+            for r in psi_vs_reference(
+                docs, docs, "n_chars", ["lang"], lo=lo, hi=hi, n_bins=nb
+            ).collect()
+        }
+        for lang in want:
+            assert abs(got[lang] - want[lang]) <= 1e-6, (lang, got[lang], want[lang])
+
+    def test_replication_invariant_and_shift_detected(self, spark, sf_dir):
+        from spear_spark.operators.stats import psi_vs_reference
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = {
+            r.lang: r.psi
+            for r in psi_vs_reference(
+                docs, docs, "n_chars", ["lang"], 0.0, 600.0, 24
+            ).collect()
+        }
+        docs10 = docs.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+        ).drop("rep")
+        rep = {
+            r.lang: r.psi
+            for r in psi_vs_reference(
+                docs10, docs, "n_chars", ["lang"], 0.0, 600.0, 24
+            ).collect()
+        }
+        assert rep == base  # shares are volume-invariant
+        # planted shift: halve every length in one group -> big PSI
+        shifted = docs.withColumn(
+            "n_chars",
+            F.when(F.col("lang") == "en", (F.col("n_chars") / 2).cast("long"))
+            .otherwise(F.col("n_chars")),
+        )
+        moved = {
+            r.lang: r.psi
+            for r in psi_vs_reference(
+                shifted, docs, "n_chars", ["lang"], 0.0, 600.0, 24
+            ).collect()
+        }
+        assert moved["en"] > 0.25  # "shifted" per the standard rule of thumb
+        assert moved["en"] > base.get("en", 0.0)
+
+
+class TestKCenterCoreset:
+    """Laws for greedy k-center selection (similarity.kcenter_coreset)."""
+
+    def test_matches_python_replay(self, spark, sf_dir):
+        from spear_spark.operators.similarity import kcenter_coreset
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        vecs = {
+            int(r.vec_id): [float(x) for x in r.embedding] for r in emb.collect()
+        }
+
+        def d2(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += (x - y) * (x - y)
+            return round(acc, 6)
+
+        chosen = [min(vecs)]
+        want = [(0, chosen[0], 0.0)]
+        for r in range(1, 6):
+            best = max(
+                ((min(d2(v, vecs[c]) for c in chosen), -i), i)
+                for i, v in vecs.items()
+            )
+            (dist, _), i = best
+            chosen.append(i)
+            want.append((r, i, dist))
+        got = [
+            (r.sel_round, r.vec_id, r.d2)
+            for r in kcenter_coreset(emb, "embedding", "vec_id", k=6)
+            .orderBy("sel_round")
+            .collect()
+        ]
+        assert got == want
+
+    def test_partition_invariance_and_outlier_first(self, spark, sf_dir):
+        from spear_spark.operators.similarity import kcenter_coreset
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        base = kcenter_coreset(emb, "embedding", "vec_id", k=5).collect()
+        rep = kcenter_coreset(
+            emb.repartition(7), "embedding", "vec_id", k=5
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, rep))
+        # plant one far outlier: it must be chosen at round 1
+        far = emb.limit(1).select(
+            F.lit(999_999).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.0) + F.lit(50.0)).alias(
+                "embedding"
+            ),
+        )
+        out = kcenter_coreset(
+            emb.unionByName(far), "embedding", "vec_id", k=3
+        ).orderBy("sel_round").collect()
+        assert out[1].vec_id == 999_999
+
+    def test_early_stop_on_duplicates(self, spark):
+        from spear_spark.operators.similarity import kcenter_coreset
+
+        df = spark.createDataFrame(
+            [(i, [1.0, 2.0]) for i in range(10)], "vec_id long, embedding array<double>"
+        )
+        out = kcenter_coreset(df, "embedding", "vec_id", k=5).collect()
+        assert len(out) == 1 and out[0].vec_id == 0
