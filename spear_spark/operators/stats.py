@@ -562,34 +562,78 @@ def psi_vs_reference(
     if n_bins < 1 or not hi > lo:
         raise ValueError("psi_vs_reference: need n_bins >= 1 and hi > lo")
     g = list(group_cols)
-    w = (float(hi) - float(lo)) / int(n_bins)
-
-    def bin_of(c):
-        v = c.cast("double")
-        return F.least(
-            F.greatest(
-                F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long"), F.lit(0)
-            ),
-            F.lit(int(n_bins) - 1),
-        )
-
     gc = (
         df.filter(F.col(value_col).isNotNull())
-        .select(*g, bin_of(F.col(value_col)).alias("_bin"))
-        .groupBy(*g, "_bin")
-        .agg(F.count(F.lit(1)).alias("_gc"))
+        .select(*g, value_bin(F.col(value_col), lo, hi, n_bins).alias("bin"))
+        .groupBy(*g, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    gtot = gc.groupBy(*g).agg(F.sum("_gc").alias("_gn"))
     rc = (
         ref.filter(F.col(value_col).isNotNull())
-        .select(bin_of(F.col(value_col)).alias("_bin"))
-        .groupBy("_bin")
-        .agg(F.count(F.lit(1)).alias("_rc"))
+        .select(value_bin(F.col(value_col), lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return psi_from_bins(gc, g, rc, n_bins, eps=eps, decimals=decimals)
+
+
+def value_bin(c: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """The fixed-width clamp binning rule shared by the histogram
+    family (:func:`histogram_quantiles` / :func:`mad_outliers_approx`
+    / :func:`psi_vs_reference` / the streaming daily-bins producer):
+    floor((v − lo)/w) clamped into [0, n_bins); NULL passes through
+    (callers drop or route NULLs explicitly)."""
+    w = (float(hi) - float(lo)) / int(n_bins)
+    v = c.cast("double")
+    return F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long"), F.lit(0)
+        ),
+        F.lit(int(n_bins) - 1),
+    )
+
+
+def psi_from_bins(
+    bin_counts: DataFrame,
+    key_cols: Sequence[str],
+    ref_bins: DataFrame,
+    n_bins: int,
+    bin_col: str = "bin",
+    c_col: str = "c",
+    eps: float = 1e-6,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`psi_vs_reference`'s math over PRE-AGGREGATED
+    ``(key…, bin, count)`` tables — the drift-from-persisted-tables
+    form (the :func:`~spear_spark.operators.relevance.jsd_vs_reference`
+    posture): score a drained streaming day, a shard's profile, or any
+    stored histogram against a reference histogram without re-scanning
+    raw data.  Composes with
+    :func:`spear_spark.streaming.daily_value_bins_stream`'s drained
+    daily tables (batch-equivalence tested there).  Same grid /
+    eps-floor / rounding conventions as :func:`psi_vs_reference` —
+    the raw-data form delegates here, so the two can never drift."""
+    keys = list(key_cols)
+    gc = bin_counts.select(
+        *keys, F.col(bin_col).alias("_bin"), F.col(c_col).alias("_gc")
+    )
+    rc = ref_bins.select(F.col(bin_col).alias("_rbin"), F.col(c_col).alias("_rc"))
+    # the grid side re-aliases every column: totals and the grid both
+    # stem from `bin_counts`, and some leaf plans (memory-sink views,
+    # drained streaming tables) defeat Spark's same-exprId self-join
+    # deduplication (the jsd_vs_reference convention)
+    tks = [f"_k{i}" for i in range(len(keys))]
+    gtot = (
+        gc.groupBy(*keys)
+        .agg(F.sum("_gc").alias("_gn"))
+        .select(*[F.col(k).alias(a) for k, a in zip(keys, tks)], "_gn")
     )
     rtot = rc.agg(F.sum("_rc").alias("_rn"))
-    # complete bin grid per group: groups × [0, n_bins) — geometry-bounded
+    # complete bin grid per key: keys × [0, n_bins) — geometry-bounded
     grid = gtot.select(
-        *g, "_gn", F.explode(F.sequence(F.lit(0), F.lit(int(n_bins) - 1))).alias("_bin")
+        *tks,
+        "_gn",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_bins) - 1))).alias("_gbin"),
     )
     p = F.greatest(
         F.coalesce(F.col("_gc"), F.lit(0)).cast("double") / F.col("_gn"),
@@ -600,10 +644,14 @@ def psi_vs_reference(
         F.lit(float(eps)),
     )
     term = (p - q) * F.log(p / q)
+    on = [F.col(a).eqNullSafe(F.col(k)) for a, k in zip(tks, keys)]
+    on.append(F.col("_gbin") == F.col("_bin"))
+    joined = grid.join(gc, on, "left").join(
+        F.broadcast(rc), F.col("_gbin") == F.col("_rbin"), "left"
+    )
     return (
-        grid.join(gc, [*g, "_bin"], "left")
-        .join(F.broadcast(rc), "_bin", "left")
-        .crossJoin(F.broadcast(rtot))
-        .groupBy(*g)
+        joined.crossJoin(F.broadcast(rtot))
+        .groupBy(*tks)
         .agg(F.round(F.sum(term), decimals).alias("psi"))
+        .select(*[F.col(a).alias(k) for a, k in zip(tks, keys)], "psi")
     )

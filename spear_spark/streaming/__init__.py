@@ -963,3 +963,55 @@ def semdedup_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def daily_value_bins_stream(
+    docs: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-DAY streaming binned value histogram (period, bin, c) — the
+    continuous producer for the PSI drift monitor: maintain each day's
+    value histogram incrementally as documents arrive, persist the
+    tiny finalized rows (≤ n_bins per day), and score any day (or any
+    union of days — counts are additive int64s) against a reference
+    histogram later with :func:`spear_spark.operators.stats.
+    psi_from_bins` — numeric-profile drift from persisted aggregates,
+    never a raw re-scan.  The numeric twin of
+    :func:`daily_token_counts_stream` (token-space JSD producer); same
+    integer epoch-day ``period`` ordinal, so all the daily monitor
+    tables align on the key.
+
+    Binning is :func:`spear_spark.operators.stats.value_bin` — the
+    exact batch rule — so a drained day equals the batch bin-count of
+    that day's documents row-for-row (batch-equivalence tested), and
+    PSI computed from the drained table equals
+    ``psi_vs_reference`` on the raw day exactly.  NULL values are
+    dropped (the batch filter).  Like the CM/token producers (and
+    unlike HLL's idempotent MAX), a *double* drain of the same day
+    double-counts — use the :func:`write_batches_idempotent` sink
+    pattern for replay safety.
+
+    State design for scale: event-time window + watermark bound the
+    state store to |open days| × n_bins rows; the per-batch shuffle is
+    a map-side-combined (day, bin) hash-aggregate."""
+    from spear_spark.operators.stats import value_bin
+
+    return (
+        docs.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("_w"),
+            value_bin(F.col(value_col), lo, hi, n_bins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.expr("unix_micros(_w.start) div 86400000000").alias("period"),
+            "bin",
+            "c",
+        )
+    )

@@ -804,3 +804,79 @@ def test_novel_grams_stream_rejects_string_ids(spark, sf_dir):
     )
     with pytest.raises(TypeError, match="integral id"):
         novel_grams_stream(docs, "text", "doc_id")
+
+
+def test_daily_value_bins_stream_psi_monitor(spark, sf_dir, tmp_path):
+    """Full numeric-drift lifecycle: drained per-day streaming value
+    bins equal the batch bin-count of each day's documents
+    row-for-row, and feeding them to psi_from_bins against a
+    reference-day histogram reproduces psi_vs_reference of (that
+    day's docs, reference docs) exactly — drift computed from tiny
+    persisted daily tables, never by re-scanning raw values."""
+    from spear_spark.operators.stats import (
+        psi_from_bins,
+        psi_vs_reference,
+        value_bin,
+    )
+    from spear_spark.streaming import daily_value_bins_stream
+
+    lo, hi, nb = 0.0, 600.0, 24
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-01-0"),
+                    (F.col("doc_id") % 3 + 1).cast("string"),
+                    F.lit(" 12:00:00"),
+                )
+            ).alias("ts"),
+        )
+    )
+    src = str(tmp_path / "docs_bins_stream")
+    docs.write.parquet(src)
+    stream = daily_value_bins_stream(
+        spark.readStream.schema(docs.schema).parquet(src), "n_chars", lo, hi, nb
+    )
+    run_available_now(stream, "daily_bins_test")
+    drained = spark.table("daily_bins_test")
+
+    # (a) drained day == batch bin-count row-for-row
+    batch = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .select(
+            F.date_diff(F.to_date("ts"), F.lit("1970-01-01")).alias("period"),
+            value_bin(F.col("n_chars"), lo, hi, nb).alias("bin"),
+        )
+        .groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {(r.period, r.bin): r.c for r in drained.collect()}
+    want = {(r.period, r.bin): r.c for r in batch.collect()}
+    assert got == want
+
+    # (b) PSI from the persisted daily tables == raw-data PSI exactly:
+    # score day 1 against day 3 (the reference day)
+    periods = sorted({p for p, _ in got})
+    day, ref_day = periods[0], periods[-1]
+    day_bins = drained.filter(F.col("period") == day)
+    ref_bins = drained.filter(F.col("period") == ref_day).select("bin", "c")
+    from_tables = {
+        r.period: r.psi
+        for r in psi_from_bins(day_bins, ["period"], ref_bins, nb).collect()
+    }
+    raw = psi_vs_reference(
+        docs.filter(F.col("doc_id") % 3 == 0),  # day 1 docs (2024-01-01)
+        docs.filter(F.col("doc_id") % 3 == 2),  # day 3 docs (2024-01-03)
+        "n_chars",
+        [],
+        lo,
+        hi,
+        nb,
+    )
+    # empty group_cols: global PSI — one row
+    [raw_row] = raw.collect()
+    assert from_tables[day] == raw_row.psi
