@@ -781,3 +781,91 @@ def test_cap_per_group_matches_python_topn(spark, rows, n):
         for rid, v in sorted(rs, key=lambda t: (-t[1], t[0]))[:n]
     }
     assert out == want
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    grp=st.lists(st.tuples(st.sampled_from("ab"), st.integers(0, 99)),
+                 min_size=1, max_size=40),
+    ref=st.lists(st.integers(0, 99), min_size=1, max_size=40),
+    nb=st.integers(1, 8),
+)
+def test_psi_from_bins_matches_python_replay(spark, grp, ref, nb):
+    """psi_from_bins == the pure-Python eps-floored PSI sum for any
+    pair of count tables and any bin geometry — including empty bins,
+    single-bin grids, and keys whose mass sits entirely outside the
+    reference's occupied bins."""
+    import math
+
+    from spear_spark.operators.stats import psi_from_bins
+
+    eps = 1e-6
+    gc: dict = {}
+    for g, v in grp:
+        b = min(v % 10, nb - 1)
+        gc[(g, b)] = gc.get((g, b), 0) + 1
+    rc: dict = {}
+    for v in ref:
+        b = min(v % 10, nb - 1)
+        rc[b] = rc.get(b, 0) + 1
+    gdf = spark.createDataFrame(
+        [(g, b, c) for (g, b), c in gc.items()], "g string, bin long, c long"
+    )
+    rdf = spark.createDataFrame(list(rc.items()), "bin long, c long")
+    got = {r.g: r.psi for r in psi_from_bins(gdf, ["g"], rdf, nb).collect()}
+    rn = sum(rc.values())
+    want = {}
+    for g in {g for g, _ in gc}:
+        gn = sum(c for (gg, _), c in gc.items() if gg == g)
+        psi = 0.0
+        for b in range(nb):
+            p = max(gc.get((g, b), 0) / gn, eps)
+            q = max(rc.get(b, 0) / rn, eps)
+            psi += (p - q) * math.log(p / q)
+        want[g] = round(psi, 6)
+    assert set(got) == set(want)
+    for g in want:
+        assert abs(got[g] - want[g]) <= 1e-6, (g, got[g], want[g])
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(-8, 8), st.integers(-8, 8)),
+        min_size=1, max_size=15,
+    ),
+    k=st.integers(1, 5),
+)
+def test_kcenter_coreset_matches_python_replay(spark, vecs, k):
+    """kcenter_coreset == the pure-Python greedy farthest-point
+    traversal (rounded d2, min-id tie-breaks, early stop) for any
+    small vector multiset — duplicates, collinear sets, single
+    points."""
+    from spear_spark.operators.similarity import kcenter_coreset
+
+    data = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    got = [
+        (r.sel_round, r.vec_id, r.d2)
+        for r in kcenter_coreset(df, "embedding", "vec_id", k=k)
+        .orderBy("sel_round").collect()
+    ]
+    pts = dict(data)
+
+    def d2(a, b):
+        return round((a[0]-b[0])**2 + (a[1]-b[1])**2, 6)
+
+    chosen = [0]
+    want = [(0, 0, 0.0)]
+    for r in range(1, k):
+        best = max(
+            ((min(d2(v, pts[c]) for c in chosen), -i), i) for i, v in pts.items()
+        )
+        (dist, _), i = best
+        if dist <= 0.0:
+            break
+        chosen.append(i)
+        want.append((r, i, dist))
+    assert got == want
