@@ -4757,3 +4757,28 @@ class TestKCenterCoreset:
         )
         out = kcenter_coreset(df, "embedding", "vec_id", k=5).collect()
         assert len(out) == 1 and out[0].vec_id == 0
+
+
+class TestDedupReportCustomId:
+    def test_non_default_id_col_works_and_matches_doc_id_run(self, spark):
+        """Regression for the round-9 advice finding: dedup_report
+        joins the connected-components label table (fixed doc_id
+        column) against the caller's id column — a non-default id_col
+        must produce the identical report, not an AnalysisException."""
+        from spear_spark.operators.dedup import dedup_report
+
+        base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        rows = [(1, "src_a", base), (2, "src_a", base),
+                (3, "src_a", base + " extra"),
+                (4, "src_b", "u1 u2 u3 u4 u5 u6 u7 u8")]
+        df = spark.createDataFrame(
+            rows, "doc_id int, source string, text string"
+        )
+        want = sorted(
+            map(tuple, dedup_report(df, "text", "doc_id", "source").collect())
+        )
+        renamed = df.withColumnRenamed("doc_id", "item_key")
+        got = sorted(
+            map(tuple, dedup_report(renamed, "text", "item_key", "source").collect())
+        )
+        assert got == want

@@ -521,3 +521,51 @@ def test_gopher_rules_is_exchange_free(spark, sf_dir):
     plan = executed_plan(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert exchange_record_counts(out, run=False) == []
+
+
+def test_bpe_learn_word_table_uses_takeordered(spark, sf_dir):
+    """bpe_learn's capped word-frequency table must plan as a
+    TakeOrderedAndProject heap (per-partition top-N before the
+    exchange), never a global Sort — the cap is what bounds driver
+    state, so it must also bound the shuffle."""
+    from spear_spark.operators.text import BPE_PATTERN
+    from spear_spark.plans import executed_plan, has_take_ordered
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(BPE_PATTERN), 0
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("w"))
+        .limit(1000)
+    )
+    plan = executed_plan(words)
+    assert has_take_ordered(plan), plan
+
+
+def test_mad_outliers_approx_broadcasts_and_avoids_sortmerge(spark, sf_dir):
+    """Both histogram-median probes must come back as broadcast joins
+    (bounded (group, bin) aggregates), never SortMergeJoin — nothing
+    downstream of an aggregate may shuffle corpus-sized data."""
+    from spear_spark.operators.stats import mad_outliers_approx
+    from spear_spark.plans import (
+        executed_plan,
+        has_broadcast_join,
+        has_sort_merge_join,
+    )
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mad_outliers_approx(
+        docs, "n_chars", ["lang"], "doc_id", 0.0, 600.0, 48, threshold=1.25
+    )
+    plan = executed_plan(out)
+    assert has_broadcast_join(plan)
+    assert not has_sort_merge_join(plan), plan
