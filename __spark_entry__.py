@@ -81,8 +81,13 @@ _DRIVER_PRIORITY = [
     #    at 50): PSI drift monitor (stats.psi_vs_reference — DuckDB
     #    replay of the eps-floored binned-share rule) and greedy
     #    k-center coreset (similarity.kcenter_coreset — p77-style
-    #    unrolled selection-round oracle).  Certify FIRST in round 11:
+    #    unrolled selection-round oracle), then the exact-substring
+    #    canary scan (dedup.canary_scan — Exchange-free literal-array
+    #    projection) and the KS drift statistic (stats.ks_vs_reference
+    #    — exact, no grid/eps, the unbinned drift-triad member).
+    #    Certify FIRST in round 11:
     "p113_psi_drift", "p114_kcenter_coreset",
+    "p115_canary_scan", "p116_ks_drift",
     # -- r06 evidence (rotate next in round 11):
     "q66_part_promotion",
     "q67_grouping_sets", "q79_event_funnel",

@@ -4740,3 +4740,73 @@ def p114_kcenter_coreset(spark: SparkSession, sf_dir: str) -> SDF:
     return kcenter_coreset(emb, "embedding", "vec_id", k=_P114_K).orderBy(
         "sel_round"
     )
+
+
+# ---------------------------------------------------------------------------
+# p115 — exact-substring canary scan (operators.dedup.canary_scan):
+# one row per (doc, canary) verbatim hit — the benchmark-canary audit
+# (BIG-bench GUID pattern) that token-n-gram overlap (p38) and Bloom
+# membership (p75) cannot express.  Canary literals ride the plan
+# (Exchange-free projection, plan-pinned in TestCanaryScan); two
+# corpus phrases + one never-present marker exercise both branches.
+# ---------------------------------------------------------------------------
+@q(
+    "p115_canary_scan",
+    """
+    SELECT doc_id, c.c AS canary
+    FROM documents, UNNEST(['key agg', 'the line', 'zz-never-present']) AS c(c)
+    WHERE contains(text, c.c)
+    ORDER BY doc_id, canary
+    """,
+)
+def p115_canary_scan(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.canary_scan(
+        docs, "text", "doc_id", ["key agg", "the line", "zz-never-present"]
+    ).orderBy("doc_id", "canary")
+
+
+# ---------------------------------------------------------------------------
+# p116 — Kolmogorov-Smirnov drift (operators.stats.ks_vs_reference):
+# each language's n_chars ECDF vs the pooled corpus — the UNBINNED
+# member of the drift triad (p104 JSD / p113 PSI / p116 KS).  Exact
+# arithmetic: integer cumulative counts, two divisions and one
+# order-free MAX per group — no grid, no eps, no FP-sum tolerance.
+# ---------------------------------------------------------------------------
+@q(
+    "p116_ks_drift",
+    """
+    WITH v AS (SELECT lang, n_chars AS v FROM documents
+               WHERE n_chars IS NOT NULL),
+    gc AS (SELECT lang, v, COUNT(*) AS c FROM v GROUP BY 1, 2),
+    gcum AS (SELECT lang, v,
+                    SUM(c) OVER (PARTITION BY lang ORDER BY v) AS gcum,
+                    SUM(c) OVER (PARTITION BY lang) AS gn FROM gc),
+    rc AS (SELECT v, COUNT(*) AS c FROM v GROUP BY v),
+    rcum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS rcum FROM rc),
+    rt AS (SELECT COUNT(*) AS rn FROM v),
+    pts AS (SELECT DISTINCT lang, v FROM (
+              SELECT lang, v FROM gcum
+              UNION ALL
+              SELECT k.lang, r.v
+              FROM (SELECT DISTINCT lang FROM gcum) k CROSS JOIN rcum r)),
+    filled AS (
+      SELECT p.lang, p.v,
+             MAX(g.gcum) OVER w AS gf,
+             MAX(r.rcum) OVER w AS rf,
+             MAX(g.gn) OVER (PARTITION BY p.lang) AS gn
+      FROM pts p LEFT JOIN gcum g ON g.lang = p.lang AND g.v = p.v
+                 LEFT JOIN rcum r ON r.v = p.v
+      WINDOW w AS (PARTITION BY p.lang ORDER BY p.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT lang,
+           ROUND(MAX(ABS(CAST(COALESCE(gf, 0) AS DOUBLE) / gn
+                         - CAST(COALESCE(rf, 0) AS DOUBLE) / rt.rn)), 6) AS ks
+    FROM filled CROSS JOIN rt GROUP BY lang ORDER BY lang
+    """,
+)
+def p116_ks_drift(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import ks_vs_reference
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_vs_reference(docs, docs, "n_chars", ["lang"]).orderBy("lang")

@@ -1696,3 +1696,34 @@ def semdedup(
     )
     assigned = ivf_assign_fixed(df, vec_col, info["centroids"])
     return near_dedup_embedding(assigned, vec_col, id_col, "_cell", threshold)
+
+
+def canary_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    canaries: Sequence[str],
+) -> DataFrame:
+    """Exact-substring canary scan: one row ``(id, canary)`` per
+    document containing a canary string VERBATIM (raw, case-sensitive
+    byte match) — the benchmark-contamination check n-gram overlap
+    (:func:`decontaminate`) and Bloom membership
+    (:func:`bloom_decontaminate`) cannot express, because canary
+    GUIDs (the BIG-bench pattern: a unique marker string embedded in
+    eval sets precisely so trained models can be audited) must match
+    exactly across tokenizer and normalization choices.
+
+    Scale shape: the canary set rides the plan as an array literal
+    (canary sets are small BY DESIGN — dozens of markers, not a
+    denylist; for corpus-scale denylists use
+    :func:`bloom_decontaminate`), so the scan is one Exchange-free
+    projection: ``filter(canaries, c -> contains(text, c))`` +
+    explode, codegen-eligible, zero Python, zero shuffle — the
+    cheapest possible full-corpus audit pass."""
+    if not canaries:
+        raise ValueError("canary_scan: canary list must be non-empty")
+    if any(not isinstance(c, str) or not c for c in canaries):
+        raise ValueError("canary_scan: canaries must be non-empty strings")
+    arr = F.array(*[F.lit(c) for c in canaries])
+    hits = F.filter(arr, lambda p: F.contains(F.col(text_col), p))
+    return df.select(F.col(id_col), F.explode(hits).alias("canary"))

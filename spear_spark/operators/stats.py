@@ -655,3 +655,100 @@ def psi_from_bins(
         .agg(F.round(F.sum(term), decimals).alias("psi"))
         .select(*[F.col(a).alias(k) for a, k in zip(tks, keys)], "psi")
     )
+
+
+def ks_vs_reference(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov statistic against a
+    reference corpus: KS = max over observed values of
+    |ECDF_group(v) − ECDF_ref(v)| — the UNBINNED nonparametric member
+    of the drift-monitor triad (token-space JSD
+    :func:`~spear_spark.operators.relevance.jsd_vs_reference`, binned
+    PSI :func:`psi_vs_reference`, unbinned KS here): PSI answers with
+    a fixed grid and eps convention, KS needs neither — it is exact
+    arithmetic (two integer-count divisions, one subtraction, one
+    order-free MAX per group), so the statistic carries no tuning
+    parameters and no FP-association tolerance.
+
+    Mechanics without a per-group row sort (the :func:`group_ecdf`
+    posture): rows collapse into two-phase (group, value) / (value)
+    counts; the evaluation points are each group's distinct values ∪
+    the reference's distinct values (broadcast — value domains are
+    bounded for the discrete/integer-grained columns this contract
+    covers, same as :func:`group_ecdf`); each side's ECDF at every
+    point comes from one cumulative-MAX window over the per-group
+    DISTINCT-VALUE relation — state bounded by the value domain, not
+    the row count.  NULLs are dropped on both sides.  Returns
+    ``(group…, ks)`` rounded to ``decimals``."""
+    from pyspark.sql.window import Window as W
+
+    g = list(group_cols)
+    tks = [f"_k{i}" for i in range(len(g))]
+    gc = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*g, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = W.partitionBy(*g).orderBy(value_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    gcum = gc.select(
+        *[F.col(k).alias(a) for k, a in zip(g, tks)],
+        F.col(value_col).alias("_gv"),
+        F.sum("_c").over(w_cum).alias("_gcum"),
+        F.sum("_c").over(W.partitionBy(*g)).alias("_gn"),
+    )
+    rc = (
+        ref.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    rcum = rc.select(
+        F.col(value_col).alias("_rv"),
+        F.sum("_c")
+        .over(W.orderBy(value_col).rowsBetween(W.unboundedPreceding, 0))
+        .alias("_rcum"),
+    )
+    rtot = rc.agg(F.sum("_c").alias("_rn"))
+    # evaluation grid: each group's values ∪ the reference's values
+    # (both distinct relations — domain-bounded by contract)
+    gkeys = gcum.select(*tks).distinct()
+    pts = (
+        gcum.select(*tks, F.col("_gv").alias("_v"))
+        .unionByName(
+            gkeys.crossJoin(F.broadcast(rcum.select(F.col("_rv").alias("_v"))))
+        )
+        .distinct()
+    )
+    # ECDF at each point = cumulative count of the LAST value <= point,
+    # via a forward-fill MAX over the joined point/value relation
+    # (join on names: pts carries tks and _v; each side's distinct-value
+    # cum table matches on value equality, missing points fill forward)
+    w_ff = W.partitionBy(*tks).orderBy("_v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    joined = pts.join(
+        gcum.withColumnRenamed("_gv", "_v"), [*tks, "_v"], "left"
+    ).join(F.broadcast(rcum.withColumnRenamed("_rv", "_v")), ["_v"], "left")
+    filled = joined.select(
+        *tks,
+        "_v",
+        F.max("_gcum").over(w_ff).alias("_gF"),
+        F.max("_rcum").over(w_ff).alias("_rF"),
+        F.max("_gn").over(W.partitionBy(*tks)).alias("_gN"),
+    )
+    diff = F.abs(
+        F.coalesce(F.col("_gF"), F.lit(0)).cast("double") / F.col("_gN")
+        - F.coalesce(F.col("_rF"), F.lit(0)).cast("double") / F.col("_rn")
+    )
+    return (
+        filled.crossJoin(F.broadcast(rtot))
+        .groupBy(*tks)
+        .agg(F.round(F.max(diff), decimals).alias("ks"))
+        .select(*[F.col(a).alias(k) for a, k in zip(tks, g)], "ks")
+    )

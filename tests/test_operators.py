@@ -4782,3 +4782,123 @@ class TestDedupReportCustomId:
             map(tuple, dedup_report(renamed, "text", "item_key", "source").collect())
         )
         assert got == want
+
+
+class TestCanaryScan:
+    def test_planted_canaries_found_exactly(self, spark):
+        from spear_spark.operators.dedup import canary_scan
+
+        guid = "canary:9f2a-bigbench-7c"
+        df = spark.createDataFrame(
+            [
+                (1, f"normal text with {guid} embedded mid-document"),
+                (2, "clean document nothing to see"),
+                (3, f"two markers {guid} and EVAL-MARKER-X here"),
+                (4, "case sensitivity: CANARY:9F2A-BIGBENCH-7C upper"),
+                (5, "substring boundary canary:9f2a-bigbench is a prefix only"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.canary)
+            for r in canary_scan(
+                df, "text", "doc_id", [guid, "EVAL-MARKER-X"]
+            ).collect()
+        }
+        assert got == {(1, guid), (3, guid), (3, "EVAL-MARKER-X")}
+
+    def test_validates_inputs(self, spark):
+        import pytest
+
+        from spear_spark.operators.dedup import canary_scan
+
+        df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-empty"):
+            canary_scan(df, "text", "doc_id", [])
+        with pytest.raises(ValueError, match="non-empty strings"):
+            canary_scan(df, "text", "doc_id", ["ok", ""])
+
+    def test_plan_is_exchange_free_and_python_free(self, spark, sf_dir):
+        from spear_spark.operators.dedup import canary_scan
+        from spear_spark.plans import exchange_record_counts, executed_plan
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = canary_scan(docs, "text", "doc_id", ["the line", "zz-never"])
+        plan = executed_plan(out)
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert exchange_record_counts(out, run=False) == []
+
+
+class TestKsVsReference:
+    def test_self_is_exactly_zero(self, spark, sf_dir):
+        from spear_spark.operators.stats import ks_vs_reference
+
+        docs = load_table(spark, sf_dir, "documents")
+        for lang in {r.lang for r in docs.select("lang").distinct().collect()}:
+            sub = docs.filter(F.col("lang") == lang)
+            [row] = ks_vs_reference(sub, sub, "n_chars", ["lang"]).collect()
+            assert row.ks == 0.0
+
+    def test_matches_python_replay(self, spark, sf_dir):
+        from spear_spark.operators.stats import ks_vs_reference
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = [
+            (r.lang, int(r.n_chars))
+            for r in docs.select("lang", "n_chars").collect()
+            if r.n_chars is not None
+        ]
+        ref = sorted(v for _, v in rows)
+        n_ref = len(ref)
+        import bisect
+
+        def ecdf(sorted_vals, n, v):
+            return bisect.bisect_right(sorted_vals, v) / n
+
+        want = {}
+        per: dict = {}
+        for g, v in rows:
+            per.setdefault(g, []).append(v)
+        for g, vs in per.items():
+            vs_sorted = sorted(vs)
+            points = set(vs) | set(ref)
+            ks = max(
+                abs(ecdf(vs_sorted, len(vs), p) - ecdf(ref, n_ref, p))
+                for p in points
+            )
+            want[g] = round(ks, 6)
+        got = {
+            r.lang: r.ks
+            for r in ks_vs_reference(docs, docs, "n_chars", ["lang"]).collect()
+        }
+        for g in want:
+            assert abs(got[g] - want[g]) <= 1e-6, (g, got[g], want[g])
+
+    def test_replication_invariant_and_shift_detected(self, spark, sf_dir):
+        from spear_spark.operators.stats import ks_vs_reference
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = {
+            r.lang: r.ks
+            for r in ks_vs_reference(docs, docs, "n_chars", ["lang"]).collect()
+        }
+        docs10 = docs.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+        ).drop("rep")
+        rep = {
+            r.lang: r.ks
+            for r in ks_vs_reference(docs10, docs, "n_chars", ["lang"]).collect()
+        }
+        assert rep == base  # ECDFs are volume-invariant
+        shifted = docs.withColumn(
+            "n_chars",
+            F.when(F.col("lang") == "en", F.col("n_chars") + 300).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        moved = {
+            r.lang: r.ks
+            for r in ks_vs_reference(shifted, docs, "n_chars", ["lang"]).collect()
+        }
+        assert moved["en"] > 0.5  # a +300 shift moves most mass past the ref
+        assert moved["en"] > base.get("en", 0.0)
