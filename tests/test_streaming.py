@@ -880,3 +880,47 @@ def test_daily_value_bins_stream_psi_monitor(spark, sf_dir, tmp_path):
     # empty group_cols: global PSI — one row
     [raw_row] = raw.collect()
     assert from_tables[day] == raw_row.psi
+
+
+def test_stateless_projection_ops_are_stream_safe(spark, sf_dir, tmp_path):
+    """The Exchange-free projection operators (gopher_rules,
+    canary_scan) must apply to a streaming DataFrame unchanged — the
+    contract that makes the quality gate and canary audit runnable on
+    the ingest firehose with zero state.  A drained stream equals the
+    batch output row-for-row."""
+    from spear_spark.operators.dedup import canary_scan
+    from spear_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_stateless_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    g_out = gopher_rules(stream, "text", "doc_id", min_words=20,
+                         min_stopword_hits=1)
+    q = (
+        g_out.writeStream.format("memory").queryName("gopher_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("gopher_stream_test").collect()}
+    want = {
+        tuple(r)
+        for r in gopher_rules(
+            docs, "text", "doc_id", min_words=20, min_stopword_hits=1
+        ).collect()
+    }
+    assert got == want
+
+    c_out = canary_scan(stream, "text", "doc_id", ["key agg", "zz-never"])
+    q = (
+        c_out.writeStream.format("memory").queryName("canary_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("canary_stream_test").collect()}
+    want = {
+        tuple(r)
+        for r in canary_scan(docs, "text", "doc_id", ["key agg", "zz-never"]).collect()
+    }
+    assert got == want
