@@ -71,7 +71,7 @@ _DRIVER_PRIORITY = [
     "q64_important_stock", "q65_parts_supplier_relationship",
 
     # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: the two NEW late-round-10 entries lead the
+    # stay mechanical: the five NEW late-round-10 entries lead the
     # round-11 window, then the 5 remaining r06 queries, then the
     # r07/r08 block, then the round-9 window's 48 r09-evidence
     # queries, then this round's 42 freshly-rotated entries are
@@ -84,10 +84,14 @@ _DRIVER_PRIORITY = [
     #    unrolled selection-round oracle), then the exact-substring
     #    canary scan (dedup.canary_scan — Exchange-free literal-array
     #    projection) and the KS drift statistic (stats.ks_vs_reference
-    #    — exact, no grid/eps, the unbinned drift-triad member).
-    #    Certify FIRST in round 11:
+    #    — exact, no grid/eps, the unbinned drift-triad member), and
+    #    content-defined chunking (text.cdc_chunks — FastCDC-style
+    #    shift-robust boundaries for chunk-level dedup; Exchange-free
+    #    projection, full DuckDB slice replay).  Certify FIRST in
+    #    round 11:
     "p113_psi_drift", "p114_kcenter_coreset",
     "p115_canary_scan", "p116_ks_drift",
+    "p117_cdc_chunks",
     # -- r06 evidence (rotate next in round 11):
     "q66_part_promotion",
     "q67_grouping_sets", "q79_event_funnel",

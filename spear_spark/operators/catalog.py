@@ -4810,3 +4810,43 @@ def p116_ks_drift(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = load_table(spark, sf_dir, "documents")
     return ks_vs_reference(docs, docs, "n_chars", ["lang"]).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# p117 — content-defined chunking (operators.text.cdc_chunks, the
+# FastCDC/rsync boundary idea at token granularity): a chunk ends
+# after every token whose h32 ≡ 0 (mod 16), so boundaries are local
+# content — an edited prefix re-aligns immediately and chunk-level
+# dedup still matches (shift-robustness law-tested; fixed windows
+# lose all alignment).  One Exchange-free projection + posexplode.
+# ---------------------------------------------------------------------------
+@q(
+    "p117_cdc_chunks",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t
+                  FROM documents WHERE length(trim(text)) > 0),
+    h AS (SELECT doc_id, t,
+                 [('0x'||substr(md5(w),1,8))::BIGINT for w in t] AS hs FROM toks),
+    c AS (SELECT doc_id, t,
+                 [i for i in generate_series(1, len(t)) if hs[i] % 16 = 0] AS cut
+          FROM h),
+    e AS (SELECT doc_id, t,
+                 CASE WHEN len(cut) > 0 AND cut[-1] = len(t) THEN cut
+                      ELSE list_append(cut, CAST(len(t) AS BIGINT)) END AS ends
+          FROM c),
+    s AS (SELECT doc_id, t, ends,
+                 list_prepend(CAST(0 AS BIGINT), ends[1:len(ends)-1]) AS starts
+          FROM e)
+    SELECT doc_id, CAST(j - 1 AS INTEGER) AS chunk_idx,
+           CAST(ends[j] - starts[j] AS INTEGER) AS n_tokens,
+           md5(array_to_string(t[starts[j]+1:ends[j]], ' ')) AS chunk_hash,
+           array_to_string(t[starts[j]+1:ends[j]], ' ') AS chunk_text
+    FROM s, UNNEST(generate_series(1, len(ends))) AS u(j)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def p117_cdc_chunks(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.cdc_chunks(docs, "text", "doc_id", modulus=16).orderBy(
+        "doc_id", "chunk_idx"
+    )

@@ -829,3 +829,81 @@ def gopher_rules(
         stop_ok.alias("stopword_ok"),
         (words_ok & len_ok & sym_ok & alpha_ok & stop_ok).alias("keep"),
     )
+
+
+def cdc_chunks(
+    df,
+    text_col: str,
+    id_col: str,
+    modulus: int = 64,
+) -> "DataFrame":
+    """Content-defined chunking (the FastCDC/rsync boundary idea at
+    token granularity): a chunk ends AFTER every token whose 32-bit
+    hash ≡ 0 (mod ``modulus``), so boundaries are a pure function of
+    LOCAL content — inserting or deleting text early in a document
+    shifts ONLY the chunks it touches, while every later chunk keeps
+    its exact text and hash (shift-robustness, law-tested).  This is
+    what makes chunk-level dedup catch a re-crawled page with one new
+    header paragraph: :func:`chunk_documents`' fixed-size windows all
+    shift and nothing matches; CDC chunks re-align immediately.
+    Expected chunk length ≈ ``modulus`` tokens.
+
+    Emits one row per chunk: ``(id, chunk_idx, n_tokens, chunk_hash,
+    chunk_text)`` with ``chunk_hash = md5(chunk_text)`` — feed the
+    hash straight to :func:`~spear_spark.operators.dedup.exact_dedup`
+    / :func:`~spear_spark.operators.dedup.segment_dedup`-style
+    keeps, or group on it for a chunk-frequency boilerplate profile.
+
+    Scale shape: one pure-Column projection (tokenize → per-token
+    hash → boundary positions → slices, all inside one ``let_``-bound
+    expression tree) + posexplode — no shuffle, no Python, the same
+    Exchange-free class as the quality gate; a downstream chunk-hash
+    groupBy is the only exchange any consumer pays.  Empty documents
+    produce zero rows."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.functions import let_
+    from spear_spark.operators.dedup import h32
+
+    if modulus < 1:
+        raise ValueError("cdc_chunks: modulus must be >= 1")
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        hs = F.transform(toks, h32)
+
+        def chunks_of(hs_b: Column) -> Column:
+            cut = F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: F.element_at(hs_b, i) % modulus == 0,
+            )
+            # last chunk always ends at n (append n unless already a cut)
+            ends = F.when(
+                (F.size(cut) > 0) & (F.element_at(cut, -1) == n), cut
+            ).otherwise(F.concat(cut, F.array(n)))
+            starts = F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1))
+            return F.zip_with(
+                starts,
+                ends,
+                lambda s, e: F.concat_ws(" ", F.slice(toks, s + 1, e - s)),
+            )
+
+        return F.when(n > 0, let_(hs, chunks_of)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # blank/whitespace-only docs yield zero rows (tokens('') is [''],
+    # which would otherwise emit one empty chunk)
+    chunked = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), let_(tokens(F.col(text_col)), body).alias("_chunks")
+    )
+    return chunked.select(
+        id_col,
+        F.posexplode("_chunks").alias("chunk_idx", "chunk_text"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_hash"),
+        "chunk_text",
+    )
