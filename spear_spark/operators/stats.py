@@ -612,7 +612,13 @@ def psi_from_bins(
     :func:`spear_spark.streaming.daily_value_bins_stream`'s drained
     daily tables (batch-equivalence tested there).  Same grid /
     eps-floor / rounding conventions as :func:`psi_vs_reference` —
-    the raw-data form delegates here, so the two can never drift."""
+    the raw-data form delegates here, so the two can never drift.
+
+    Contract: rows must be UNIQUE per (key…, bin) with bins inside
+    [0, n_bins) — exactly what :func:`value_bin` produces (it clamps);
+    re-aggregate (SUM) unioned shards first, and never mix tables
+    built with different bin geometries (bin indices carry no
+    provenance, the :func:`hist_merge` caveat)."""
     keys = list(key_cols)
     gc = bin_counts.select(
         *keys, F.col(bin_col).alias("_bin"), F.col(c_col).alias("_gc")
