@@ -869,3 +869,75 @@ def test_kcenter_coreset_matches_python_replay(spark, vecs, k):
         chosen.append(i)
         want.append((r, i, dist))
     assert got == want
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=0, max_size=25),
+    min_size=1, max_size=8,
+), st.sampled_from([1, 2, 4, 8]))
+def test_cdc_chunks_matches_python_replay(spark, docs, modulus):
+    """cdc_chunks == the pure-Python boundary replay for any small
+    corpus and modulus — including empty docs, single-token docs, and
+    moduli that cut after (almost) every token."""
+    import hashlib
+
+    from spear_spark.operators.text import cdc_chunks
+
+    data = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got: dict = {}
+    for r in cdc_chunks(df, "text", "doc_id", modulus=modulus).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.n_tokens, r.chunk_hash, r.chunk_text)
+        )
+    for i, text in data:
+        toks = text.strip().lower().split()
+        if not toks:
+            assert i not in got
+            continue
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        cuts = [j for j in range(1, len(toks) + 1) if hs[j - 1] % modulus == 0]
+        if not cuts or cuts[-1] != len(toks):
+            cuts.append(len(toks))
+        want, start = [], 0
+        for j, e in enumerate(cuts):
+            ch = " ".join(toks[start:e])
+            want.append((j, e - start, hashlib.md5(ch.encode()).hexdigest(), ch))
+            start = e
+        assert sorted(got.get(i, [])) == want, (i, modulus)
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    grp=st.lists(st.tuples(st.sampled_from("ab"), st.integers(0, 20)),
+                 min_size=1, max_size=30),
+    ref=st.lists(st.integers(0, 20), min_size=1, max_size=30),
+)
+def test_ks_vs_reference_matches_python_replay(spark, grp, ref):
+    """ks_vs_reference == the bisect ECDF max-gap for any two small
+    integer samples — ties, disjoint supports, constant groups."""
+    import bisect
+
+    from spear_spark.operators.stats import ks_vs_reference
+
+    gdf = spark.createDataFrame(grp, "g string, v long")
+    rdf = spark.createDataFrame([(x,) for x in ref], "v long")
+    got = {r.g: r.ks for r in ks_vs_reference(gdf, rdf, "v", ["g"]).collect()}
+    sref = sorted(ref)
+    want = {}
+    for g in {g for g, _ in grp}:
+        vs = sorted(v for gg, v in grp if gg == g)
+        pts = set(vs) | set(sref)
+        ks = max(
+            abs(bisect.bisect_right(vs, p) / len(vs)
+                - bisect.bisect_right(sref, p) / len(sref))
+            for p in pts
+        )
+        want[g] = round(ks, 6)
+    assert set(got) == set(want)
+    for g in want:
+        assert abs(got[g] - want[g]) <= 1e-6, (g, got[g], want[g])
