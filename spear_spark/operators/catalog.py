@@ -4630,11 +4630,11 @@ def p111_bpe_segment(spark: SparkSession, sf_dir: str) -> SDF:
              AS keep
     FROM (
       SELECT m.*,
-             n_words BETWEEN 20 AND 100000 AS words_ok,
-             mean_word_len BETWEEN 3.0 AND 10.0 AS word_len_ok,
-             symbol_ratio <= 0.1 AS symbol_ok,
-             alpha_word_frac >= 0.8 AS alpha_ok,
-             stopword_hits >= 1 AS stopword_ok
+             COALESCE(n_words BETWEEN 20 AND 100000, false) AS words_ok,
+             COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, false) AS word_len_ok,
+             COALESCE(symbol_ratio <= 0.1, false) AS symbol_ok,
+             COALESCE(alpha_word_frac >= 0.8, false) AS alpha_ok,
+             COALESCE(stopword_hits >= 1, false) AS stopword_ok
       FROM m)
     ORDER BY doc_id
     """,

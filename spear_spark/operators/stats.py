@@ -541,7 +541,9 @@ def psi_vs_reference(
 
     Binning is the :func:`histogram_quantiles` clamp rule (fixed-width
     over [lo, hi], out-of-range values clamped into the edge bins,
-    NULLs dropped) so the bin counts are associative-commutative
+    NULLs AND NaNs dropped — :func:`finite_values`, or a double
+    column's NaNs would silently clamp into bin 0) so the bin counts
+    are associative-commutative
     integers — mergeable across shards, run-stable, oracle-pairable.
     Empty bins take the standard ``eps`` substitution on the SHARE
     (p = greatest(count/total, eps)), making every term finite and the
@@ -563,18 +565,31 @@ def psi_vs_reference(
         raise ValueError("psi_vs_reference: need n_bins >= 1 and hi > lo")
     g = list(group_cols)
     gc = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(finite_values(F.col(value_col)))
         .select(*g, value_bin(F.col(value_col), lo, hi, n_bins).alias("bin"))
         .groupBy(*g, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     rc = (
-        ref.filter(F.col(value_col).isNotNull())
+        ref.filter(finite_values(F.col(value_col)))
         .select(value_bin(F.col(value_col), lo, hi, n_bins).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return psi_from_bins(gc, g, rc, n_bins, eps=eps, decimals=decimals)
+
+
+def finite_values(c: Column) -> Column:
+    """NULL- and NaN-dropping predicate for the binned drift producers
+    (:func:`psi_vs_reference` and the streaming
+    :func:`~spear_spark.streaming.daily_value_bins_stream` — one
+    definition so batch and stream cannot drift): a NaN fed to
+    :func:`value_bin` would silently land in bin 0 ((NaN−lo)/w stays
+    NaN, floor+cast yields NULL, greatest/least clamp it to 0), skewing
+    the lowest bin and diverging from any oracle that errors on
+    CAST(NaN AS BIGINT).  The cast makes ``isnan`` total over integer
+    columns (never NaN after cast)."""
+    return c.isNotNull() & ~F.isnan(c.cast("double"))
 
 
 def value_bin(c: Column, lo: float, hi: float, n_bins: int) -> Column:

@@ -769,7 +769,12 @@ def gopher_rules(
     Scale shape: a single pure-Column projection per document — no
     join, no shuffle, no UDF (plan-pinned Exchange-free); ratios are
     rounded to 6dp so the flags are engine-exact (counts and lengths
-    are integers; the divisions are single double ops)."""
+    are integers; the divisions are single double ops).
+
+    NULL text: the metrics stay NULL (nothing to measure) but every
+    per-rule boolean and ``keep`` coalesce to false — a NULL row can
+    never pass the gate, and consumers that negate the flag
+    (``filter(~keep)`` for rejects) see it too."""
     from pyspark.sql import DataFrame  # noqa: F401 — annotation only
 
     from spear_spark.functions import let_
@@ -813,13 +818,26 @@ def gopher_rules(
         "_m.alpha_word_frac",
         "_m.stopword_hits",
     )
-    words_ok = F.col("n_words").between(int(min_words), int(max_words))
-    len_ok = F.col("mean_word_len").between(
-        float(min_mean_word_len), float(max_mean_word_len)
+    # NULL text -> NULL metrics -> NULL comparisons; coalesce every
+    # rule verdict to false so `keep` (and its negation) stay total
+    words_ok = F.coalesce(
+        F.col("n_words").between(int(min_words), int(max_words)), F.lit(False)
     )
-    sym_ok = F.col("symbol_ratio") <= F.lit(float(max_symbol_ratio))
-    alpha_ok = F.col("alpha_word_frac") >= F.lit(float(min_alpha_word_frac))
-    stop_ok = F.col("stopword_hits") >= F.lit(int(min_stopword_hits))
+    len_ok = F.coalesce(
+        F.col("mean_word_len").between(
+            float(min_mean_word_len), float(max_mean_word_len)
+        ),
+        F.lit(False),
+    )
+    sym_ok = F.coalesce(
+        F.col("symbol_ratio") <= F.lit(float(max_symbol_ratio)), F.lit(False)
+    )
+    alpha_ok = F.coalesce(
+        F.col("alpha_word_frac") >= F.lit(float(min_alpha_word_frac)), F.lit(False)
+    )
+    stop_ok = F.coalesce(
+        F.col("stopword_hits") >= F.lit(int(min_stopword_hits)), F.lit(False)
+    )
     return out.select(
         "*",
         words_ok.alias("words_ok"),

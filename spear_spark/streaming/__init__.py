@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -835,6 +836,7 @@ _SEMDEDUP_STATE_SCHEMA = StructType(
     [
         StructField("ids", ArrayType(LongType())),
         StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+        StructField("dropped", ArrayType(BooleanType())),
     ]
 )
 
@@ -872,6 +874,18 @@ def semdedup_stream(
     partner candidates — exactly the batch pair rule, so a drained
     id-ordered stream equals ``semdedup``'s output row-for-row
     (equivalence-tested; the novel_grams_stream backfill contract).
+
+    Out-of-id-order arrivals are NOT silently lost: when a new doc d
+    matches a stored id a > d at ≥ ``threshold`` and a was not already
+    dropped, the stream emits ``(drop_id=a, keep_id=d)`` at that
+    moment — the drained drop SET always equals batch ``semdedup``'s
+    regardless of arrival order (law-tested on a reversed stream).
+    The weaker guarantee under disorder is only keep_id: a late-
+    revealed drop records the partner that exposed it, which need not
+    be the batch MINIMUM partner; id-ordered drains keep the row-for-
+    row bitwise contract.  Zero-norm vectors raise a ``ValueError``
+    naming the id (cosine undefined — the batch contract's ANSI
+    divide error, surfaced legibly).
 
     Exactness: the cosine is computed per element in float64 with a
     LEFT-TO-RIGHT accumulation (``np.cumsum`` rows) — bitwise the
@@ -917,11 +931,12 @@ def semdedup_stream(
 
     def update(key, pdfs, state):
         if state.exists:
-            st_ids, st_vecs = state.get
+            st_ids, st_vecs, st_dropped = state.get
             ids = [int(i) for i in st_ids]
             vecs = [np.asarray(v, dtype=np.float64) for v in st_vecs]
+            was_dropped = [bool(b) for b in st_dropped]
         else:
-            ids, vecs = [], []
+            ids, vecs, was_dropped = [], [], []
         seen = set(ids)
         norms = [
             float(np.sqrt(np.cumsum(v * v, dtype=np.float64)[-1])) for v in vecs
@@ -934,20 +949,47 @@ def semdedup_stream(
                 continue  # replayed id — idempotent
             v = np.asarray(raw, dtype=np.float64)
             nv = float(np.sqrt(np.cumsum(v * v, dtype=np.float64)[-1]))
+            if nv == 0.0:
+                # batch near_dedup_embedding documents the non-zero-norm
+                # contract and fails as an ANSI divide error; fail as
+                # loudly here instead of a decimal.InvalidOperation deep
+                # in the state worker
+                raise ValueError(
+                    f"semdedup_stream: zero-norm vector id={d} — cosine "
+                    "is undefined; clean zero vectors upstream"
+                )
             keep = None
             if ids:
                 mat = np.asarray(vecs, dtype=np.float64)
                 cos = _row_dots(mat, v) / (np.asarray(norms) * nv)
-                for a_id, c in zip(ids, cos):
-                    if a_id < d and _round6_half_up(float(c)) >= thr:
+                for idx, (a_id, c) in enumerate(zip(ids, cos)):
+                    if _round6_half_up(float(c)) < thr:
+                        continue
+                    if a_id < d:
                         keep = a_id if keep is None else min(keep, a_id)
+                    elif not was_dropped[idx]:
+                        # out-of-id-order arrival: a stored LARGER id just
+                        # met a qualifying smaller partner — batch would
+                        # have dropped it, so emit the drop now instead of
+                        # silently losing it (keep_id is this partner, not
+                        # necessarily the batch minimum — the documented
+                        # unordered-drain contract)
+                        drops.append((a_id, d))
+                        was_dropped[idx] = True
             if keep is not None:
                 drops.append((d, keep))
             ids.append(d)
             vecs.append(v)
             norms.append(nv)
+            was_dropped.append(keep is not None)
             seen.add(d)
-        state.update(([int(i) for i in ids], [[float(x) for x in v] for v in vecs]))
+        state.update(
+            (
+                [int(i) for i in ids],
+                [[float(x) for x in v] for v in vecs],
+                [bool(b) for b in was_dropped],
+            )
+        )
         if drops:
             yield pd.DataFrame(
                 {
@@ -990,8 +1032,11 @@ def daily_value_bins_stream(
     exact batch rule — so a drained day equals the batch bin-count of
     that day's documents row-for-row (batch-equivalence tested), and
     PSI computed from the drained table equals
-    ``psi_vs_reference`` on the raw day exactly.  NULL values are
-    dropped (the batch filter).  Like the CM/token producers (and
+    ``psi_vs_reference`` on the raw day exactly.  NULL and NaN values
+    are dropped (the shared batch predicate
+    :func:`~spear_spark.operators.stats.finite_values` — a NaN would
+    otherwise clamp silently into bin 0).  Like the CM/token producers
+    (and
     unlike HLL's idempotent MAX), a *double* drain of the same day
     double-counts — use the :func:`write_batches_idempotent` sink
     pattern for replay safety.
@@ -999,10 +1044,10 @@ def daily_value_bins_stream(
     State design for scale: event-time window + watermark bound the
     state store to |open days| × n_bins rows; the per-batch shuffle is
     a map-side-combined (day, bin) hash-aggregate."""
-    from spear_spark.operators.stats import value_bin
+    from spear_spark.operators.stats import finite_values, value_bin
 
     return (
-        docs.filter(F.col(value_col).isNotNull())
+        docs.filter(finite_values(F.col(value_col)))
         .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), "1 day").alias("_w"),

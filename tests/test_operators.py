@@ -4592,6 +4592,36 @@ class TestGopherRules:
         }
         assert strict[5] is False
 
+    def test_null_text_fails_every_rule_not_null(self, spark):
+        """NULL text -> keep=false and every per-rule boolean=false (not
+        NULL), so a consumer negating the flag (filter(~keep) for
+        rejects) still sees the row — the round-10 ADVICE hole.  The
+        raw metrics stay NULL (nothing to measure)."""
+        from spear_spark.operators.text import gopher_rules
+
+        df = spark.createDataFrame(
+            [(0, "the words flow and that is fine with all of them here ok " * 3),
+             (1, None)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.asDict()
+            for r in gopher_rules(df, "text", "doc_id", min_words=5).collect()
+        }
+        g = got[1]
+        for flag in ("words_ok", "word_len_ok", "symbol_ok", "alpha_ok",
+                     "stopword_ok", "keep"):
+            assert g[flag] is False, flag
+        for metric in ("n_words", "mean_word_len", "symbol_ratio",
+                       "alpha_word_frac", "stopword_hits"):
+            assert g[metric] is None, metric
+        assert got[0]["keep"] is True
+        # the negated-flag consumer sees exactly the NULL row + none lost
+        rejects = gopher_rules(df, "text", "doc_id", min_words=5).filter(
+            ~F.col("keep")
+        )
+        assert [r.doc_id for r in rejects.collect()] == [1]
+
 
 class TestPsiVsReference:
     """Laws for the PSI drift monitor (stats.psi_vs_reference)."""
@@ -4687,6 +4717,38 @@ class TestPsiVsReference:
         }
         assert moved["en"] > 0.25  # "shifted" per the standard rule of thumb
         assert moved["en"] > base.get("en", 0.0)
+
+    def test_nan_values_are_dropped_not_binned(self, spark):
+        """NaN values are dropped alongside NULLs (stats.finite_values),
+        never silently clamped into bin 0 (the round-10 ADVICE hole:
+        (NaN-lo)/w stays NaN, floor+cast yields NULL, greatest/least
+        clamp it to 0).  A corpus polluted with NaNs must score exactly
+        like the clean corpus, and identically on both sides."""
+        from spear_spark.operators.stats import psi_vs_reference
+
+        clean = spark.createDataFrame(
+            [("a", float(v)) for v in (1, 2, 3, 10, 20, 450)],
+            "g string, v double",
+        )
+        dirty = clean.unionByName(
+            spark.createDataFrame(
+                [("a", float("nan")), ("a", None), ("a", float("nan"))],
+                "g string, v double",
+            )
+        )
+        args = dict(value_col="v", group_cols=["g"], lo=0.0, hi=600.0, n_bins=24)
+        [want] = psi_vs_reference(clean, clean, **args).collect()
+        [got] = psi_vs_reference(dirty, dirty, **args).collect()
+        assert (got.g, got.psi) == (want.g, want.psi) == ("a", 0.0)
+        # asymmetric pollution too: dirty group vs clean reference
+        [one_side] = psi_vs_reference(dirty, clean, **args).collect()
+        assert one_side.psi == 0.0
+        # integer-typed value columns still work (cast makes isnan total)
+        ints = spark.createDataFrame(
+            [("a", v) for v in (1, 2, 3)], "g string, v long"
+        )
+        [iz] = psi_vs_reference(ints, ints, **args).collect()
+        assert iz.psi == 0.0
 
 
 class TestKCenterCoreset:

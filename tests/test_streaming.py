@@ -794,6 +794,100 @@ def test_semdedup_stream_rejects_string_ids(spark, sf_dir):
         semdedup_stream(emb, "embedding", "vec_id", [[0.0] * 64], 0.9)
 
 
+def test_semdedup_stream_out_of_order_recovers_drop_set(spark, sf_dir, tmp_path):
+    """The unordered-drain contract: batches arriving in REVERSED id
+    order (high-id file first) still recover batch semdedup's exact
+    drop SET — when a smaller-id partner arrives after its larger-id
+    near-duplicate is already in state, the stream emits the late
+    ``(drop_id=larger, keep_id=smaller)`` instead of silently losing
+    the drop (the round-10 ADVICE hole).  keep_id under disorder is
+    the revealing partner, not necessarily the batch minimum, so the
+    law here is set-of-drop-ids equality plus keep<drop sanity — the
+    id-ordered twin above keeps the row-for-row law."""
+    import os
+    import time
+
+    from spear_spark.operators.dedup import semdedup
+    from spear_spark.streaming import semdedup_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    info: dict = {}
+    want = {
+        (r.drop_id, r.keep_id)
+        for r in semdedup(
+            emb, "embedding", "vec_id", k=8, threshold=0.35, tol=0.3,
+            max_iters=10, info=info,
+        ).collect()
+    }
+    assert want, "batch semdedup found no drops — threshold too high for the law"
+
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "emb_stream_rev")
+    os.makedirs(src)
+    f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+    # REVERSED: the high-id half lands first
+    emb.filter(F.col("vec_id") >= mid).toPandas().to_parquet(f1)
+    time.sleep(1.1)  # FileStreamSource orders batches by mod time
+    emb.filter(F.col("vec_id") < mid).toPandas().to_parquet(f2)
+    os.utime(f2)
+
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = semdedup_stream(
+        stream, "embedding", "vec_id", info["centroids"], threshold=0.35
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("semdedup_stream_rev_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.drop_id, r.keep_id)
+        for r in spark.table("semdedup_stream_rev_test").collect()
+    }
+    assert {d for d, _ in got} == {d for d, _ in want}
+    assert all(k < d for d, k in got)
+    assert len(got) == len({d for d, _ in got})  # one row per dropped doc
+    # the reversal genuinely exercised the late-drop path: at least one
+    # drop pairs a low-id keep (second file) with a high-id drop (first)
+    assert any(k < mid <= d for d, k in got)
+
+
+def test_semdedup_stream_zero_norm_raises(spark, tmp_path):
+    """A zero-norm vector fails LOUDLY with a ValueError naming the id
+    (cosine undefined), not an obscure decimal.InvalidOperation deep in
+    the Pandas state worker (round-10 ADVICE)."""
+    import os
+
+    import pytest
+
+    from spear_spark.streaming import semdedup_stream
+
+    src = str(tmp_path / "zero_norm_stream")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    df.toPandas().to_parquet(os.path.join(src, "a.parquet"))
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = semdedup_stream(stream, "embedding", "vec_id", [[0.0, 0.0]], 0.9)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("semdedup_zero_norm_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="zero-norm vector id=2"):
+        q.awaitTermination()
+
+
 def test_novel_grams_stream_rejects_string_ids(spark, sf_dir):
     import pytest
 
