@@ -1660,6 +1660,7 @@ def semdedup(
     tol: float = 1e-3,
     max_iters: int = 25,
     init_centroids=None,
+    fit_on: DataFrame | None = None,
     info: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -1685,13 +1686,26 @@ def semdedup(
     assignment is a narrow projection (``_cell`` becomes the shuffle /
     write-partitioning key); the pair join shuffles each cell's rows
     once.  Cap cell sizes upstream (raise k) if a cell outgrows the
-    Σ|cell|² budget — the paper's k=50k regime at web scale."""
+    Σ|cell|² budget — the paper's k=50k regime at web scale.
+
+    ``fit_on`` is the production-scale knob: pass a (deterministic,
+    seeded) sample — ``df.sample(0.01, seed=7)`` — or any offline
+    corpus and the Lloyd fit runs on THAT while assignment + verify
+    still cover all of ``df``, so the only full-corpus passes are the
+    narrow projection and the blocked pair join (the paper's deploy
+    shape, and :func:`~spear_spark.streaming.semdedup_stream`'s
+    frozen-centroid regime).  Default (None) fits on ``df`` itself;
+    ``fit_on=df`` is law-tested bitwise-equal to the default, and
+    drops stay SOUND under any fit corpus — the fit only moves cell
+    boundaries (which pairs get compared), never the exact-cosine
+    verify."""
     from spear_spark.operators.similarity import ivf_assign_fixed, kmeans_lloyd
 
     if info is None:
         info = {}  # caller may pass a dict to observe iterations/drifts
     kmeans_lloyd(
-        df, vec_col, id_col, k=k, tol=tol, max_iters=max_iters,
+        df if fit_on is None else fit_on,
+        vec_col, id_col, k=k, tol=tol, max_iters=max_iters,
         init_centroids=init_centroids, info=info,
     )
     assigned = ivf_assign_fixed(df, vec_col, info["centroids"])

@@ -801,9 +801,11 @@ def kcenter_coreset(
     plan-bloat threshold for the k ≤ a-few-dozen coresets this is
     for) + a TakeOrderedAndProject argmax returning a single row: the
     driver only ever holds k × dims floats, exactly the k-means fetch
-    contract.  For k beyond literal-plan range, switch to the sampled
-    2-pass variant (cluster with :func:`kmeans_lloyd`, then k-center
-    the bounded centroid table) — the standard composition.  Stops
+    contract.  For k beyond literal-plan range, switch to
+    :func:`kcenter_coreset_2pass` (cluster with :func:`kmeans_lloyd`,
+    then k-center the bounded centroid table) — the standard
+    composition, law-tested equal to the direct traversal over the
+    centroid table.  Stops
     early (fewer rows than k, or max distance 0.0 = all remaining
     points duplicate a chosen one) rather than padding.
     """
@@ -840,3 +842,53 @@ def kcenter_coreset(
     return df.sparkSession.createDataFrame(
         out, "sel_round int, vec_id long, d2 double"
     )
+
+
+def kcenter_coreset_2pass(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_cells: int = 64,
+    tol: float = 1e-3,
+    max_iters: int = 25,
+    decimals: int = 6,
+    info: dict | None = None,
+) -> DataFrame:
+    """:func:`kcenter_coreset` beyond literal-plan range — the standard
+    2-pass composition its docstring promises: pass 1 clusters the
+    corpus with the convergence-terminated :func:`kmeans_lloyd`
+    (``n_cells`` cells, bounded k-row driver state per round); pass 2
+    runs the EXACT greedy k-center traversal over the bounded centroid
+    table (``n_cells`` rows — never the corpus).  The selected rows are
+    centroids, so ``vec_id`` in the returned ``(sel_round, vec_id,
+    d2)`` table is the CELL index [0, n_cells) — join back through
+    :func:`ivf_assign_fixed` on ``_cell`` to materialize each selected
+    cell's members (the coreset-with-weights shape: cell sizes are the
+    standard weights).
+
+    Law-tested: equals :func:`kcenter_coreset` run directly on the
+    centroid table built from the same fit.  100 TB shape: pass 1 is
+    the audited Lloyd engine (corpus work = one two-phase aggregate
+    per round); pass 2 touches ``n_cells`` rows, so k is unconstrained
+    by the literal-plan ceiling that limits the direct traversal —
+    raise ``n_cells`` (the paper regime: tens of thousands) and keep
+    k ≤ n_cells."""
+    if not 1 <= int(k):
+        raise ValueError("kcenter_coreset_2pass: k must be >= 1")
+    if int(k) > int(n_cells):
+        raise ValueError(
+            f"kcenter_coreset_2pass: k={k} exceeds n_cells={n_cells} — "
+            "k-center over the centroid table can select at most one "
+            "point per cell"
+        )
+    if info is None:
+        info = {}
+    kmeans_lloyd(
+        df, vec_col, id_col, k=n_cells, tol=tol, max_iters=max_iters, info=info
+    )
+    cent = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(info["centroids"])],
+        "cent_id long, centroid array<double>",
+    )
+    return kcenter_coreset(cent, "centroid", "cent_id", k=k, decimals=decimals)

@@ -684,6 +684,7 @@ def ks_vs_reference(
     value_col: str,
     group_cols: Sequence[str],
     decimals: int = 6,
+    max_ref_points: int | None = 100_000,
 ) -> DataFrame:
     """Per-group two-sample Kolmogorov–Smirnov statistic against a
     reference corpus: KS = max over observed values of
@@ -705,7 +706,18 @@ def ks_vs_reference(
     point comes from one cumulative-MAX window over the per-group
     DISTINCT-VALUE relation — state bounded by the value domain, not
     the row count.  NULLs are dropped on both sides.  Returns
-    ``(group…, ks)`` rounded to ``decimals``."""
+    ``(group…, ks)`` rounded to ``decimals``.
+
+    The bounded-domain contract is ENFORCED, not just documented: the
+    reference-side cumulative window is unpartitioned (SinglePartition
+    by construction), so a continuous-double column — where "distinct
+    values" ≈ row count — would silently degenerate into one task
+    sorting a data-sized relation at scale.  ``max_ref_points``
+    (default 100k) is a loud ceiling on the reference's distinct-value
+    count, checked inside the plan (no extra driver action): exceeding
+    it raises at execution with a pointer to the binned
+    :func:`psi_vs_reference` fallback.  ``None`` disables the guard
+    for a deliberate over-ceiling run."""
     from pyspark.sql.window import Window as W
 
     g = list(group_cols)
@@ -735,7 +747,34 @@ def ks_vs_reference(
         .over(W.orderBy(value_col).rowsBetween(W.unboundedPreceding, 0))
         .alias("_rcum"),
     )
-    rtot = rc.agg(F.sum("_c").alias("_rn"))
+    # the total rides with the distinct-point count so the bounded-
+    # domain contract fails loudly INSIDE the plan: _rn is only usable
+    # when the reference domain respects the ceiling
+    rtot_raw = rc.agg(
+        F.sum("_c").alias("_rn0"), F.count(F.lit(1)).alias("_npts")
+    )
+    if max_ref_points is not None:
+        rtot = rtot_raw.select(
+            F.when(
+                F.col("_npts") > int(max_ref_points),
+                F.raise_error(
+                    F.format_string(
+                        "ks_vs_reference: reference value domain has %s "
+                        "distinct values (> max_ref_points=%s) — the "
+                        "unpartitioned cumulative window would single-task "
+                        "a data-sized relation; bin the column and use "
+                        "psi_vs_reference, or pass max_ref_points=None "
+                        "deliberately",
+                        F.col("_npts"),
+                        F.lit(int(max_ref_points)),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("_rn0"))
+            .alias("_rn")
+        )
+    else:
+        rtot = rtot_raw.select(F.col("_rn0").alias("_rn"))
     # evaluation grid: each group's values ∪ the reference's values
     # (both distinct relations — domain-bounded by contract)
     gkeys = gcum.select(*tks).distinct()

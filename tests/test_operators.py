@@ -4965,6 +4965,137 @@ class TestKsVsReference:
         assert moved["en"] > 0.5  # a +300 shift moves most mass past the ref
         assert moved["en"] > base.get("en", 0.0)
 
+    def test_unbounded_domain_fails_loudly(self, spark, sf_dir):
+        """The bounded-domain contract is enforced (round-10 verdict
+        nit): a reference whose distinct-value count exceeds
+        max_ref_points raises a legible error inside the plan instead
+        of silently single-tasking a data-sized window sort at scale;
+        max_ref_points=None is the documented deliberate override."""
+        import pytest
+
+        from spear_spark.operators.stats import ks_vs_reference
+
+        docs = load_table(spark, sf_dir, "documents")
+        q = ks_vs_reference(docs, docs, "n_chars", ["lang"], max_ref_points=5)
+        with pytest.raises(Exception, match="max_ref_points"):
+            q.collect()
+        # the override and the default both run this domain fine
+        base = ks_vs_reference(docs, docs, "n_chars", ["lang"]).collect()
+        off = ks_vs_reference(
+            docs, docs, "n_chars", ["lang"], max_ref_points=None
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, off))
+
+
+class TestSemDedupFitOn:
+    """Laws for semdedup's sampled-fit knob (round-10 verdict item 5)."""
+
+    def test_fit_on_self_is_identity(self, spark, sf_dir):
+        from spear_spark.operators.dedup import semdedup
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        args = dict(k=8, threshold=0.35, tol=0.3, max_iters=10)
+        base = sorted(
+            map(tuple, semdedup(emb, "embedding", "vec_id", **args).collect())
+        )
+        same = sorted(
+            map(
+                tuple,
+                semdedup(emb, "embedding", "vec_id", fit_on=emb, **args).collect(),
+            )
+        )
+        assert base == same and base
+
+    def test_sampled_fit_drops_are_sound_and_exact_dups_caught(self, spark, sf_dir):
+        """Fitting on a deterministic half of the corpus (the
+        production shape) moves cell boundaries, never the verify:
+        every emitted pair must still be a genuine >= threshold pair
+        (checked against brute force), and planted exact duplicates
+        are always caught — identical vectors share a cell under ANY
+        centroid set."""
+        from spear_spark.operators.dedup import near_dedup_embedding, semdedup
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        dup = emb.orderBy("vec_id").limit(3).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        corpus = emb.unionByName(dup)
+        fit = corpus.filter(F.col("vec_id") % 2 == 0)
+        got = {
+            (r.drop_id, r.keep_id)
+            for r in semdedup(
+                corpus, "embedding", "vec_id", k=8, threshold=0.35, tol=0.3,
+                max_iters=10, fit_on=fit,
+            ).collect()
+        }
+        brute = {
+            (r.drop_id, r.keep_id)
+            for r in near_dedup_embedding(
+                corpus.withColumn("_all", F.lit(1)), "embedding", "vec_id",
+                "_all", 0.35,
+            ).collect()
+        }
+        assert {d for d, _ in got} <= {d for d, _ in brute}  # sound drops
+        planted = {d for d, _ in got if d >= 1_000_000}
+        assert planted == {1_000_000, 1_000_001, 1_000_002}
+
+
+class TestKCenter2Pass:
+    """Laws for the 2-pass k-center composition (verdict item 7)."""
+
+    def test_equals_direct_kcenter_on_centroid_table(self, spark, sf_dir):
+        from spear_spark.operators.similarity import (
+            kcenter_coreset,
+            kcenter_coreset_2pass,
+            kmeans_lloyd,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        info: dict = {}
+        got = [
+            tuple(r)
+            for r in kcenter_coreset_2pass(
+                emb, "embedding", "vec_id", k=4, n_cells=8, tol=0.3,
+                max_iters=10, info=info,
+            ).orderBy("sel_round").collect()
+        ]
+        # independent fit with the same params -> same centroids
+        info2: dict = {}
+        kmeans_lloyd(
+            emb, "embedding", "vec_id", k=8, tol=0.3, max_iters=10, info=info2
+        )
+        assert info2["centroids"] == info["centroids"]
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(info2["centroids"])],
+            "cent_id long, centroid array<double>",
+        )
+        want = [
+            tuple(r)
+            for r in kcenter_coreset(cent, "centroid", "cent_id", k=4)
+            .orderBy("sel_round")
+            .collect()
+        ]
+        assert got == want and len(got) == 4
+        assert all(0 <= cid < 8 for _, cid, _ in got)
+        # Gonzalez max-min radius is non-increasing after the seed row
+        d2s = [d for _, _, d in got[1:]]
+        assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+
+    def test_k_above_n_cells_rejected(self, spark, sf_dir):
+        import pytest
+
+        from spear_spark.operators.similarity import kcenter_coreset_2pass
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with pytest.raises(ValueError, match="exceeds n_cells"):
+            kcenter_coreset_2pass(emb, "embedding", "vec_id", k=9, n_cells=8)
+
 
 class TestCdcChunks:
     """Laws for content-defined chunking (text.cdc_chunks)."""
