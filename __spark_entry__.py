@@ -24,79 +24,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-10 window: the 5 NEW queries certifying the round-9 late
-# operators (cap_per_group, mad_outliers_approx, semdedup, bpe_learn,
-# bpe_apply), the 2 queries whose PLAN changed this round (p103 now
-# stages tokens once behind a lazy localCheckpoint; p106's corpus
-# denominator went lazy — values identical, plans re-certified), and
-# the FIRST 43 of the 47 r06-evidence rotations the round-9 verdict
-# sequenced, plus the late p112 (Gopher rule table) displacing the
-# last rotation slot (6+2+42 = 50).  The remaining 5 r06 queries
-# (q66, q67, q79, q82, q83) lead the round-11 window below the fold
-# — after round 10 they are the only queries with evidence older
-# than r07.
+# Round-11 window (5+3+5+37 = 50): the 5 late-round-10 entries with no
+# driver evidence yet (p113–p117, sequenced by the round-10 verdict),
+# the 3 NEW round-11 operators (p118 chunk-level dedup report — the
+# cdc_chunks payoff; p119 chunk-level decontamination; p120 DSIR
+# importance weights), the 5 last r06-evidence rotations (q66, q67,
+# q79, q82, q83 — after this round no evidence predates r07), and the
+# 37 oldest r07/r08-evidence rotations.  p112/p116 carry oracle/plan
+# deltas this round (p112 NULL-coalesce parity, p116 bounded-domain
+# guard — values identical, verified vs oracle at sf0.001/0.01/0.1);
+# p116 is in-window anyway, p112's r10 row stays valid.
 _DRIVER_PRIORITY = [
-    # ---- round 10 window ----
-    # -- NEW in round 10 (no driver evidence yet): the four round-9
-    #    late operators, oracle-paired per the round-9 verdict designs
-    #    (QUALIFY row_number cap; DuckDB replay of the binned MAD
-    #    rule; p77-pinned-round Lloyd + p26 assignment + p14 pair
-    #    rule; unrolled-CTE BPE merge replay — learn AND encode)
-    "p107_cap_per_group", "p108_mad_outliers_approx",
-    "p109_semdedup", "p110_bpe_learn",
-    "p111_bpe_segment", "p112_gopher_rules",
-    # -- PLAN changed this round (values identical, re-evidence):
-    "p103_distinct_ngrams", "p106_dup_cluster_profile",
-    # -- the first 42 of the 47 r06-evidence rotations
-    "p01_dedup_exact", "p12_multimodal_decode",
-    "p13_near_dedup", "p14_embedding_dedup",
-    "p15_rolling_hash", "p16_winnowing",
-    "p20_batch_topk", "p21_dup_clusters",
-    "p22_salted_join", "p23_sequence_packing",
-    "p24_stratified_sample", "p25_group_quantiles",
-    "p26_ann_ivf", "p27_tfidf_topterms",
-    "p28_bm25", "p29_lsh_verified_dedup",
-    "p30_bottom_k_sample", "p44_source_mix",
-    "p68_budget_waterfill", "p69_image_ahash_pairs",
-    "p71_pagerank_weighted", "p73_histogram_quantiles",
-    "p75_bloom_decontaminate", "p76_sparse_cosine_pairs",
-    "q18_big_spenders", "q21_aggregate_library",
-    "q22_top_supplier_cte", "q33_order_count_distribution",
-    "q34_large_quantity_orders", "q36_small_quantity_revenue",
-    "q38_multi_distinct", "q40_sessionize",
-    "q42_arithmetic_edges", "q44_min_price_supplier",
-    "q45_waiting_suppliers", "q54_priority_check",
-    "q55_promo_revenue", "q56_disjunctive_join",
-    "q57_ship_lag_buckets", "q63_product_profit",
-    "q64_important_stock", "q65_parts_supplier_relationship",
-
-    # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: the five NEW late-round-10 entries lead the
-    # round-11 window, then the 5 remaining r06 queries, then the
-    # r07/r08 block, then the round-9 window's 48 r09-evidence
-    # queries, then this round's 42 freshly-rotated entries are
-    # implicit catalog-order leftovers at the end). ----
-    # -- NEW late in round 10 (implemented + law-tested + oracle-paired
-    #    + preflight-green, but the round-10 window was already locked
-    #    at 50): PSI drift monitor (stats.psi_vs_reference — DuckDB
-    #    replay of the eps-floored binned-share rule) and greedy
-    #    k-center coreset (similarity.kcenter_coreset — p77-style
-    #    unrolled selection-round oracle), then the exact-substring
-    #    canary scan (dedup.canary_scan — Exchange-free literal-array
-    #    projection) and the KS drift statistic (stats.ks_vs_reference
-    #    — exact, no grid/eps, the unbinned drift-triad member), and
-    #    content-defined chunking (text.cdc_chunks — FastCDC-style
-    #    shift-robust boundaries for chunk-level dedup; Exchange-free
-    #    projection, full DuckDB slice replay).  Certify FIRST in
-    #    round 11:
+    # ---- round 11 window ----
+    # -- no driver evidence yet (late round 10): PSI drift monitor,
+    #    greedy k-center coreset, exact-substring canary scan, KS
+    #    drift statistic, content-defined chunking
     "p113_psi_drift", "p114_kcenter_coreset",
     "p115_canary_scan", "p116_ks_drift",
     "p117_cdc_chunks",
-    # -- r06 evidence (rotate next in round 11):
+    # -- NEW in round 11: the chunk-level dedup payoff (CDC chunks →
+    #    exact dedup on chunk_hash → per-doc duplicated-token share),
+    #    chunk-level benchmark decontamination (broadcast bench chunk
+    #    table, shift-robust), and DSIR hashed-n-gram importance
+    #    weights (Xie et al. 2023) against the lang='en' target
+    "p118_chunk_dedup", "p119_chunk_decontaminate",
+    "p120_dsir_weights",
+    # -- the last 5 r06-evidence rotations:
     "q66_part_promotion",
     "q67_grouping_sets", "q79_event_funnel",
     "q82_symmetric_range_frame", "q83_session_window",
-    # -- r07/r08 evidence:
+    # -- the 37 oldest r07/r08-evidence rotations:
     "p77_kmeans_lloyd", "p80_group_distinct",
     "p72_pagerank_convergence", "p65_mix_reweight",
     "p02_minhash_signatures", "p03_minhash_lsh_pairs",
@@ -115,7 +72,15 @@ _DRIVER_PRIORITY = [
     "p49_token_entropy", "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",
     "p53_balanced_shards", "p54_cross_source_dups",
-    "p56_cluster_balanced_sample", "p57_leakage_safe_split",
+    "p56_cluster_balanced_sample",
+
+    # ---- below the fold (order = evidence age, so future rotations
+    # stay mechanical: the remaining r07/r08 block leads the round-12
+    # window, then the r09 block, then the r10 window's entries, then
+    # this round's 50 are implicit catalog-order leftovers at the
+    # end). ----
+    # -- r07/r08 evidence (rotate next in round 12):
+    "p57_leakage_safe_split",
     "p58_normalize_text", "q06_forecast_revenue",
     "q07_customer_orders_left", "q08_nation_coverage",
     "q09_customers_without_orders", "q10_union_bag",

@@ -4850,3 +4850,151 @@ def p117_cdc_chunks(spark: SparkSession, sf_dir: str) -> SDF:
     return text.cdc_chunks(docs, "text", "doc_id", modulus=16).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# shared CDC chunk-table CTE for the chunk-level dedup family (p118,
+# p119): same slice/md5 replay as the certified p117, condensed to the
+# (doc_id, n_tokens, chunk_hash) grain.  `prefix` namespaces the
+# relations so two chunkings can coexist in one query.
+# ---------------------------------------------------------------------------
+def _cdc_chunk_cte(prefix: str, rel: str, modulus: int = 16) -> str:
+    return rf"""
+    {prefix}toks AS (SELECT doc_id, {_TOKS} AS t
+                     FROM {rel} WHERE length(trim(text)) > 0),
+    {prefix}h AS (SELECT doc_id, t,
+                         [('0x'||substr(md5(w),1,8))::BIGINT for w in t] AS hs
+                  FROM {prefix}toks),
+    {prefix}c AS (SELECT doc_id, t,
+                         [i for i in generate_series(1, len(t))
+                          if hs[i] % {modulus} = 0] AS cut
+                  FROM {prefix}h),
+    {prefix}e AS (SELECT doc_id, t,
+                         CASE WHEN len(cut) > 0 AND cut[-1] = len(t) THEN cut
+                              ELSE list_append(cut, CAST(len(t) AS BIGINT))
+                         END AS ends
+                  FROM {prefix}c),
+    {prefix}s AS (SELECT doc_id, t, ends,
+                         list_prepend(CAST(0 AS BIGINT),
+                                      ends[1:len(ends)-1]) AS starts
+                  FROM {prefix}e),
+    {prefix}ch AS (SELECT doc_id,
+                          CAST(ends[j] - starts[j] AS INTEGER) AS n_tokens,
+                          md5(array_to_string(t[starts[j]+1:ends[j]], ' '))
+                            AS chunk_hash
+                   FROM {prefix}s,
+                        UNNEST(generate_series(1, len(ends))) AS u(j))"""
+
+
+# ---------------------------------------------------------------------------
+# p118 — chunk-level dedup report (operators.dedup.chunk_dedup_report):
+# the PAYOFF of p117's content-defined chunking — CDC-chunk the corpus,
+# exact-dedup on chunk_hash (min-id keep), report each doc's duplicated-
+# token share.  Catches the re-crawled-page-with-new-header scenario
+# that document hashes and fixed windows both miss (law-tested).  One
+# Exchange-free chunking + two two-phase aggregates + one hash join.
+# ---------------------------------------------------------------------------
+@q(
+    "p118_chunk_dedup",
+    f"""
+    WITH {_cdc_chunk_cte('', 'documents')},
+    own AS (SELECT chunk_hash, MIN(doc_id) AS first_id
+            FROM ch GROUP BY chunk_hash)
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN first_id < ch.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN first_id < ch.doc_id THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS dup_tokens,
+           ROUND(CAST(SUM(CASE WHEN first_id < ch.doc_id THEN n_tokens
+                               ELSE 0 END) AS DOUBLE)
+                 / SUM(n_tokens), 6) AS dup_token_share
+    FROM ch JOIN own USING (chunk_hash)
+    GROUP BY ch.doc_id ORDER BY doc_id
+    """,
+)
+def p118_chunk_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_report(docs, "text", "doc_id", modulus=16).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p119 — chunk-level decontamination (operators.dedup.
+# chunk_decontaminate): every corpus doc sharing a >=3-token CDC chunk
+# with a "benchmark" slice (doc_id % 97 == 0 stands in for an eval
+# set), named per (doc, bench doc) pair with span-sized token counts —
+# the shift-robust complement of n-gram (p38) and Bloom (p75)
+# decontamination.  The tiny bench chunk table broadcasts; the corpus
+# is touched once with zero shuffle before the bounded pair tally.
+# ---------------------------------------------------------------------------
+@q(
+    "p119_chunk_decontaminate",
+    f"""
+    WITH {_cdc_chunk_cte('', 'documents')},
+    {_cdc_chunk_cte('b', '(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)')},
+    bd AS (SELECT DISTINCT doc_id AS bench_id, chunk_hash FROM bch)
+    SELECT ch.doc_id, bd.bench_id,
+           COUNT(*) AS n_shared_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS shared_tokens
+    FROM ch JOIN bd USING (chunk_hash)
+    WHERE ch.n_tokens >= 3
+    GROUP BY ch.doc_id, bd.bench_id
+    ORDER BY doc_id, bench_id
+    """,
+)
+def p119_chunk_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return dedup.chunk_decontaminate(
+        docs, bench, "text", "doc_id", min_tokens=3
+    ).orderBy("doc_id", "bench_id")
+
+
+# ---------------------------------------------------------------------------
+# p120 — DSIR importance weights (operators.relevance.dsir_weights,
+# Xie et al. 2023, arXiv:2302.03169): hashed unigram+bigram bucket
+# (md5-h32 % 4096, engine-regenerable) importance weights of every doc
+# against the lang='en' target slice — the published targeted-data-
+# selection method.  All statistics tables are geometry-bounded at
+# n_buckets rows and broadcast; the only data-sized exchange is the
+# (doc, bucket) partial-aggregated count.  The per-doc double sum is
+# unordered -> ROUND(..., 6) epsilon convention (the p70/p104 family).
+# ---------------------------------------------------------------------------
+@q(
+    "p120_dsir_weights",
+    rf"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    f AS (SELECT doc_id, lang,
+                 unnest(list_concat(t, [t[i] || ' ' || t[i+1]
+                        for i in generate_series(1, len(t) - 1)])) AS f
+          FROM toks),
+    fb AS (SELECT doc_id, lang,
+                  ('0x'||substr(md5(f),1,8))::BIGINT % 4096 AS b FROM f),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM fb GROUP BY 1, 2),
+    rc AS (SELECT b, COUNT(*) AS rc FROM fb GROUP BY b),
+    rt AS (SELECT COUNT(*) AS rn FROM fb),
+    tc AS (SELECT b, COUNT(*) AS tc FROM fb WHERE lang = 'en' GROUP BY b),
+    tt AS (SELECT COUNT(*) AS tn FROM fb WHERE lang = 'en'),
+    terms AS (
+      SELECT dc.doc_id, dc.c,
+             ln((COALESCE(tc.tc, 0) + 1.0) / (tt.tn + 1.0 * 4096))
+             - ln((rc.rc + 1.0) / (rt.rn + 1.0 * 4096)) AS lr
+      FROM dc JOIN rc USING (b) LEFT JOIN tc USING (b)
+              CROSS JOIN rt CROSS JOIN tt)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+           ROUND(SUM(c * lr), 6) AS log_weight,
+           ROUND(SUM(c * lr) / SUM(c), 6) AS avg_log_ratio
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def p120_dsir_weights(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(
+        docs, target, "text", "doc_id", n_buckets=4096, k=1.0
+    ).orderBy("doc_id")

@@ -1741,3 +1741,122 @@ def canary_scan(
     arr = F.array(*[F.lit(c) for c in canaries])
     hits = F.filter(arr, lambda p: F.contains(F.col(text_col), p))
     return df.select(F.col(id_col), F.explode(hits).alias("canary"))
+
+
+def chunk_dedup_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    modulus: int = 16,
+) -> DataFrame:
+    """Chunk-level dedup report — the PAYOFF of content-defined
+    chunking (:func:`~spear_spark.operators.text.cdc_chunks`): chunk
+    every document at content-defined boundaries, exact-dedup on
+    ``chunk_hash`` with the min-id keep rule, and report per document
+    how much of it duplicates LOWER-ID documents: ``(id, n_chunks,
+    n_dup_chunks, n_tokens, dup_tokens, dup_token_share)``.  This is
+    the re-crawled-page readout document-level dedup cannot give:
+    a page re-crawled with one new header paragraph shares no
+    document hash (:func:`exact_dedup` misses it) and no FIXED-window
+    chunk (:func:`~spear_spark.operators.text.chunk_documents`'
+    windows all shift — law-tested), but its CDC chunks re-align
+    right after the edit, so the report shows the doc as mostly
+    duplicated tokens.
+
+    A chunk occurrence is "duplicated" iff its hash also occurs in
+    some lower-id document (min-id keep, the :func:`exact_dedup`
+    convention); within-doc repeats of a doc's OWN boilerplate do not
+    count against it.  Documents with no chunks (empty/whitespace
+    text — ``cdc_chunks`` emits nothing) are absent from the report.
+
+    Scale shape: the chunk table is one Exchange-free projection +
+    posexplode; the min-id ownership table is a two-phase aggregate
+    on ``chunk_hash``; the ownership join shuffles on the hash key
+    (both sides already hash-partitioned by the aggregate — AQE
+    reuses it); the per-doc tally is a second two-phase aggregate.
+    Nothing all-pairs, nothing collected."""
+    from spear_spark.operators.text import cdc_chunks
+
+    chunks = cdc_chunks(df, text_col, id_col, modulus=modulus).select(
+        id_col, "n_tokens", "chunk_hash"
+    )
+    owner = chunks.groupBy("chunk_hash").agg(F.min(id_col).alias("_first_id"))
+    dup = F.col("_first_id") < F.col(id_col)
+    return (
+        chunks.join(owner, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup.cast("long")).alias("n_dup_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(dup, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "dup_tokens"
+            ),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            "n_tokens",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_share"),
+        )
+    )
+
+
+def chunk_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    modulus: int = 16,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Chunk-level benchmark decontamination: flag every corpus
+    document sharing a content-defined chunk with a benchmark/eval
+    document — ``(id, bench_id, n_shared_chunks, shared_tokens)``, one
+    row per contaminated (corpus doc, bench doc) pair.  The
+    shift-robust member of the decontamination family: token-n-gram
+    overlap (:func:`decontaminate`) needs a window-size choice and
+    pays a posting list per n-gram; Bloom membership
+    (:func:`bloom_decontaminate`) answers only yes/no per fixed
+    window; CDC chunks re-align across edits, so a benchmark passage
+    pasted into a longer page — or lightly prefix-padded — still
+    matches its chunk hashes, and the output names WHICH benchmark
+    doc leaked WHERE, span-sized.
+
+    ``min_tokens`` drops tiny chunks (a 1-token chunk is a stopword,
+    not evidence).  Benchmark column names default to the corpus
+    names.
+
+    Scale shape: both chunkings are Exchange-free projections; the
+    benchmark chunk table is tiny by design (eval sets, not corpora)
+    and broadcast into the hash-equality join, so the corpus is
+    touched ONCE with zero shuffle; the per-pair tally is a bounded
+    two-phase aggregate on (id, bench_id)."""
+    from spear_spark.operators.text import cdc_chunks
+
+    bt = bench_text_col or text_col
+    bi = bench_id_col or id_col
+    cc = cdc_chunks(corpus, text_col, id_col, modulus=modulus).select(
+        id_col, "n_tokens", "chunk_hash"
+    )
+    bc = (
+        cdc_chunks(bench, bt, bi, modulus=modulus)
+        .select(F.col(bi).alias("bench_id"), F.col("chunk_hash").alias("_bh"))
+        .distinct()
+    )
+    if min_tokens > 1:
+        cc = cc.filter(F.col("n_tokens") >= int(min_tokens))
+    return (
+        cc.join(F.broadcast(bc), F.col("chunk_hash") == F.col("_bh"))
+        .groupBy(id_col, "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_chunks"),
+            F.sum("n_tokens").alias("shared_tokens"),
+        )
+    )

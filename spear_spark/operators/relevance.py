@@ -580,3 +580,113 @@ def jsd_vs_reference(
             decimals,
         ).alias("jsd"),
     )
+
+
+def dsir_features(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
+    """The hashed n-gram feature explode shared by :func:`dsir_weights`'
+    three grains (per-doc, raw-corpus and target-corpus bucket counts):
+    word unigrams plus space-joined bigrams (a token can't contain a
+    space, so the two families can't collide), each hashed into
+    ``n_buckets`` via the repo-standard md5-derived
+    :func:`~spear_spark.operators.dedup.h32` — deterministic across
+    engines, so the DuckDB oracle regenerates identical buckets.
+    Emits ``(id, bucket)``, one row per feature INSTANCE."""
+    from spear_spark.operators.dedup import h32
+
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    uni = staged.select(F.col(id_col), F.explode("_toks").alias("_f"))
+    bi = staged.filter(F.size("_toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> concat(_toks[i-1], ' ', _toks[i]))"
+            )
+        ).alias("_f"),
+    )
+    return uni.unionByName(bi).select(
+        F.col(id_col), (h32(F.col("_f")) % F.lit(int(n_buckets))).alias("bucket")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_text_col: str | None = None,
+    n_buckets: int = 10_000,
+    k: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-corpus document by how much more likely its hashed
+    n-gram features are under a TARGET distribution (the
+    high-quality / in-domain corpus you want more of) than under the
+    raw corpus itself — ``log w(x) = Σ_buckets c_x(b) · (ln p̂_t(b) −
+    ln p̂_r(b))`` with add-``k``-smoothed bucket unigram+bigram
+    estimates.  The published method behind targeted pre-training
+    data selection; downstream, resample by weight (compose with
+    :func:`~spear_spark.operators.sampling.priority_sample` /
+    ``cap_per_group`` — the Gumbel-top-k trick the paper uses is
+    exactly priority sampling on ``log_weight``).
+
+    Returns ``(id, n_feats, log_weight, avg_log_ratio)`` — the raw
+    sum (the paper's resampling weight, length-sensitive by design)
+    and the per-feature mean (the length-invariant diagnostic).
+    Documents whose text yields zero features (empty after
+    tokenization) are absent.
+
+    Scale shape: the feature space is HASHED (the paper's device), so
+    every statistics table is geometry-bounded at ``n_buckets`` rows
+    no matter the corpus size: raw and target bucket counts are
+    two-phase aggregates that BROADCAST back; the only data-sized
+    exchange is the per-(doc, bucket) partial-aggregated count, the
+    same floor as TF-IDF.  Totals ride as broadcast 1-row literals;
+    the unordered double sum rounds at the end (epsilon convention).
+    """
+    tt = target_text_col or text_col
+    feats = dsir_features(df, text_col, id_col, n_buckets).localCheckpoint(
+        eager=False
+    )
+    doc_counts = feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    raw_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
+    raw_tot = feats.agg(F.count(F.lit(1)).alias("_rn"))
+    tfeats = dsir_features(
+        target.select(F.lit(0).alias("_tid"), F.col(tt).alias(tt)), tt, "_tid",
+        n_buckets,
+    )
+    t_counts = tfeats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc"))
+    t_tot = tfeats.agg(F.count(F.lit(1)).alias("_tn"))
+    kk = F.lit(float(k))
+    denom_r = F.col("_rn").cast("double") + kk * F.lit(int(n_buckets))
+    denom_t = F.col("_tn").cast("double") + kk * F.lit(int(n_buckets))
+    p_r = (F.coalesce(F.col("_rc"), F.lit(0)).cast("double") + kk) / denom_r
+    p_t = (F.coalesce(F.col("_tc"), F.lit(0)).cast("double") + kk) / denom_t
+    ratio = F.log(p_t) - F.log(p_r)
+    joined = (
+        doc_counts.join(F.broadcast(raw_counts), "bucket", "left")
+        .join(F.broadcast(t_counts), "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(t_tot))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            F.sum(F.col("_c").cast("double") * ratio).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_feats"),
+            F.round(F.col("_s"), decimals).alias("log_weight"),
+            F.round(
+                F.col("_s") / F.col("n_feats").cast("double"), decimals
+            ).alias("avg_log_ratio"),
+        )
+    )
