@@ -168,6 +168,18 @@ HEADLINE = [
     "p110_bpe_learn",
     "p111_bpe_segment",
     "p112_gopher_rules",
+    # round-11 additions (earlier entries unchanged for comparability):
+    # the late-round-10 five + this round's chunk-dedup family and DSIR
+    "p113_psi_drift",
+    "p114_kcenter_coreset",
+    "p115_canary_scan",
+    "p116_ks_drift",
+    "p117_cdc_chunks",
+    "p118_chunk_dedup",
+    "p119_chunk_decontaminate",
+    "p120_dsir_weights",
+    "p121_kcenter_2pass",
+    "p122_semdedup_sampled_fit",
 ]
 
 

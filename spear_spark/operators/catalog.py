@@ -4998,3 +4998,142 @@ def p120_dsir_weights(spark: SparkSession, sf_dir: str) -> SDF:
     return dsir_weights(
         docs, target, "text", "doc_id", n_buckets=4096, k=1.0
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p121 — 2-pass k-center coreset (operators.similarity.
+# kcenter_coreset_2pass): the scale composition for k beyond the
+# literal-plan ceiling — pass 1 is p77's convergence-terminated Lloyd
+# fit (stop round pinned, same assert discipline), pass 2 the exact
+# greedy k-center traversal over the 8-row centroid table.  The oracle
+# composes the two certified replays: the p77 Lloyd unroll produces
+# cents{R}, then p114's selection-round unroll runs over that bounded
+# relation (ci is the selected "vec_id").
+# ---------------------------------------------------------------------------
+_P121_K = 4
+
+
+def _p121_oracle(k: int = _P121_K, rounds: int = _P77_STOP_ROUND) -> str:
+    head = """
+    WITH cents0 AS (
+      SELECT CAST(ce AS DOUBLE[]) AS ce,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci FROM
+        (SELECT vec_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8) c0)"""
+    body = "".join(
+        _p77_lloyd_round(i, f"cents{i - 1}") for i in range(1, rounds + 1)
+    )
+    cf = f"cents{rounds}"
+    parts = [f""",
+    kc0 AS (SELECT ci, ce FROM {cf} ORDER BY ci LIMIT 1)"""]
+    for r in range(1, k):
+        parts.append(f""",
+    kdd{r} AS (
+      SELECT f.ci AS vid, c.ci AS cid,
+             ROUND(SUM((f.ce[i] - c.ce[i]) * (f.ce[i] - c.ce[i])), 6) AS dd
+      FROM {cf} f CROSS JOIN kc{r - 1} c CROSS JOIN range(1, 65) r(i)
+      GROUP BY f.ci, c.ci),
+    kmind{r} AS (SELECT vid, MIN(dd) AS d FROM kdd{r} GROUP BY vid),
+    kpick{r} AS (SELECT vid, d FROM kmind{r} ORDER BY d DESC, vid LIMIT 1),
+    kc{r} AS (
+      SELECT ci, ce FROM kc{r - 1}
+      UNION ALL
+      SELECT p.vid, f.ce FROM kpick{r} p JOIN {cf} f ON f.ci = p.vid)""")
+    sel = " UNION ALL ".join(
+        ["SELECT 0 AS sel_round, ci AS vec_id, 0.0 AS d2 FROM kc0"]
+        + [f"SELECT {r}, vid, d FROM kpick{r}" for r in range(1, k)]
+    )
+    tail = f"""
+    SELECT CAST(sel_round AS INTEGER) AS sel_round,
+           CAST(vec_id AS BIGINT) AS vec_id, d2
+    FROM ({sel}) ORDER BY sel_round"""
+    return head + body + "".join(parts) + tail
+
+
+@q("p121_kcenter_2pass", _p121_oracle())
+def p121_kcenter_2pass(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    info: dict = {}
+    out = similarity.kcenter_coreset_2pass(
+        emb, "embedding", "vec_id", k=_P121_K, n_cells=8, tol=0.3,
+        max_iters=10, info=info,
+    ).orderBy("sel_round")
+    assert info["iterations"] == _P77_STOP_ROUND, (
+        f"p121: Lloyd converged in {info['iterations']} rounds, oracle "
+        f"unrolls {_P77_STOP_ROUND} (drifts {info.get('drifts')})"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# p122 — sampled-fit SemDeDup (operators.dedup.semdedup with fit_on):
+# the paper's deployment shape driver-certified — Lloyd fits on the
+# deterministic even-id HALF of the corpus, assignment + exact-cosine
+# verify cover ALL of it.  The oracle re-parameterizes the p77 Lloyd
+# unroll with the fit slice (seeds = 8 lowest even ids, every round's
+# assign/means over the slice) and keeps p109's full-corpus
+# assignment + within-cell pair rule.
+# ---------------------------------------------------------------------------
+def _p122_lloyd_round(i: int, prev: str) -> str:
+    return f""",
+    dist{i} AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM fit e CROSS JOIN {prev} c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    asg{i} AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM dist{i}) t WHERE rn = 1),
+    dm{i} AS (
+      SELECT a.cell, r.i, ROUND(AVG(CAST(e.embedding[i] AS DOUBLE)), 6) AS m
+      FROM fit e JOIN asg{i} a ON a.vec_id = e.vec_id
+      CROSS JOIN range(1, 65) r(i)
+      GROUP BY a.cell, r.i),
+    m{i} AS (SELECT cell, array_agg(m ORDER BY i) AS ce FROM dm{i} GROUP BY cell),
+    cents{i} AS (SELECT p.ci, CAST(COALESCE(m.ce, p.ce) AS DOUBLE[]) AS ce
+                 FROM {prev} p LEFT JOIN m{i} m ON m.cell = p.ci)"""
+
+
+def _p122_oracle(rounds: int = _P77_STOP_ROUND) -> str:
+    head = """
+    WITH fit AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    cents0 AS (
+      SELECT CAST(ce AS DOUBLE[]) AS ce,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci FROM
+        (SELECT vec_id, embedding AS ce FROM fit ORDER BY vec_id LIMIT 8) c0)"""
+    body = "".join(
+        _p122_lloyd_round(i, f"cents{i - 1}") for i in range(1, rounds + 1)
+    )
+    tail = f""",
+    distF AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM embeddings e CROSS JOIN cents{rounds} c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    asgF AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM distF) t WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_COS} AS cos
+      FROM embeddings a, asgF sa, embeddings b, asgF sb, range(1, 65) r(i)
+      WHERE sa.vec_id = a.vec_id AND sb.vec_id = b.vec_id
+        AND sa.cell = sb.cell AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT vb AS drop_id, MIN(va) AS keep_id
+    FROM pairs WHERE cos >= {_P109_THRESHOLD}
+    GROUP BY vb ORDER BY drop_id"""
+    return head + body + tail
+
+
+@q("p122_semdedup_sampled_fit", _p122_oracle())
+def p122_semdedup_sampled_fit(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = emb.filter(F.col("vec_id") % 2 == 0)
+    info: dict = {}
+    out = dedup.semdedup(
+        emb, "embedding", "vec_id",
+        k=8, threshold=_P109_THRESHOLD, tol=0.3, max_iters=10,
+        fit_on=fit, info=info,
+    ).orderBy("drop_id")
+    assert info["iterations"] == _P77_STOP_ROUND, (
+        f"p122: Lloyd converged in {info['iterations']} rounds, oracle "
+        f"unrolls {_P77_STOP_ROUND} (drifts {info.get('drifts')})"
+    )
+    return out
