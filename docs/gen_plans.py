@@ -62,6 +62,13 @@ PICKS = [
     "p104_source_jsd",
     "p105_curriculum_order",
     "p106_dup_cluster_profile",
+    # round-11 additions
+    "p113_psi_drift",
+    "p116_ks_drift",
+    "p117_cdc_chunks",
+    "p118_chunk_dedup",
+    "p119_chunk_decontaminate",
+    "p120_dsir_weights",
 ]
 
 HEADER = """# PLANS — executed physical plans (post-AQE) for headline queries

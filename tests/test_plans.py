@@ -569,3 +569,69 @@ def test_mad_outliers_approx_broadcasts_and_avoids_sortmerge(spark, sf_dir):
     plan = executed_plan(out)
     assert has_broadcast_join(plan)
     assert not has_sort_merge_join(plan), plan
+
+
+def test_chunk_dedup_report_two_phase_no_cartesian_no_python(spark, sf_dir):
+    """p118: the ownership table is a partial-aggregated (two-phase)
+    MIN on chunk_hash, the report a partial-aggregated per-doc tally;
+    no CartesianProduct, no Python anywhere (the chunking is the same
+    pure-Column projection p117 pins)."""
+    from spear_spark.operators.dedup import chunk_dedup_report
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_dedup_report(docs, "text", "doc_id", modulus=16)
+    plan = executed_plan(out)
+    assert has_partial_aggregation(plan)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_decontaminate_broadcasts_bench_side(spark, sf_dir):
+    """p119: the benchmark chunk table (tiny by design) must broadcast
+    into the hash-equality join — the corpus is scanned once with the
+    ONLY shuffle being the final bounded (doc, bench) pair tally."""
+    from spear_spark.operators.dedup import chunk_decontaminate
+    from spear_spark.plans import (
+        exchange_record_counts,
+        executed_plan,
+        has_broadcast_join,
+        has_sort_merge_join,
+    )
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    out = chunk_decontaminate(docs, bench, "text", "doc_id", min_tokens=3)
+    plan = executed_plan(out)
+    assert has_broadcast_join(plan)
+    assert not has_sort_merge_join(plan)
+    # exactly the pair-tally exchange carries data (partial-aggregated),
+    # plus AQE's final single-partition read; no corpus-sized shuffle
+    counts = exchange_record_counts(out)
+    n_pairs = out.count()
+    assert all(c <= max(n_pairs * 2, 64) for c in counts), counts
+
+
+def test_dsir_bucket_tables_broadcast_not_sortmerge(spark, sf_dir):
+    """p120: every bucket-statistics table is geometry-bounded at
+    n_buckets rows and must come back as a broadcast join; the only
+    sort-merge-eligible key would be the (doc, bucket) table and
+    nothing may plan it as SMJ."""
+    from spear_spark.operators.relevance import dsir_weights
+    from spear_spark.plans import (
+        executed_plan,
+        has_broadcast_join,
+        has_partial_aggregation,
+        has_sort_merge_join,
+    )
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_weights(docs, target, "text", "doc_id", n_buckets=4096)
+    plan = executed_plan(out)
+    assert has_broadcast_join(plan)
+    assert not has_sort_merge_join(plan)
+    assert has_partial_aggregation(plan)
