@@ -180,6 +180,7 @@ HEADLINE = [
     "p120_dsir_weights",
     "p121_kcenter_2pass",
     "p122_semdedup_sampled_fit",
+    "p123_dsir_sample",
 ]
 
 

@@ -5137,3 +5137,69 @@ def p122_semdedup_sampled_fit(spark: SparkSession, sf_dir: str) -> SDF:
         f"unrolls {_P77_STOP_ROUND} (drifts {info.get('drifts')})"
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# p123 — DSIR resampling (operators.sampling.gumbel_topk_sample over
+# p120's weights): the Gumbel-top-k selection step that completes the
+# published pipeline — 50 docs sampled without replacement ∝
+# exp(log_weight), keys never leaving log space (log_weight spans
+# hundreds of nats; exp would under/overflow priority_sample's w/u
+# scheme).  Same md5/2^52 uniform as the sampling family, so the
+# selected SET is a pure function of (seed, doc_id) — engine-
+# replayable; the oracle re-derives the weights (p120's CTE) and the
+# identical Gumbel keys.
+# ---------------------------------------------------------------------------
+_P123_K = 50
+
+
+@q(
+    "p123_dsir_sample",
+    rf"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    f AS (SELECT doc_id, lang,
+                 unnest(list_concat(t, [t[i] || ' ' || t[i+1]
+                        for i in generate_series(1, len(t) - 1)])) AS f
+          FROM toks),
+    fb AS (SELECT doc_id, lang,
+                  ('0x'||substr(md5(f),1,8))::BIGINT % 4096 AS b FROM f),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM fb GROUP BY 1, 2),
+    rc AS (SELECT b, COUNT(*) AS rc FROM fb GROUP BY b),
+    rt AS (SELECT COUNT(*) AS rn FROM fb),
+    tc AS (SELECT b, COUNT(*) AS tc FROM fb WHERE lang = 'en' GROUP BY b),
+    tt AS (SELECT COUNT(*) AS tn FROM fb WHERE lang = 'en'),
+    terms AS (
+      SELECT dc.doc_id, dc.c,
+             ln((COALESCE(tc.tc, 0) + 1.0) / (tt.tn + 1.0 * 4096))
+             - ln((rc.rc + 1.0) / (rt.rn + 1.0 * 4096)) AS lr
+      FROM dc JOIN rc USING (b) LEFT JOIN tc USING (b)
+              CROSS JOIN rt CROSS JOIN tt),
+    dsir AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+             ROUND(SUM(c * lr), 6) AS log_weight,
+             ROUND(SUM(c * lr) / SUM(c), 6) AS avg_log_ratio
+      FROM terms GROUP BY doc_id),
+    -- the key feeds the ROUNDED log_weight (the column the Spark side
+    -- selects on): rounding absorbs the sum's association noise, so
+    -- identical doubles feed identical ln chains in both engines
+    gk AS (
+      SELECT doc_id, n_feats, log_weight, avg_log_ratio,
+             log_weight - ln(-ln(
+               (('0x'||substr(md5('42_'||CAST(doc_id AS VARCHAR)),1,13))::BIGINT
+                + 1) / 4503599627370496.0)) AS g
+      FROM dsir)
+    SELECT doc_id, n_feats, log_weight, avg_log_ratio,
+           ROUND(g, 6) AS gumbel_key
+    FROM gk ORDER BY g DESC, doc_id LIMIT {_P123_K}
+    """,
+)
+def p123_dsir_sample(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.relevance import dsir_weights
+    from spear_spark.operators.sampling import gumbel_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, "text", "doc_id", n_buckets=4096, k=1.0)
+    return gumbel_topk_sample(w, "doc_id", "log_weight", k=_P123_K).orderBy(
+        F.desc("gumbel_key"), "doc_id"
+    )

@@ -164,6 +164,58 @@ def priority_sample(
     return picked.withColumn("priority", F.round(F.col("_pri"), 6)).drop("_pri")
 
 
+def gumbel_topk_sample(
+    df: DataFrame,
+    key_col: str,
+    logw_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted-without-replacement sampling from LOG-weights via the
+    Gumbel-top-k trick (Vieira 2014; the resampling step of DSIR, Xie
+    et al. 2023): each row gets key ``g = logw − ln(−ln u)`` with u
+    uniform in (0, 1], and the k highest keys are a without-replacement
+    sample ∝ exp(logw).  This is :func:`priority_sample`'s twin for
+    the log domain — DSIR's ``log_weight`` spans hundreds of nats, so
+    ``exp(logw)`` under/overflows and the w/u scheme cannot be used;
+    the Gumbel key never leaves log space.
+
+    Same determinism recipe as the sampling family: u = (md5-derived
+    52-bit int + 1) / 2^52, a pure function of (seed, key), so the
+    sample is partition-independent and engine-replayable.  The one
+    FP caveat vs priority_sample: ``ln`` is correctly-rounded-to-1-ulp
+    (not exact), so two engines could in principle order two keys
+    within 1 ulp of each other differently — with continuous 52-bit
+    Gumbels the boundary-tie probability is negligible, the same
+    epsilon class as every rounded-double ranking in the repo.  Ties
+    break on the key column.
+
+    Scale: the key is a stateless projection; global top-k plans as
+    per-partition heaps + single merge (TakeOrderedAndProject), the
+    grouped variant as a bounded window top-k.  Returns the sampled
+    rows plus ``gumbel_key`` (rounded for display; selection uses the
+    un-rounded value)."""
+    h52 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed), F.col(key_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h52 + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    g = F.col(logw_col).cast("double") - F.log(-F.log(u))
+    scored = df.withColumn("_g", g)
+    if group_col is None:
+        picked = scored.orderBy(F.desc("_g"), F.col(key_col)).limit(k)
+    else:
+        w = Window.partitionBy(group_col).orderBy(F.desc("_g"), F.col(key_col))
+        picked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        ).drop("_rn")
+    return picked.withColumn("gumbel_key", F.round(F.col("_g"), 6)).drop("_g")
+
+
 def leakage_safe_split(
     df: DataFrame,
     text_col: str,

@@ -1036,6 +1036,77 @@ class TestPrioritySample:
         assert all(r.n <= 5 for r in sizes.collect())
 
 
+class TestGumbelTopkSample:
+    """Laws for log-domain weighted sampling (sampling.
+    gumbel_topk_sample, the DSIR resampling step)."""
+
+    def test_matches_python_replay_and_partition_invariant(self, spark):
+        import hashlib
+        import math
+
+        from spear_spark.operators.sampling import gumbel_topk_sample
+
+        rows = [(i, float(-300 + 7 * i)) for i in range(200)]  # log weights
+        df = spark.createDataFrame(rows, "doc_id long, logw double")
+
+        def key(i, lw, seed=42):
+            h = int(
+                hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:13], 16
+            )
+            u = (h + 1) / float(1 << 52)
+            return lw - math.log(-math.log(u))
+
+        want = sorted(
+            ((key(i, lw), i) for i, lw in rows), key=lambda t: (-t[0], t[1])
+        )[:20]
+        got = [
+            (r.doc_id, r.gumbel_key)
+            for r in gumbel_topk_sample(df, "doc_id", "logw", k=20)
+            .orderBy(F.desc("gumbel_key"), "doc_id")
+            .collect()
+        ]
+        assert [i for _, i in want] == [i for i, _ in got]
+        for (wk, _), (_, gk) in zip(want, got):
+            assert abs(gk - round(wk, 6)) <= 1e-6
+        rep = [
+            (r.doc_id, r.gumbel_key)
+            for r in gumbel_topk_sample(df.repartition(13), "doc_id", "logw", k=20)
+            .orderBy(F.desc("gumbel_key"), "doc_id")
+            .collect()
+        ]
+        assert rep == got
+
+    def test_log_weight_bias_without_overflow(self, spark):
+        """The reason this exists: log weights spanning hundreds of
+        nats (where exp() under/overflows the w/u scheme) still bias
+        selection — a planted +500-nat doc is always selected, and
+        heavier halves dominate the sample."""
+        from spear_spark.operators.sampling import gumbel_topk_sample
+
+        rows = [(i, -400.0 + (i % 100) * 0.5) for i in range(1000)]
+        rows.append((5000, 100.0))  # dominant log-weight
+        df = spark.createDataFrame(rows, "doc_id long, logw double")
+        picked = {
+            r.doc_id
+            for r in gumbel_topk_sample(df, "doc_id", "logw", k=50).collect()
+        }
+        assert 5000 in picked
+        heavy = df.filter(F.col("logw") >= -375.0).count()
+        got_heavy = sum(
+            1 for r in rows if r[0] in picked and r[1] >= -375.0
+        )
+        assert got_heavy > 50 * heavy / 1001  # overrepresented vs uniform
+
+    def test_grouped_variant_bounded(self, spark):
+        from spear_spark.operators.sampling import gumbel_topk_sample
+
+        rows = [(i, float(i % 7), f"g{i % 3}") for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, logw double, g string")
+        samp = gumbel_topk_sample(df, "doc_id", "logw", k=4, group_col="g")
+        sizes = samp.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        assert all(r.n == 4 for r in sizes.collect())
+
+
 class TestRepetitionTypicality:
     def test_repetition_known_doc(self, spark):
         """Hand-built doc: 'a a a b' -> top_tok 3/4, dup (4-2)/4,
