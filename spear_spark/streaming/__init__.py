@@ -744,6 +744,145 @@ def novel_grams_stream(
     )
 
 
+CHUNK_DEDUP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("n_chunks", LongType()),
+        StructField("n_dup_chunks", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("dup_tokens", LongType()),
+    ]
+)
+_CHUNK_DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(StringType())),
+        StructField("owners", ArrayType(LongType())),
+    ]
+)
+
+
+def chunk_dedup_stream(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    modulus: int = 16,
+    buckets: int = 64,
+) -> DataFrame:
+    """Streaming chunk-level dedup tracker — the continuous producer
+    for :func:`spear_spark.operators.dedup.chunk_dedup_report`'s
+    question ("how much of each arriving doc duplicates earlier
+    content, at chunk granularity?") without re-scanning the corpus
+    per batch: each arriving doc is CDC-chunked with the exact batch
+    rule (:func:`~spear_spark.operators.text.cdc_chunks`, a
+    stream-safe pure projection), chunk hashes shard over ``buckets``
+    via ``pmod(h64(hash))``, and each shard's
+    ``applyInPandasWithState`` state maps every chunk hash it has
+    ever seen to the MINIMUM owner doc id.  Every batch emits
+    (doc_id, bucket, n_chunks, n_dup_chunks, n_tokens, dup_tokens) —
+    a chunk occurrence counts as duplicated iff its hash's owner
+    (across all earlier batches, or a lower-id doc of the same batch)
+    is a LOWER id, the exact batch min-id keep rule.  Summing over
+    buckets per doc reproduces :func:`chunk_dedup_report` EXACTLY
+    when batches arrive in id order (the backfill drain shape;
+    equivalence-tested file-for-file) — the re-crawled page pages the
+    monitor the moment it arrives, instead of at the next corpus
+    sweep.
+
+    State design for scale: the hash→owner map is CHUNK-VOCABULARY
+    bounded (what any exact first-owner tracker must pay — the
+    streaming Bloom state is the lossy fallback, turning dup shares
+    into deterministic UNDERcounts), sharded evenly over ``buckets``
+    keys so no single state row holds the map; state stores the full
+    md5 string, not a re-hash, so stream and batch can never disagree
+    via a second-level collision.  Replayed doc ids re-emit their
+    rows (owners are MINs, so state is unharmed) — use the
+    :func:`write_batches_idempotent` sink pattern."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spear_spark.operators.dedup import h64
+    from spear_spark.operators.text import cdc_chunks
+
+    id_type = {f.name: f.dataType.typeName() for f in docs.schema.fields}.get(
+        id_col
+    )
+    if id_type not in {"byte", "short", "integer", "long"}:
+        raise TypeError(
+            f"chunk_dedup_stream requires an integral id column; "
+            f"{id_col!r} has type {id_type!r} — re-key to long first"
+        )
+    chunks = cdc_chunks(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)),
+        text_col,
+        "doc_id",
+        modulus=modulus,
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "chunk_hash",
+        F.pmod(h64(F.col("chunk_hash")), F.lit(buckets)).cast("long").alias(
+            "bucket"
+        ),
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st_h, st_o = state.get
+            owner = {h: int(o) for h, o in zip(st_h, st_o)}
+        else:
+            owner = {}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            import numpy as np
+
+            batch_min = pdf.groupby("chunk_hash")["doc_id"].min()
+            bm = batch_min.loc[pdf["chunk_hash"]].to_numpy(dtype="float64")
+            prior = (
+                pdf["chunk_hash"].map(owner).to_numpy(dtype="float64")
+            )  # NaN where unseen
+            eff = np.fmin(np.nan_to_num(prior, nan=np.inf), bm)
+            dup = eff < pdf["doc_id"].to_numpy(dtype="float64")
+            nt = pdf["n_tokens"].astype("int64")
+            out = (
+                pdf.assign(
+                    _dup=dup.astype("int64"),
+                    _nt=nt,
+                    _dt=nt.where(dup, 0),
+                )
+                .groupby("doc_id", as_index=False)
+                .agg(
+                    n_chunks=("chunk_hash", "size"),
+                    n_dup_chunks=("_dup", "sum"),
+                    n_tokens=("_nt", "sum"),
+                    dup_tokens=("_dt", "sum"),
+                )
+            )
+            for h, d in batch_min.items():
+                o = owner.get(h)
+                owner[h] = int(d) if o is None else min(o, int(d))
+            state.update((list(owner.keys()), [int(v) for v in owner.values()]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"].astype("int64"),
+                    "bucket": key[0],
+                    "n_chunks": out["n_chunks"].astype("int64"),
+                    "n_dup_chunks": out["n_dup_chunks"].astype("int64"),
+                    "n_tokens": out["n_tokens"].astype("int64"),
+                    "dup_tokens": out["dup_tokens"].astype("int64"),
+                }
+            )
+
+    return chunks.groupBy("bucket").applyInPandasWithState(
+        update,
+        CHUNK_DEDUP_SCHEMA,
+        _CHUNK_DEDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def daily_token_counts_stream(
     docs: DataFrame,
     text_col: str,

@@ -888,6 +888,71 @@ def test_semdedup_stream_zero_norm_raises(spark, tmp_path):
         q.awaitTermination()
 
 
+def test_chunk_dedup_stream_matches_batch_report(spark, sf_dir, tmp_path):
+    """Drained streaming chunk-dedup (summed over buckets per doc)
+    equals dedup.chunk_dedup_report row-for-row when batches arrive in
+    id order (the backfill drain shape): file 1 = docs below the
+    median id, file 2 = the rest, maxFilesPerTrigger=1, so a
+    cross-batch duplicated chunk must be caught by the hash→min-owner
+    state."""
+    import os
+    import time
+
+    from spear_spark.operators.dedup import chunk_dedup_report
+    from spear_spark.streaming import chunk_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    want = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.n_tokens, r.dup_tokens)
+        for r in chunk_dedup_report(docs, "text", "doc_id", modulus=16).collect()
+    }
+    assert any(v[1] > 0 for v in want.values()), "fixture has no chunk dups"
+
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+    docs.filter(F.col("doc_id") < mid).toPandas().to_parquet(f1)
+    time.sleep(1.1)  # FileStreamSource orders batches by mod time
+    docs.filter(F.col("doc_id") >= mid).toPandas().to_parquet(f2)
+    os.utime(f2)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = chunk_dedup_stream(stream, "text", "doc_id", modulus=16, buckets=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunk_dedup_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got: dict = {}
+    for r in spark.table("chunk_dedup_stream_test").collect():
+        c = got.setdefault(r.doc_id, [0, 0, 0, 0])
+        c[0] += r.n_chunks
+        c[1] += r.n_dup_chunks
+        c[2] += r.n_tokens
+        c[3] += r.dup_tokens
+    assert {k: tuple(v) for k, v in got.items()} == want
+
+
+def test_chunk_dedup_stream_rejects_string_ids(spark, sf_dir):
+    import pytest
+
+    from spear_spark.streaming import chunk_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        chunk_dedup_stream(docs, "text", "doc_id")
+
+
 def test_novel_grams_stream_rejects_string_ids(spark, sf_dir):
     import pytest
 
