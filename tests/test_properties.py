@@ -941,3 +941,92 @@ def test_ks_vs_reference_matches_python_replay(spark, grp, ref):
     assert set(got) == set(want)
     for g in want:
         assert abs(got[g] - want[g]) <= 1e-6, (g, got[g], want[g])
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=0, max_size=25),
+    min_size=1, max_size=8,
+), st.sampled_from([1, 2, 4, 8]))
+def test_chunk_dedup_report_matches_python_replay(spark, docs, modulus):
+    """chunk_dedup_report == the pure-Python chunk+min-owner replay
+    for any small corpus: heavy cross-doc repetition (5-word alphabet
+    forces shared chunks), within-doc repeats, empty docs."""
+    import hashlib
+
+    from spear_spark.operators.dedup import chunk_dedup_report
+
+    data = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    chunks = []  # (doc_id, n_tokens, hash)
+    for i, text in data:
+        toks = text.strip().lower().split()
+        if not toks:
+            continue
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        cuts = [j for j in range(1, len(toks) + 1) if hs[j - 1] % modulus == 0]
+        if not cuts or cuts[-1] != len(toks):
+            cuts.append(len(toks))
+        start = 0
+        for e in cuts:
+            ch = " ".join(toks[start:e])
+            chunks.append((i, e - start, hashlib.md5(ch.encode()).hexdigest()))
+            start = e
+    first: dict = {}
+    for did, _, h in chunks:
+        first[h] = min(first.get(h, did), did)
+    want: dict = {}
+    for did, nt, h in chunks:
+        w = want.setdefault(did, [0, 0, 0, 0])
+        dup = first[h] < did
+        w[0] += 1
+        w[1] += 1 if dup else 0
+        w[2] += nt
+        w[3] += nt if dup else 0
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.n_tokens, r.dup_tokens,
+                   r.dup_token_share)
+        for r in chunk_dedup_report(df, "text", "doc_id", modulus=modulus).collect()
+    }
+    assert set(got) == set(want)
+    for did, (nc, nd, nt, dt) in want.items():
+        assert got[did] == (nc, nd, nt, dt, round(dt / nt, 6)), (did, modulus)
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.floats(-1000.0, 1000.0, allow_nan=False), min_size=1,
+             max_size=40, unique=True),
+    st.integers(1, 10),
+    st.integers(0, 5),
+)
+def test_gumbel_topk_matches_python_replay(spark, logws, k, seed):
+    """gumbel_topk_sample == the pure-Python md5→uniform→Gumbel key
+    replay for any log-weights (huge spans, negatives, k > n), any
+    seed."""
+    import hashlib
+    import math
+
+    from spear_spark.operators.sampling import gumbel_topk_sample
+
+    rows = [(i, lw) for i, lw in enumerate(logws)]
+    df = spark.createDataFrame(rows, "doc_id long, logw double")
+
+    def key(i, lw):
+        h = int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:13], 16)
+        u = (h + 1) / float(1 << 52)
+        return lw - math.log(-math.log(u))
+
+    want = sorted(((key(i, lw), i) for i, lw in rows),
+                  key=lambda t: (-t[0], t[1]))[:k]
+    got = [
+        (r.doc_id, r.gumbel_key)
+        for r in gumbel_topk_sample(df, "doc_id", "logw", k=k, seed=seed)
+        .orderBy(F.desc("gumbel_key"), "doc_id").collect()
+    ]
+    assert [i for _, i in want] == [i for i, _ in got]
+    for (wk, _), (_, gk) in zip(want, got):
+        assert abs(gk - round(wk, 6)) <= 1e-6
