@@ -181,6 +181,8 @@ HEADLINE = [
     "p121_kcenter_2pass",
     "p122_semdedup_sampled_fit",
     "p123_dsir_sample",
+    "p124_embedding_gram",
+    "p125_boilerplate_chunks",
 ]
 
 

@@ -5203,3 +5203,70 @@ def p123_dsir_sample(spark: SparkSession, sf_dir: str) -> SDF:
     return gumbel_topk_sample(w, "doc_id", "log_weight", k=_P123_K).orderBy(
         F.desc("gumbel_key"), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# p124 — exact embedding Gram/covariance (operators.similarity.
+# embedding_gram_exact): vectors quantized to integer micro-units so
+# Σ qi·qj is an associative-commutative int64 sum — bit-identical at
+# any parallelism and in any engine (the srp_signature_exact device
+# applied to second moments).  One Arrow-batched mapInPandas matmul
+# per batch emits <= dim(dim+1)/2 + dim partial rows; a bounded
+# two-phase SUM merges.  The input every PCA/whitening/drift pass
+# needs; p124's table feeds the law-tested pca_project.
+# ---------------------------------------------------------------------------
+@q(
+    "p124_embedding_gram",
+    """
+    WITH q AS (SELECT vec_id,
+                      [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                       for e in embedding] AS qv
+               FROM embeddings),
+    cells AS (SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+                     CAST(SUM(qv[i.i + 1] * qv[j.j + 1]) AS BIGINT) AS gram_q
+              FROM q, range(0, 64) i(i), range(0, 64) j(j)
+              WHERE i.i <= j.j GROUP BY 1, 2),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    s AS (SELECT i.i AS i, CAST(SUM(qv[i.i + 1]) AS BIGINT) AS s
+          FROM q, range(0, 64) i(i) GROUP BY 1)
+    SELECT c.i, c.j, c.gram_q, nn.n,
+           ROUND((CAST(c.gram_q AS DOUBLE) / nn.n
+                  - (CAST(si.s AS DOUBLE) / nn.n) * (CAST(sj.s AS DOUBLE) / nn.n))
+                 / (1000000.0 * 1000000.0), 6) + 0.0 AS cov
+    FROM cells c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j CROSS JOIN nn
+    ORDER BY c.i, c.j
+    """,
+)
+def p124_embedding_gram(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_gram_exact(emb, "embedding", dim=64).orderBy(
+        "i", "j"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p125 — boilerplate chunk profile (operators.dedup.boilerplate_chunks):
+# the top-20 most widespread >=3-token CDC chunks with doc/occurrence
+# tallies and the first owning doc — names the template text a curator
+# should kill at the source.  One Exchange-free chunking + one
+# two-phase hash aggregate + a TakeOrdered heap.
+# ---------------------------------------------------------------------------
+@q(
+    "p125_boilerplate_chunks",
+    f"""
+    WITH {_cdc_chunk_cte('', 'documents')}
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MAX(n_tokens) AS n_tokens,
+           MIN(doc_id) AS first_doc
+    FROM ch WHERE n_tokens >= 3
+    GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash LIMIT 20
+    """,
+)
+def p125_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.boilerplate_chunks(
+        docs, "text", "doc_id", modulus=16, min_tokens=3, min_docs=2, top=20
+    )

@@ -1860,3 +1860,52 @@ def chunk_decontaminate(
             F.sum("n_tokens").alias("shared_tokens"),
         )
     )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    modulus: int = 16,
+    min_tokens: int = 3,
+    min_docs: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Template/boilerplate detector at chunk granularity: the ``top``
+    most WIDESPREAD content-defined chunks — ``(chunk_hash, n_docs,
+    n_occurrences, n_tokens, first_doc)`` for chunks appearing in at
+    least ``min_docs`` distinct documents — the "which exact passage
+    is stamped on half the crawl?" readout that tells a curator to
+    kill a boilerplate SOURCE (cookie banners, nav footers, license
+    headers) rather than dedup its victims one pair at a time.
+    :func:`dup_cluster_profile` answers this structurally at document
+    grain; this names the offending text itself (join ``first_doc``
+    back for the passage).  Chunks under ``min_tokens`` are dropped
+    (a 1-token chunk is a stopword, not a template).
+
+    Scale shape: the chunking is the Exchange-free p117 projection;
+    the tally is ONE two-phase aggregate on chunk_hash (count +
+    count-distinct-doc via two-level aggregate) and the top-``top``
+    is a TakeOrderedAndProject heap — no posting lists, no joins.
+    Validate ``top`` (bounded heap per task — the bpe_learn lesson)."""
+    from spear_spark.operators.text import cdc_chunks
+
+    if not 1 <= int(top) <= 100_000:
+        raise ValueError("boilerplate_chunks: top must be in [1, 100000]")
+    chunks = cdc_chunks(df, text_col, id_col, modulus=modulus).filter(
+        F.col("n_tokens") >= int(min_tokens)
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.col("chunk_hash")
+        )
+        .limit(int(top))
+    )

@@ -892,3 +892,176 @@ def kcenter_coreset_2pass(
         "cent_id long, centroid array<double>",
     )
     return kcenter_coreset(cent, "centroid", "cent_id", k=k, decimals=decimals)
+
+
+def embedding_gram_exact(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT Gram/covariance statistics of an embedding column — the
+    input every classical dim-reduction (PCA whitening before IVF,
+    the Abbas et al. SemDeDup preprocessing) and drift monitor needs:
+    vectors are quantized to integer micro-units (``floor(x·scale +
+    0.5)``, the :func:`srp_signature_exact` device), so Σ xᵢ·xⱼ is an
+    associative-commutative int64 sum — bit-identical at any
+    parallelism and in any engine, no FP-association tolerance
+    anywhere.  Emits the upper triangle ``(i, j, gram_q, n, cov)``
+    with ``gram_q = Σ q_i·q_j`` (quantized units), ``n`` the vector
+    count, and ``cov`` the derived covariance in ORIGINAL units
+    (rounded): cov = (gram_q/n − (Σq_i/n)·(Σq_j/n)) / scale².
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass computes each
+    batch's int64 Gram partial as a single numpy matmul (Xᵀ·X — BLAS
+    on integers per batch, emitted as ≤ dim·(dim+1)/2 + dim rows per
+    batch), then ONE bounded two-phase SUM on (i, j): the exchange
+    carries partials-per-batch, never vectors.  int64 headroom:
+    |q| ≤ scale, so n·scale² must stay < 2⁶³ — at scale=10⁶ that is
+    ~9.2·10⁶ billion-unit products per cell, i.e. ~9 trillion rows;
+    shard and merge (the sketch posture) beyond that.  Rows with NULL
+    or wrong-length vectors are rejected loudly inside the worker
+    (a silent skip would bias every moment)."""
+    import numpy as np
+    import pandas as pd
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = pdf[vec_col].tolist()
+            for v in vecs:
+                if v is None or len(v) != dim:
+                    raise ValueError(
+                        f"embedding_gram_exact: vector is NULL or not "
+                        f"dim={dim} — clean upstream"
+                    )
+            x = np.asarray(vecs, dtype=np.float64)
+            q = np.floor(x * float(scale) + 0.5).astype(np.int64)
+            g = q.T @ q  # exact int64 matmul
+            s = q.sum(axis=0, dtype=np.int64)
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(dim)]).astype("int32"),
+                    "j": np.concatenate([ju, np.full(dim, -1)]).astype("int32"),
+                    "v": np.concatenate([g[iu, ju], s]).astype("int64"),
+                    "n": np.int64(len(pdf)),
+                }
+            )
+
+    parts = df.select(F.col(vec_col)).mapInPandas(
+        gram_partials, "i int, j int, v long, n long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("v").alias("_v"), F.sum("n").alias("_n")
+    )
+    sums = agg.filter(F.col("j") == -1).select(
+        F.col("i").alias("_si"), F.col("_v").alias("_s")
+    )
+    tot = agg.filter(F.col("j") == -1).agg(F.max("_n").alias("n"))
+    gram = (
+        agg.filter(F.col("j") >= 0)
+        .join(F.broadcast(sums), F.col("i") == F.col("_si"))
+        .drop("_si")
+        .withColumnRenamed("_s", "_si_sum")
+        .join(F.broadcast(sums), F.col("j") == F.col("_si"))
+        .drop("_si")
+        .withColumnRenamed("_s", "_sj_sum")
+        .crossJoin(F.broadcast(tot))
+    )
+    sc2 = float(scale) * float(scale)
+    cov = (
+        F.col("_v").cast("double") / F.col("n")
+        - (F.col("_si_sum").cast("double") / F.col("n"))
+        * (F.col("_sj_sum").cast("double") / F.col("n"))
+    ) / F.lit(sc2)
+    return gram.select(
+        "i",
+        "j",
+        F.col("_v").alias("gram_q"),
+        "n",
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a near-zero covariance
+        # rounds to a SIGNED zero whose sign depends on the engine's
+        # round implementation — the p77 printf convention)
+        (F.round(cov, decimals) + F.lit(0.0)).alias("cov"),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components —
+    the classical dim-reduction pass in front of IVF/k-means at scale
+    (shorter vectors: cheaper distance math, denser cells).  The
+    covariance comes from :func:`embedding_gram_exact` (bit-exact
+    int64 Gram), the eigendecomposition runs ON THE DRIVER over the
+    dim×dim matrix (bounded state — the k-means-centroid collect
+    regime, dim² doubles regardless of corpus size), and the
+    projection is a pure-Column ``aggregate`` fold per component with
+    the means and loadings riding as literals.
+
+    Determinism: the Gram is exact, numpy's ``eigh`` on an identical
+    symmetric matrix is deterministic per platform, and each
+    eigenvector's sign is pinned (largest-|component| entry made
+    positive, index tie-break) so the loadings are reproducible;
+    projected coordinates are rounded.  Returns ``(id, pc)`` with
+    ``pc`` an array of k doubles (law-tested against a numpy replay;
+    not driver-hashable — the catalog surface is the gram table)."""
+    import numpy as np
+
+    cells = embedding_gram_exact(df, vec_col, dim, scale=scale).collect()
+    n = cells[0]["n"] if cells else 0
+    if not n:
+        raise ValueError("pca_project: empty input")
+    # the gram table's cov column IS the covariance (derived from exact
+    # int64 sums, rounded) — bounded dim² driver state
+    cov = np.zeros((dim, dim), dtype=np.float64)
+    for r in cells:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    # exact quantized per-dim means for centering (one bounded agg)
+    mu_rows = (
+        df.select(F.col(vec_col))
+        .select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+            ).alias("s")
+        )
+        .collect()
+    )
+    mu = np.zeros(dim, dtype=np.float64)
+    for r in mu_rows:
+        mu[r["i"]] = r["s"] / n / float(scale)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        vec = v[:, idx]
+        pin = int(np.argmax(np.abs(np.round(vec, 12))))
+        if vec[pin] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+    x = F.transform(
+        F.col(vec_col), lambda e: e.cast("double")
+    )
+    pcs = []
+    for comp in comps:
+        carr = F.array(*[F.lit(float(c) ) for c in comp])
+        marr = F.array(*[F.lit(float(m)) for m in mu])
+        centered = F.zip_with(x, marr, lambda e, m: e - m)
+        dot_ = F.aggregate(
+            F.zip_with(centered, carr, lambda e, c: e * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        pcs.append(F.round(dot_, decimals))
+    return df.select(F.col(id_col), F.array(*pcs).alias("pc"))

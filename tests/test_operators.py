@@ -5168,6 +5168,130 @@ class TestKCenter2Pass:
             kcenter_coreset_2pass(emb, "embedding", "vec_id", k=9, n_cells=8)
 
 
+class TestEmbeddingGramPca:
+    """Laws for the exact quantized Gram table and driver-side PCA
+    (similarity.embedding_gram_exact / pca_project)."""
+
+    def test_gram_matches_numpy_and_partition_invariant(self, spark, sf_dir):
+        import numpy as np
+
+        from spear_spark.operators.similarity import embedding_gram_exact
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        x = np.asarray(
+            [r.embedding for r in emb.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        g = q.T @ q
+        s = q.sum(axis=0)
+        n = len(q)
+        rows = embedding_gram_exact(emb, "embedding", dim=64).collect()
+        assert len(rows) == 64 * 65 // 2
+        for r in rows:
+            assert r.n == n
+            assert r.gram_q == int(g[r.i, r.j]), (r.i, r.j)
+            want_cov = round(
+                (g[r.i, r.j] / n - (s[r.i] / n) * (s[r.j] / n)) / 1e12, 6
+            )
+            assert abs(r.cov - want_cov) <= 1e-6
+        rep = embedding_gram_exact(emb.repartition(13), "embedding", dim=64)
+        assert sorted(map(tuple, rep.collect())) == sorted(map(tuple, rows))
+
+    def test_gram_rejects_bad_vectors(self, spark):
+        import pytest
+
+        from spear_spark.operators.similarity import embedding_gram_exact
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="NULL or not"):
+            embedding_gram_exact(df, "embedding", dim=2).collect()
+        short = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="NULL or not"):
+            embedding_gram_exact(short, "embedding", dim=2).collect()
+
+    def test_pca_matches_numpy_replay_and_orders_variance(self, spark, sf_dir):
+        import numpy as np
+
+        from spear_spark.operators.similarity import pca_project
+
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 500
+        )
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = [r.vec_id for r in rows]
+        x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+        # replay: same quantized moments -> same covariance (6dp) -> eigh
+        q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        n = len(q)
+        g = q.T @ q
+        s = q.sum(axis=0)
+        cov = np.zeros((64, 64))
+        for i in range(64):
+            for j in range(64):
+                cov[i, j] = round(
+                    (g[i, j] / n - (s[i] / n) * (s[j] / n)) / 1e12, 6
+                )
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:4]
+        mu = s / n / 1e6
+        comps = []
+        for idx in order:
+            vec = v[:, idx]
+            pin = int(np.argmax(np.abs(np.round(vec, 12))))
+            if vec[pin] < 0:
+                vec = -vec
+            comps.append(vec)
+        got = {
+            r.vec_id: list(r.pc)
+            for r in pca_project(emb, "embedding", "vec_id", dim=64, k=4).collect()
+        }
+        assert set(got) == set(ids)
+        for rid, xv in zip(ids, x):
+            want = [round(float((xv - mu) @ c), 6) for c in comps]
+            assert all(abs(a - b) <= 2e-6 for a, b in zip(got[rid], want)), rid
+        # variance ordering: pc1 spread >= pc2 spread >= ...
+        mat = np.asarray([got[i] for i in ids])
+        vars_ = mat.var(axis=0)
+        assert all(a >= b - 1e-9 for a, b in zip(vars_, vars_[1:]))
+
+
+class TestBoilerplateChunks:
+    def test_planted_template_tops_the_table(self, spark):
+        """A footer stamped on most docs must rank first with the right
+        doc count; unique content and short chunks never appear."""
+        from spear_spark.operators.dedup import boilerplate_chunks
+
+        footer = " ".join(f"b{i * 31 % 997}z" for i in range(40))
+        rows = [
+            (i, " ".join(f"u{i}w{j}" for j in range(30)) + " " + footer)
+            for i in range(12)
+        ]
+        rows.append((99, "totally unique document body here"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = boilerplate_chunks(df, "text", "doc_id", min_tokens=3).collect()
+        assert out, "no boilerplate found"
+        top = out[0]
+        assert top.n_docs == 12 and top.first_doc == 0
+        assert all(r.n_docs >= 2 and r.n_tokens >= 3 for r in out)
+        # descending by n_docs then occurrences
+        keys = [(r.n_docs, r.n_occurrences) for r in out]
+        assert keys == sorted(keys, reverse=True) or len(set(keys)) < len(keys)
+
+    def test_top_validated(self, spark):
+        import pytest
+
+        from spear_spark.operators.dedup import boilerplate_chunks
+
+        df = spark.createDataFrame([(1, "t x y")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="top"):
+            boilerplate_chunks(df, "text", "doc_id", top=0)
+
+
 class TestCdcChunks:
     """Laws for content-defined chunking (text.cdc_chunks)."""
 

@@ -635,3 +635,41 @@ def test_dsir_bucket_tables_broadcast_not_sortmerge(spark, sf_dir):
     assert has_broadcast_join(plan)
     assert not has_sort_merge_join(plan)
     assert has_partial_aggregation(plan)
+
+
+def test_embedding_gram_exchange_is_partial_bounded(spark, sf_dir):
+    """p124: the only exchange carries per-batch partial rows
+    (<= dim(dim+1)/2 + dim per batch), never vectors; the merge is a
+    two-phase SUM; no sort-merge join anywhere (the bounded sums
+    broadcast back)."""
+    from spear_spark.operators.similarity import embedding_gram_exact
+    from spear_spark.plans import (
+        exchange_record_counts,
+        executed_plan,
+        has_partial_aggregation,
+        has_sort_merge_join,
+    )
+    from spear_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_gram_exact(emb, "embedding", dim=64)
+    plan = executed_plan(out)
+    assert has_partial_aggregation(plan)
+    assert not has_sort_merge_join(plan)
+    n_parts = emb.rdd.getNumPartitions()
+    bound = (64 * 65 // 2 + 64) * max(n_parts, 1) * 2
+    assert all(c <= bound for c in exchange_record_counts(out)), bound
+
+
+def test_boilerplate_chunks_topk_is_take_ordered(spark, sf_dir):
+    """p125: the top-k must plan as a TakeOrderedAndProject heap
+    (per-partition prune before the single merge), never a global
+    Sort of the chunk-hash table."""
+    from spear_spark.operators.dedup import boilerplate_chunks
+    from spear_spark.plans import executed_plan, has_take_ordered
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = boilerplate_chunks(docs, "text", "doc_id")
+    plan = executed_plan(out)
+    assert has_take_ordered(plan), plan
