@@ -24,16 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-11 window (5+8+5+32 = 50): the 5 late-round-10 entries with no
+# Round-11 window (5+9+5+31 = 50): the 5 late-round-10 entries with no
 # driver evidence yet (p113–p117, sequenced by the round-10 verdict),
 # the 8 NEW round-11 operators (p118 chunk-level dedup report — the
 # cdc_chunks payoff; p119 chunk-level decontamination; p120 DSIR
 # importance weights; p121 2-pass k-center; p122 sampled-fit
 # SemDeDup; p123 DSIR Gumbel-top-k resampling; p124 exact quantized
-# embedding Gram/covariance; p125 boilerplate chunk profile), the 5
-# last r06-evidence rotations (q66, q67, q79, q82, q83 — after this
-# round no evidence predates r07), and the 32 oldest
-# r07/r08-evidence rotations.  p112/p116 carry oracle/plan deltas
+# embedding Gram/covariance; p125 boilerplate chunk profile; p126
+# filter-agreement kappa), the 5 last r06-evidence rotations (q66,
+# q67, q79, q82, q83 — after this round no evidence predates r07),
+# and the 31 oldest r07/r08-evidence rotations.  p112/p116 carry oracle/plan deltas
 # this round (p112 NULL-coalesce parity, p116 bounded-domain guard —
 # values identical, verified vs oracle at sf0.001/0.01/0.1); p116 is
 # in-window anyway, p112's r10 row stays valid.
@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = [
     "p120_dsir_weights", "p121_kcenter_2pass",
     "p122_semdedup_sampled_fit", "p123_dsir_sample",
     "p124_embedding_gram", "p125_boilerplate_chunks",
+    "p126_filter_agreement",
     # -- the last 5 r06-evidence rotations:
     "q66_part_promotion",
     "q67_grouping_sets", "q79_event_funnel",
@@ -74,7 +75,7 @@ _DRIVER_PRIORITY = [
     "p17_range_join", "p33_distinct_sketch",
     "p40_redact_pii", "p45_asof_nearest",
     "p46_interval_overlap", "p48_segment_dedup",
-    "p49_token_entropy", "p50_length_histogram",
+    "p49_token_entropy",
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the remaining r07/r08 block leads the round-12
@@ -82,6 +83,7 @@ _DRIVER_PRIORITY = [
     # this round's 50 are implicit catalog-order leftovers at the
     # end). ----
     # -- r07/r08 evidence (rotate next in round 12):
+    "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",
     "p53_balanced_shards", "p54_cross_source_dups",
     "p56_cluster_balanced_sample", "p57_leakage_safe_split",

@@ -183,6 +183,7 @@ HEADLINE = [
     "p123_dsir_sample",
     "p124_embedding_gram",
     "p125_boilerplate_chunks",
+    "p126_filter_agreement",
 ]
 
 

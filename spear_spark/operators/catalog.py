@@ -5270,3 +5270,96 @@ def p125_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.boilerplate_chunks(
         docs, "text", "doc_id", modulus=16, min_tokens=3, min_docs=2, top=20
     )
+
+
+# ---------------------------------------------------------------------------
+# p126 — filter agreement / Cohen's kappa (operators.stats.
+# filter_agreement): do the Gopher rule gate (p112 params) and a
+# quality-score threshold (p09's score >= 0.5) agree beyond chance?
+# The swap-one-filter-for-another diagnostic — raw overlap flatters
+# filters with skewed marginals; kappa corrects for them.  One
+# two-phase global aggregate of four exact conditional counts; the
+# oracle replays both rule tables (the p112 + p09 CTEs) and the same
+# confusion arithmetic.
+# ---------------------------------------------------------------------------
+@q(
+    "p126_filter_agreement",
+    rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6)
+               AS mean_word_len,
+             ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len(t), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS stopword_hits
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)),
+    ga AS (
+      SELECT doc_id,
+             (COALESCE(n_words BETWEEN 20 AND 100000, false)
+              AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, false)
+              AND COALESCE(symbol_ratio <= 0.1, false)
+              AND COALESCE(alpha_word_frac >= 0.8, false)
+              AND COALESCE(stopword_hits >= 1, false)) AS a
+      FROM m),
+    qs AS (
+      SELECT doc_id, {_TOKS} AS t,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+      FROM documents),
+    qm AS (SELECT doc_id,
+                  CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits,
+                  nc
+           FROM qs),
+    qb AS (SELECT doc_id,
+                  ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+                      + 0.4 * (hits / n_tok)
+                      + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) >= 0.5 AS b
+           FROM qm),
+    cnt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+      FROM ga JOIN qb USING (doc_id))
+    SELECT n, n_both, n_a_only, n_b_only, n_neither,
+           ROUND((n_both + n_neither) / CAST(n AS DOUBLE), 6) + 0.0 AS po,
+           ROUND(((n_both + n_a_only) / CAST(n AS DOUBLE))
+                 * ((n_both + n_b_only) / CAST(n AS DOUBLE))
+                 + (1 - (n_both + n_a_only) / CAST(n AS DOUBLE))
+                 * (1 - (n_both + n_b_only) / CAST(n AS DOUBLE)), 6) + 0.0 AS pe,
+           ROUND(CASE WHEN ((n_both + n_a_only) / CAST(n AS DOUBLE))
+                           * ((n_both + n_b_only) / CAST(n AS DOUBLE))
+                           + (1 - (n_both + n_a_only) / CAST(n AS DOUBLE))
+                           * (1 - (n_both + n_b_only) / CAST(n AS DOUBLE)) = 1.0
+                      THEN 1.0
+                      ELSE ((n_both + n_neither) / CAST(n AS DOUBLE)
+                            - (((n_both + n_a_only) / CAST(n AS DOUBLE))
+                               * ((n_both + n_b_only) / CAST(n AS DOUBLE))
+                               + (1 - (n_both + n_a_only) / CAST(n AS DOUBLE))
+                               * (1 - (n_both + n_b_only) / CAST(n AS DOUBLE))))
+                           / (1 - (((n_both + n_a_only) / CAST(n AS DOUBLE))
+                                   * ((n_both + n_b_only) / CAST(n AS DOUBLE))
+                                   + (1 - (n_both + n_a_only) / CAST(n AS DOUBLE))
+                                   * (1 - (n_both + n_b_only) / CAST(n AS DOUBLE))))
+                 END, 6) + 0.0 AS kappa
+    FROM cnt
+    """,
+)
+def p126_filter_agreement(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import filter_agreement
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = text.gopher_rules(
+        docs, "text", "doc_id", min_words=20, min_stopword_hits=1
+    ).select("doc_id", F.col("keep").alias("_a"))
+    b = docs.select(
+        "doc_id", (text.quality_score("text") >= 0.5).alias("_b")
+    )
+    return filter_agreement(a.join(b, "doc_id"), "_a", "_b")

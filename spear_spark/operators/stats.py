@@ -812,3 +812,64 @@ def ks_vs_reference(
         .agg(F.round(F.max(diff), decimals).alias("ks"))
         .select(*[F.col(a).alias(k) for a, k in zip(tks, g)], "ks")
     )
+
+
+def filter_agreement(
+    df: DataFrame,
+    flag_a: str,
+    flag_b: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Agreement between two per-document boolean filters as a
+    confusion table + Cohen's kappa — the "do my two quality gates
+    agree beyond chance?" diagnostic a curation pipeline runs before
+    swapping one filter for another (a raw 95% overlap means nothing
+    when one filter passes 95% of everything; kappa corrects for the
+    marginals).  One row: ``(n, n_both, n_a_only, n_b_only,
+    n_neither, po, pe, kappa)`` with po observed agreement, pe the
+    chance agreement of the two marginals, kappa = (po−pe)/(1−pe)
+    (degenerate identical marginals — pe == 1, only possible with
+    po == 1 — read 1.0 by convention).
+
+    Contract: flags must be NON-NULL booleans (``gopher_rules``' keep
+    is total by construction; coalesce anything else) — a NULL would
+    silently vanish from every cell and skew the marginals, so NULLs
+    raise via an in-plan guard instead.
+
+    Scale shape: ONE two-phase global aggregate of four conditional
+    counts; everything after is scalar arithmetic on the 1-row result.
+    All shares derive from exact int64 counts (single double ops,
+    rounded, −0.0-canonicalized) — hash-exact cross-engine."""
+    a, b = F.col(flag_a), F.col(flag_b)
+    guard = F.when(
+        a.isNull() | b.isNull(),
+        F.raise_error(
+            F.lit(
+                "filter_agreement: NULL flag — coalesce both filter "
+                "columns to booleans first"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(1))
+    agg = df.select(a.alias("_a"), b.alias("_b"), guard.alias("_g")).agg(
+        F.sum("_g").alias("n"),
+        F.sum((F.col("_a") & F.col("_b")).cast("long")).alias("n_both"),
+        F.sum((F.col("_a") & ~F.col("_b")).cast("long")).alias("n_a_only"),
+        F.sum((~F.col("_a") & F.col("_b")).cast("long")).alias("n_b_only"),
+        F.sum((~F.col("_a") & ~F.col("_b")).cast("long")).alias("n_neither"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")) / n
+    pa = (F.col("n_both") + F.col("n_a_only")) / n
+    pb = (F.col("n_both") + F.col("n_b_only")) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    kappa = F.when(pe == 1.0, F.lit(1.0)).otherwise((po - pe) / (1 - pe))
+    return agg.select(
+        "n",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        (F.round(po, decimals) + F.lit(0.0)).alias("po"),
+        (F.round(pe, decimals) + F.lit(0.0)).alias("pe"),
+        (F.round(kappa, decimals) + F.lit(0.0)).alias("kappa"),
+    )

@@ -5168,6 +5168,64 @@ class TestKCenter2Pass:
             kcenter_coreset_2pass(emb, "embedding", "vec_id", k=9, n_cells=8)
 
 
+class TestFilterAgreement:
+    """Laws for the two-filter Cohen's kappa diagnostic
+    (stats.filter_agreement)."""
+
+    def test_hand_computed_confusion_and_kappa(self, spark):
+        from spear_spark.operators.stats import filter_agreement
+
+        rows = (
+            [(True, True)] * 40 + [(True, False)] * 10
+            + [(False, True)] * 5 + [(False, False)] * 45
+        )
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        [r] = filter_agreement(df, "a", "b").collect()
+        assert (r.n, r.n_both, r.n_a_only, r.n_b_only, r.n_neither) == (
+            100, 40, 10, 5, 45
+        )
+        po = 0.85
+        pe = 0.5 * 0.45 + 0.5 * 0.55
+        kappa = (po - pe) / (1 - pe)
+        assert r.po == round(po, 6)
+        assert r.pe == round(pe, 6)
+        assert abs(r.kappa - round(kappa, 6)) <= 1e-6
+
+    def test_identical_filters_kappa_one_and_degenerate(self, spark):
+        from spear_spark.operators.stats import filter_agreement
+
+        same = spark.createDataFrame(
+            [(i % 3 == 0, i % 3 == 0) for i in range(30)], "a boolean, b boolean"
+        )
+        [r] = filter_agreement(same, "a", "b").collect()
+        assert r.kappa == 1.0 and r.po == 1.0
+        # degenerate identical marginals (everything true on both sides)
+        const = spark.createDataFrame(
+            [(True, True)] * 10, "a boolean, b boolean"
+        )
+        [rc] = filter_agreement(const, "a", "b").collect()
+        assert rc.kappa == 1.0 and rc.pe == 1.0
+        # chance-level: a independent of b -> kappa near 0 (exact 0 for
+        # the balanced 2x2 grid)
+        grid = spark.createDataFrame(
+            [(x, y) for x in (True, False) for y in (True, False)] * 5,
+            "a boolean, b boolean",
+        )
+        [rg] = filter_agreement(grid, "a", "b").collect()
+        assert rg.kappa == 0.0
+
+    def test_null_flags_raise(self, spark):
+        import pytest
+
+        from spear_spark.operators.stats import filter_agreement
+
+        df = spark.createDataFrame(
+            [(True, True), (None, False)], "a boolean, b boolean"
+        )
+        with pytest.raises(Exception, match="NULL flag"):
+            filter_agreement(df, "a", "b").collect()
+
+
 class TestEmbeddingGramPca:
     """Laws for the exact quantized Gram table and driver-side PCA
     (similarity.embedding_gram_exact / pca_project)."""
