@@ -82,6 +82,11 @@ _DRIVER_PRIORITY = [
     # window, then the r09 block, then the r10 window's entries, then
     # this round's 50 are implicit catalog-order leftovers at the
     # end). ----
+    # -- NEW late in round 11 (implemented + law-tested + oracle-paired
+    #    + verified MATCH at 3 SFs, but the round-11 window was already
+    #    locked at 50): cross-source chunk overlap.  Certify FIRST in
+    #    round 12:
+    "p127_source_chunk_overlap",
     # -- r07/r08 evidence (rotate next in round 12):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",

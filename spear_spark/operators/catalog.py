@@ -5363,3 +5363,40 @@ def p126_filter_agreement(spark: SparkSession, sf_dir: str) -> SDF:
         "doc_id", (text.quality_score("text") >= 0.5).alias("_b")
     )
     return filter_agreement(a.join(b, "doc_id"), "_a", "_b")
+
+
+# ---------------------------------------------------------------------------
+# p127 — cross-source chunk overlap (operators.dedup.
+# source_chunk_overlap): exact verbatim-passage sharing between
+# source pairs via distinct (source, CDC-chunk-hash) sets — the
+# chunk-level member of the source-similarity family (p89 HLL sets,
+# p93 CM mass, p96 lexical cosine), and the "source B scrapes source
+# A" trigger for cross_source_dups.  Sequenced to lead the round-12
+# window (the round-11 window was locked at 50 when this landed).
+# ---------------------------------------------------------------------------
+@q(
+    "p127_source_chunk_overlap",
+    f"""
+    WITH {_cdc_chunk_cte('', 'documents')},
+    sc AS (SELECT DISTINCT d.source AS src, c.chunk_hash
+           FROM ch c JOIN documents d USING (doc_id)
+           WHERE c.n_tokens >= 3),
+    tot AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM sc GROUP BY src),
+    sh AS (SELECT a.src AS source_a, b.src AS source_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM sc a JOIN sc b ON a.chunk_hash = b.chunk_hash
+           WHERE a.src < b.src GROUP BY 1, 2)
+    SELECT sh.source_a, sh.source_b, sh.n_shared,
+           ta.n AS n_a, tb.n AS n_b,
+           ROUND(CAST(sh.n_shared AS DOUBLE) / ta.n, 6) AS contain_a,
+           ROUND(CAST(sh.n_shared AS DOUBLE) / tb.n, 6) AS contain_b
+    FROM sh JOIN tot ta ON ta.src = sh.source_a
+            JOIN tot tb ON tb.src = sh.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def p127_source_chunk_overlap(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_chunk_overlap(
+        docs, "text", "doc_id", "source", modulus=16, min_tokens=3
+    ).orderBy("source_a", "source_b")

@@ -5168,6 +5168,64 @@ class TestKCenter2Pass:
             kcenter_coreset_2pass(emb, "embedding", "vec_id", k=9, n_cells=8)
 
 
+class TestSourceChunkOverlap:
+    """Laws for cross-source chunk overlap (dedup.source_chunk_overlap)."""
+
+    def test_planted_scrape_detected_with_exact_counts(self, spark):
+        import hashlib
+
+        from spear_spark.operators.dedup import source_chunk_overlap
+
+        passage = " ".join(f"b{i * 31 % 997}z" for i in range(120))
+        rows = [
+            (1, "siteA", passage + " " + " ".join(f"a{j}x" for j in range(40))),
+            (2, "siteA", " ".join(f"c{j}y" for j in range(50))),
+            (3, "siteB", "scraper prefix words " + passage),
+            (4, "siteC", " ".join(f"d{j}k" for j in range(60))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            (r.source_a, r.source_b): r.asDict()
+            for r in source_chunk_overlap(
+                df, "text", "doc_id", "source", min_tokens=3
+            ).collect()
+        }
+        assert set(got) == {("siteA", "siteB")}  # C shares nothing
+        hit = got[("siteA", "siteB")]
+
+        def chunk_hashes(text):
+            toks = text.strip().lower().split()
+            hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+            cuts = [i for i in range(1, len(toks) + 1) if hs[i - 1] % 16 == 0]
+            if not cuts or cuts[-1] != len(toks):
+                cuts.append(len(toks))
+            out, start = [], 0
+            for e in cuts:
+                if e - start >= 3:
+                    out.append(
+                        hashlib.md5(" ".join(toks[start:e]).encode()).hexdigest()
+                    )
+                start = e
+            return out
+
+        sa = set(chunk_hashes(rows[0][2])) | set(chunk_hashes(rows[1][2]))
+        sb = set(chunk_hashes(rows[2][2]))
+        assert hit["n_shared"] == len(sa & sb) and hit["n_shared"] >= 2
+        assert (hit["n_a"], hit["n_b"]) == (len(sa), len(sb))
+        assert hit["contain_a"] == round(len(sa & sb) / len(sa), 6)
+        assert hit["contain_b"] == round(len(sa & sb) / len(sb), 6)
+
+    def test_pairs_are_ordered_and_complete(self, spark, sf_dir):
+        from spear_spark.operators.dedup import source_chunk_overlap
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = source_chunk_overlap(docs, "text", "doc_id", "source").collect()
+        assert out  # synthetic corpus repeats sentences across sources
+        assert all(r.source_a < r.source_b for r in out)
+        assert all(0 < r.n_shared <= min(r.n_a, r.n_b) for r in out)
+        assert all(0 < r.contain_a <= 1 and 0 < r.contain_b <= 1 for r in out)
+
+
 class TestFilterAgreement:
     """Laws for the two-filter Cohen's kappa diagnostic
     (stats.filter_agreement)."""
