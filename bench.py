@@ -184,6 +184,7 @@ HEADLINE = [
     "p124_embedding_gram",
     "p125_boilerplate_chunks",
     "p126_filter_agreement",
+    "p127_source_chunk_overlap",
 ]
 
 
