@@ -8,7 +8,8 @@ Usage: python scripts/preflight.py [--window-only] [sf_dir]
 Exit code 0 iff everything matches.  Round-5 baseline: 152/152 green;
 round-6: 159/159 (158 oracle-paired + p72 rows-only); round-7:
 163/163 all oracle-paired; round-8: 171/171 all oracle-paired;
-round-9: 182/182 all oracle-paired (189/189 after p100-p106 landed).
+round-9: 182/182 all oracle-paired (189/189 after p100-p106 landed);
+round-10: 200/200; round-11: 210/210 all oracle-paired.
 """
 
 from __future__ import annotations
