@@ -84,9 +84,11 @@ _DRIVER_PRIORITY = [
     # end). ----
     # -- NEW late in round 11 (implemented + law-tested + oracle-paired
     #    + verified MATCH at 3 SFs, but the round-11 window was already
-    #    locked at 50): cross-source chunk overlap.  Certify FIRST in
-    #    round 12:
-    "p127_source_chunk_overlap",
+    #    locked at 50): cross-source chunk overlap, and the REAL-parser
+    #    audio modality (stdlib-wave PCM round trip, stats
+    #    hash-compared against a pure-SQL replay of the md5 generation
+    #    math).  Certify FIRST in round 12:
+    "p127_source_chunk_overlap", "p128_audio_decode",
     # -- r07/r08 evidence (rotate next in round 12):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",

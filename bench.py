@@ -185,6 +185,7 @@ HEADLINE = [
     "p125_boilerplate_chunks",
     "p126_filter_agreement",
     "p127_source_chunk_overlap",
+    "p128_audio_decode",
 ]
 
 

@@ -5400,3 +5400,46 @@ def p127_source_chunk_overlap(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.source_chunk_overlap(
         docs, "text", "doc_id", "source", modulus=16, min_tokens=3
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# p128 — audio decode plumbing, REAL parser (operators.multimodal.
+# attach_wav / decode_wav): per-row mono 16-bit PCM WAV bytes are
+# synthesized with the stdlib `wave` writer from md5-derived
+# (rate, length, samples), parsed back with the stdlib `wave` reader,
+# and the integer stats (duration_us, Σ sample², peak) hash-compared
+# against a pure-SQL replay of the generation math — a mis-parsed
+# header offset, endianness, or sample width becomes a driver-hash
+# mismatch.  Unlike the image path (vendored codec / fake fallback
+# when Pillow is absent), this modality runs a genuine parser
+# end-to-end with zero stubs.  Sequenced to lead the round-12 window
+# with p127.
+# ---------------------------------------------------------------------------
+@q(
+    "p128_audio_decode",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             ([8000, 16000, 22050, 44100])
+               [(('0x'||substr(md5(text),1,4))::BIGINT % 4) + 1] AS rate,
+             200 + ('0x'||substr(md5(text),5,4))::BIGINT % 800 AS n
+      FROM documents),
+    samples AS (
+      SELECT p.doc_id, p.rate, p.n,
+             ('0x'||substr(md5(CAST(p.doc_id AS VARCHAR)||'_'||CAST(i AS VARCHAR)),
+                           1,4))::BIGINT - 32768 AS s
+      FROM params p, UNNEST(generate_series(0, CAST(p.n - 1 AS BIGINT))) g(i))
+    SELECT doc_id,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(MAX(rate) AS INTEGER) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(n) * 1000000 // MAX(rate) AS BIGINT) AS duration_us,
+           CAST(SUM(s * s) AS BIGINT) AS sumsq,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak
+    FROM samples GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def p128_audio_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = multimodal.attach_wav(docs, "text", "doc_id")
+    return multimodal.decode_wav(wavs, "doc_id", "payload").orderBy("doc_id")

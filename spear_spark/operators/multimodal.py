@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -450,3 +451,156 @@ def attach_png(
             )
 
     return df.select(F.col(id_col), F.col(source_col)).mapInPandas(build, out_schema)
+
+
+# --- audio (PCM WAV): a REAL stdlib modality, not a stub -------------------
+# The container has no audio libraries, but PCM WAV is a public format
+# Python's stdlib `wave` module writes and reads completely — so unlike
+# the image decode backend (which falls back to the vendored PNG codec
+# or a deterministic fake when Pillow is absent), the audio path
+# exercises a genuine third-party-free parser end-to-end: synthesize
+# RIFF/PCM bytes, parse the header, unpack the samples, and certify the
+# stats against an engine-independent replay of the generation math.
+
+WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def wav_params(text: str) -> tuple[int, int]:
+    """Deterministic (sample_rate, n_samples) for a row, md5-derived so
+    any engine regenerates them (the p12 fake-dims recipe):
+    rate = WAV_RATES[h[0:4] % 4], n_samples = 200 + h[4:8] % 800."""
+    import hashlib
+
+    h = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+    return (
+        WAV_RATES[int(h[0:4], 16) % len(WAV_RATES)],
+        200 + int(h[4:8], 16) % 800,
+    )
+
+
+def wav_sample(key: str, i: int) -> int:
+    """Sample i of a row's synthetic PCM stream: md5-derived int16 in
+    [-32768, 32767] — per-sample md5 keeps the waveform exactly
+    replayable in SQL (the minhash_perms convention), unlike a sine
+    whose libm last-ulp could flip a rounded sample cross-engine."""
+    import hashlib
+
+    return int(hashlib.md5(f"{key}_{i}".encode()).hexdigest()[:4], 16) - 32768
+
+
+def attach_wav(
+    df: DataFrame, source_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize a REAL mono 16-bit PCM WAV payload per row (stdlib
+    ``wave`` writer): sample rate, length, and every sample are pure
+    md5 functions of the row's text and id, so a downstream parse can
+    be certified against an independent SQL replay byte-for-byte.
+    Arrow-batched ``mapInPandas``; emits (id, payload)."""
+    import io
+    import struct
+    import wave
+
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid, txt in zip(pdf[id_col], pdf[source_col]):
+                rate, n = wav_params(txt)
+                samples = [wav_sample(str(int(rid)), i) for i in range(n)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(source_col)).mapInPandas(build, out_schema)
+
+
+def decode_wav(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse PCM WAV payloads (stdlib ``wave`` reader — a REAL parser,
+    no fake backend) into per-clip stats: ``(id, n_channels,
+    sample_rate, n_samples, duration_us, sumsq, peak)``.  Every output
+    is an exact integer — duration_us = n_samples·10⁶ div rate, sumsq
+    = Σ sampleᵢ² (int64; 16-bit samples bound it at n·2³⁰, ~2³³ rows
+    of headroom), peak = max |sample| — so the whole decode loop is
+    hash-exact against an engine-independent replay: a mis-parsed
+    header offset, endianness, or width shows up as a driver-hash
+    mismatch, not a silent skew.  Malformed payloads raise loudly
+    (the embedding_gram contract: a silent skip biases every stat).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` projection — no
+    shuffle; the parse is per-row stdlib code on in-memory bytes, the
+    same posture as image decode."""
+    import io
+    import struct
+    import wave
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_channels", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_us", LongType()),
+            StructField("sumsq", LongType()),
+            StructField("peak", IntegerType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    raise ValueError(
+                        f"decode_wav: NULL payload id={int(rid)} — clean upstream"
+                    )
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        ch, width, rate = (
+                            w.getnchannels(), w.getsampwidth(), w.getframerate()
+                        )
+                        n = w.getnframes()
+                        raw = w.readframes(n)
+                except Exception as ex:
+                    raise ValueError(
+                        f"decode_wav: unparseable WAV id={int(rid)}: {ex}"
+                    ) from ex
+                if width != 2:
+                    raise ValueError(
+                        f"decode_wav: id={int(rid)} has {8 * width}-bit "
+                        "samples — only 16-bit PCM is supported"
+                    )
+                vals = struct.unpack(f"<{n * ch}h", raw)
+                rows.append(
+                    (
+                        int(rid),
+                        ch,
+                        rate,
+                        n,
+                        n * 1_000_000 // rate,
+                        sum(v * v for v in vals),
+                        max((abs(v) for v in vals), default=0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_channels", "sample_rate", "n_samples",
+                    "duration_us", "sumsq", "peak",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        decode, out_schema
+    )

@@ -5168,6 +5168,101 @@ class TestKCenter2Pass:
             kcenter_coreset_2pass(emb, "embedding", "vec_id", k=9, n_cells=8)
 
 
+class TestWavDecode:
+    """Laws for the REAL stdlib audio modality (multimodal.attach_wav /
+    decode_wav): genuine RIFF/PCM bytes in, parsed stats out."""
+
+    def test_round_trip_matches_generation_params(self, spark, sf_dir):
+        from spear_spark.operators.multimodal import (
+            attach_wav,
+            decode_wav,
+            wav_params,
+            wav_sample,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 40
+        )
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        got = {
+            r.doc_id: r.asDict()
+            for r in decode_wav(attach_wav(docs, "text", "doc_id")).collect()
+        }
+        assert set(got) == set(texts)
+        for did, text in texts.items():
+            rate, n = wav_params(text)
+            samples = [wav_sample(str(did), i) for i in range(n)]
+            g = got[did]
+            assert g["n_channels"] == 1
+            assert g["sample_rate"] == rate
+            assert g["n_samples"] == n
+            assert g["duration_us"] == n * 1_000_000 // rate
+            assert g["sumsq"] == sum(s * s for s in samples)
+            assert g["peak"] == max(abs(s) for s in samples)
+
+    def test_stereo_and_real_bytes(self, spark):
+        """A stereo WAV built directly with the stdlib writer parses
+        with the right channel count and stats over BOTH channels —
+        and the payload is genuine RIFF (magic bytes checked)."""
+        import io
+        import struct
+        import wave
+
+        from spear_spark.operators.multimodal import decode_wav
+
+        frames = [(100, -200), (300, -400), (32767, -32768)]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                struct.pack(f"<{len(frames) * 2}h", *[v for f in frames for v in f])
+            )
+        payload = buf.getvalue()
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        df = spark.createDataFrame(
+            [(7, bytearray(payload))], "doc_id long, payload binary"
+        )
+        [r] = decode_wav(df).collect()
+        flat = [v for f in frames for v in f]
+        assert (r.n_channels, r.sample_rate, r.n_samples) == (2, 8000, 3)
+        assert r.sumsq == sum(v * v for v in flat)
+        assert r.peak == 32768
+        assert r.duration_us == 3 * 1_000_000 // 8000
+
+    def test_malformed_and_unsupported_raise(self, spark):
+        import io
+        import struct
+        import wave
+
+        import pytest
+
+        from spear_spark.operators.multimodal import decode_wav
+
+        junk = spark.createDataFrame(
+            [(1, bytearray(b"not a wav at all"))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="unparseable WAV id=1"):
+            decode_wav(junk).collect()
+        nul = spark.createDataFrame(
+            [(2, None)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="NULL payload id=2"):
+            decode_wav(nul).collect()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)  # 8-bit — unsupported
+            w.setframerate(8000)
+            w.writeframes(struct.pack("<4B", 1, 2, 3, 4))
+        eight = spark.createDataFrame(
+            [(3, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="only 16-bit"):
+            decode_wav(eight).collect()
+
+
 class TestSourceChunkOverlap:
     """Laws for cross-source chunk overlap (dedup.source_chunk_overlap)."""
 
