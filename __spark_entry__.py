@@ -87,8 +87,11 @@ _DRIVER_PRIORITY = [
     #    locked at 50): cross-source chunk overlap, and the REAL-parser
     #    audio modality (stdlib-wave PCM round trip, stats
     #    hash-compared against a pure-SQL replay of the md5 generation
-    #    math).  Certify FIRST in round 12:
+    #    math), and per-language BPE fertility (the tokenizer-eval
+    #    readout over the certified learn/apply replays).  Certify
+    #    FIRST in round 12:
     "p127_source_chunk_overlap", "p128_audio_decode",
+    "p129_bpe_fertility",
     # -- r07/r08 evidence (rotate next in round 12):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",

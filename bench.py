@@ -186,6 +186,7 @@ HEADLINE = [
     "p126_filter_agreement",
     "p127_source_chunk_overlap",
     "p128_audio_decode",
+    "p129_bpe_fertility",
 ]
 
 

@@ -5443,3 +5443,43 @@ def p128_audio_decode(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     wavs = multimodal.attach_wav(docs, "text", "doc_id")
     return multimodal.decode_wav(wavs, "doc_id", "payload").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p129 — BPE fertility per language (operators.text.bpe_fertility):
+# tokens-per-word and chars-per-token of the p110-trained vocabulary,
+# per language — the standard tokenizer-evaluation readout that
+# catches a vocabulary short-changing an out-of-distribution slice
+# before training pays for it.  Composes the certified learn/apply
+# CTE replays; counts are the encoder's own pre-tokens so all three
+# sums are mutually consistent by construction.  Leads round 12 with
+# p127/p128.
+# ---------------------------------------------------------------------------
+@q(
+    "p129_bpe_fertility",
+    rf"""WITH {_bpe_learn_cte(_BPE_N_MERGES)},
+    {_bpe_apply_cte(_BPE_N_MERGES)},
+    met AS (
+      SELECT d.lang,
+             len(regexp_extract_all({_BPE_CLEAN_SQL}, '[a-z]+')) AS w,
+             length(array_to_string(
+               regexp_extract_all({_BPE_CLEAN_SQL}, '[a-z]+'), '')) AS c,
+             len(regexp_extract_all(e.s, '<([a-z]+)>', 1)) AS t
+      FROM documents d JOIN e{_BPE_N_MERGES} e USING (doc_id))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(t) AS DOUBLE) / SUM(w), 6) AS fertility,
+           ROUND(CAST(SUM(c) AS DOUBLE) / SUM(t), 6) AS chars_per_token
+    FROM met GROUP BY lang HAVING SUM(w) > 0 AND SUM(t) > 0
+    ORDER BY lang""",
+)
+def p129_bpe_fertility(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = _bpe_clean_docs(spark, sf_dir)
+    merges = text.bpe_learn(clean, "text", n_merges=_BPE_N_MERGES)
+    with_lang = clean.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", "text"
+    )
+    return text.bpe_fertility(with_lang, "text", "lang", merges).orderBy("lang")

@@ -925,3 +925,71 @@ def cdc_chunks(
         F.md5("chunk_text").alias("chunk_hash"),
         "chunk_text",
     )
+
+
+def bpe_fertility(
+    df,
+    text_col: str,
+    group_col: str,
+    merges,
+    decimals: int = 6,
+) -> "DataFrame":
+    """Tokenizer fertility / compression per group — the standard
+    tokenizer-evaluation readout (fertility = BPE tokens per word;
+    chars per token = compression): a vocabulary trained on one
+    distribution tokenizes out-of-distribution text into many more,
+    shorter pieces, which inflates effective sequence lengths and
+    training cost for that slice — per-LANGUAGE fertility is how that
+    gets caught before training.  Emits one row per group:
+    ``(group, n_docs, n_words, n_tokens, n_chars, fertility,
+    chars_per_token)``.
+
+    Words are the encoder's own ``BPE_PATTERN`` pre-tokens and chars
+    their total length, so the three counts are mutually consistent
+    with :func:`bpe_apply`'s segmentation by construction; groups
+    whose text yields no pre-tokens (e.g. a non-Latin language under
+    a letters-only cleaner) are dropped rather than dividing by zero
+    — their absence from the report IS the signal.
+
+    Scale shape: the encode is :func:`bpe_apply`'s Arrow-batched
+    projection (merge table in the task closure, per-batch word
+    cache); the metrics are one more narrow projection and ONE
+    two-phase aggregate on the group key.  Integer sums → two exact
+    divisions, rounded."""
+    from pyspark.sql import functions as F
+
+    enc = bpe_apply(df.select(group_col, text_col), text_col, merges)
+    staged = enc.select(
+        F.col(group_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0).alias("_ws"),
+        F.size("bpe_tokens").alias("_t"),
+    )
+    m = staged.select(
+        group_col,
+        F.size("_ws").alias("_w"),
+        F.length(F.concat_ws("", F.col("_ws"))).alias("_c"),
+        "_t",
+    )
+    return (
+        m.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_t").alias("n_tokens"),
+            F.sum("_c").alias("n_chars"),
+        )
+        .filter((F.col("n_words") > 0) & (F.col("n_tokens") > 0))
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), decimals
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), decimals
+            ).alias("chars_per_token"),
+        )
+    )

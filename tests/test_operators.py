@@ -5168,6 +5168,83 @@ class TestKCenter2Pass:
             kcenter_coreset_2pass(emb, "embedding", "vec_id", k=9, n_cells=8)
 
 
+class TestBpeFertility:
+    """Laws for the tokenizer-fertility readout (text.bpe_fertility)."""
+
+    def test_matches_python_replay(self, spark):
+        import re
+
+        from spear_spark.operators.text import (
+            BPE_PATTERN,
+            bpe_apply,
+            bpe_fertility,
+            bpe_learn,
+        )
+
+        rows = [
+            ("a", "the cat sat on the mat with the cat"),
+            ("a", "the mat and the cat sat"),
+            ("b", "zq xv wj zq kq"),
+        ]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        merges = bpe_learn(
+            df.selectExpr("text"), "text", n_merges=4
+        )
+        got = {
+            r.lang: r.asDict()
+            for r in bpe_fertility(df, "text", "lang", merges).collect()
+        }
+        enc = {
+            (r.lang, r.text): list(r.bpe_tokens)
+            for r in bpe_apply(df, "text", merges).collect()
+        }
+        want: dict = {}
+        for lang, text in rows:
+            ws = re.findall(BPE_PATTERN, text, re.ASCII)
+            w = want.setdefault(lang, [0, 0, 0, 0])
+            w[0] += 1
+            w[1] += len(ws)
+            w[2] += len(enc[(lang, text)])
+            w[3] += sum(len(x) for x in ws)
+        for lang, (nd, nw, nt, nc) in want.items():
+            g = got[lang]
+            assert (g["n_docs"], g["n_words"], g["n_tokens"], g["n_chars"]) == (
+                nd, nw, nt, nc
+            ), lang
+            assert g["fertility"] == round(nt / nw, 6)
+            assert g["chars_per_token"] == round(nc / nt, 6)
+
+    def test_out_of_distribution_group_has_higher_fertility(self, spark):
+        """The diagnostic's point: a vocabulary trained on group A's
+        repeated words segments A's text into fused pieces but chops
+        unseen group-B words into characters — fertility(B) >
+        fertility(A)."""
+        from spear_spark.operators.text import bpe_fertility, bpe_learn
+
+        a_text = "hello world hello world hello world hello"
+        rows = [("a", a_text)] * 6 + [("b", "qzx vkj wpy unseen tokens")]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        merges = bpe_learn(
+            df.filter(F.col("lang") == "a").select("text"), "text", n_merges=6
+        )
+        got = {
+            r.lang: r.fertility
+            for r in bpe_fertility(df, "text", "lang", merges).collect()
+        }
+        assert got["b"] > got["a"]
+
+    def test_empty_pretoken_group_dropped(self, spark):
+        from spear_spark.operators.text import bpe_fertility, bpe_learn
+
+        df = spark.createDataFrame(
+            [("a", "some words here"), ("empty", "   ")],
+            "lang string, text string",
+        )
+        merges = bpe_learn(df.select("text"), "text", n_merges=2)
+        got = {r.lang for r in bpe_fertility(df, "text", "lang", merges).collect()}
+        assert got == {"a"}
+
+
 class TestWavDecode:
     """Laws for the REAL stdlib audio modality (multimodal.attach_wav /
     decode_wav): genuine RIFF/PCM bytes in, parsed stats out."""
