@@ -91,7 +91,8 @@ _DRIVER_PRIORITY = [
     #    readout over the certified learn/apply replays).  Certify
     #    FIRST in round 12:
     "p127_source_chunk_overlap", "p128_audio_decode",
-    "p129_bpe_fertility",
+    "p129_bpe_fertility", "p130_source_token_yield",
+    "p131_split_leakage",
     # -- r07/r08 evidence (rotate next in round 12):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",

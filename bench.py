@@ -187,6 +187,8 @@ HEADLINE = [
     "p127_source_chunk_overlap",
     "p128_audio_decode",
     "p129_bpe_fertility",
+    "p130_source_token_yield",
+    "p131_split_leakage",
 ]
 
 

@@ -5483,3 +5483,102 @@ def p129_bpe_fertility(spark: SparkSession, sf_dir: str) -> SDF:
         "lang", "text"
     )
     return text.bpe_fertility(with_lang, "text", "lang", merges).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# p130 — source token yield after exact dedup (operators.dedup.
+# source_token_yield): kept (min-id representative) tokens / raw
+# tokens per source — the reprice-the-source number mix planning
+# should weight instead of raw volume.  One hash projection, one
+# two-phase MIN, one bounded per-source aggregate.
+# ---------------------------------------------------------------------------
+@q(
+    "p130_source_token_yield",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(lower(trim(text))) AS h,
+             len({_TOKS}) AS nt
+      FROM documents),
+    keeps AS (SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ROUND(CAST(SUM(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END)
+                      AS DOUBLE) / SUM(nt), 6) AS yield_frac
+    FROM base JOIN keeps USING (h)
+    GROUP BY source ORDER BY source
+    """,
+)
+def p130_source_token_yield(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_token_yield(docs, "text", "doc_id", "source").orderBy(
+        "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p131 — split-leakage audit (operators.dedup.split_leakage_report):
+# content groups spanning both sides of a split, at NEAR-DUP
+# granularity (connected-component labels over >=0.5-Jaccard pairs —
+# the p21 clustering; exact-dup-only audits pass trivially on this
+# corpus, whose duplication is fuzzy).  The catalog audits the NAIVE
+# id-parity split, which leaks (non-degenerate rows); the law
+# certifies leakage_safe_split always audits EMPTY.
+# ---------------------------------------------------------------------------
+@q(
+    "p131_split_leakage",
+    f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    prs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+      UNION SELECT doc_a, doc_a FROM prs
+      UNION SELECT doc_b, doc_b FROM prs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN lab l USING (doc_id))
+    SELECT group_key,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val,
+           MIN(doc_id) AS example_id
+    FROM keyed GROUP BY group_key
+    HAVING n_train > 0 AND n_val > 0
+    ORDER BY group_key
+    """,
+)
+def p131_split_leakage(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
+    labels = dedup.connected_components(pairs)
+    keyed = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("_g"),
+    )
+    return dedup.split_leakage_report(
+        keyed, "text", "doc_id", F.col("doc_id") % 2 == 1, group_key=F.col("_g")
+    ).orderBy("group_key")

@@ -1986,3 +1986,107 @@ def boilerplate_chunks(
         )
         .limit(int(top))
     )
+
+
+def source_token_yield(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Effective token yield per source after exact dedup: ``(source,
+    n_docs, n_kept, n_tokens, kept_tokens, yield_frac)`` where kept =
+    the min-id representative of each exact content group
+    (:func:`exact_dedup`'s rule) and yield = kept tokens / raw tokens
+    — the "how much does this source actually contribute?" number
+    that reprices a corpus-size negotiation: a source shipping 10 TB
+    of 95% duplicated boilerplate yields 0.5 TB, and mix planning
+    (:func:`~spear_spark.operators.sampling.temperature_mix`, p101)
+    should weight the YIELD, not the raw volume.
+
+    Scale shape: one narrow projection (hash + token count per doc),
+    one two-phase MIN on the content hash, a semi-join-shaped flag
+    via the broadcast-joined keep table, one bounded per-source
+    aggregate.  All counts exact integers; the one ratio is a single
+    rounded division."""
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("_src"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("_h"),
+        F.size(tokens(F.col(text_col))).alias("_nt"),
+    )
+    keeps = base.groupBy("_h").agg(F.min(id_col).alias("_keep_id"))
+    flagged = base.join(keeps, "_h").select(
+        "_src",
+        "_nt",
+        (F.col(id_col) == F.col("_keep_id")).alias("_kept"),
+    )
+    return (
+        flagged.groupBy("_src")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+            F.sum("_nt").alias("n_tokens"),
+            F.sum(F.when(F.col("_kept"), F.col("_nt")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .select(
+            F.col("_src").alias(source_col),
+            "n_docs",
+            "n_kept",
+            "n_tokens",
+            "kept_tokens",
+            F.round(
+                F.col("kept_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("yield_frac"),
+        )
+    )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col,
+    group_key=None,
+) -> DataFrame:
+    """Audit a train/validation split for content leakage: one row per
+    content group that spans BOTH sides — ``(group_key, n_train,
+    n_val, example_id)`` — empty iff the split is leak-free at the
+    chosen granularity.  This is the CHECK for what
+    :func:`~spear_spark.operators.sampling.leakage_safe_split`
+    guarantees by construction (law-tested: its output always audits
+    empty; an id-parity split on a duplicated corpus does not): run
+    it on any split you didn't build content-aware — a validation set
+    whose duplicates sit in train silently inflates every eval score.
+    ``split_col`` is a boolean column/expression (False = train,
+    True = validation).  ``group_key`` picks the granularity: default
+    is the exact content hash (md5 of normalized text); pass the
+    connected-component label (:func:`connected_components` over
+    near-dup pairs, singletons coalesced to their own id) for the
+    near-duplicate-grade audit real corpora need — exact-dup-only
+    audits pass trivially on corpora whose duplication is fuzzy.
+
+    Scale shape: one narrow key projection + ONE two-phase aggregate
+    on the key; the report is at most |leaked groups| rows — the
+    audit never materializes the corpus anywhere."""
+    key = (
+        group_key
+        if group_key is not None
+        else F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+    base = df.select(
+        key.alias("group_key"),
+        F.col(id_col).alias("_id"),
+        split_col.cast("boolean").alias("_val"),
+    )
+    return (
+        base.groupBy("group_key")
+        .agg(
+            F.sum((~F.col("_val")).cast("long")).alias("n_train"),
+            F.sum(F.col("_val").cast("long")).alias("n_val"),
+            F.min("_id").alias("example_id"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
+    )

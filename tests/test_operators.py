@@ -5168,6 +5168,97 @@ class TestKCenter2Pass:
             kcenter_coreset_2pass(emb, "embedding", "vec_id", k=9, n_cells=8)
 
 
+class TestSourceTokenYield:
+    def test_planted_boilerplate_source_reprices(self, spark):
+        """A source shipping mostly copies yields a low token fraction;
+        a clean source yields 1.0 — the mix-planning number."""
+        from spear_spark.operators.dedup import source_token_yield
+
+        blk = "dup dup text body with ten total tokens here now"
+        rows = [(i, "spam", blk) for i in range(10)] + [
+            (100 + i, "clean", f"unique doc {i} words body") for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {r.source: r.asDict() for r in
+               source_token_yield(df, "text", "doc_id", "source").collect()}
+        s = got["spam"]
+        assert (s["n_docs"], s["n_kept"]) == (10, 1)
+        assert s["n_tokens"] == 100 and s["kept_tokens"] == 10
+        assert s["yield_frac"] == 0.1
+        c = got["clean"]
+        assert c["n_kept"] == 4 and c["yield_frac"] == 1.0
+
+    def test_totals_conserve_vs_exact_dedup(self, spark, sf_dir):
+        from spear_spark.operators.dedup import exact_dedup, source_token_yield
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = source_token_yield(docs, "text", "doc_id", "source").collect()
+        assert sum(r.n_docs for r in got) == docs.count()
+        assert sum(r.n_kept for r in got) == exact_dedup(
+            docs, "text", "doc_id"
+        ).count()
+        assert all(0 < r.yield_frac <= 1.0 for r in got)
+
+
+class TestSplitLeakage:
+    def test_leakage_safe_split_always_audits_empty(self, spark):
+        """THE guarantee law: leakage_safe_split's content-hash split
+        can never span a content group, so the exact-grade audit is
+        empty even on a heavily duplicated corpus — while the naive
+        id-parity split on the same corpus leaks with exact counts."""
+        from spear_spark.operators.dedup import split_leakage_report
+        from spear_spark.operators.sampling import leakage_safe_split
+
+        blk = "repeated page body with enough words to matter here"
+        rows = [(i, blk) for i in range(10)] + [
+            (100 + i, f"unique {i} doc") for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        safe = leakage_safe_split(df, "text", "doc_id", val_frac=0.4).select(
+            "doc_id", "split"
+        )
+        joined = df.join(safe, "doc_id")
+        assert split_leakage_report(
+            joined, "text", "doc_id", F.col("split") == "validation"
+        ).count() == 0
+        leaked = split_leakage_report(
+            df, "text", "doc_id", F.col("doc_id") % 2 == 1
+        ).collect()
+        assert len(leaked) == 1
+        [g] = leaked
+        assert (g.n_train, g.n_val, g.example_id) == (5, 5, 0)
+
+    def test_near_dup_grade_catches_fuzzy_leaks(self, spark):
+        """An exact-grade audit passes a corpus whose duplicates are
+        FUZZY; the connected-component key catches them (the p131
+        catalog shape)."""
+        from spear_spark.operators.dedup import (
+            connected_components,
+            ngram_jaccard_pairs,
+            split_leakage_report,
+        )
+
+        base = " ".join(f"w{i * 7919 % 10007}q" for i in range(60))
+        df = spark.createDataFrame(
+            [(0, base), (1, base + " tiny edit"), (2, "something else entirely ok")],
+            "doc_id long, text string",
+        )
+        parity = F.col("doc_id") % 2 == 1
+        assert split_leakage_report(df, "text", "doc_id", parity).count() == 0
+        pairs = ngram_jaccard_pairs(df, "text", "doc_id").filter(
+            F.col("jaccard") >= 0.5
+        )
+        labels = connected_components(pairs)
+        keyed = df.join(labels, "doc_id", "left").select(
+            "doc_id", "text",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("_g"),
+        )
+        leaked = split_leakage_report(
+            keyed, "text", "doc_id", parity, group_key=F.col("_g")
+        ).collect()
+        assert [(g.group_key, g.n_train, g.n_val) for g in leaked] == [(0, 1, 1)]
+
+
 class TestBpeFertility:
     """Laws for the tokenizer-fertility readout (text.bpe_fertility)."""
 
