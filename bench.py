@@ -189,6 +189,7 @@ HEADLINE = [
     "p129_bpe_fertility",
     "p130_source_token_yield",
     "p131_split_leakage",
+    "p132_edit_distance_pairs",
 ]
 
 

@@ -5582,3 +5582,38 @@ def p131_split_leakage(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.split_leakage_report(
         keyed, "text", "doc_id", F.col("doc_id") % 2 == 1, group_key=F.col("_g")
     ).orderBy("group_key")
+
+
+# ---------------------------------------------------------------------------
+# p132 — edit-distance-verified near-dup pairs (operators.dedup.
+# edit_distance_pairs): MinHash-LSH candidates (the certified p03
+# banding) verified by the JVM built-in levenshtein — the
+# character-grain member of the near-dup family, catching OCR-noise/
+# machine-mangled copies whose within-word edits token Jaccard
+# under-weights.  Relative distance = one IEEE division of exact
+# ints, rounded, thresholded — engine-exact emitted set.  Leads
+# round 12 with p127-p131.
+# ---------------------------------------------------------------------------
+@q(
+    "p132_edit_distance_pairs",
+    _SIG_CTE
+    + f""", bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    v AS (SELECT doc_a, doc_b,
+                 CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+                 GREATEST(length(da.text), length(db.text), 1) AS m
+          FROM cand JOIN documents da ON da.doc_id = doc_a
+                    JOIN documents db ON db.doc_id = doc_b)
+    SELECT doc_a, doc_b, edit_dist,
+           ROUND(CAST(edit_dist AS DOUBLE) / m, 6) AS rel_edit
+    FROM v WHERE ROUND(CAST(edit_dist AS DOUBLE) / m, 6) <= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def p132_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(
+        docs, "text", "doc_id", max_rel=0.2, k=12, bands=4
+    ).orderBy("doc_a", "doc_b")

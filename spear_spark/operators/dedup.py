@@ -2090,3 +2090,59 @@ def split_leakage_report(
         )
         .filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_rel: float = 0.2,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Character-level near-dup pairs: MinHash-LSH candidates verified
+    by EXACT Levenshtein distance — ``(doc_a, doc_b, edit_dist,
+    rel_edit)`` for candidate pairs whose relative edit distance
+    (dist / max(len_a, len_b), rounded) is ≤ ``max_rel``.  The
+    character-grain member of the near-dup family: token Jaccard
+    (p05/p13) is blind to heavy within-word edits (OCR noise, machine
+    mangling, diacritic strips) that barely move the shingle set's
+    complement — edit distance counts every character operation, and
+    the verify is the JVM built-in ``levenshtein`` (codegen, no
+    Python), bit-identical to any other engine's DP.
+
+    Scale shape: the candidate space is LSH-banded (never all-pairs);
+    the verify joins each side's text by id (hash joins) and pays one
+    O(len_a·len_b) DP per CANDIDATE — bound document length upstream
+    (chunk first for book-length docs: the DP is quadratic, which is
+    why this is a verify, not a generator).  Relative distance is a
+    single IEEE division of exact ints → rounded → thresholded, so
+    the emitted set is engine-exact."""
+    if not 0 < float(max_rel) <= 1:
+        raise ValueError("edit_distance_pairs: max_rel must be in (0, 1]")
+    cands = minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands).select(
+        "doc_a", "doc_b"
+    )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = cands.join(
+        texts.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")),
+        "doc_a",
+    ).join(
+        texts.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")),
+        "doc_b",
+    )
+    d = F.levenshtein("_ta", "_tb")
+    rel = F.round(
+        d.cast("double")
+        / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)),
+        6,
+    )
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            d.alias("edit_dist"),
+            rel.alias("rel_edit"),
+        )
+        .filter(F.col("rel_edit") <= F.lit(float(max_rel)))
+    )

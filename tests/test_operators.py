@@ -5168,6 +5168,87 @@ class TestKCenter2Pass:
             kcenter_coreset_2pass(emb, "embedding", "vec_id", k=9, n_cells=8)
 
 
+class TestEditDistancePairs:
+    """Laws for character-grain near-dup (dedup.edit_distance_pairs)."""
+
+    def test_ocr_noise_caught_where_token_jaccard_underweights(self, spark):
+        """The motivating grain difference: OCR-style single-character
+        flips in every 10th word knock out ~3 shingles per flip —
+        token Jaccard reads a visibly degraded document — while the
+        relative edit distance stays at ~one character per ten words.
+        (A fully-noised doc shares NO shingles and is invisible to the
+        LSH candidate generator — the documented contract: this is a
+        character-grain VERIFY over token-grain candidates.)"""
+        from spear_spark.operators.dedup import (
+            edit_distance_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        words = [f"wool{i}lot" for i in range(80)]
+        noisy = [
+            (w.replace("l", "1", 1) if i % 10 == 0 else w)
+            for i, w in enumerate(words)
+        ]
+        base, noised = " ".join(words), " ".join(noisy)
+        df = spark.createDataFrame(
+            [(1, base), (2, noised)], "doc_id long, text string"
+        )
+        [jac] = ngram_jaccard_pairs(df, "text", "doc_id").collect()
+        assert jac.jaccard < 0.8  # token view: a clearly-degraded copy
+        # bands=6 (2-row bands) is the documented recall knob for the
+        # ~0.5-Jaccard regime this noise level lands in
+        got = edit_distance_pairs(
+            df, "text", "doc_id", max_rel=0.25, bands=6
+        ).collect()
+        assert len(got) == 1
+        [p] = got
+        assert (p.doc_a, p.doc_b) == (1, 2)
+        assert p.edit_dist == 8  # exactly one flip per corrupted word
+        assert p.rel_edit == round(8 / len(base), 6)
+        assert p.rel_edit < 0.02  # char view: a near-perfect copy
+
+    def test_threshold_validated_and_exact_python_replay(self, spark, sf_dir):
+        import pytest
+
+        from spear_spark.operators.dedup import (
+            edit_distance_pairs,
+            minhash_lsh_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        with pytest.raises(ValueError, match="max_rel"):
+            edit_distance_pairs(docs, "text", "doc_id", max_rel=0.0)
+        got = {
+            (r.doc_a, r.doc_b): (r.edit_dist, r.rel_edit)
+            for r in edit_distance_pairs(docs, "text", "doc_id").collect()
+        }
+        assert got  # non-degenerate on the synthetic corpus
+        # replay: every emitted pair is an LSH candidate with the exact
+        # DP distance and a passing rounded ratio
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        cands = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+        }
+        assert set(got) <= cands
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        for (a, b), (d, rel) in got.items():
+            want = lev(texts[a], texts[b])
+            assert d == want, (a, b)
+            assert rel == round(want / max(len(texts[a]), len(texts[b]), 1), 6)
+            assert rel <= 0.2
+
+
 class TestSourceTokenYield:
     def test_planted_boilerplate_source_reprices(self, spark):
         """A source shipping mostly copies yields a low token fraction;
