@@ -1030,3 +1030,70 @@ def test_gumbel_topk_matches_python_replay(spark, logws, k, seed):
     assert [i for _, i in want] == [i for i, _ in got]
     for (wk, _), (_, gk) in zip(want, got):
         assert abs(gk - round(wk, 6)) <= 1e-6
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.booleans(), st.booleans()),
+                min_size=1, max_size=60))
+def test_filter_agreement_matches_python_kappa(spark, rows):
+    """filter_agreement == the textbook confusion/kappa arithmetic for
+    any flag table — degenerate marginals, all-agree, all-disagree."""
+    from spear_spark.operators.stats import filter_agreement
+
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    [r] = filter_agreement(df, "a", "b").collect()
+    n = len(rows)
+    n11 = sum(1 for a, b in rows if a and b)
+    n10 = sum(1 for a, b in rows if a and not b)
+    n01 = sum(1 for a, b in rows if not a and b)
+    n00 = n - n11 - n10 - n01
+    assert (r.n, r.n_both, r.n_a_only, r.n_b_only, r.n_neither) == (
+        n, n11, n10, n01, n00
+    )
+    po = (n11 + n00) / n
+    pa, pb = (n11 + n10) / n, (n11 + n01) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    kappa = 1.0 if pe == 1.0 else (po - pe) / (1 - pe)
+    assert abs(r.po - round(po, 6)) <= 1e-6
+    assert abs(r.pe - round(pe, 6)) <= 1e-6
+    assert abs(r.kappa - round(kappa, 6)) <= 1e-6
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.sampled_from("ab"),
+              st.lists(st.sampled_from(["xx", "yy", "zz"]),
+                       min_size=1, max_size=6)),
+    min_size=1, max_size=25,
+))
+def test_source_token_yield_matches_python_replay(spark, rows):
+    """source_token_yield == the pure-Python min-id-keep replay for any
+    small corpus — heavy duplication (3-word alphabet), single-doc
+    sources, cross-source duplicate groups (the keep goes to ONE
+    source; the other's yield drops)."""
+    from spear_spark.operators.dedup import source_token_yield
+
+    data = [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+    first: dict = {}
+    for i, _, text in data:
+        key = text.strip().lower()
+        first[key] = min(first.get(key, i), i)
+    want: dict = {}
+    for i, src, text in data:
+        nt = len(text.strip().lower().split())
+        kept = first[text.strip().lower()] == i
+        w = want.setdefault(src, [0, 0, 0, 0])
+        w[0] += 1
+        w[1] += 1 if kept else 0
+        w[2] += nt
+        w[3] += nt if kept else 0
+    got = {
+        r.source: (r.n_docs, r.n_kept, r.n_tokens, r.kept_tokens, r.yield_frac)
+        for r in source_token_yield(df, "text", "doc_id", "source").collect()
+    }
+    assert set(got) == set(want)
+    for src, (nd, nk, nt, kt) in want.items():
+        assert got[src] == (nd, nk, nt, kt, round(kt / nt, 6)), src
