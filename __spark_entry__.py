@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   3. stale-evidence rotations, oldest rounds first.
 # Round-11 window (5+9+5+31 = 50): the 5 late-round-10 entries with no
 # driver evidence yet (p113–p117, sequenced by the round-10 verdict),
-# the 8 NEW round-11 operators (p118 chunk-level dedup report — the
+# the 9 NEW round-11 operators (p118 chunk-level dedup report — the
 # cdc_chunks payoff; p119 chunk-level decontamination; p120 DSIR
 # importance weights; p121 2-pass k-center; p122 sampled-fit
 # SemDeDup; p123 DSIR Gumbel-top-k resampling; p124 exact quantized
@@ -59,7 +59,7 @@ _DRIVER_PRIORITY = [
     "q66_part_promotion",
     "q67_grouping_sets", "q79_event_funnel",
     "q82_symmetric_range_frame", "q83_session_window",
-    # -- the 37 oldest r07/r08-evidence rotations:
+    # -- the 31 oldest r07/r08-evidence rotations:
     "p77_kmeans_lloyd", "p80_group_distinct",
     "p72_pagerank_convergence", "p65_mix_reweight",
     "p02_minhash_signatures", "p03_minhash_lsh_pairs",

@@ -4953,20 +4953,11 @@ def p119_chunk_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
     ).orderBy("doc_id", "bench_id")
 
 
-# ---------------------------------------------------------------------------
-# p120 — DSIR importance weights (operators.relevance.dsir_weights,
-# Xie et al. 2023, arXiv:2302.03169): hashed unigram+bigram bucket
-# (md5-h32 % 4096, engine-regenerable) importance weights of every doc
-# against the lang='en' target slice — the published targeted-data-
-# selection method.  All statistics tables are geometry-bounded at
-# n_buckets rows and broadcast; the only data-sized exchange is the
-# (doc, bucket) partial-aggregated count.  The per-doc double sum is
-# unordered -> ROUND(..., 6) epsilon convention (the p70/p104 family).
-# ---------------------------------------------------------------------------
-@q(
-    "p120_dsir_weights",
-    rf"""
-    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+# shared DSIR statistics CTE (p120 weights / p123 resampling): one
+# definition so a smoothing/bucket/bigram fix can never be applied to
+# one entry and not the other.
+def _dsir_cte() -> str:
+    return rf"""WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
     f AS (SELECT doc_id, lang,
                  unnest(list_concat(t, [t[i] || ' ' || t[i+1]
                         for i in generate_series(1, len(t) - 1)])) AS f
@@ -4983,7 +4974,24 @@ def p119_chunk_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
              ln((COALESCE(tc.tc, 0) + 1.0) / (tt.tn + 1.0 * 4096))
              - ln((rc.rc + 1.0) / (rt.rn + 1.0 * 4096)) AS lr
       FROM dc JOIN rc USING (b) LEFT JOIN tc USING (b)
-              CROSS JOIN rt CROSS JOIN tt)
+              CROSS JOIN rt CROSS JOIN tt)"""
+
+
+
+# ---------------------------------------------------------------------------
+# p120 — DSIR importance weights (operators.relevance.dsir_weights,
+# Xie et al. 2023, arXiv:2302.03169): hashed unigram+bigram bucket
+# (md5-h32 % 4096, engine-regenerable) importance weights of every doc
+# against the lang='en' target slice — the published targeted-data-
+# selection method.  All statistics tables are geometry-bounded at
+# n_buckets rows and broadcast; the only data-sized exchange is the
+# (doc, bucket) partial-aggregated count.  The per-doc double sum is
+# unordered -> ROUND(..., 6) epsilon convention (the p70/p104 family).
+# ---------------------------------------------------------------------------
+@q(
+    "p120_dsir_weights",
+    f"""
+    {_dsir_cte()}
     SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
            ROUND(SUM(c * lr), 6) AS log_weight,
            ROUND(SUM(c * lr) / SUM(c), 6) AS avg_log_ratio
@@ -5155,25 +5163,8 @@ _P123_K = 50
 
 @q(
     "p123_dsir_sample",
-    rf"""
-    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
-    f AS (SELECT doc_id, lang,
-                 unnest(list_concat(t, [t[i] || ' ' || t[i+1]
-                        for i in generate_series(1, len(t) - 1)])) AS f
-          FROM toks),
-    fb AS (SELECT doc_id, lang,
-                  ('0x'||substr(md5(f),1,8))::BIGINT % 4096 AS b FROM f),
-    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM fb GROUP BY 1, 2),
-    rc AS (SELECT b, COUNT(*) AS rc FROM fb GROUP BY b),
-    rt AS (SELECT COUNT(*) AS rn FROM fb),
-    tc AS (SELECT b, COUNT(*) AS tc FROM fb WHERE lang = 'en' GROUP BY b),
-    tt AS (SELECT COUNT(*) AS tn FROM fb WHERE lang = 'en'),
-    terms AS (
-      SELECT dc.doc_id, dc.c,
-             ln((COALESCE(tc.tc, 0) + 1.0) / (tt.tn + 1.0 * 4096))
-             - ln((rc.rc + 1.0) / (rt.rn + 1.0 * 4096)) AS lr
-      FROM dc JOIN rc USING (b) LEFT JOIN tc USING (b)
-              CROSS JOIN rt CROSS JOIN tt),
+    f"""
+    {_dsir_cte()},
     dsir AS (
       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
              ROUND(SUM(c * lr), 6) AS log_weight,
@@ -5421,8 +5412,9 @@ def p127_source_chunk_overlap(spark: SparkSession, sf_dir: str) -> SDF:
     WITH params AS (
       SELECT doc_id,
              ([8000, 16000, 22050, 44100])
-               [(('0x'||substr(md5(text),1,4))::BIGINT % 4) + 1] AS rate,
-             200 + ('0x'||substr(md5(text),5,4))::BIGINT % 800 AS n
+               [(('0x'||substr(md5(COALESCE(text, '')),1,4))::BIGINT % 4) + 1]
+               AS rate,
+             200 + ('0x'||substr(md5(COALESCE(text, '')),5,4))::BIGINT % 800 AS n
       FROM documents),
     samples AS (
       SELECT p.doc_id, p.rate, p.n,
@@ -5558,7 +5550,11 @@ def p130_source_token_yield(spark: SparkSession, sf_dir: str) -> SDF:
       SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_key
       FROM documents d LEFT JOIN lab l USING (doc_id))
     SELECT group_key,
-           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           -- train = NOT(doc_id % 2 = 1), matching the Spark side's
+           -- negated boolean exactly: signed % puts a negative odd id
+           -- at -1, which belongs in TRAIN in both engines (the
+           -- signed-% trap — a %2=0 train bucket would drop it)
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT)
              AS n_train,
            CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_val,

@@ -1672,12 +1672,14 @@ def source_chunk_overlap(
     together" (feed the pair into :func:`cross_source_dups`).
 
     Scale shape: one Exchange-free chunking → a DISTINCT
-    (source, chunk_hash) projection (two-phase aggregate) → a
-    self-join on chunk_hash (both sides hash-partitioned by the
-    aggregate; hot boilerplate hashes fan out by #sources sharing
-    them, bounded by the source domain, not the corpus) → one
-    bounded per-pair tally joined against the broadcast per-source
-    totals.  Never doc-×-doc."""
+    (source, chunk_hash) projection (two-phase aggregate),
+    materialized once behind a lazy localCheckpoint (THREE consumers
+    — the totals aggregate and both self-join sides — would each
+    re-run the chunking otherwise) → a self-join on chunk_hash (hot
+    boilerplate hashes fan out by #sources sharing them, bounded by
+    the source domain, not the corpus) → one bounded per-pair tally
+    joined against the broadcast per-source totals.  Never
+    doc-×-doc."""
     from spear_spark.operators.text import cdc_chunks
 
     chunks = cdc_chunks(df, text_col, id_col, modulus=modulus).filter(
@@ -1689,6 +1691,7 @@ def source_chunk_overlap(
         )
         .select("_src", "chunk_hash")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     totals = sc_pairs.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
     a = sc_pairs.select(
@@ -1847,15 +1850,19 @@ def chunk_dedup_report(
     text — ``cdc_chunks`` emits nothing) are absent from the report.
 
     Scale shape: the chunk table is one Exchange-free projection +
-    posexplode; the min-id ownership table is a two-phase aggregate
-    on ``chunk_hash``; the ownership join shuffles on the hash key
-    (both sides already hash-partitioned by the aggregate — AQE
-    reuses it); the per-doc tally is a second two-phase aggregate.
-    Nothing all-pairs, nothing collected."""
+    posexplode, materialized ONCE behind a lazy localCheckpoint (two
+    consumers — the ownership aggregate and the join probe — would
+    otherwise each re-run the tokenize+md5 chunking, the repo's
+    measured multi-consumer trap); the min-id ownership table is a
+    two-phase aggregate on ``chunk_hash``; the ownership join
+    shuffles on the hash key; the per-doc tally is a second two-phase
+    aggregate.  Nothing all-pairs, nothing collected."""
     from spear_spark.operators.text import cdc_chunks
 
-    chunks = cdc_chunks(df, text_col, id_col, modulus=modulus).select(
-        id_col, "n_tokens", "chunk_hash"
+    chunks = (
+        cdc_chunks(df, text_col, id_col, modulus=modulus)
+        .select(id_col, "n_tokens", "chunk_hash")
+        .localCheckpoint(eager=False)
     )
     owner = chunks.groupBy("chunk_hash").agg(F.min(id_col).alias("_first_id"))
     dup = F.col("_first_id") < F.col(id_col)
@@ -2005,16 +2012,17 @@ def source_token_yield(
     should weight the YIELD, not the raw volume.
 
     Scale shape: one narrow projection (hash + token count per doc),
-    one two-phase MIN on the content hash, a semi-join-shaped flag
-    via the broadcast-joined keep table, one bounded per-source
-    aggregate.  All counts exact integers; the one ratio is a single
-    rounded division."""
+    materialized once behind a lazy localCheckpoint (the keep
+    aggregate and the join probe both consume it), one two-phase MIN
+    on the content hash, a semi-join-shaped flag via the joined keep
+    table, one bounded per-source aggregate.  All counts exact
+    integers; the one ratio is a single rounded division."""
     base = df.select(
         F.col(id_col),
         F.col(source_col).alias("_src"),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("_h"),
         F.size(tokens(F.col(text_col))).alias("_nt"),
-    )
+    ).localCheckpoint(eager=False)
     keeps = base.groupBy("_h").agg(F.min(id_col).alias("_keep_id"))
     flagged = base.join(keeps, "_h").select(
         "_src",

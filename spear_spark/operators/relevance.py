@@ -657,10 +657,12 @@ def dsir_weights(
     )
     raw_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
     raw_tot = feats.agg(F.count(F.lit(1)).alias("_rn"))
+    # same two-consumer staging as feats: t_counts and t_tot would each
+    # re-run the target's explode+hash otherwise
     tfeats = dsir_features(
         target.select(F.lit(0).alias("_tid"), F.col(tt).alias(tt)), tt, "_tid",
         n_buckets,
-    )
+    ).localCheckpoint(eager=False)
     t_counts = tfeats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc"))
     t_tot = tfeats.agg(F.count(F.lit(1)).alias("_tn"))
     kk = F.lit(float(k))

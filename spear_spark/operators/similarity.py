@@ -894,35 +894,17 @@ def kcenter_coreset_2pass(
     return kcenter_coreset(cent, "centroid", "cent_id", k=k, decimals=decimals)
 
 
-def embedding_gram_exact(
-    df: DataFrame,
-    vec_col: str,
-    dim: int,
-    scale: int = 1_000_000,
-    decimals: int = 6,
+def _gram_agg(
+    df: DataFrame, vec_col: str, dim: int, scale: int
 ) -> DataFrame:
-    """EXACT Gram/covariance statistics of an embedding column — the
-    input every classical dim-reduction (PCA whitening before IVF,
-    the Abbas et al. SemDeDup preprocessing) and drift monitor needs:
-    vectors are quantized to integer micro-units (``floor(x·scale +
-    0.5)``, the :func:`srp_signature_exact` device), so Σ xᵢ·xⱼ is an
-    associative-commutative int64 sum — bit-identical at any
-    parallelism and in any engine, no FP-association tolerance
-    anywhere.  Emits the upper triangle ``(i, j, gram_q, n, cov)``
-    with ``gram_q = Σ q_i·q_j`` (quantized units), ``n`` the vector
-    count, and ``cov`` the derived covariance in ORIGINAL units
-    (rounded): cov = (gram_q/n − (Σq_i/n)·(Σq_j/n)) / scale².
-
-    Scale shape: one Arrow-batched ``mapInPandas`` pass computes each
-    batch's int64 Gram partial as a single numpy matmul (Xᵀ·X — BLAS
-    on integers per batch, emitted as ≤ dim·(dim+1)/2 + dim rows per
-    batch), then ONE bounded two-phase SUM on (i, j): the exchange
-    carries partials-per-batch, never vectors.  int64 headroom:
-    |q| ≤ scale, so n·scale² must stay < 2⁶³ — at scale=10⁶ that is
-    ~9.2·10⁶ billion-unit products per cell, i.e. ~9 trillion rows;
-    shard and merge (the sketch posture) beyond that.  Rows with NULL
-    or wrong-length vectors are rejected loudly inside the worker
-    (a silent skip would bias every moment)."""
+    """The shared bounded aggregate behind :func:`embedding_gram_exact`
+    and :func:`pca_project`: per-batch int64 Gram partials (one numpy
+    matmul per Arrow batch; ≤ dim(dim+1)/2 + dim rows each, j = −1
+    rows carrying the per-dim sums) merged by ONE two-phase SUM on
+    (i, j) — lazily checkpointed, because every consumer fans the
+    ≤ dim²-row result into several branches (sums / totals / grid)
+    and would re-run the corpus matmul otherwise (the repo's
+    multi-consumer trap)."""
     import numpy as np
     import pandas as pd
 
@@ -954,9 +936,43 @@ def embedding_gram_exact(
     parts = df.select(F.col(vec_col)).mapInPandas(
         gram_partials, "i int, j int, v long, n long"
     )
-    agg = parts.groupBy("i", "j").agg(
-        F.sum("v").alias("_v"), F.sum("n").alias("_n")
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.sum("v").alias("_v"), F.sum("n").alias("_n"))
+        .localCheckpoint(eager=False)
     )
+
+
+def embedding_gram_exact(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT Gram/covariance statistics of an embedding column — the
+    input every classical dim-reduction (PCA whitening before IVF,
+    the Abbas et al. SemDeDup preprocessing) and drift monitor needs:
+    vectors are quantized to integer micro-units (``floor(x·scale +
+    0.5)``, the :func:`srp_signature_exact` device), so Σ xᵢ·xⱼ is an
+    associative-commutative int64 sum — bit-identical at any
+    parallelism and in any engine, no FP-association tolerance
+    anywhere.  Emits the upper triangle ``(i, j, gram_q, n, cov)``
+    with ``gram_q = Σ q_i·q_j`` (quantized units), ``n`` the vector
+    count, and ``cov`` the derived covariance in ORIGINAL units
+    (rounded): cov = (gram_q/n − (Σq_i/n)·(Σq_j/n)) / scale².
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass computes each
+    batch's int64 Gram partial as a single numpy matmul (Xᵀ·X — BLAS
+    on integers per batch, emitted as ≤ dim·(dim+1)/2 + dim rows per
+    batch), then ONE bounded two-phase SUM on (i, j): the exchange
+    carries partials-per-batch, never vectors.  int64 headroom:
+    |q| ≤ scale, so n·scale² must stay < 2⁶³ — at scale=10⁶ that is
+    ~9.2·10⁶ billion-unit products per cell, i.e. ~9 trillion rows;
+    shard and merge (the sketch posture) beyond that.  Rows with NULL
+    or wrong-length vectors are rejected loudly inside the worker
+    (a silent skip would bias every moment)."""
+    agg = _gram_agg(df, vec_col, dim, scale)
     sums = agg.filter(F.col("j") == -1).select(
         F.col("i").alias("_si"), F.col("_v").alias("_s")
     )
@@ -1014,33 +1030,34 @@ def pca_project(
     positive, index tie-break) so the loadings are reproducible;
     projected coordinates are rounded.  Returns ``(id, pc)`` with
     ``pc`` an array of k doubles (law-tested against a numpy replay;
-    not driver-hashable — the catalog surface is the gram table)."""
+    not driver-hashable — the catalog surface is the gram table).
+
+    Cost shape: ONE corpus pass — the fit collects the shared
+    :func:`_gram_agg` table (Gram cells AND per-dim sums ride in the
+    same ≤ dim² + dim rows, so no second scan for the means), and the
+    projection stages the centered array through ``let_`` so the k
+    per-component folds evaluate it once per row (interpreted HOF
+    expressions get no CSE — the measured 5× trap)."""
     import numpy as np
 
-    cells = embedding_gram_exact(df, vec_col, dim, scale=scale).collect()
-    n = cells[0]["n"] if cells else 0
+    from spear_spark.functions import let_
+
+    rows = _gram_agg(df, vec_col, dim, scale).collect()
+    n = max((r["_n"] for r in rows if r["j"] == -1), default=0)
     if not n:
         raise ValueError("pca_project: empty input")
-    # the gram table's cov column IS the covariance (derived from exact
-    # int64 sums, rounded) — bounded dim² driver state
-    cov = np.zeros((dim, dim), dtype=np.float64)
-    for r in cells:
-        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
-    # exact quantized per-dim means for centering (one bounded agg)
-    mu_rows = (
-        df.select(F.col(vec_col))
-        .select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            F.sum(
-                F.floor(F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long")
-            ).alias("s")
-        )
-        .collect()
-    )
-    mu = np.zeros(dim, dtype=np.float64)
-    for r in mu_rows:
-        mu[r["i"]] = r["s"] / n / float(scale)
+    s = np.zeros(dim, dtype=np.float64)
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        if r["j"] == -1:
+            s[r["i"]] = r["_v"]
+        else:
+            g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["_v"]
+    sc2 = float(scale) * float(scale)
+    # the same rounded-covariance the gram table exposes (rounding is
+    # part of the law-tested contract — the replay rounds identically)
+    cov = np.round((g / n - np.outer(s / n, s / n)) / sc2, 6)
+    mu = s / n / float(scale)
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:k]
     comps = []
@@ -1050,18 +1067,21 @@ def pca_project(
         if vec[pin] < 0:
             vec = -vec
         comps.append([float(x) for x in vec])
-    x = F.transform(
-        F.col(vec_col), lambda e: e.cast("double")
+    marr = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(
+        F.col(vec_col), marr, lambda e, m: e.cast("double") - m
     )
-    pcs = []
-    for comp in comps:
-        carr = F.array(*[F.lit(float(c) ) for c in comp])
-        marr = F.array(*[F.lit(float(m)) for m in mu])
-        centered = F.zip_with(x, marr, lambda e, m: e - m)
-        dot_ = F.aggregate(
-            F.zip_with(centered, carr, lambda e, c: e * c),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        pcs.append(F.round(dot_, decimals))
-    return df.select(F.col(id_col), F.array(*pcs).alias("pc"))
+
+    def body(c: Column) -> Column:
+        pcs = []
+        for comp in comps:
+            carr = F.array(*[F.lit(float(x)) for x in comp])
+            dot_ = F.aggregate(
+                F.zip_with(c, carr, lambda e, cc: e * cc),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            pcs.append(F.round(dot_, decimals))
+        return F.array(*pcs)
+
+    return df.select(F.col(id_col), let_(centered, body).alias("pc"))

@@ -838,12 +838,18 @@ def chunk_dedup_stream(
             import numpy as np
 
             batch_min = pdf.groupby("chunk_hash")["doc_id"].min()
-            bm = batch_min.loc[pdf["chunk_hash"]].to_numpy(dtype="float64")
-            prior = (
-                pdf["chunk_hash"].map(owner).to_numpy(dtype="float64")
-            )  # NaN where unseen
-            eff = np.fmin(np.nan_to_num(prior, nan=np.inf), bm)
-            dup = eff < pdf["doc_id"].to_numpy(dtype="float64")
+            bm = batch_min.loc[pdf["chunk_hash"]].to_numpy(dtype="int64")
+            # exact int64 end-to-end: routing ids through float64 would
+            # silently break the min-id rule past 2^53 (the repo's
+            # double-bucketing trap) — the object-dtype map keeps the
+            # stored owners as Python ints, never floats
+            prior = pdf["chunk_hash"].map(owner)  # object; NaN where unseen
+            known = prior.notna().to_numpy()
+            pr = np.where(
+                known, prior.fillna(0).astype("int64").to_numpy(), bm
+            )
+            eff = np.minimum(pr, bm)
+            dup = eff < pdf["doc_id"].to_numpy(dtype="int64")
             nt = pdf["n_tokens"].astype("int64")
             out = (
                 pdf.assign(
@@ -1025,6 +1031,13 @@ def semdedup_stream(
     row bitwise contract.  Zero-norm vectors raise a ``ValueError``
     naming the id (cosine undefined — the batch contract's ANSI
     divide error, surfaced legibly).
+
+    State-schema note: the out-of-order fix added a ``dropped`` flag
+    array to the per-cell state (round 11).  Spark state stores carry
+    no schema migration — a checkpoint written by the 2-field version
+    CANNOT be restarted under this one; re-drain from the source (the
+    documented backfill shape) or start a fresh checkpoint when
+    upgrading.
 
     Exactness: the cosine is computed per element in float64 with a
     LEFT-TO-RIGHT accumulation (``np.cumsum`` rows) — bitwise the
