@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "p127_source_chunk_overlap", "p128_audio_decode",
     "p129_bpe_fertility", "p130_source_token_yield",
     "p131_split_leakage", "p132_edit_distance_pairs",
+    "p133_video_decode",
     # -- r07/r08 evidence (rotate next in round 12):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",

@@ -190,6 +190,7 @@ HEADLINE = [
     "p130_source_token_yield",
     "p131_split_leakage",
     "p132_edit_distance_pairs",
+    "p133_video_decode",
 ]
 
 

@@ -5613,3 +5613,48 @@ def p132_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.edit_distance_pairs(
         docs, "text", "doc_id", max_rel=0.2, k=12, bands=4
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# p133 — video decode plumbing, REAL container (operators.multimodal.
+# attach_y4m / decode_y4m): per-row mono YUV4MPEG2 clips (a public
+# format the ffmpeg toolchain opens natively) synthesized from
+# md5-derived frame counts and md5-digest luma planes, parsed back
+# with a pure-Python header/FRAME-marker/plane walker, and the exact
+# integer stats hash-compared against a SQL replay of every plane
+# byte (hex pairs of the same digests).  With p12 (image) and p128
+# (audio), all three media modalities now run genuine decode paths.
+# Leads round 12.
+# ---------------------------------------------------------------------------
+@q(
+    "p133_video_decode",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             2 + ('0x'||substr(md5(COALESCE(text, '')),9,4))::BIGINT % 6 AS n
+      FROM documents),
+    fb AS (
+      SELECT p.doc_id, p.n,
+             md5(CAST(p.doc_id AS VARCHAR)||'_'||CAST(f.f AS VARCHAR)
+                 ||'_'||CAST(blk.b AS VARCHAR)) AS h
+      FROM params p,
+           UNNEST(generate_series(0, CAST(p.n - 1 AS BIGINT))) f(f),
+           UNNEST(generate_series(0, CAST(3 AS BIGINT))) blk(b)),
+    byt AS (
+      SELECT doc_id, n,
+             ('0x'||substr(h, CAST(2 * u.p + 1 AS INTEGER), 2))::INTEGER AS v
+      FROM fb, UNNEST(generate_series(0, CAST(15 AS BIGINT))) u(p))
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(25 AS INTEGER) AS fps_num, CAST(1 AS INTEGER) AS fps_den,
+           CAST(MAX(n) AS BIGINT) AS n_frames,
+           CAST(MAX(n) * 40000 AS BIGINT) AS duration_us,
+           CAST(SUM(v) AS BIGINT) AS luma_sum,
+           CAST(MAX(v) AS INTEGER) AS luma_max
+    FROM byt GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def p133_video_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    clips = multimodal.attach_y4m(docs, "text", "doc_id")
+    return multimodal.decode_y4m(clips, "doc_id", "payload").orderBy("doc_id")

@@ -604,3 +604,169 @@ def decode_wav(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         decode, out_schema
     )
+
+
+# --- video (YUV4MPEG2 / .y4m): a REAL public container, pure-Python ---
+# Like WAV for audio, y4m is a public format simple enough to write and
+# parse without any library: a textual "YUV4MPEG2 W.. H.. F..:.. C.."
+# header line, then per frame a "FRAME\n" marker followed by the raw
+# plane bytes (Cmono = one W×H luma plane).  The ffmpeg/x264 toolchains
+# speak it natively, so payloads produced here are genuinely openable
+# elsewhere — the video modality stops being a stub.
+
+Y4M_W, Y4M_H = 8, 8
+Y4M_FPS = (25, 1)
+
+
+def y4m_n_frames(text: str) -> int:
+    """Deterministic frame count for a row, md5-derived (the p12/p128
+    recipe): 2 + h[8:12] % 6 → 2..7 frames."""
+    h = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+    return 2 + int(h[8:12], 16) % 6
+
+
+def y4m_frame_bytes(key: str, frame: int, n: int = Y4M_W * Y4M_H) -> bytes:
+    """Frame ``frame``'s luma plane: md5 digest BYTES of
+    ``{key}_{frame}_{block}`` concatenated (16 bytes per digest) — the
+    per-sample-md5 device, so every plane byte replays exactly in SQL
+    as hex pairs of the same digests."""
+    out = bytearray()
+    for blk in range((n + 15) // 16):
+        out.extend(hashlib.md5(f"{key}_{frame}_{blk}".encode()).digest())
+    return bytes(out[:n])
+
+
+def attach_y4m(
+    df: DataFrame, source_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize a REAL mono YUV4MPEG2 payload per row: header +
+    ``FRAME`` markers + md5-derived luma planes, all pure functions of
+    (text, id) so a downstream parse is certifiable against a SQL
+    replay byte-for-byte.  Arrow-batched; emits (id, payload)."""
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+    header = (
+        f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} "
+        f"F{Y4M_FPS[0]}:{Y4M_FPS[1]} Ip A1:1 Cmono\n"
+    ).encode("ascii")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid, txt in zip(pdf[id_col], pdf[source_col]):
+                frames = y4m_n_frames(txt)
+                buf = bytearray(header)
+                for f in range(frames):
+                    buf.extend(b"FRAME\n")
+                    buf.extend(y4m_frame_bytes(str(int(rid)), f))
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(source_col)).mapInPandas(build, out_schema)
+
+
+def decode_y4m(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse YUV4MPEG2 payloads (REAL pure-Python parser: header
+    tokens, FRAME markers, plane sizes — mono colorspace) into
+    per-clip stats: ``(id, width, height, fps_num, fps_den, n_frames,
+    duration_us, luma_sum, luma_max)``.  Every output is an exact
+    integer — duration_us = n_frames·10⁶·den div num, luma_sum =
+    Σ plane bytes (int64), luma_max = max byte — so a mis-parsed
+    header token, a missing FRAME marker, or a short plane shows up
+    as a driver-hash mismatch or a loud error, never a silent skew.
+    Malformed payloads and non-mono colorspaces raise with the id.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` projection — no
+    shuffle; stdlib-free byte walking per row (the decode_wav
+    posture)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("fps_num", IntegerType()),
+            StructField("fps_den", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("duration_us", LongType()),
+            StructField("luma_sum", LongType()),
+            StructField("luma_max", IntegerType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    raise ValueError(
+                        f"decode_y4m: NULL payload id={int(rid)} — clean upstream"
+                    )
+                b = bytes(payload)
+                nl = b.find(b"\n")
+                if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+                    raise ValueError(
+                        f"decode_y4m: not a YUV4MPEG2 stream id={int(rid)}"
+                    )
+                w = h = num = den = None
+                cspace = "420jpeg"  # the format's documented default
+                for tok in b[:nl].decode("ascii", "replace").split()[1:]:
+                    if tok[0] == "W":
+                        w = int(tok[1:])
+                    elif tok[0] == "H":
+                        h = int(tok[1:])
+                    elif tok[0] == "F":
+                        num, den = (int(x) for x in tok[1:].split(":"))
+                    elif tok[0] == "C":
+                        cspace = tok[1:]
+                if not all(x and x > 0 for x in (w, h, num, den)):
+                    raise ValueError(
+                        f"decode_y4m: incomplete header id={int(rid)}"
+                    )
+                if cspace != "mono":
+                    raise ValueError(
+                        f"decode_y4m: id={int(rid)} has colorspace "
+                        f"{cspace!r} — only Cmono is supported"
+                    )
+                plane = w * h
+                pos, frames, lsum, lmax = nl + 1, 0, 0, 0
+                while pos < len(b):
+                    marker_end = b.find(b"\n", pos)
+                    if marker_end < 0 or not b[pos:marker_end].startswith(
+                        b"FRAME"
+                    ):
+                        raise ValueError(
+                            f"decode_y4m: bad FRAME marker id={int(rid)} "
+                            f"at byte {pos}"
+                        )
+                    start = marker_end + 1
+                    if start + plane > len(b):
+                        raise ValueError(
+                            f"decode_y4m: truncated frame id={int(rid)}"
+                        )
+                    data = b[start : start + plane]
+                    lsum += sum(data)
+                    lmax = max(lmax, max(data))
+                    frames += 1
+                    pos = start + plane
+                rows.append(
+                    (
+                        int(rid), w, h, num, den, frames,
+                        frames * 1_000_000 * den // num, lsum, lmax,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "fps_num", "fps_den",
+                    "n_frames", "duration_us", "luma_sum", "luma_max",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        decode, out_schema
+    )

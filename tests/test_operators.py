@@ -5512,6 +5512,78 @@ class TestWavDecode:
             decode_wav(eight).collect()
 
 
+class TestY4mDecode:
+    """Laws for the REAL video container (multimodal.attach_y4m /
+    decode_y4m): genuine YUV4MPEG2 bytes in, parsed stats out."""
+
+    def test_round_trip_matches_generation_params(self, spark, sf_dir):
+        from spear_spark.operators.multimodal import (
+            attach_y4m,
+            decode_y4m,
+            y4m_frame_bytes,
+            y4m_n_frames,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 40
+        )
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        got = {
+            r.doc_id: r.asDict()
+            for r in decode_y4m(attach_y4m(docs, "text", "doc_id")).collect()
+        }
+        assert set(got) == set(texts)
+        for did, text in texts.items():
+            n = y4m_n_frames(text)
+            planes = [y4m_frame_bytes(str(did), f) for f in range(n)]
+            g = got[did]
+            assert (g["width"], g["height"], g["fps_num"], g["fps_den"]) == (
+                8, 8, 25, 1
+            )
+            assert g["n_frames"] == n
+            assert g["duration_us"] == n * 40000
+            assert g["luma_sum"] == sum(sum(p) for p in planes)
+            assert g["luma_max"] == max(max(p) for p in planes)
+
+    def test_payload_is_genuine_y4m(self, spark, sf_dir):
+        """The bytes really are the public format: header magic,
+        parseable tokens, FRAME markers at the exact plane stride."""
+        from spear_spark.operators.multimodal import attach_y4m, y4m_n_frames
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 3
+        )
+        for r in attach_y4m(docs, "text", "doc_id").collect():
+            b = bytes(r.payload)
+            assert b.startswith(b"YUV4MPEG2 W8 H8 F25:1 ")
+            nl = b.index(b"\n")
+            body = b[nl + 1:]
+            assert body.startswith(b"FRAME\n")
+            assert len(body) == (6 + 64) * body.count(b"FRAME\n")
+
+    def test_malformed_and_unsupported_raise(self, spark):
+        import pytest
+
+        from spear_spark.operators.multimodal import decode_y4m
+
+        def run(payload):
+            df = spark.createDataFrame(
+                [(1, bytearray(payload))], "doc_id long, payload binary"
+            )
+            decode_y4m(df).collect()
+
+        with pytest.raises(Exception, match="not a YUV4MPEG2"):
+            run(b"RIFFxxxx not video")
+        with pytest.raises(Exception, match="only Cmono"):
+            run(b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\nFRAME\n" + b"\x00" * 6)
+        with pytest.raises(Exception, match="truncated frame"):
+            run(b"YUV4MPEG2 W8 H8 F25:1 Cmono\nFRAME\n" + b"\x00" * 10)
+        with pytest.raises(Exception, match="bad FRAME marker"):
+            run(b"YUV4MPEG2 W2 H2 F25:1 Cmono\nNOPE\n" + b"\x00" * 4)
+        with pytest.raises(Exception, match="incomplete header"):
+            run(b"YUV4MPEG2 W8 F25:1 Cmono\nFRAME\n" + b"\x00" * 64)
+
+
 class TestSourceChunkOverlap:
     """Laws for cross-source chunk overlap (dedup.source_chunk_overlap)."""
 
