@@ -90,6 +90,43 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return let_(tokens(text), body)
 
 
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the lower/trim-normalized text —
+    the CHARACTER-grain shingle unit (Broder's original k-gram form)
+    word shingles cannot substitute for when edits land INSIDE words:
+    one flipped character destroys every word shingle containing that
+    word, but only the ≤n char-grams overlapping the flipped position
+    — OCR noise, diacritic strips, and machine mangling keep most
+    char-grams intact while zeroing word-shingle overlap.
+
+    Same HOF discipline as :func:`shingles`: the normalized string is
+    ``let_``-bound (one lower/trim per row, not one per gram) and the
+    grams come from one ``transform`` over a position sequence —
+    inside the lambda the string is a bound VALUE, so each
+    ``substr`` is an O(n) slice of an already-computed buffer.  The
+    ``greatest(..., 1)`` guard keeps ``sequence`` ascending for
+    short strings (Spark reverses a descending sequence rather than
+    returning empty); the ``when`` gate discards the junk gram.
+    NULL / too-short text yields an empty array, so such docs produce
+    no signature rows downstream — the word-path convention."""
+    if n < 1:
+        raise ValueError(f"char_shingles: n must be >= 1, got {n}")
+
+    def body(s: Column) -> Column:
+        n_grams = F.length(s) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+        empty = F.array().cast("array<string>")
+        return F.array_distinct(
+            F.when(n_grams >= 1, grams).otherwise(empty)
+        )
+
+    base = F.col(text) if isinstance(text, str) else text
+    return let_(F.lower(F.trim(base)), body)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on normalized content hash: one row per distinct
     content, keeping the smallest id (canonical representative)."""
@@ -101,7 +138,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 12, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    shingle_n: int = 3,
+    char_n: int | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as k columns mh0..mh{k-1}: one shingle
     explode + a k-way MIN aggregate.
@@ -117,9 +159,19 @@ def minhash_signatures(
     tokens) produce no signature row — they cannot near-dup match and
     the DuckDB oracle's ``GROUP BY`` does the same.
 
+    ``char_n`` switches the shingle unit from ``shingle_n``-WORD grams
+    to ``char_n``-CHARACTER grams (:func:`char_shingles`) — the grain
+    that keeps near-dup signal under within-word edits (OCR noise);
+    the signature/banding arithmetic is identical either way.
+
     Scale: shuffle volume is docs × (k+1) longs, independent of
     document length."""
-    base = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("_shs"))
+    grams = (
+        shingles(text_col, shingle_n)
+        if char_n is None
+        else char_shingles(text_col, char_n)
+    )
+    base = df.select(F.col(id_col), grams.alias("_shs"))
     hv = base.select(F.col(id_col), F.explode("_shs").alias("_s")).select(
         F.col(id_col), (h64(F.col("_s")) % MERSENNE31).alias("_hv")
     )
@@ -137,12 +189,15 @@ def minhash_lsh_pairs(
     k: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    char_n: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket.
-    Returns (doc_a, doc_b, shared_bands).  rows/band = k/bands."""
+    Returns (doc_a, doc_b, shared_bands).  rows/band = k/bands.
+    ``char_n`` switches to character-gram signatures (see
+    :func:`minhash_signatures`)."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, k, shingle_n, char_n=char_n)
     # ONE pass over the signatures: explode an array of (band, hash)
     # structs.  A union of per-band selects would re-evaluate the whole
     # signature pipeline (shingle explode + k minhash aggregates) once
@@ -314,6 +369,24 @@ def simhash_near_pairs(
     return cross_fp.unionAll(same_fp)
 
 
+def _widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the cluster's default
+    parallelism so the ~50× shingle-explode work downstream runs on
+    every core.  Narrowness is read from ``inputFiles()`` METADATA —
+    file sources scan one task per split, so few files = few tasks —
+    NOT from ``df.rdd.getNumPartitions()``, which forces a full
+    plan→RDD conversion on the driver just to read a number.  Non-file
+    relations (lifted locals, drained streaming tables) report zero
+    files and are widened unconditionally: they are exactly the narrow
+    inputs the old partition-count check repartitioned anyway, and the
+    shuffle is proportional to their (small) size.  At corpus scale
+    inputs arrive in many splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < target:
+        df = df.repartition(target)
+    return df
+
+
 def _shingle_pair_intersections(
     df: DataFrame,
     text_col: str,
@@ -340,10 +413,7 @@ def _shingle_pair_intersections(
     # The generator stage does ~50× the input's work (shingle explode);
     # when the scan has fewer splits than cores (small/few files), one
     # input shuffle buys full-cluster parallelism for the derived work.
-    # At corpus scale inputs arrive in many splits and this is a no-op.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = _widen_narrow_scan(df)
     # Materialize the shingle array as a column BEFORE the explode:
     # referencing the shingle expression twice in the generator's
     # projection would re-evaluate the whole transform per exploded row
@@ -1436,9 +1506,7 @@ def jaccard_prefix_pairs(
         raise ValueError(f"jaccard_prefix_pairs: threshold in (0, 1], got {threshold}")
     from pyspark.sql.window import Window as W
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = _widen_narrow_scan(df)
     base = (
         df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("shs"))
         .filter(F.size("shs") > 0)
@@ -1521,6 +1589,10 @@ def dedup_report(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_df: int | None = None,
+    chunk_grade: bool = False,
+    chunk_modulus: int = 16,
+    min_chunk_tokens: int = 3,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """End-to-end dedup accounting per group (source): run the standard
     two-stage pipeline — exact content dedup (keep the min-id doc per
@@ -1544,11 +1616,28 @@ def dedup_report(
     group even when its duplicate lives elsewhere, so cross-source
     duplication shows up as asymmetric retention.
 
+    ``chunk_grade=True`` swaps the near-dup edge rule from n-gram
+    Jaccard to VERBATIM-CHUNK sharing: two survivors are clustered iff
+    they share ≥1 CDC chunk of ≥``min_chunk_tokens`` tokens
+    (:func:`~spear_spark.operators.text.cdc_chunks`, the p117/p127
+    machinery).  This is the grade that catches a scraping source —
+    a re-crawl that prepends a header to every page drops n-gram
+    Jaccard below any sane threshold on LONG pages yet still shares
+    almost every CDC chunk verbatim (law-tested: a planted scrape
+    shows asymmetric retention at chunk grade that Jaccard grade
+    misses) — so the per-source retention dashboard and
+    :func:`source_chunk_overlap`'s pair-naming run at one granularity.
+    ``max_chunk_df`` caps a chunk hash's document frequency before the
+    pair join (boilerplate chunks shared by millions of docs would
+    fan out quadratically — same contract as ``max_df``); capped
+    chunks produce no edges, exactly like df-capped shingles.
+
     Scale: one md5 aggregate + semi join for the exact stage, the
-    capped shingle pipeline for pairs, an edge-set-sized CC, and
-    bounded per-group tallies; nothing is quadratic in the corpus
-    (set ``max_df`` on hostile corpora, same contract as
-    :func:`ngram_jaccard_pairs`).
+    capped shingle pipeline (or one Exchange-free chunking + a
+    chunk-hash self-join, checkpointed once) for pairs, an
+    edge-set-sized CC, and bounded per-group tallies; nothing is
+    quadratic in the corpus (set ``max_df`` / ``max_chunk_df`` on
+    hostile corpora).
     """
     ids = F.col(id_col)
     hashed = df.select(group_col, id_col, F.md5(F.col(text_col)).alias("_h"))
@@ -1561,9 +1650,19 @@ def dedup_report(
     survivors = df.join(
         exact_kept.select(id_col), id_col, "semi"
     )
-    pairs = ngram_jaccard_pairs(
-        survivors, text_col, id_col, shingle_n=shingle_n, max_df=max_df
-    ).filter(F.col("jaccard") >= threshold)
+    if chunk_grade:
+        pairs = chunk_shared_pairs(
+            survivors,
+            text_col,
+            id_col,
+            modulus=chunk_modulus,
+            min_tokens=min_chunk_tokens,
+            max_chunk_df=max_chunk_df,
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            survivors, text_col, id_col, shingle_n=shingle_n, max_df=max_df
+        ).filter(F.col("jaccard") >= threshold)
     labels = connected_components(pairs)
     # connected_components always emits (doc_id, cluster_id) — re-key to
     # the caller's id column before joining (id_col != "doc_id" callers)
@@ -1648,6 +1747,62 @@ def dup_cluster_profile(
                 "doc_frac"
             ),
         )
+    )
+
+
+def chunk_shared_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    modulus: int = 16,
+    min_tokens: int = 3,
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """Verbatim-chunk near-dup edges: ``(doc_a, doc_b, n_shared)`` for
+    every doc pair sharing ≥1 distinct CDC chunk of ≥``min_tokens``
+    tokens (:func:`~spear_spark.operators.text.cdc_chunks`) — the
+    chunk-grade edge rule :func:`dedup_report` clusters on when
+    ``chunk_grade=True``, exposed standalone so the same edges can
+    feed :func:`connected_components`, :func:`cross_source_dups`, or a
+    manual audit.  Complements the similarity family: n-gram Jaccard
+    scores whole-document overlap (diluted by length), these edges
+    fire on ONE shared verbatim passage however long the documents.
+
+    ``max_chunk_df`` drops chunk hashes present in more than that many
+    documents BEFORE the self-join — boilerplate chunks (nav bars,
+    license blocks) are the quadratic fan-out risk (a hash in m docs
+    yields m² pair rows); capped chunks simply produce no edges, the
+    ``max_df`` shingle contract.
+
+    Scale shape: one Exchange-free chunking → a DISTINCT (id,
+    chunk_hash) projection materialized once behind a lazy
+    localCheckpoint (both self-join sides reuse it) → an optional
+    two-phase df-count cap → a chunk-hash self-join → one bounded
+    per-pair tally.  Never doc-×-doc."""
+    from spear_spark.operators.text import cdc_chunks
+
+    chunks = (
+        cdc_chunks(df, text_col, id_col, modulus=modulus)
+        .filter(F.col("n_tokens") >= int(min_tokens))
+        .select(F.col(id_col), "chunk_hash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_chunk_df is not None:
+        ok = (
+            chunks.groupBy("chunk_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= int(max_chunk_df))
+            .select("chunk_hash")
+        )
+        chunks = chunks.join(ok.hint("shuffle_hash"), "chunk_hash")
+    a = chunks.select(F.col(id_col).alias("doc_a"), "chunk_hash")
+    b = chunks.select(F.col(id_col).alias("doc_b"), "chunk_hash")
+    return (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
 
@@ -2107,17 +2262,36 @@ def edit_distance_pairs(
     max_rel: float = 0.2,
     k: int = 12,
     bands: int = 4,
+    candidates: str = "minhash",
+    char_n: int = 5,
 ) -> DataFrame:
-    """Character-level near-dup pairs: MinHash-LSH candidates verified
-    by EXACT Levenshtein distance — ``(doc_a, doc_b, edit_dist,
-    rel_edit)`` for candidate pairs whose relative edit distance
-    (dist / max(len_a, len_b), rounded) is ≤ ``max_rel``.  The
-    character-grain member of the near-dup family: token Jaccard
-    (p05/p13) is blind to heavy within-word edits (OCR noise, machine
-    mangling, diacritic strips) that barely move the shingle set's
-    complement — edit distance counts every character operation, and
-    the verify is the JVM built-in ``levenshtein`` (codegen, no
-    Python), bit-identical to any other engine's DP.
+    """Character-level near-dup pairs: LSH candidates verified by EXACT
+    Levenshtein distance — ``(doc_a, doc_b, edit_dist, rel_edit)`` for
+    candidate pairs whose relative edit distance (dist /
+    max(len_a, len_b), rounded) is ≤ ``max_rel``.  The character-grain
+    member of the near-dup family: token Jaccard (p05/p13) is blind to
+    heavy within-word edits (OCR noise, machine mangling, diacritic
+    strips) that barely move the shingle set's complement — edit
+    distance counts every character operation, and the verify is the
+    JVM built-in ``levenshtein`` (codegen, no Python), bit-identical
+    to any other engine's DP.
+
+    ``candidates`` picks the generator grain — the bands-vs-shingles
+    tradeoff:
+
+    * ``"minhash"`` (default): word-shingle MinHash banding (the
+      certified p03 pipeline).  Cheapest, but recall is bound by WORD
+      shingle survival — noise dense enough to touch most words
+      (every ~10th character) destroys nearly all 3-word shingles and
+      the true pair never becomes a candidate, however many bands.
+    * ``"char"``: ``char_n``-CHARACTER-gram MinHash banding
+      (:func:`char_shingles`).  An edit only kills the ≤char_n grams
+      overlapping it, so char-gram Jaccard degrades linearly with
+      noise density instead of cliff-dropping — the candidate grain
+      matched to the Levenshtein verify (recall contract in
+      tests/test_dedup_recall.py: planted OCR noise that word-mode
+      banding provably misses).  Costs ~|text|/char_n more exploded
+      rows per doc than word shingles; same banding arithmetic.
 
     Scale shape: the candidate space is LSH-banded (never all-pairs);
     the verify joins each side's text by id (hash joins) and pays one
@@ -2128,9 +2302,19 @@ def edit_distance_pairs(
     the emitted set is engine-exact."""
     if not 0 < float(max_rel) <= 1:
         raise ValueError("edit_distance_pairs: max_rel must be in (0, 1]")
-    cands = minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands).select(
-        "doc_a", "doc_b"
-    )
+    if candidates not in ("minhash", "char"):
+        raise ValueError(
+            "edit_distance_pairs: candidates must be 'minhash' or 'char', "
+            f"got {candidates!r}"
+        )
+    cands = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        k=k,
+        bands=bands,
+        char_n=char_n if candidates == "char" else None,
+    ).select("doc_a", "doc_b")
     texts = df.select(F.col(id_col), F.col(text_col))
     joined = cands.join(
         texts.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")),

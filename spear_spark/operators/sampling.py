@@ -222,6 +222,7 @@ def leakage_safe_split(
     id_col: str,
     val_frac: float = 0.1,
     seed: int = 13,
+    group_key=None,
 ) -> DataFrame:
     """Train/validation split that cannot leak duplicates across the
     boundary: the split decision hashes the CONTENT-GROUP key (md5 of
@@ -230,23 +231,44 @@ def leakage_safe_split(
     (validation examples whose duplicates sit in train) silently
     inflates eval scores on any corpus with residual duplication.
 
+    ``group_key`` raises the safety GRADE to match the audit's
+    (:func:`~spear_spark.operators.dedup.split_leakage_report`): the
+    default content-hash key only guarantees exact-duplicate safety —
+    a fuzzily-duplicated corpus still leaks near-dups across the
+    boundary.  Pass the connected-component label over near-dup pairs
+    (``dedup.connected_components``, singletons coalesced to their own
+    id, exactly the p131 audit's granularity) and the whole near-dup
+    CLUSTER moves as one unit — law-tested: the CC-grade audit of a
+    CC-keyed split is EMPTY, so the constructor's guarantee and the
+    audit share one granularity.  NULL keys are rejected in-plan
+    (``raise_error``): a NULL group would silently bucket together
+    every unlabeled doc, the un-auditable failure mode.
+
     Deterministic and partition-independent: the group key feeds the
     same md5/2^52 uniform as the sampling family (:func:`rand_like`),
     so the split is reproducible at any cluster size and engine-
-    portable for the oracle.  Near-duplicate-safe splits compose the
-    same way: substitute the connected-component label
-    (``dedup.connected_components``) for the content hash as the
-    group key.
+    portable for the oracle.
 
     Scale: pure projection — one hash + one threshold per row, no
-    shuffle, no group materialization.
+    shuffle, no group materialization (the CC label input is itself
+    an edge-set-sized computation, paid by the caller once and
+    reusable by the audit).
     """
     from spear_spark.functions import rand_like
 
-    # coalesce BEFORE hashing: rand_like's concat skips NULLs while a
-    # SQL '||' propagates them — without this, NULL-text docs would
-    # split differently in Spark and the DuckDB oracle
-    group = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    if group_key is None:
+        # coalesce BEFORE hashing: rand_like's concat skips NULLs while
+        # a SQL '||' propagates them — without this, NULL-text docs
+        # would split differently in Spark and the DuckDB oracle
+        group = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    else:
+        key = group_key if not isinstance(group_key, str) else F.col(group_key)
+        group = F.when(
+            key.isNull(),
+            F.raise_error(
+                F.lit("leakage_safe_split: group_key must be non-NULL")
+            ).cast("string"),
+        ).otherwise(key.cast("string"))
     u = rand_like(group, seed=seed)
     return df.select(
         F.col(id_col),

@@ -618,7 +618,14 @@ def _merge_pair(syms: tuple, a: str, b: str) -> tuple:
     return tuple(out)
 
 
-def bpe_learn(df, text_col: str, n_merges: int, top_words: int = 50_000):
+def bpe_learn(
+    df,
+    text_col: str,
+    n_merges: int,
+    top_words: int = 50_000,
+    balance_by: str | None = None,
+    balance_scale: int = 1000,
+):
     """Learn a BPE merge table from the corpus — the full vocabulary-
     construction loop p63's single pair-scan is one step of (Sennrich,
     Haddow & Birch 2016).  Returns (rank, left, right, merged, cnt):
@@ -626,18 +633,37 @@ def bpe_learn(df, text_col: str, n_merges: int, top_words: int = 50_000):
     won it; ties break by (left, right) ascending, so the table is
     deterministic.  Stops early if the symbol stream runs out of pairs.
 
+    ``balance_by`` is the fertility-equalization knob the per-language
+    fertility readout (:func:`bpe_fertility`) calls for: a vocabulary
+    trained on raw counts is owned by the majority slice, so a
+    minority language pays more (shorter) tokens per word.  Pass a
+    group column (e.g. ``lang``) and every group's word counts are
+    reweighted to EQUAL total pre-token mass before the trainer runs:
+    ``freq'(w) = Σ_g count_g(w) · m_g`` with the integer multiplier
+    ``m_g = (T_max · balance_scale) div T_g`` (``T_g`` = the group's
+    total pre-token count, ``T_max`` the largest group's) — exact
+    int64 arithmetic end-to-end, so the merge argmax stays
+    engine-exact and deterministic; ``balance_scale`` bounds the
+    quantization error of the ratio at 1/scale.  The law
+    (tests/test_text_ops.py): on a skewed corpus, the balanced
+    vocabulary strictly lowers the minority group's fertility.
+    Weighted mass is bounded by |groups| · T_max · balance_scale —
+    keep ``balance_scale`` ≤ 10⁶ at trillion-token scale to stay
+    far inside int64.
+
     Scale shape — the standard trainer design, not an iterated corpus
     scan: BPE statistics are a pure function of the WORD-FREQUENCY
     table, so ONE two-phase (word, freq) aggregate over the corpus
     (pre-tokens = ``BPE_PATTERN`` runs, the p63 tokenizer) is the only
-    corpus pass; the table is capped at ``top_words`` by (freq desc,
-    word asc) — a TakeOrderedAndProject heap, and the cap is the
-    standard trainer practice (the top words carry effectively all
-    pair mass; GPT-2-style trainers learn from capped word-frequency
-    dicts).  The merge loop then runs driver-side over that bounded
-    table — a bounded collect of ``top_words`` rows, data-size-
-    independent like the k-means centroid fetch, NOT a corpus
-    collect."""
+    corpus pass (balancing adds one bounded per-group total + a 1-row
+    max, broadcast back — no extra corpus scan); the table is capped
+    at ``top_words`` by (freq desc, word asc) — a
+    TakeOrderedAndProject heap, and the cap is the standard trainer
+    practice (the top words carry effectively all pair mass;
+    GPT-2-style trainers learn from capped word-frequency dicts).
+    The merge loop then runs driver-side over that bounded table — a
+    bounded collect of ``top_words`` rows, data-size-independent like
+    the k-means centroid fetch, NOT a corpus collect."""
     if n_merges < 0:
         raise ValueError("bpe_learn: n_merges must be >= 0")
     if not 0 < top_words <= 10_000_000:
@@ -645,17 +671,47 @@ def bpe_learn(df, text_col: str, n_merges: int, top_words: int = 50_000):
         # driver-side trainer state — an absurd cap would OOM the heap
         # long before the collect
         raise ValueError("bpe_learn: top_words must be in (0, 10_000_000]")
-    words = (
-        df.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)
-            ).alias("w")
+    if not 0 < int(balance_scale) <= 1_000_000:
+        raise ValueError("bpe_learn: balance_scale must be in (0, 10^6]")
+    pre_tokens = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)
+    ).alias("w")
+    if balance_by is None:
+        words = (
+            df.select(pre_tokens)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
         )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), F.col("w"))
-        .limit(int(top_words))
-    )
+    else:
+        from spear_spark.functions import div
+
+        # one (group, word) count is the only corpus-sized aggregate;
+        # totals and the 1-row max are bounded by the group domain and
+        # ride back as broadcasts — rows with a NULL group are dropped
+        # (no group to equalize against), loudly documented here
+        gw = (
+            df.select(F.col(balance_by).alias("_g"), pre_tokens)
+            .filter(F.col("_g").isNotNull())
+            .groupBy("_g", "w")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        tot = gw.groupBy("_g").agg(F.sum("_c").alias("_t"))
+        tmax = tot.agg(F.max("_t").alias("_tmax"))
+        mult = (
+            tot.crossJoin(F.broadcast(tmax))
+            .select(
+                "_g",
+                div(F.col("_tmax") * F.lit(int(balance_scale)), F.col("_t")).alias(
+                    "_m"
+                ),
+            )
+        )
+        words = (
+            gw.join(F.broadcast(mult), "_g")
+            .groupBy("w")
+            .agg(F.sum(F.col("_c") * F.col("_m")).alias("freq"))
+        )
+    words = words.orderBy(F.desc("freq"), F.col("w")).limit(int(top_words))
     vocab: dict[tuple, int] = {
         tuple(r["w"]): int(r["freq"]) for r in words.collect()
     }

@@ -181,6 +181,106 @@ def test_ahash_banding_recall_is_total(spark):
     assert planted <= got  # every planted near-dup recovered
 
 
+class TestCharShingleRecall:
+    """Recall contract for the char-gram candidate mode of
+    edit_distance_pairs (p134, VERDICT r11 item 3): OCR-density noise
+    — one flipped character in every 3rd word — touches every 3-word
+    shingle window, so WORD-shingle MinHash banding provably generates
+    zero candidates for the true pairs, while 5-char-gram banding
+    (edits kill only the ≤5 grams overlapping each flip, leaving
+    char-gram Jaccard ≈ 0.5-0.6) recovers them all and the exact
+    Levenshtein verify confirms.  Deterministic: fixed RNG seed,
+    seeded permutations."""
+
+    @staticmethod
+    def _ocr_corpus():
+        rnd = random.Random(11)
+        vocab = [
+            "".join(rnd.choice("abcdefghijklmnop") for _ in range(7))
+            for _ in range(400)
+        ]
+
+        def noise(word):
+            i = rnd.randrange(len(word))
+            return word[:i] + chr((ord(word[i]) - 97 + 1) % 26 + 97) + word[i + 1:]
+
+        rows, planted, nid = [], [], 0
+        for _ in range(15):
+            toks = [rnd.choice(vocab) for _ in range(60)]
+            dup = [noise(w) if j % 3 == 0 else w for j, w in enumerate(toks)]
+            rows += [(nid, " ".join(toks)), (nid + 1, " ".join(dup))]
+            planted.append((nid, nid + 1))
+            nid += 2
+        for _ in range(20):
+            rows.append((nid, " ".join(rnd.choice(vocab) for _ in range(60))))
+            nid += 1
+        return rows, planted
+
+    def test_word_banding_misses_char_banding_recovers(self, spark):
+        from spear_spark.operators.dedup import edit_distance_pairs, minhash_lsh_pairs
+
+        rows, planted = self._ocr_corpus()
+        df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+        df.count()
+        try:
+            word_c = {
+                (r.doc_a, r.doc_b)
+                for r in minhash_lsh_pairs(df, "text", "doc_id", k=12, bands=4).collect()
+            }
+            # every 3-word shingle contains a flipped word -> zero
+            # word-shingle overlap -> word banding cannot candidate them
+            assert sum(p in word_c for p in planted) == 0
+            assert edit_distance_pairs(
+                df, "text", "doc_id", max_rel=0.2, bands=4, candidates="minhash"
+            ).count() == 0
+            # char-gram banding: measured 15/15 at bands=6 (r=2 rows),
+            # pinned exactly — the run is deterministic
+            out = {
+                (r.doc_a, r.doc_b): r.rel_edit
+                for r in edit_distance_pairs(
+                    df, "text", "doc_id", max_rel=0.2, bands=6, candidates="char"
+                ).collect()
+            }
+            assert all(p in out for p in planted)
+            # one substitution per 3 words of 7-char words -> rel_edit
+            # = 20/479 per pair; the verify is exact so extras (random
+            # distractor collisions) are filtered by the threshold
+            assert all(0 < out[p] < 0.1 for p in planted)
+            assert set(out) == set(planted)
+        finally:
+            df.unpersist()
+
+    def test_char_mode_validation(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import char_shingles, edit_distance_pairs
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="candidates"):
+            edit_distance_pairs(df, "text", "doc_id", candidates="nope")
+        with _pytest.raises(ValueError, match="n must be"):
+            char_shingles("text", 0)
+
+    def test_char_shingles_edges(self, spark):
+        """NULL / empty / shorter-than-n text yields an EMPTY gram set
+        (so such docs emit no signature rows), and grams are distinct
+        over the lower/trim normalization."""
+        from spear_spark.operators.dedup import char_shingles
+
+        df = spark.createDataFrame(
+            [(1, "  AbAbAb "), (2, None), (3, "abcd"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.g
+            for r in df.select(
+                "doc_id", char_shingles("text", 5).alias("g")
+            ).collect()
+        }
+        assert got[1] == ["ababa", "babab"]  # distinct, normalized
+        assert got[2] == [] and got[3] == [] and got[4] == []
+
+
 class TestBloomDecontaminate:
     """Contracts for the Bloom-filter decontamination path: membership
     has NO false negatives (nothing contaminated survives), a bounded
