@@ -24,77 +24,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-11 window (5+9+5+31 = 50): the 5 late-round-10 entries with no
-# driver evidence yet (p113–p117, sequenced by the round-10 verdict),
-# the 9 NEW round-11 operators (p118 chunk-level dedup report — the
-# cdc_chunks payoff; p119 chunk-level decontamination; p120 DSIR
-# importance weights; p121 2-pass k-center; p122 sampled-fit
-# SemDeDup; p123 DSIR Gumbel-top-k resampling; p124 exact quantized
-# embedding Gram/covariance; p125 boilerplate chunk profile; p126
-# filter-agreement kappa), the 5 last r06-evidence rotations (q66,
-# q67, q79, q82, q83 — after this round no evidence predates r07),
-# and the 31 oldest r07/r08-evidence rotations.  p112/p116 carry oracle/plan deltas
-# this round (p112 NULL-coalesce parity, p116 bounded-domain guard —
-# values identical, verified vs oracle at sf0.001/0.01/0.1); p116 is
-# in-window anyway, p112's r10 row stays valid.
+# Round-12 window (7+4+17+22 = 50): the 7 late-round-11 entries with
+# no driver evidence yet (p127–p133, sequenced by the round-11
+# verdict), the 4 NEW round-12 operators (p134 char-gram-candidate
+# edit-distance pairs — the OCR-noise recall mode; p135 CC-grade
+# leakage-safe split — constructor and audit at one granularity;
+# p136 fertility-balanced BPE — integer-reweighted word mass closes
+# p129's per-language gap; p137 chunk-grade dedup report — per-source
+# retention at verbatim-chunk granularity), the 17 r07-evidence
+# rotations (the oldest rows in the repo after round 11), and the 22
+# oldest r08-evidence rotations.
 _DRIVER_PRIORITY = [
-    # ---- round 11 window ----
-    # -- no driver evidence yet (late round 10): PSI drift monitor,
-    #    greedy k-center coreset, exact-substring canary scan, KS
-    #    drift statistic, content-defined chunking
-    "p113_psi_drift", "p114_kcenter_coreset",
-    "p115_canary_scan", "p116_ks_drift",
-    "p117_cdc_chunks",
-    # -- NEW in round 11: the chunk-level dedup payoff (CDC chunks →
-    #    exact dedup on chunk_hash → per-doc duplicated-token share),
-    #    chunk-level benchmark decontamination (broadcast bench chunk
-    #    table, shift-robust), and DSIR hashed-n-gram importance
-    #    weights (Xie et al. 2023) against the lang='en' target
-    "p118_chunk_dedup", "p119_chunk_decontaminate",
-    "p120_dsir_weights", "p121_kcenter_2pass",
-    "p122_semdedup_sampled_fit", "p123_dsir_sample",
-    "p124_embedding_gram", "p125_boilerplate_chunks",
-    "p126_filter_agreement",
-    # -- the last 5 r06-evidence rotations:
-    "q66_part_promotion",
-    "q67_grouping_sets", "q79_event_funnel",
-    "q82_symmetric_range_frame", "q83_session_window",
-    # -- the 31 oldest r07/r08-evidence rotations:
-    "p77_kmeans_lloyd", "p80_group_distinct",
-    "p72_pagerank_convergence", "p65_mix_reweight",
-    "p02_minhash_signatures", "p03_minhash_lsh_pairs",
-    "p04_simhash", "p18_clean_corpus",
-    "p19_simhash_near_pairs", "p31_repetition_stats",
-    "p32_heavy_hitters", "p34_zorder_key",
-    "p35_priority_sample", "p36_token_typicality",
-    "p37_incremental_dedup", "p38_decontaminate",
-    "p39_embedding_outliers", "p41_skew_profile",
-    "p42_chunk_documents", "p43_global_row_numbers",
-    "q59_local_supplier_volume", "q60_volume_shipping",
-    "q61_market_share", "q62_returned_items",
-    "p17_range_join", "p33_distinct_sketch",
-    "p40_redact_pii", "p45_asof_nearest",
-    "p46_interval_overlap", "p48_segment_dedup",
-    "p49_token_entropy",
-
-    # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: the remaining r07/r08 block leads the round-12
-    # window, then the r09 block, then the r10 window's entries, then
-    # this round's 50 are implicit catalog-order leftovers at the
-    # end). ----
-    # -- NEW late in round 11 (implemented + law-tested + oracle-paired
-    #    + verified MATCH at 3 SFs, but the round-11 window was already
-    #    locked at 50): cross-source chunk overlap, and the REAL-parser
-    #    audio modality (stdlib-wave PCM round trip, stats
-    #    hash-compared against a pure-SQL replay of the md5 generation
-    #    math), and per-language BPE fertility (the tokenizer-eval
-    #    readout over the certified learn/apply replays).  Certify
-    #    FIRST in round 12:
+    # ---- round 12 window ----
+    # -- no driver evidence yet (late round 11): cross-source chunk
+    #    overlap, REAL-parser audio (stdlib-wave PCM round trip),
+    #    per-language BPE fertility, source token yield, split-leakage
+    #    audit, edit-distance-verified near-dups, REAL-container video
+    #    (YUV4MPEG2 walker)
     "p127_source_chunk_overlap", "p128_audio_decode",
     "p129_bpe_fertility", "p130_source_token_yield",
     "p131_split_leakage", "p132_edit_distance_pairs",
     "p133_video_decode",
-    # -- r07/r08 evidence (rotate next in round 12):
+    # -- NEW in round 12 (each oracle-paired + law-tested; verified
+    #    MATCH at sf0.001/0.01 in-session):
+    "p134_edit_distance_char", "p135_leakage_split_cc",
+    "p136_bpe_fertility_balanced", "p137_dedup_report_chunks",
+    # -- the 17 r07-evidence rotations (oldest evidence in the repo):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",
     "p53_balanced_shards", "p54_cross_source_dups",
@@ -104,6 +59,7 @@ _DRIVER_PRIORITY = [
     "q09_customers_without_orders", "q10_union_bag",
     "q11_intersect_multiset", "q12_except_multiset",
     "q13_distinct", "q14_window_aggregates",
+    # -- the 22 oldest r08-evidence rotations:
     "p81_group_heavy_hitters", "p84_rolling_distinct",
     "p87_contamination_spans", "p88_cluster_representatives",
     "p89_hll_overlap", "p91_mad_outliers",
@@ -115,6 +71,14 @@ _DRIVER_PRIORITY = [
     "q68_lateral_topn", "q69_unpivot",
     "q70_qualify", "q71_listagg",
     "q72_recursive_cte", "q74_stats_aggregates",
+
+    # ---- below the fold (order = evidence age, so future rotations
+    # stay mechanical: the r08 remainder leads the round-13 window,
+    # then the r09 block, then the r11 block; the round-10 window's 50
+    # entries are the implicit catalog-order leftovers at the very
+    # end — recompute ages from CORRECTNESS_r*.json when sequencing
+    # round 13). ----
+    # -- r08 evidence remainder (rotate FIRST in round 13):
     "q75_datetime_functions", "q76_union_by_name",
     "q77_group_by_all", "q78_semi_anti_join",
     "p06_embedding_nn", "p07_cosine_topk",
@@ -152,6 +116,33 @@ _DRIVER_PRIORITY = [
     "p99_volume_anomalies", "p100_training_order",
     "p101_mix_schedule", "p102_dedup_report",
     "p104_source_jsd", "p105_curriculum_order",
+    # -- r11 evidence (the round-11 window: the late-r10 certs, the
+    #    nine round-11 operators, and that round's rotations):
+    "p113_psi_drift", "p114_kcenter_coreset",
+    "p115_canary_scan", "p116_ks_drift",
+    "p117_cdc_chunks", "p118_chunk_dedup",
+    "p119_chunk_decontaminate", "p120_dsir_weights",
+    "p121_kcenter_2pass", "p122_semdedup_sampled_fit",
+    "p123_dsir_sample", "p124_embedding_gram",
+    "p125_boilerplate_chunks", "p126_filter_agreement",
+    "q66_part_promotion", "q67_grouping_sets",
+    "q79_event_funnel", "q82_symmetric_range_frame",
+    "q83_session_window", "p77_kmeans_lloyd",
+    "p80_group_distinct", "p72_pagerank_convergence",
+    "p65_mix_reweight", "p02_minhash_signatures",
+    "p03_minhash_lsh_pairs", "p04_simhash",
+    "p18_clean_corpus", "p19_simhash_near_pairs",
+    "p31_repetition_stats", "p32_heavy_hitters",
+    "p34_zorder_key", "p35_priority_sample",
+    "p36_token_typicality", "p37_incremental_dedup",
+    "p38_decontaminate", "p39_embedding_outliers",
+    "p41_skew_profile", "p42_chunk_documents",
+    "p43_global_row_numbers", "q59_local_supplier_volume",
+    "q60_volume_shipping", "q61_market_share",
+    "q62_returned_items", "p17_range_join",
+    "p33_distinct_sketch", "p40_redact_pii",
+    "p45_asof_nearest", "p46_interval_overlap",
+    "p48_segment_dedup", "p49_token_entropy",
 ]
 
 

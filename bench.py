@@ -191,6 +191,10 @@ HEADLINE = [
     "p131_split_leakage",
     "p132_edit_distance_pairs",
     "p133_video_decode",
+    "p134_edit_distance_char",
+    "p135_leakage_split_cc",
+    "p136_bpe_fertility_balanced",
+    "p137_dedup_report_chunks",
 ]
 
 

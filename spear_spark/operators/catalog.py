@@ -4506,16 +4506,21 @@ _BPE_N_MERGES = 8
 _BPE_CLEAN_SQL = "regexp_replace(lower(text), '[^a-z ]+', ' ', 'g')"
 
 
-def _bpe_learn_cte(n_merges: int) -> str:
+def _bpe_learn_cte(n_merges: int, w0_parts: str | None = None) -> str:
     """Shared trainer CTE stages: w0 (capped word-freq table), v0..vN
     (symbolized vocab per merge round), c{i}/b{i} (pair counts + the
-    round's winning merge)."""
-    parts = [
-        f"""w0 AS MATERIALIZED (
+    round's winning merge).  ``w0_parts`` overrides the word-frequency
+    CTEs (must end by defining ``w0(w, freq)``) — the balanced trainer
+    (p136) swaps in group-reweighted counts here while every merge
+    stage stays byte-identical to the certified p110 replay."""
+    if w0_parts is None:
+        w0_parts = f"""w0 AS MATERIALIZED (
       SELECT w, COUNT(*) AS freq FROM (
         SELECT unnest(regexp_extract_all({_BPE_CLEAN_SQL}, '[a-z]+')) AS w
         FROM documents)
-      GROUP BY w ORDER BY freq DESC, w LIMIT 50000),
+      GROUP BY w ORDER BY freq DESC, w LIMIT 50000)"""
+    parts = [
+        f"""{w0_parts},
     v0 AS MATERIALIZED (
       SELECT '<' || array_to_string(regexp_extract_all(w, '.'), '><') || '>' AS s,
              freq FROM w0)"""
@@ -5658,3 +5663,229 @@ def p133_video_decode(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     clips = multimodal.attach_y4m(docs, "text", "doc_id")
     return multimodal.decode_y4m(clips, "doc_id", "payload").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p134 — char-gram-candidate edit-distance pairs (operators.dedup.
+# edit_distance_pairs, candidates='char'): the recall-matched
+# generator for the Levenshtein verify — 5-char-gram MinHash banding
+# degrades linearly with noise density where word-shingle banding
+# cliff-drops (one flip per 3rd word -> zero word candidates,
+# law-tested in tests/test_dedup_recall.py), so OCR-noised re-crawls
+# become candidates and the exact JVM/DuckDB-identical DP confirms.
+# 6 bands of 2 rows over the SAME 12 seeded permutations as p02/p03.
+# ---------------------------------------------------------------------------
+_CSHINGLES_CTE = """
+  csh AS (SELECT DISTINCT doc_id,
+                 unnest([substr(lower(trim(text)), i, 5)
+                         for i in generate_series(1, length(lower(trim(text))) - 4)]) AS s
+          FROM documents)
+"""
+_CSIG_CTE = (
+    f"WITH {_CSHINGLES_CTE}, "
+    f"chv AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % {_P} AS hv FROM csh), "
+    "csig AS (SELECT doc_id, "
+    + ", ".join(f"MIN(({a}*hv+{b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS))
+    + " FROM chv GROUP BY doc_id)"
+)
+_CBANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    f"md5(concat_ws('_', {', '.join(f'CAST(mh{bi*2+j} AS VARCHAR)' for j in range(2))})) AS bh "
+    "FROM csig"
+    for bi in range(6)
+)
+
+
+@q(
+    "p134_edit_distance_char",
+    _CSIG_CTE
+    + f""", cbands AS ({_CBANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM cbands a JOIN cbands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    v AS (SELECT doc_a, doc_b,
+                 CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+                 GREATEST(length(da.text), length(db.text), 1) AS m
+          FROM cand JOIN documents da ON da.doc_id = doc_a
+                    JOIN documents db ON db.doc_id = doc_b)
+    SELECT doc_a, doc_b, edit_dist,
+           ROUND(CAST(edit_dist AS DOUBLE) / m, 6) AS rel_edit
+    FROM v WHERE ROUND(CAST(edit_dist AS DOUBLE) / m, 6) <= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def p134_edit_distance_char(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(
+        docs, "text", "doc_id", max_rel=0.3, k=12, bands=6,
+        candidates="char", char_n=5,
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# p135 — CC-grade leakage-safe split (operators.sampling.
+# leakage_safe_split with group_key): the constructor now runs at the
+# SAME granularity as the p131 audit — the split decision hashes the
+# connected-component label over >=0.5-Jaccard pairs (singletons
+# coalesced to their own id), so a whole near-dup cluster moves as one
+# unit and the CC-grade audit of this split is EMPTY by construction
+# (law-tested).  Pure projection over the edge-set-sized CC labels.
+# ---------------------------------------------------------------------------
+@q(
+    "p135_leakage_split_cc",
+    f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    prs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+      UNION SELECT doc_a, doc_a FROM prs
+      UNION SELECT doc_b, doc_b FROM prs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    keyed AS (
+      SELECT d.doc_id, CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR) AS g
+      FROM documents d LEFT JOIN lab l USING (doc_id))
+    SELECT doc_id, g AS group_hash,
+           CASE WHEN ('0x'||substr(md5('13_'||g),1,13))::BIGINT
+                     / 4503599627370496.0 < 0.3
+                THEN 'validation' ELSE 'train' END AS split
+    FROM keyed ORDER BY doc_id
+    """,
+)
+def p135_leakage_split_cc(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
+    labels = dedup.connected_components(pairs)
+    keyed = docs.join(labels, "doc_id", "left").withColumn(
+        "_g", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    return leakage_safe_split(
+        keyed, "text", "doc_id", val_frac=0.3, group_key=F.col("_g")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p136 — fertility-balanced BPE (operators.text.bpe_learn with
+# balance_by + bpe_fertility): p129 reads out the per-language
+# fertility gap; this entry closes it — each language's word counts
+# are reweighted to equal pre-token mass with exact integer
+# multipliers m_g = (T_max·1000) div T_g before the trainer runs, so
+# the minority slice co-owns the merge budget (law: its fertility
+# strictly drops vs the raw vocabulary).  The oracle swaps ONLY the
+# w0 CTE under the certified p110/p111 learn/apply replay.
+# ---------------------------------------------------------------------------
+_BPE_BALANCED_W0 = f"""gw AS MATERIALIZED (
+      SELECT lang, w, COUNT(*) AS c FROM (
+        SELECT lang, unnest(regexp_extract_all({_BPE_CLEAN_SQL}, '[a-z]+')) AS w
+        FROM documents WHERE lang IS NOT NULL)
+      GROUP BY lang, w),
+    gt AS (SELECT lang, SUM(c) AS t FROM gw GROUP BY lang),
+    gm AS (SELECT lang, (SELECT MAX(t) FROM gt) * 1000 // t AS m FROM gt),
+    w0 AS MATERIALIZED (
+      SELECT w, SUM(c * m) AS freq FROM gw JOIN gm USING (lang)
+      GROUP BY w ORDER BY freq DESC, w LIMIT 50000)"""
+
+
+@q(
+    "p136_bpe_fertility_balanced",
+    rf"""WITH {_bpe_learn_cte(_BPE_N_MERGES, w0_parts=_BPE_BALANCED_W0)},
+    {_bpe_apply_cte(_BPE_N_MERGES)},
+    met AS (
+      SELECT d.lang,
+             len(regexp_extract_all({_BPE_CLEAN_SQL}, '[a-z]+')) AS w,
+             length(array_to_string(
+               regexp_extract_all({_BPE_CLEAN_SQL}, '[a-z]+'), '')) AS c,
+             len(regexp_extract_all(e.s, '<([a-z]+)>', 1)) AS t
+      FROM documents d JOIN e{_BPE_N_MERGES} e USING (doc_id))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(t) AS DOUBLE) / SUM(w), 6) AS fertility,
+           ROUND(CAST(SUM(c) AS DOUBLE) / SUM(t), 6) AS chars_per_token
+    FROM met GROUP BY lang HAVING SUM(w) > 0 AND SUM(t) > 0
+    ORDER BY lang""",
+)
+def p136_bpe_fertility_balanced(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = _bpe_clean_docs(spark, sf_dir)
+    with_lang = clean.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", "text"
+    )
+    merges = text.bpe_learn(
+        with_lang, "text", n_merges=_BPE_N_MERGES, balance_by="lang",
+        balance_scale=1000,
+    )
+    return text.bpe_fertility(with_lang, "text", "lang", merges).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# p137 — chunk-grade dedup report (operators.dedup.dedup_report,
+# chunk_grade=True): p102's per-source retention dashboard re-run at
+# VERBATIM-CHUNK granularity — survivors cluster iff they share a
+# >=3-token CDC chunk (p117 machinery via chunk_shared_pairs), the
+# grade that charges a header-prepended scraping source for its
+# verbatim bodies where whole-document Jaccard is diluted below any
+# threshold (law-tested asymmetric retention).  Exact stage + one
+# Exchange-free chunking + chunk-hash self-join + CC + bounded
+# tallies.
+# ---------------------------------------------------------------------------
+@q(
+    "p137_dedup_report_chunks",
+    rf"""
+    WITH RECURSIVE
+    ex AS (SELECT doc_id, source, text, md5(text) AS h FROM documents),
+    keep AS (SELECT h, MIN(doc_id) AS kid FROM ex GROUP BY h),
+    surv AS (SELECT doc_id, source, text
+             FROM ex JOIN keep ON ex.h = keep.h AND ex.doc_id = keep.kid),
+    {_cdc_chunk_cte('', 'surv')},
+    dch AS (SELECT DISTINCT doc_id, chunk_hash FROM ch WHERE n_tokens >= 3),
+    prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM dch a JOIN dch b
+              ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+      UNION SELECT doc_a, doc_a FROM prs
+      UNION SELECT doc_b, doc_b FROM prs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    lab AS (SELECT s.doc_id, s.source, COALESCE(l.cluster_id, s.doc_id) AS cluster
+            FROM surv s LEFT JOIN labels l USING (doc_id)),
+    pe AS (SELECT source, COUNT(*) AS n_exact_kept,
+                  SUM(CASE WHEN cluster = doc_id THEN 1 ELSE 0 END) AS n_final_kept
+           FROM lab GROUP BY source),
+    pa AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT pa.source, n_docs,
+           CAST(COALESCE(n_exact_kept, 0) AS BIGINT) AS n_exact_kept,
+           CAST(COALESCE(n_final_kept, 0) AS BIGINT) AS n_final_kept,
+           ROUND(CAST(COALESCE(n_final_kept, 0) AS DOUBLE) / n_docs, 6) AS retention
+    FROM pa LEFT JOIN pe USING (source) ORDER BY source
+    """,
+)
+def p137_dedup_report_chunks(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_report(
+        docs, "text", "doc_id", "source",
+        chunk_grade=True, chunk_modulus=16, min_chunk_tokens=3,
+    ).orderBy("source")
