@@ -24,15 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-12 window (7+4+17+22 = 50): the 7 late-round-11 entries with
+# Round-12 window (7+6+17+20 = 50): the 7 late-round-11 entries with
 # no driver evidence yet (p127–p133, sequenced by the round-11
-# verdict), the 4 NEW round-12 operators (p134 char-gram-candidate
+# verdict), the 6 NEW round-12 operators (p134 char-gram-candidate
 # edit-distance pairs — the OCR-noise recall mode; p135 CC-grade
 # leakage-safe split — constructor and audit at one granularity;
 # p136 fertility-balanced BPE — integer-reweighted word mass closes
 # p129's per-language gap; p137 chunk-grade dedup report — per-source
-# retention at verbatim-chunk granularity), the 17 r07-evidence
-# rotations (the oldest rows in the repo after round 11), and the 22
+# retention at verbatim-chunk granularity; p138 filter-ensemble kappa
+# matrix — one-scan pairwise agreement; p139 packing preview —
+# training-sequence yield per context length), the 17 r07-evidence
+# rotations (the oldest rows in the repo after round 11), and the 20
 # oldest r08-evidence rotations.
 _DRIVER_PRIORITY = [
     # ---- round 12 window ----
@@ -49,6 +51,7 @@ _DRIVER_PRIORITY = [
     #    MATCH at sf0.001/0.01 in-session):
     "p134_edit_distance_char", "p135_leakage_split_cc",
     "p136_bpe_fertility_balanced", "p137_dedup_report_chunks",
+    "p138_filter_agreement_matrix", "p139_packing_preview",
     # -- the 17 r07-evidence rotations (oldest evidence in the repo):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",
@@ -70,7 +73,6 @@ _DRIVER_PRIORITY = [
     "q53_gapfill_hourly", "q58_dialect_extensions",
     "q68_lateral_topn", "q69_unpivot",
     "q70_qualify", "q71_listagg",
-    "q72_recursive_cte", "q74_stats_aggregates",
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the r08 remainder leads the round-13 window,
@@ -79,6 +81,7 @@ _DRIVER_PRIORITY = [
     # end — recompute ages from CORRECTNESS_r*.json when sequencing
     # round 13). ----
     # -- r08 evidence remainder (rotate FIRST in round 13):
+    "q72_recursive_cte", "q74_stats_aggregates",
     "q75_datetime_functions", "q76_union_by_name",
     "q77_group_by_all", "q78_semi_anti_join",
     "p06_embedding_nn", "p07_cosine_topk",

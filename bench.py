@@ -195,6 +195,8 @@ HEADLINE = [
     "p135_leakage_split_cc",
     "p136_bpe_fertility_balanced",
     "p137_dedup_report_chunks",
+    "p138_filter_agreement_matrix",
+    "p139_packing_preview",
 ]
 
 

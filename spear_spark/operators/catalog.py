@@ -5889,3 +5889,135 @@ def p137_dedup_report_chunks(spark: SparkSession, sf_dir: str) -> SDF:
         docs, "text", "doc_id", "source",
         chunk_grade=True, chunk_modulus=16, min_chunk_tokens=3,
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# p138 — filter-ensemble agreement matrix (operators.stats.
+# filter_agreement_matrix): pairwise Cohen's kappa across all six
+# Gopher rule flags + the composite keep in ONE corpus scan / one
+# two-phase aggregate (law: every row bit-equals the certified p126
+# two-filter operator on that pair) — the which-gates-are-redundant
+# readout a curation stack consults before pruning filters.  Oracle
+# replays the p112 flag CTE and one SELECT per pair over it.
+# ---------------------------------------------------------------------------
+_P138_FLAGS = ["words_ok", "word_len_ok", "symbol_ok", "alpha_ok",
+               "stopword_ok", "keep"]
+
+
+def _p138_pair_sql(a: str, b: str) -> str:
+    return f"""
+    SELECT '{a}' AS filter_a, '{b}' AS filter_b,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN {a} AND {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN {a} AND NOT {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+           CAST(SUM(CASE WHEN NOT {a} AND {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+           CAST(SUM(CASE WHEN NOT {a} AND NOT {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+    FROM fl"""
+
+
+_P138_PAIRS_SQL = " UNION ALL ".join(
+    _p138_pair_sql(a, b)
+    for i, a in enumerate(_P138_FLAGS)
+    for b in _P138_FLAGS[i + 1:]
+)
+
+
+@q(
+    "p138_filter_agreement_matrix",
+    rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6)
+               AS mean_word_len,
+             ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len(t), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS stopword_hits
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)),
+    fl AS (
+      SELECT *,
+             (words_ok AND word_len_ok AND symbol_ok AND alpha_ok AND stopword_ok)
+               AS keep
+      FROM (
+        SELECT m.*,
+               COALESCE(n_words BETWEEN 20 AND 100000, false) AS words_ok,
+               COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, false) AS word_len_ok,
+               COALESCE(symbol_ratio <= 0.1, false) AS symbol_ok,
+               COALESCE(alpha_word_frac >= 0.8, false) AS alpha_ok,
+               COALESCE(stopword_hits >= 1, false) AS stopword_ok
+        FROM m)),
+    cells AS ({_P138_PAIRS_SQL})
+    SELECT filter_a, filter_b, n, n_both, n_a_only, n_b_only, n_neither,
+           ROUND((n_both + n_neither) / CAST(n AS DOUBLE), 6) + 0.0 AS po,
+           ROUND((n_both + n_a_only) / CAST(n AS DOUBLE)
+                 * ((n_both + n_b_only) / CAST(n AS DOUBLE))
+                 + (1 - (n_both + n_a_only) / CAST(n AS DOUBLE))
+                 * (1 - (n_both + n_b_only) / CAST(n AS DOUBLE)), 6) + 0.0 AS pe,
+           ROUND(CASE WHEN (n_both + n_a_only) / CAST(n AS DOUBLE)
+                           * ((n_both + n_b_only) / CAST(n AS DOUBLE))
+                           + (1 - (n_both + n_a_only) / CAST(n AS DOUBLE))
+                           * (1 - (n_both + n_b_only) / CAST(n AS DOUBLE)) = 1.0
+                      THEN 1.0
+                      ELSE ((n_both + n_neither) / CAST(n AS DOUBLE)
+                            - ((n_both + n_a_only) / CAST(n AS DOUBLE)
+                               * ((n_both + n_b_only) / CAST(n AS DOUBLE))
+                               + (1 - (n_both + n_a_only) / CAST(n AS DOUBLE))
+                               * (1 - (n_both + n_b_only) / CAST(n AS DOUBLE))))
+                           / (1 - ((n_both + n_a_only) / CAST(n AS DOUBLE)
+                                   * ((n_both + n_b_only) / CAST(n AS DOUBLE))
+                                   + (1 - (n_both + n_a_only) / CAST(n AS DOUBLE))
+                                   * (1 - (n_both + n_b_only) / CAST(n AS DOUBLE))))
+                 END, 6) + 0.0 AS kappa
+    FROM cells ORDER BY filter_a, filter_b
+    """,
+)
+def p138_filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import filter_agreement_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.gopher_rules(
+        docs, "text", "doc_id", min_words=20, min_stopword_hits=1
+    )
+    return filter_agreement_matrix(flags, _P138_FLAGS).orderBy(
+        "filter_a", "filter_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p139 — packing preview (operators.text.packing_preview): per-source
+# training-sequence yield at context length 128 — concat-and-chunk
+# packed floor vs one-doc-per-sequence padded ceiling, padding waste
+# share, overflow-doc count.  Ceil division is exact int64
+# ((x + L-1) div L), never a float floor (the 2^53 trap).  One narrow
+# projection + one two-phase aggregate.
+# ---------------------------------------------------------------------------
+@q(
+    "p139_packing_preview",
+    rf"""
+    WITH t AS (SELECT source, len({_TOKS}) AS nt FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN nt > 128 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_docs,
+           CAST((CAST(SUM(nt) AS BIGINT) + 127) // 128 AS BIGINT) AS n_seq_packed,
+           CAST(SUM((nt + 127) // 128) AS BIGINT) AS n_seq_padded,
+           -- integer half-up at 6dp: L-smooth denominators hit exact
+           -- decimal midpoints (1647/3200 = .5146875 at sf0.01), where
+           -- double ROUND and Spark's decimal HALF_UP disagree
+           CAST(((CAST(SUM((nt + 127) // 128) AS BIGINT) * 128
+                  - CAST(SUM(nt) AS BIGINT)) * 2000000
+                 + CAST(SUM((nt + 127) // 128) AS BIGINT) * 128)
+                // (CAST(SUM((nt + 127) // 128) AS BIGINT) * 256)
+                AS DOUBLE) / 1000000.0 + 0.0 AS pad_waste_frac
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def p139_packing_preview(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.packing_preview(docs, "text", "source", 128).orderBy("source")

@@ -873,3 +873,116 @@ def filter_agreement(
         (F.round(pe, decimals) + F.lit(0.0)).alias("pe"),
         (F.round(kappa, decimals) + F.lit(0.0)).alias("kappa"),
     )
+
+
+def _or_fold(conds):
+    """OR-fold a non-empty list of boolean Columns."""
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def filter_agreement_matrix(
+    df: DataFrame,
+    flags: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Cohen's kappa over a whole FILTER ENSEMBLE — the
+    k-filter generalization of :func:`filter_agreement`: real curation
+    stacks run several gates at once (Gopher rules, a model quality
+    score, lang-id confidence, a dedup flag) and the question before
+    pruning the stack is which gates are redundant (kappa ≈ 1) and
+    which disagree beyond chance (kappa ≈ 0).  One row per unordered
+    pair, in the caller's flag order: ``(filter_a, filter_b, n,
+    n_both, n_a_only, n_b_only, n_neither, po, pe, kappa)`` — each row
+    is law-tested identical to :func:`filter_agreement` on that pair.
+
+    Contract: flags must be NON-NULL booleans (in-plan raise, the
+    :func:`filter_agreement` guard) and 2 ≤ k ≤ 12 — the single-pass
+    aggregate carries 3·k(k−1)/2 conditional sums, so the cap bounds
+    plan size (the srp plan-bloat discipline), and 12 filters is
+    already a 66-row matrix.
+
+    Scale shape: ONE two-phase global aggregate over ONE corpus scan
+    (k² never multiplies the scan — all pair cells are conditional
+    sums in the same Aggregate); the matrix rows come from exploding
+    a literal struct array over the 1-row result, a driver-sized
+    projection.  All shares are single double ops on exact int64
+    counts, rounded, −0.0-canonicalized — hash-exact cross-engine."""
+    flags = list(flags)
+    if not 2 <= len(flags) <= 12:
+        raise ValueError(
+            f"filter_agreement_matrix: need 2..12 flags, got {len(flags)}"
+        )
+    if len(set(flags)) != len(flags):
+        raise ValueError("filter_agreement_matrix: duplicate flag names")
+    k = len(flags)
+    cols = [F.col(f) for f in flags]
+    guard = F.when(
+        _or_fold([c.isNull() for c in cols]),
+        F.raise_error(
+            F.lit(
+                "filter_agreement_matrix: NULL flag — coalesce every "
+                "filter column to booleans first"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(1))
+    staged = df.select(
+        *[c.alias(f"_f{i}") for i, c in enumerate(cols)], guard.alias("_g")
+    )
+    aggs = [F.sum("_g").alias("n")]
+    for i in range(k):
+        for j in range(i + 1, k):
+            a, b = F.col(f"_f{i}"), F.col(f"_f{j}")
+            aggs += [
+                F.sum((a & b).cast("long")).alias(f"_b_{i}_{j}"),
+                F.sum((a & ~b).cast("long")).alias(f"_ao_{i}_{j}"),
+                F.sum((~a & b).cast("long")).alias(f"_bo_{i}_{j}"),
+            ]
+    one = staged.agg(*aggs)
+    # Stage every pair's derived scalars as FLAT columns in one
+    # projection before assembling the struct array: inlining the
+    # po/pe/kappa trees (pe alone is referenced 3× per pair) into 15
+    # structs inside a Generate blows whole-stage codegen past the
+    # 64 KB method limit (observed InternalCompilerException fallback);
+    # over flat references the explode is a trivial method.
+    derived = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            n = F.col("n")
+            both = F.col(f"_b_{i}_{j}")
+            aonly = F.col(f"_ao_{i}_{j}")
+            bonly = F.col(f"_bo_{i}_{j}")
+            neither = n - both - aonly - bonly
+            nd = n.cast("double")
+            po = (both + neither) / nd
+            pa = (both + aonly) / nd
+            pb = (both + bonly) / nd
+            pe = pa * pb + (1 - pa) * (1 - pb)
+            kappa = F.when(pe == 1.0, F.lit(1.0)).otherwise((po - pe) / (1 - pe))
+            derived += [
+                neither.alias(f"_ne_{i}_{j}"),
+                (F.round(po, decimals) + F.lit(0.0)).alias(f"_po_{i}_{j}"),
+                (F.round(pe, decimals) + F.lit(0.0)).alias(f"_pe_{i}_{j}"),
+                (F.round(kappa, decimals) + F.lit(0.0)).alias(f"_ka_{i}_{j}"),
+            ]
+    flat = one.select("*", *derived)
+    pair_structs = [
+        F.struct(
+            F.lit(flags[i]).alias("filter_a"),
+            F.lit(flags[j]).alias("filter_b"),
+            F.col("n").alias("n"),
+            F.col(f"_b_{i}_{j}").alias("n_both"),
+            F.col(f"_ao_{i}_{j}").alias("n_a_only"),
+            F.col(f"_bo_{i}_{j}").alias("n_b_only"),
+            F.col(f"_ne_{i}_{j}").alias("n_neither"),
+            F.col(f"_po_{i}_{j}").alias("po"),
+            F.col(f"_pe_{i}_{j}").alias("pe"),
+            F.col(f"_ka_{i}_{j}").alias("kappa"),
+        )
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    return flat.select(F.explode(F.array(*pair_structs)).alias("_p")).select("_p.*")
+

@@ -1049,3 +1049,85 @@ def bpe_fertility(
             ).alias("chars_per_token"),
         )
     )
+
+
+def packing_preview(
+    df,
+    text_col: str,
+    group_col: str,
+    context_len: int,
+    decimals: int = 6,
+) -> "DataFrame":
+    """Training-sequence yield per group under a context length — the
+    token-budget readout that turns corpus token counts into the
+    numbers a pretraining plan is actually priced in: how many
+    length-``context_len`` sequences does each slice yield, and how
+    much is lost to padding if documents are NOT packed?  Emits one
+    row per group: ``(group, n_docs, n_tokens, n_overflow_docs,
+    n_seq_packed, n_seq_padded, pad_waste_frac)`` where
+
+    * ``n_seq_packed`` = ceil(n_tokens / L): concat-and-chunk packing
+      (the GPT-style packed-pretraining estimate, one stream per
+      group) — the floor any packing scheme can reach;
+    * ``n_seq_padded`` = Σ_docs ceil(n_doc / L): one-doc-per-sequence
+      with padding — the ceiling a naive loader pays;
+    * ``pad_waste_frac`` = (n_seq_padded·L − n_tokens) /
+      (n_seq_padded·L): the padding share of the naive loader's token
+      budget (law: packed ≤ padded, and both are exact integer
+      arithmetic — ceil division is ``(x + L − 1) div L`` on int64,
+      never a float floor, the 2^53 bucketing trap).  The fraction is
+      rounded to ``decimals`` places ENTIRELY in integer space —
+      half-up = ``(num·2·10^d + den) div (2·den)`` — because L-smooth
+      denominators land on exact decimal MIDPOINTS routinely (hit at
+      sf0.01: 1647/3200 = 0.5146875, where Spark's decimal-string
+      HALF_UP and an oracle's raw-double rounding disagree on the
+      6th digit); integer half-up is bit-identical in any engine.
+      Bound: den·2·10^d must stay inside int64, i.e. a group's padded
+      token budget below ~4.6e12 at d=6 — shard the group or lower
+      ``decimals`` beyond that;
+    * ``n_overflow_docs`` = docs longer than L (the slice that forces
+      a truncation/chunking decision either way).
+
+    Tokens are the repo's whitespace tokenizer (``tokens``), so the
+    counts are mutually consistent with p10's token stats; swap in a
+    BPE count upstream by passing a pre-tokenized length column
+    through a projection if the plan is priced in BPE tokens.
+
+    Scale shape: one narrow projection (per-doc token count) + ONE
+    two-phase aggregate on the group key — integer sums, two exact
+    divisions per group row.  Nothing data-dependent on the driver."""
+    from pyspark.sql import functions as F
+
+    from spear_spark.functions import div
+
+    if int(context_len) < 1:
+        raise ValueError("packing_preview: context_len must be >= 1")
+    L = int(context_len)
+    nt = F.size(tokens(F.col(text_col)))
+    per_doc = df.select(
+        F.col(group_col),
+        nt.cast("long").alias("_nt"),
+        div(nt.cast("long") + F.lit(L - 1), F.lit(L)).alias("_seq"),
+    )
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum((F.col("_nt") > L).cast("long")).alias("n_overflow_docs"),
+        F.sum("_seq").alias("n_seq_padded"),
+    )
+    packed = div(F.col("n_tokens") + F.lit(L - 1), F.lit(L))
+    num = F.col("n_seq_padded") * L - F.col("n_tokens")
+    den = F.col("n_seq_padded") * L
+    scale = 10 ** int(decimals)
+    waste = div(num * (2 * scale) + den, den * 2).cast("double") / F.lit(
+        float(scale)
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "n_overflow_docs",
+        packed.alias("n_seq_packed"),
+        "n_seq_padded",
+        (waste + F.lit(0.0)).alias("pad_waste_frac"),
+    )

@@ -6325,3 +6325,123 @@ class TestDsirWeights:
             .collect()
         }
         assert all(means["en"] > v for lang, v in means.items() if lang != "en")
+
+
+class TestFilterAgreementMatrix:
+    """Laws for the k-filter ensemble agreement matrix (p138)."""
+
+    @staticmethod
+    def _flags(spark):
+        from spear_spark.operators.text import gopher_rules
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        return gopher_rules(docs, "text", "doc_id", min_words=20,
+                            min_stopword_hits=1)
+
+    def test_each_row_equals_pairwise_filter_agreement(self, spark):
+        """Consistency: every matrix row must be bit-identical to the
+        certified two-filter operator run on that pair."""
+        from spear_spark.operators.stats import (
+            filter_agreement,
+            filter_agreement_matrix,
+        )
+
+        flags = self._flags(spark)
+        names = ["words_ok", "alpha_ok", "stopword_ok", "keep"]
+        got = {
+            (r.filter_a, r.filter_b): r
+            for r in filter_agreement_matrix(flags, names).collect()
+        }
+        assert len(got) == 6  # C(4,2), caller order
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                [want] = filter_agreement(flags, a, b).collect()
+                have = got[(a, b)]
+                assert tuple(have)[2:] == tuple(want), (a, b)
+
+    def test_self_pair_kappa_is_one(self, spark):
+        from spear_spark.operators.stats import filter_agreement_matrix
+
+        flags = self._flags(spark).select(
+            F.col("keep").alias("k1"), F.col("keep").alias("k2")
+        )
+        [row] = filter_agreement_matrix(flags, ["k1", "k2"]).collect()
+        assert row.kappa == 1.0 and row.n_a_only == 0 and row.n_b_only == 0
+
+    def test_single_scan_single_aggregate(self, spark):
+        """The whole k² matrix must come from ONE corpus scan and one
+        two-phase aggregate — never a scan or aggregate per pair."""
+        from spear_spark.operators.stats import filter_agreement_matrix
+        from spear_spark.plans import executed_plan
+
+        flags = self._flags(spark)
+        plan = executed_plan(
+            filter_agreement_matrix(
+                flags, ["words_ok", "alpha_ok", "stopword_ok", "keep"]
+            )
+        )
+        assert plan.count("Scan parquet") == 1
+        assert "CartesianProduct" not in plan
+
+    def test_null_flag_and_validation(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.stats import filter_agreement_matrix
+
+        df = spark.createDataFrame(
+            [(True, None), (False, True)], "a boolean, b boolean"
+        )
+        with _pytest.raises(Exception, match="NULL flag"):
+            filter_agreement_matrix(df, ["a", "b"]).collect()
+        ok = spark.createDataFrame([(True, True)], "a boolean, b boolean")
+        with _pytest.raises(ValueError, match="2..12"):
+            filter_agreement_matrix(ok, ["a"])
+        with _pytest.raises(ValueError, match="duplicate"):
+            filter_agreement_matrix(ok, ["a", "a"])
+
+
+class TestPackingPreview:
+    """Laws for the training-sequence yield readout (p139)."""
+
+    def test_hand_computed_example(self, spark):
+        from spear_spark.operators.text import packing_preview
+
+        df = spark.createDataFrame(
+            [("s1", "a b c d e"), ("s1", "f g"), ("s2", "h i j k")],
+            "src string, text string",
+        )
+        out = {r.src: r for r in packing_preview(df, "text", "src", 4).collect()}
+        s1 = out["s1"]
+        # 5 + 2 tokens; packed = ceil(7/4) = 2; padded = 2 + 1 = 3;
+        # waste = (12 - 7)/12; one doc overflows L=4
+        assert (s1.n_docs, s1.n_tokens, s1.n_overflow_docs) == (2, 7, 1)
+        assert (s1.n_seq_packed, s1.n_seq_padded) == (2, 3)
+        assert s1.pad_waste_frac == round(5 / 12, 6)
+        s2 = out["s2"]
+        assert (s2.n_seq_packed, s2.n_seq_padded, s2.pad_waste_frac) == (1, 1, 0.0)
+
+    def test_packed_never_exceeds_padded_and_L_monotone(self, spark, sf_dir):
+        from spear_spark.operators.text import packing_preview
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        prev = None
+        for L in (16, 64, 256):
+            rows = packing_preview(docs, "text", "source", L).collect()
+            for r in rows:
+                assert r.n_seq_packed <= r.n_seq_padded
+                assert 0.0 <= r.pad_waste_frac < 1.0
+            tot = sum(r.n_seq_padded for r in rows)
+            if prev is not None:
+                assert tot <= prev  # larger context -> fewer padded seqs
+            prev = tot
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.text import packing_preview
+
+        df = spark.createDataFrame([("s", "a b")], "src string, text string")
+        with _pytest.raises(ValueError, match="context_len"):
+            packing_preview(df, "text", "src", 0)
