@@ -5668,17 +5668,22 @@ def p133_video_decode(spark: SparkSession, sf_dir: str) -> SDF:
 # ---------------------------------------------------------------------------
 # p134 — char-gram-candidate edit-distance pairs (operators.dedup.
 # edit_distance_pairs, candidates='char'): the recall-matched
-# generator for the Levenshtein verify — 5-char-gram MinHash banding
+# generator for the Levenshtein verify — char-gram MinHash banding
 # degrades linearly with noise density where word-shingle banding
 # cliff-drops (one flip per 3rd word -> zero word candidates,
-# law-tested in tests/test_dedup_recall.py), so OCR-noised re-crawls
-# become candidates and the exact JVM/DuckDB-identical DP confirms.
-# 6 bands of 2 rows over the SAME 12 seeded permutations as p02/p03.
+# law-tested in tests/test_dedup_recall.py).  Parameterization is the
+# ENTROPY-matched regime (see edit_distance_pairs' docstring): this
+# corpus is natural-language-like, whose cross-document char-gram
+# baseline is high, so the entry runs 7-grams at 4 bands × 3 rows —
+# measured 4.3k candidates at sf0.1 vs 1.09M (~9% of ALL pairs, each
+# a 300×300 Levenshtein DP) at the 5-gram/2-row setting the
+# dense-OCR recall contract uses on its high-entropy corpus.  Same
+# 12 seeded permutations as p02/p03.
 # ---------------------------------------------------------------------------
 _CSHINGLES_CTE = """
   csh AS (SELECT DISTINCT doc_id,
-                 unnest([substr(lower(trim(text)), i, 5)
-                         for i in generate_series(1, length(lower(trim(text))) - 4)]) AS s
+                 unnest([substr(lower(trim(text)), i, 7)
+                         for i in generate_series(1, length(lower(trim(text))) - 6)]) AS s
           FROM documents)
 """
 _CSIG_CTE = (
@@ -5690,9 +5695,9 @@ _CSIG_CTE = (
 )
 _CBANDS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {bi} AS band, "
-    f"md5(concat_ws('_', {', '.join(f'CAST(mh{bi*2+j} AS VARCHAR)' for j in range(2))})) AS bh "
+    f"md5(concat_ws('_', {', '.join(f'CAST(mh{bi*3+j} AS VARCHAR)' for j in range(3))})) AS bh "
     "FROM csig"
-    for bi in range(6)
+    for bi in range(4)
 )
 
 
@@ -5717,8 +5722,8 @@ _CBANDS_SQL = " UNION ALL ".join(
 def p134_edit_distance_char(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.edit_distance_pairs(
-        docs, "text", "doc_id", max_rel=0.3, k=12, bands=6,
-        candidates="char", char_n=5,
+        docs, "text", "doc_id", max_rel=0.3, k=12, bands=4,
+        candidates="char", char_n=7,
     ).orderBy("doc_a", "doc_b")
 
 

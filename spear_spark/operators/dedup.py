@@ -2293,6 +2293,18 @@ def edit_distance_pairs(
       banding provably misses).  Costs ~|text|/char_n more exploded
       rows per doc than word shingles; same banding arithmetic.
 
+      **Match (char_n, rows/band) to the corpus's char-gram entropy**
+      — unlike word shingles, UNRELATED same-language documents share
+      many common char-grams, so short grams + short bands admit a
+      baseline-collision candidate flood that the quadratic verify
+      then pays for.  Measured on 5k ~300-char English-like docs:
+      char_n=5 with 2-row bands → 1.09M candidates (~9% of ALL
+      pairs — a scale hazard); char_n=7 with 3-row bands (bands=4 at
+      k=12) → 4.3k.  Reserve the permissive 5-gram/2-row setting for
+      high-entropy text under DENSE noise (the recall contract's
+      regime), and default natural-language corpora to 7-grams with
+      ≥3 rows/band.
+
     Scale shape: the candidate space is LSH-banded (never all-pairs);
     the verify joins each side's text by id (hash joins) and pays one
     O(len_a·len_b) DP per CANDIDATE — bound document length upstream
