@@ -165,7 +165,12 @@ def minhash_signatures(
     the signature/banding arithmetic is identical either way.
 
     Scale: shuffle volume is docs × (k+1) longs, independent of
-    document length."""
+    document length.  The input is widened to full parallelism first
+    (the :func:`_shingle_pair_intersections` discipline): the shingle
+    explode + k-way MIN does ~50× the scan's work, and a single-file
+    scan would otherwise run it on one core (measured 4.4→2.5 s on
+    the char-gram path at sf0.1)."""
+    df = _widen_narrow_scan(df)
     grams = (
         shingles(text_col, shingle_n)
         if char_n is None
@@ -372,19 +377,31 @@ def simhash_near_pairs(
 def _widen_narrow_scan(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to the cluster's default
     parallelism so the ~50× shingle-explode work downstream runs on
-    every core.  Narrowness is read from ``inputFiles()`` METADATA —
-    file sources scan one task per split, so few files = few tasks —
-    NOT from ``df.rdd.getNumPartitions()``, which forces a full
-    plan→RDD conversion on the driver just to read a number.  Non-file
-    relations (lifted locals, drained streaming tables) report zero
-    files and are widened unconditionally: they are exactly the narrow
-    inputs the old partition-count check repartitioned anyway, and the
-    shuffle is proportional to their (small) size.  At corpus scale
-    inputs arrive in many splits and this is a no-op."""
+    every core.  Narrowness is read from plan METADATA — never from
+    ``df.rdd.getNumPartitions()``, which forces a full plan→RDD
+    conversion on the driver just to read a number:
+
+    * a plan already carrying an exchange (join / aggregate / explicit
+      repartition / window) is shuffle-partitioned wide — widening it
+      again would ADD a shuffle the old partition-count check skipped
+      (measured +50% on dedup_report, whose pair stage runs on a join
+      output);
+    * a genuine narrow scan shows up as ``inputFiles()`` below the
+      target (file sources scan one task per split) or as a zero-file
+      lifted local/drained-stream relation — exactly the inputs that
+      need the widen, and the shuffle is proportional to their size.
+
+    At corpus scale inputs arrive in many splits and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
-        df = df.repartition(target)
-    return df
+    if len(df.inputFiles()) >= target:
+        return df
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(
+        k in plan
+        for k in ("Join", "Aggregate", "Repartition", "Exchange", "Window")
+    ):
+        return df
+    return df.repartition(target)
 
 
 def _shingle_pair_intersections(
