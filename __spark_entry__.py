@@ -62,7 +62,8 @@ _DRIVER_PRIORITY = [
     "q09_customers_without_orders", "q10_union_bag",
     "q11_intersect_multiset", "q12_except_multiset",
     "q13_distinct", "q14_window_aggregates",
-    # -- the 22 oldest r08-evidence rotations:
+    # -- the 20 oldest r08-evidence rotations (q72/q74 moved to lead
+    #    the round-13 queue when p138/p139 took their window slots):
     "p81_group_heavy_hitters", "p84_rolling_distinct",
     "p87_contamination_spans", "p88_cluster_representatives",
     "p89_hll_overlap", "p91_mad_outliers",

@@ -374,34 +374,63 @@ def simhash_near_pairs(
     return cross_fp.unionAll(same_fp)
 
 
+_EXCHANGE_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Repartition",
+        "RepartitionByExpression",
+        "RepartitionOperation",
+        "Rebalance",
+        "Sort",
+        "Window",
+        "Exchange",
+    }
+)
+
+
+def _plan_node_names(df: DataFrame) -> set[str]:
+    """Node names of the optimized LOGICAL plan — first word of each
+    treeString line after the tree-drawing prefix.  Node-position
+    parsing, not substring search: a data literal like
+    'Join our newsletter' inside a Filter condition must not read as
+    a Join node (review-confirmed false positive of the naive
+    ``'Join' in plan`` check)."""
+    names = set()
+    for line in df._jdf.queryExecution().optimizedPlan().toString().splitlines():
+        stripped = line.lstrip(" :+-|")
+        if stripped:
+            names.add(stripped.split(" ", 1)[0].split("\n", 1)[0])
+    return names
+
+
 def _widen_narrow_scan(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to the cluster's default
     parallelism so the ~50× shingle-explode work downstream runs on
-    every core.  Narrowness is read from plan METADATA — never from
-    ``df.rdd.getNumPartitions()``, which forces a full plan→RDD
-    conversion on the driver just to read a number:
+    every core.
 
-    * a plan already carrying an exchange (join / aggregate / explicit
-      repartition / window) is shuffle-partitioned wide — widening it
-      again would ADD a shuffle the old partition-count check skipped
-      (measured +50% on dedup_report, whose pair stage runs on a join
-      output);
-    * a genuine narrow scan shows up as ``inputFiles()`` below the
-      target (file sources scan one task per split) or as a zero-file
-      lifted local/drained-stream relation — exactly the inputs that
-      need the widen, and the shuffle is proportional to their size.
+    * A plan already carrying an exchange (join / aggregate / explicit
+      repartition / sort / window) is shuffle-partitioned wide —
+      widening it again would ADD a shuffle the partition-count check
+      skipped (measured +50% on dedup_report, whose pair stage runs
+      on a join output).  Detected by optimized-plan NODE NAMES, so no
+      plan→RDD conversion ever happens for composite inputs (where
+      the conversion is costly) and no data literal can spoof the
+      check.
+    * Only for the remaining pure narrow scans / local relations is
+      ``df.rdd.getNumPartitions()`` consulted — on a trivial plan the
+      conversion is cheap, and it is the ONLY accurate width probe:
+      file COUNT is not one, because Spark bin-packs small files into
+      shared partitions (review-confirmed: 6 tiny files scanned as 3
+      partitions on 4 cores and a file-count proxy skipped the widen).
 
     At corpus scale inputs arrive in many splits and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= target:
+    if _plan_node_names(df) & _EXCHANGE_NODES:
         return df
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(
-        k in plan
-        for k in ("Join", "Aggregate", "Repartition", "Exchange", "Window")
-    ):
-        return df
-    return df.repartition(target)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _shingle_pair_intersections(
@@ -1656,6 +1685,18 @@ def dedup_report(
     quadratic in the corpus (set ``max_df`` / ``max_chunk_df`` on
     hostile corpora).
     """
+    if chunk_grade and (
+        max_df is not None or shingle_n != 3 or threshold != 0.5
+    ):
+        # the Jaccard-grade knobs have NO effect on the chunk-grade
+        # edge rule — a caller passing threshold=0.8 with
+        # chunk_grade=True would silently get an unthresholded
+        # chunk-sharing report and read it as a stricter Jaccard one
+        raise ValueError(
+            "dedup_report: threshold/shingle_n/max_df are Jaccard-grade "
+            "knobs; with chunk_grade=True tune chunk_modulus/"
+            "min_chunk_tokens/max_chunk_df instead"
+        )
     ids = F.col(id_col)
     hashed = df.select(group_col, id_col, F.md5(F.col(text_col)).alias("_h"))
     first = hashed.groupBy("_h").agg(F.min(id_col).alias("_kid"))

@@ -685,17 +685,25 @@ def bpe_learn(
     else:
         from spear_spark.functions import div
 
-        # one (group, word) count is the only corpus-sized aggregate;
-        # totals and the 1-row max are bounded by the group domain and
-        # ride back as broadcasts — rows with a NULL group are dropped
-        # (no group to equalize against), loudly documented here
+        # one (group, word) count is the only corpus-sized aggregate —
+        # checkpointed, because THREE consumers read it (the totals,
+        # the max, and the final weighted join) and the tokenize+
+        # explode pipeline behind it is the dominant trainer cost
+        # (the repo's pinned multi-consumer discipline: an unstaged
+        # subtree re-executes per consumer, measured 3-4×); totals and
+        # the 1-row max are bounded by the group domain and ride back
+        # as broadcasts — rows with a NULL group are dropped (no group
+        # to equalize against), loudly documented here
         gw = (
             df.select(F.col(balance_by).alias("_g"), pre_tokens)
             .filter(F.col("_g").isNotNull())
             .groupBy("_g", "w")
             .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint(eager=False)
         )
-        tot = gw.groupBy("_g").agg(F.sum("_c").alias("_t"))
+        tot = gw.groupBy("_g").agg(F.sum("_c").alias("_t")).localCheckpoint(
+            eager=False
+        )
         tmax = tot.agg(F.max("_t").alias("_tmax"))
         mult = (
             tot.crossJoin(F.broadcast(tmax))

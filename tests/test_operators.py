@@ -6445,3 +6445,27 @@ class TestPackingPreview:
         df = spark.createDataFrame([("s", "a b")], "src string, text string")
         with _pytest.raises(ValueError, match="context_len"):
             packing_preview(df, "text", "src", 0)
+
+
+class TestDedupReportParamConflicts:
+    def test_chunk_grade_rejects_jaccard_knobs(self, spark):
+        """Round-12 review finding: Jaccard-grade knobs passed with
+        chunk_grade=True would silently answer a different question —
+        they must raise."""
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import dedup_report
+
+        df = spark.createDataFrame(
+            [(1, "s", "a b c")], "doc_id long, source string, text string"
+        )
+        for kw in (dict(threshold=0.8), dict(shingle_n=2), dict(max_df=100)):
+            with _pytest.raises(ValueError, match="Jaccard-grade"):
+                dedup_report(
+                    df, "text", "doc_id", "source", chunk_grade=True, **kw
+                )
+        # the chunk-grade knobs themselves are accepted
+        dedup_report(
+            df, "text", "doc_id", "source",
+            chunk_grade=True, chunk_modulus=8, max_chunk_df=10,
+        )

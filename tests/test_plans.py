@@ -719,3 +719,52 @@ def test_boilerplate_chunks_topk_is_take_ordered(spark, sf_dir):
     out = boilerplate_chunks(docs, "text", "doc_id")
     plan = executed_plan(out)
     assert has_take_ordered(plan), plan
+
+
+class TestWidenNarrowScan:
+    """Laws for the shingle-pipeline input widener (round-12 review
+    findings): node-name exchange detection (no literal spoofing, no
+    double-shuffle on join outputs) and accurate width probing for
+    bin-packed small files."""
+
+    def test_join_output_is_not_rewidened(self, spark, sf_dir):
+        from spear_spark.operators.dedup import _widen_narrow_scan
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        joined = docs.join(docs.select("doc_id"), "doc_id")
+        assert _widen_narrow_scan(joined) is joined
+
+    def test_data_literal_cannot_spoof_node_detection(self, spark, sf_dir):
+        """A Filter whose literal contains 'Join' is still a narrow
+        scan and must widen (the substring-match false positive)."""
+        from spear_spark.operators.dedup import _widen_narrow_scan
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text") != "Join our newsletter to Sort your Window"
+        )
+        target = spark.sparkContext.defaultParallelism
+        out = _widen_narrow_scan(docs)
+        assert out.rdd.getNumPartitions() >= min(target, 1)
+        assert out is not docs  # widened (single-file scan < target)
+
+    def test_bin_packed_small_files_still_widen(self, spark, tmp_path):
+        """Spark bin-packs tiny files into shared partitions, so file
+        COUNT must not gate the widen: 8 one-row files >= 4 cores but
+        only a few scan partitions — the widener must still fire."""
+        from spear_spark.operators.dedup import _widen_narrow_scan
+
+        src = str(tmp_path / "tiny")
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(16)], "doc_id long, text string"
+        ).repartition(16).write.parquet(src)
+        df = spark.read.parquet(src)
+        # more files than cores — the file-count proxy would skip
+        assert len(df.inputFiles()) >= spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+            out = _widen_narrow_scan(df)
+            assert (
+                out.rdd.getNumPartitions()
+                == spark.sparkContext.defaultParallelism
+            )
