@@ -197,6 +197,7 @@ HEADLINE = [
     "p137_dedup_report_chunks",
     "p138_filter_agreement_matrix",
     "p139_packing_preview",
+    "p140_bpe_coverage",
 ]
 
 

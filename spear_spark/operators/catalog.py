@@ -6026,3 +6026,37 @@ def p138_filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> SDF:
 def p139_packing_preview(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return text.packing_preview(docs, "text", "source", 128).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# p140 — BPE vocabulary coverage / char-fallback rate (operators.text.
+# bpe_coverage): share of emitted symbols that are single characters —
+# the byte-fallback analogue completing the tokenizer-eval triad with
+# p129 (fertility) and p136 (balanced trainer).  A slice segmenting
+# mostly to characters pays maximum sequence cost for the least
+# meaningful units.  Oracle reuses the certified p110/p111 learn/apply
+# CTE replay and counts length-1 symbols.
+# ---------------------------------------------------------------------------
+@q(
+    "p140_bpe_coverage",
+    rf"""WITH {_bpe_learn_cte(_BPE_N_MERGES)},
+    {_bpe_apply_cte(_BPE_N_MERGES)},
+    sym AS (
+      SELECT d.lang, unnest(regexp_extract_all(e.s, '<([a-z]+)>', 1)) AS t
+      FROM documents d JOIN e{_BPE_N_MERGES} e USING (doc_id))
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN length(t) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_char_tokens,
+           ROUND(CAST(SUM(CASE WHEN length(t) = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) + 0.0 AS char_token_frac
+    FROM sym GROUP BY lang ORDER BY lang""",
+)
+def p140_bpe_coverage(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = _bpe_clean_docs(spark, sf_dir)
+    with_lang = clean.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", "text"
+    )
+    merges = text.bpe_learn(with_lang, "text", n_merges=_BPE_N_MERGES)
+    return text.bpe_coverage(with_lang, "text", "lang", merges).orderBy("lang")

@@ -1139,3 +1139,57 @@ def packing_preview(
         "n_seq_padded",
         (waste + F.lit(0.0)).alias("pad_waste_frac"),
     )
+
+
+def bpe_coverage(
+    df,
+    text_col: str,
+    group_col: str,
+    merges,
+    decimals: int = 6,
+) -> "DataFrame":
+    """Vocabulary coverage / character-fallback rate per group — the
+    third tokenizer-eval readout beside fertility
+    (:func:`bpe_fertility`) and the balanced trainer
+    (:func:`bpe_learn` ``balance_by``): a word the merge table cannot
+    compress falls back to single-character symbols (the BPE analogue
+    of byte fallback), and a slice whose text mostly segments into
+    characters is paying maximum sequence-length cost AND getting the
+    least meaningful units.  Emits one row per group:
+    ``(group, n_tokens, n_char_tokens, char_token_frac)`` where
+    ``n_char_tokens`` counts emitted symbols of length 1.
+
+    Laws (tests): ``char_token_frac == 1.0`` under an empty merge
+    table; monotone non-increasing in ``n_merges`` (a merge only
+    fuses symbols — the single-character population can never grow);
+    an out-of-distribution group shows strictly higher fallback than
+    the group the vocabulary was trained on.
+
+    Scale shape: :func:`bpe_apply`'s Arrow-batched projection, one
+    explode, ONE two-phase aggregate on the group key.  Groups whose
+    every document is NULL/empty produce no row (nothing was
+    tokenized — absence is the signal, the :func:`bpe_fertility`
+    convention)."""
+    from pyspark.sql import functions as F
+
+    enc = bpe_apply(df.select(group_col, text_col), text_col, merges)
+    toks = enc.select(F.col(group_col), F.explode("bpe_tokens").alias("_t"))
+    return (
+        toks.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.length("_t") == 1).cast("long")).alias("n_char_tokens"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_char_tokens",
+            (
+                F.round(
+                    F.col("n_char_tokens").cast("double") / F.col("n_tokens"),
+                    decimals,
+                )
+                + F.lit(0.0)
+            ).alias("char_token_frac"),
+        )
+    )

@@ -6469,3 +6469,53 @@ class TestDedupReportParamConflicts:
             df, "text", "doc_id", "source",
             chunk_grade=True, chunk_modulus=8, max_chunk_df=10,
         )
+
+
+class TestBpeCoverage:
+    """Laws for the char-fallback readout (p140)."""
+
+    def test_empty_merge_table_is_all_chars(self, spark):
+        from spear_spark.operators.text import bpe_coverage
+
+        df = spark.createDataFrame(
+            [("g", "abc de"), ("g", "fgh")], "g string, text string"
+        )
+        [row] = bpe_coverage(df, "text", "g", []).collect()
+        assert row.char_token_frac == 1.0 and row.n_char_tokens == row.n_tokens
+
+    def test_monotone_non_increasing_in_merges(self, spark, sf_dir):
+        """A merge only fuses symbols — the single-character population
+        can never grow with more merges."""
+        from spear_spark.operators.text import bpe_coverage, bpe_learn
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "lang",
+            F.regexp_replace(F.lower("text"), "[^a-z ]+", " ").alias("text"),
+        )
+        prev = None
+        for n in (0, 4, 12):
+            merges = bpe_learn(docs, "text", n_merges=n, top_words=200_000)
+            fr = {
+                r.lang: r.char_token_frac
+                for r in bpe_coverage(docs, "text", "lang", merges).collect()
+            }
+            if prev is not None:
+                assert all(fr[g] <= prev[g] + 1e-9 for g in fr)
+            prev = fr
+
+    def test_ood_group_has_higher_fallback(self, spark):
+        """A vocabulary trained on the majority slice leaves the OOD
+        slice falling back to characters more often."""
+        from spear_spark.operators.text import bpe_coverage, bpe_learn
+
+        rows = [(i, "en", "the cat sat on the mat and the dog ran")
+                for i in range(50)]
+        rows += [(50 + i, "xx", "zqv wjk pfy xbn qrt") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+        merges = bpe_learn(df.select("g", "text"), "text", n_merges=8)
+        fr = {
+            r.g: r.char_token_frac
+            for r in bpe_coverage(df, "text", "g", merges).collect()
+        }
+        assert fr["xx"] > fr["en"]
