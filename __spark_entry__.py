@@ -24,9 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-12 window (7+7+17+19 = 50): the 7 late-round-11 entries with
+# Round-12 window (7+8+17+18 = 50): the 7 late-round-11 entries with
 # no driver evidence yet (p127–p133, sequenced by the round-11
-# verdict), the 7 NEW round-12 operators (p134 char-gram-candidate
+# verdict), the 8 NEW round-12 operators (p134 char-gram-candidate
 # edit-distance pairs — the OCR-noise recall mode; p135 CC-grade
 # leakage-safe split — constructor and audit at one granularity;
 # p136 fertility-balanced BPE — integer-reweighted word mass closes
@@ -34,9 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # retention at verbatim-chunk granularity; p138 filter-ensemble kappa
 # matrix — one-scan pairwise agreement; p139 packing preview —
 # training-sequence yield per context length; p140 BPE coverage /
-# char-fallback rate), the 17 r07-evidence rotations (the oldest rows
-# in the repo after round 11), and the 19 oldest r08-evidence
-# rotations.
+# char-fallback rate; p141 n-way stratified leakage-safe split), the
+# 17 r07-evidence rotations (the oldest rows in the repo after round
+# 11), and the 18 oldest r08-evidence rotations.
 _DRIVER_PRIORITY = [
     # ---- round 12 window ----
     # -- no driver evidence yet (late round 11): cross-source chunk
@@ -53,7 +53,7 @@ _DRIVER_PRIORITY = [
     "p134_edit_distance_char", "p135_leakage_split_cc",
     "p136_bpe_fertility_balanced", "p137_dedup_report_chunks",
     "p138_filter_agreement_matrix", "p139_packing_preview",
-    "p140_bpe_coverage",
+    "p140_bpe_coverage", "p141_stratified_split",
     # -- the 17 r07-evidence rotations (oldest evidence in the repo):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",
@@ -64,8 +64,8 @@ _DRIVER_PRIORITY = [
     "q09_customers_without_orders", "q10_union_bag",
     "q11_intersect_multiset", "q12_except_multiset",
     "q13_distinct", "q14_window_aggregates",
-    # -- the 19 oldest r08-evidence rotations (q71/q72/q74 moved to
-    #    lead the round-13 queue when p138-p140 took their slots):
+    # -- the 18 oldest r08-evidence rotations (q70/q71/q72/q74 moved
+    #    to lead the round-13 queue when p138-p141 took their slots):
     "p81_group_heavy_hitters", "p84_rolling_distinct",
     "p87_contamination_spans", "p88_cluster_representatives",
     "p89_hll_overlap", "p91_mad_outliers",
@@ -75,7 +75,6 @@ _DRIVER_PRIORITY = [
     "q50_sql_dialect", "q51_partitioned_range",
     "q53_gapfill_hourly", "q58_dialect_extensions",
     "q68_lateral_topn", "q69_unpivot",
-    "q70_qualify",
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the r08 remainder leads the round-13 window,
@@ -84,7 +83,7 @@ _DRIVER_PRIORITY = [
     # end — recompute ages from CORRECTNESS_r*.json when sequencing
     # round 13). ----
     # -- r08 evidence remainder (rotate FIRST in round 13):
-    "q71_listagg",
+    "q70_qualify", "q71_listagg",
     "q72_recursive_cte", "q74_stats_aggregates",
     "q75_datetime_functions", "q76_union_by_name",
     "q77_group_by_all", "q78_semi_anti_join",

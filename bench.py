@@ -198,6 +198,7 @@ HEADLINE = [
     "p138_filter_agreement_matrix",
     "p139_packing_preview",
     "p140_bpe_coverage",
+    "p141_stratified_split",
 ]
 
 

@@ -6060,3 +6060,40 @@ def p140_bpe_coverage(spark: SparkSession, sf_dir: str) -> SDF:
     )
     merges = text.bpe_learn(with_lang, "text", n_merges=_BPE_N_MERGES)
     return text.bpe_coverage(with_lang, "text", "lang", merges).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# p141 — n-way leakage-safe split (operators.sampling.stratified_split):
+# train/validation/test from ONE content-group uniform cut at
+# cumulative thresholds, so no content group straddles ANY pair of
+# splits (law: pairwise audits empty; the two-way case bitwise-equals
+# the certified p57).  Thresholds are driver-computed double literals
+# embedded identically in both engines — the 0.1 and 0.1+0.2 cuts
+# below parse to the same IEEE doubles in Spark and DuckDB.  Pure
+# projection.
+# ---------------------------------------------------------------------------
+_P141_T1 = 0.1
+_P141_T2 = 0.1 + 0.2
+
+
+@q(
+    "p141_stratified_split",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(lower(trim(coalesce(text, '')))) AS g FROM documents)
+    SELECT doc_id, g AS group_hash,
+           CASE WHEN ('0x'||substr(md5('13_'||g),1,13))::BIGINT
+                     / 4503599627370496.0 < {_P141_T1!r} THEN 'test'
+                WHEN ('0x'||substr(md5('13_'||g),1,13))::BIGINT
+                     / 4503599627370496.0 < {_P141_T2!r} THEN 'validation'
+                ELSE 'train' END AS split
+    FROM keyed ORDER BY doc_id
+    """,
+)
+def p141_stratified_split(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_split(
+        docs, "text", "doc_id", {"test": 0.1, "validation": 0.2, "train": 0.7}
+    ).orderBy("doc_id")

@@ -279,6 +279,75 @@ def leakage_safe_split(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    fracs: Mapping[str, float],
+    seed: int = 13,
+    group_key=None,
+) -> DataFrame:
+    """N-way leakage-safe split — :func:`leakage_safe_split`
+    generalized from train/validation to any named partition
+    (train/validation/test, or k eval shards): the SAME content-group
+    uniform is cut at the cumulative ``fracs`` thresholds, so every
+    copy (or, with ``group_key``, every near-dup cluster member) of
+    the same content lands in the same named split and every PAIR of
+    splits is leak-free at the chosen granularity (law-tested).
+    ``fracs`` maps split name → share, must sum to 1 (±1e-9); the
+    LAST split in iteration order absorbs the residual interval, so
+    float accumulation can never leave a row unassigned.  Splits are
+    assigned in the mapping's iteration order — thresholds are
+    Python-computed cumulative doubles embedded as plan literals,
+    which is what makes the assignment bit-reproducible in any engine
+    (the oracle embeds the identical literals).
+
+    The two-way special case ``{"validation": f, "train": 1-f}`` is
+    law-tested bitwise-equal to :func:`leakage_safe_split`.
+
+    Scale: pure projection — one hash, one when-chain per row."""
+    from spear_spark.functions import rand_like
+
+    names = list(fracs)
+    if len(names) < 2:
+        raise ValueError("stratified_split: need at least 2 splits")
+    if len(set(names)) != len(names):
+        raise ValueError("stratified_split: duplicate split names")
+    shares = [float(fracs[n]) for n in names]
+    if any(s <= 0 for s in shares):
+        raise ValueError("stratified_split: every share must be > 0")
+    if abs(sum(shares) - 1.0) > 1e-9:
+        raise ValueError(
+            f"stratified_split: shares must sum to 1, got {sum(shares)!r}"
+        )
+    if group_key is None:
+        group = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    else:
+        key = group_key if not isinstance(group_key, str) else F.col(group_key)
+        group = F.when(
+            key.isNull(),
+            F.raise_error(
+                F.lit("stratified_split: group_key must be non-NULL")
+            ).cast("string"),
+        ).otherwise(key.cast("string"))
+    u = rand_like(group, seed=seed)
+    # cumulative thresholds as driver-computed double literals: the
+    # oracle embeds the same values, so the cut points are identical
+    # IEEE doubles in both engines
+    out = None
+    acc = 0.0
+    for name, share in zip(names[:-1], shares[:-1]):
+        acc += share
+        cond = u < F.lit(acc)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    out = out.otherwise(F.lit(names[-1]))
+    return df.select(
+        F.col(id_col),
+        group.alias("group_hash"),
+        out.alias("split"),
+    )
+
+
 def _mix_counts(
     df: DataFrame, source_col: str, targets: Mapping[str, float]
 ) -> DataFrame:

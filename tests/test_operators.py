@@ -6519,3 +6519,70 @@ class TestBpeCoverage:
             for r in bpe_coverage(df, "text", "g", merges).collect()
         }
         assert fr["xx"] > fr["en"]
+
+
+class TestStratifiedSplit:
+    """Laws for the n-way leakage-safe split (p141)."""
+
+    def test_two_way_equals_leakage_safe_split(self, spark, sf_dir):
+        from spear_spark.operators.sampling import (
+            leakage_safe_split,
+            stratified_split,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(map(tuple, leakage_safe_split(
+            docs, "text", "doc_id", val_frac=0.25).collect()))
+        b = sorted(map(tuple, stratified_split(
+            docs, "text", "doc_id",
+            {"validation": 0.25, "train": 0.75}).collect()))
+        assert a == b
+
+    def test_every_split_pair_is_leak_free(self, spark):
+        """Exact duplicates can never straddle ANY pair of the named
+        splits — the audit is empty for every pair."""
+        from spear_spark.operators.dedup import split_leakage_report
+        from spear_spark.operators.sampling import stratified_split
+
+        rows = [(i, f"page body {i % 7} repeated") for i in range(70)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = stratified_split(
+            df, "text", "doc_id", {"test": 0.3, "validation": 0.3, "train": 0.4}
+        )
+        names = {r["split"] for r in out.select("split").distinct().collect()}
+        assert len(names) >= 2  # the 7 content groups spread over splits
+        joined = df.join(out.select("doc_id", "split"), "doc_id")
+        for a in ("test", "validation", "train"):
+            for b in ("test", "validation", "train"):
+                if a < b:
+                    pair = joined.filter(F.col("split").isin(a, b))
+                    assert split_leakage_report(
+                        pair, "text", "doc_id", F.col("split") == b
+                    ).count() == 0, (a, b)
+
+    def test_shares_partition_and_are_calibrated(self, spark, sf_dir):
+        from spear_spark.operators.sampling import stratified_split
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = stratified_split(
+            docs, "text", "doc_id", {"a": 0.2, "b": 0.3, "c": 0.5}
+        )
+        counts = {r["split"]: r["count"]
+                  for r in out.groupBy("split").count().collect()}
+        n = sum(counts.values())
+        assert n == docs.count()  # total partition, nothing unassigned
+        assert 0.1 < counts.get("a", 0) / n < 0.35
+        assert 0.35 < counts.get("c", 0) / n < 0.65
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from spear_spark.operators.sampling import stratified_split
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="sum to 1"):
+            stratified_split(df, "text", "doc_id", {"a": 0.5, "b": 0.6})
+        with _pytest.raises(ValueError, match="at least 2"):
+            stratified_split(df, "text", "doc_id", {"a": 1.0})
+        with _pytest.raises(ValueError, match="share must be"):
+            stratified_split(df, "text", "doc_id", {"a": 0.0, "b": 1.0})

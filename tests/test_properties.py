@@ -1097,3 +1097,97 @@ def test_source_token_yield_matches_python_replay(spark, rows):
     assert set(got) == set(want)
     for src, (nd, nk, nt, kt) in want.items():
         assert got[src] == (nd, nk, nt, kt, round(kt / nt, 6)), src
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 40)),
+        min_size=1, max_size=25,
+    ),
+    L=st.integers(1, 12),
+)
+@PROP_SETTINGS
+def test_packing_preview_matches_python_replay(spark, rows, L):
+    """p139 vs a pure-Python replay: packed/padded/overflow counts and
+    the integer-half-up waste fraction on random token-count tables."""
+    from spear_spark.operators.text import packing_preview
+
+    df = spark.createDataFrame(
+        [(g, " ".join(["w"] * n)) for g, n in rows], "g string, text string"
+    )
+    got = {
+        r.g: (r.n_docs, r.n_tokens, r.n_overflow_docs,
+              r.n_seq_packed, r.n_seq_padded, r.pad_waste_frac)
+        for r in packing_preview(df, "text", "g", L).collect()
+    }
+    want: dict = {}
+    for g, n in rows:
+        w = want.setdefault(g, [0, 0, 0, 0])
+        w[0] += 1
+        w[1] += n
+        w[2] += 1 if n > L else 0
+        w[3] += -(-n // L)
+    for g, (nd, nt, ov, padded) in want.items():
+        packed = -(-nt // L)
+        num, den = padded * L - nt, padded * L
+        frac = ((num * 2_000_000 + den) // (2 * den)) / 1e6
+        assert got[g] == (nd, nt, ov, packed, padded, frac), g
+
+
+@given(
+    flags=st.lists(
+        st.tuples(st.booleans(), st.booleans(), st.booleans()),
+        min_size=1, max_size=30,
+    ),
+)
+@PROP_SETTINGS
+def test_filter_agreement_matrix_matches_python_replay(spark, flags):
+    """p138 vs a pure-Python kappa replay on random 3-flag tables —
+    counts exact, po/pe/kappa to within rounding tolerance."""
+    from spear_spark.operators.stats import filter_agreement_matrix
+
+    df = spark.createDataFrame(flags, "fa boolean, fb boolean, fc boolean")
+    got = {
+        (r.filter_a, r.filter_b): r
+        for r in filter_agreement_matrix(df, ["fa", "fb", "fc"]).collect()
+    }
+    names = ["fa", "fb", "fc"]
+    n = len(flags)
+    for i in range(3):
+        for j in range(i + 1, 3):
+            a = [row[i] for row in flags]
+            b = [row[j] for row in flags]
+            both = sum(x and y for x, y in zip(a, b))
+            aon = sum(x and not y for x, y in zip(a, b))
+            bon = sum(y and not x for x, y in zip(a, b))
+            nei = n - both - aon - bon
+            r = got[(names[i], names[j])]
+            assert (r.n, r.n_both, r.n_a_only, r.n_b_only, r.n_neither) == (
+                n, both, aon, bon, nei)
+            po = (both + nei) / n
+            pa, pb = (both + aon) / n, (both + bon) / n
+            pe = pa * pb + (1 - pa) * (1 - pb)
+            kappa = 1.0 if pe == 1.0 else (po - pe) / (1 - pe)
+            assert abs(r.po - po) < 2e-6 and abs(r.pe - pe) < 2e-6
+            assert abs(r.kappa - kappa) < 2e-6
+
+
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("abcDEF 123.,"), min_size=0, max_size=40
+    ) | st.none(),
+    n=st.integers(1, 6),
+)
+@PROP_SETTINGS
+def test_char_shingles_match_python_replay(spark, text, n):
+    """char_shingles (p134's gram unit) vs Python: distinct n-grams of
+    the lower/trim normalization, order of first appearance ignored."""
+    from spear_spark.operators.dedup import char_shingles
+
+    df = spark.createDataFrame([(text,)], "text string")
+    [row] = df.select(char_shingles("text", n).alias("g")).collect()
+    norm = (text or "").strip().lower() if text is not None else ""
+    want = list(dict.fromkeys(
+        norm[i:i + n] for i in range(max(0, len(norm) - n + 1))
+    ))
+    assert sorted(row.g) == sorted(want)
