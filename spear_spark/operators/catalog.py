@@ -6097,3 +6097,87 @@ def p141_stratified_split(spark: SparkSession, sf_dir: str) -> SDF:
     return stratified_split(
         docs, "text", "doc_id", {"test": 0.1, "validation": 0.2, "train": 0.7}
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p142 — score AUC / Mann-Whitney (operators.stats.score_auc): how well
+# does the cheap p09 quality score RANK gopher-kept docs above dropped
+# ones, before any threshold is picked?  Completes the filter-eval
+# family (p126 kappa pair, p138 kappa matrix judge BINARY gates; this
+# judges the CONTINUOUS score itself — the p126 kappa at >= 0.5 is one
+# point on this curve).  Tie-corrected over the score-value histogram:
+# the corpus collapses to <= 10^6 six-dp score cells before the window,
+# the numerator 2·Σ pos·(2·cumneg+neg) is exact integer (decimal(38,0)
+# against the n_pos·n_neg ~ N² overflow), FP only at the final divide.
+# Oracle replays the p112 keep + p09 quality CTEs and the same
+# histogram arithmetic.
+# ---------------------------------------------------------------------------
+@q(
+    "p142_score_auc",
+    rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6)
+               AS mean_word_len,
+             ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len(t), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS stopword_hits
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)),
+    ga AS (
+      SELECT doc_id,
+             (COALESCE(n_words BETWEEN 20 AND 100000, false)
+              AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, false)
+              AND COALESCE(symbol_ratio <= 0.1, false)
+              AND COALESCE(alpha_word_frac >= 0.8, false)
+              AND COALESCE(stopword_hits >= 1, false)) AS y
+      FROM m),
+    qs AS (
+      SELECT doc_id, {_TOKS} AS t,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+      FROM documents),
+    qm AS (SELECT doc_id,
+                  CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits,
+                  nc
+           FROM qs),
+    qq AS (SELECT doc_id,
+                  ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+                      + 0.4 * (hits / n_tok)
+                      + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) AS s
+           FROM qm),
+    cells AS (
+      SELECT s,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM qq JOIN ga USING (doc_id) GROUP BY s),
+    c AS (
+      SELECT *,
+             SUM(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg AS cnb
+      FROM cells)
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_scores,
+           ROUND(CAST(SUM(pos * (2 * cnb + neg)) AS DOUBLE)
+                 / (2.0 * CAST(SUM(pos) AS DOUBLE)
+                    * CAST(SUM(neg) AS DOUBLE)), 6) + 0.0 AS auc
+    FROM c
+    """,
+)
+def p142_score_auc(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import score_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.gopher_rules(
+        docs, "text", "doc_id", min_words=20, min_stopword_hits=1
+    ).select("doc_id", "keep")
+    scored = docs.select(
+        "doc_id", text.quality_score("text").alias("q")
+    ).join(flags, "doc_id")
+    return score_auc(scored, "q", "keep")

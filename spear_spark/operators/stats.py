@@ -986,3 +986,95 @@ def filter_agreement_matrix(
     ]
     return flat.select(F.explode(F.array(*pair_structs)).alias("_p")).select("_p.*")
 
+
+
+def score_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    decimals: int = 6,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """ROC AUC of a continuous score against a boolean reference label
+    via the tie-corrected Mann-Whitney statistic — the third member of
+    the filter-evaluation family (:func:`filter_agreement` answers "do
+    two BINARY gates agree"; this answers "how well does a CONTINUOUS
+    score rank kept docs above dropped ones before I pick a
+    threshold").  AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)
+    over positive/negative pairs.  One row (per group):
+    ``(group?, n_pos, n_neg, n_scores, auc)``; ``auc`` is NULL when a
+    side is empty (undefined, not 0/1 — a silent default would read as
+    a perfect/worthless score).
+
+    Computed over the SCORE-VALUE HISTOGRAM, never pairs or per-row
+    ranks: group scores to (value, n_pos, n_neg) cells, one ordered
+    cumulative pass over the cells, then 2·Σ_v pos_v·(2·cumneg_<v +
+    neg_v) is an exact integer numerator (ties get the ½ credit via
+    the ·2 scaling — no FP until the final division).  The multiply
+    runs in decimal(38,0): int64 would overflow at n_pos·n_neg >
+    ~4.6e18, i.e. routine at corpus scale.
+
+    Contract: labels must be NON-NULL booleans and scores NON-NULL and
+    non-NaN (in-plan raise, the :func:`filter_agreement` discipline) —
+    a vanished row skews the pair space silently.
+
+    Scale shape: ONE two-phase aggregate on (group, score) — map-side
+    partials collapse the corpus to |distinct scores| cells before the
+    exchange — then a window over the CELL table.  With a continuous
+    score every value is distinct and the cell table is data-sized:
+    pass ``score_decimals`` to pre-round the score onto a bounded grid
+    (≤ 2·10^d + 1 cells for scores in [-1, 1]), which makes the window
+    input geometry-bounded at any corpus size.  The catalog scores
+    (p09) are already 6-dp-rounded, so their grid is bounded by
+    construction."""
+    from pyspark.sql.window import Window as W
+
+    s = F.col(score_col).cast("double")
+    if score_decimals is not None:
+        s = F.round(s, score_decimals)
+    y = F.col(label_col)
+    guard = F.when(
+        y.isNull() | s.isNull() | F.isnan(s),
+        F.raise_error(
+            F.lit(
+                "score_auc: NULL label or NULL/NaN score — coalesce or "
+                "filter rows first (a vanished row skews the pair space)"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(1))
+    gcols = [group_col] if group_col else []
+    cells = (
+        df.select(*gcols, s.alias("_s"), y.cast("boolean").alias("_y"), guard.alias("_g"))
+        .groupBy(*gcols, "_s")
+        .agg(
+            F.sum(F.when(F.col("_y"), F.col("_g")).otherwise(0)).alias("_pos"),
+            F.sum(F.when(~F.col("_y"), F.col("_g")).otherwise(0)).alias("_neg"),
+        )
+    )
+    w = (
+        W.partitionBy(*gcols)
+        .orderBy("_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_neg_below = F.sum("_neg").over(w) - F.col("_neg")
+    dec = "decimal(38,0)"
+    term = F.col("_pos").cast(dec) * (
+        cum_neg_below.cast(dec) * 2 + F.col("_neg").cast(dec)
+    )
+    agg = (
+        cells.select(*gcols, "_pos", "_neg", term.alias("_t"))
+        .groupBy(*gcols)
+        .agg(
+            F.sum("_pos").alias("n_pos"),
+            F.sum("_neg").alias("n_neg"),
+            F.count(F.lit(1)).alias("n_scores"),
+            F.sum("_t").alias("_num"),
+        )
+    )
+    denom = 2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(F.col("_num").cast("double") / denom, decimals) + F.lit(0.0),
+    )
+    return agg.select(*gcols, "n_pos", "n_neg", "n_scores", auc.alias("auc"))

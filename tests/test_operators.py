@@ -6586,3 +6586,84 @@ class TestStratifiedSplit:
             stratified_split(df, "text", "doc_id", {"a": 1.0})
         with _pytest.raises(ValueError, match="share must be"):
             stratified_split(df, "text", "doc_id", {"a": 0.0, "b": 1.0})
+
+
+class TestScoreAuc:
+    """Laws for the tie-corrected Mann-Whitney AUC (stats.score_auc)."""
+
+    def test_separation_extremes_and_ties(self, spark):
+        from spear_spark.operators.stats import score_auc
+
+        perfect = spark.createDataFrame(
+            [(float(i), i >= 5) for i in range(10)], "s double, y boolean"
+        )
+        [r] = score_auc(perfect, "s", "y").collect()
+        assert (r.auc, r.n_pos, r.n_neg, r.n_scores) == (1.0, 5, 5, 10)
+        reverse = spark.createDataFrame(
+            [(float(-i), i >= 5) for i in range(10)], "s double, y boolean"
+        )
+        assert score_auc(reverse, "s", "y").collect()[0].auc == 0.0
+        # all-tied score: every pos/neg pair gets the half credit
+        const = spark.createDataFrame(
+            [(1.0, i >= 4) for i in range(10)], "s double, y boolean"
+        )
+        [rc] = score_auc(const, "s", "y").collect()
+        assert rc.auc == 0.5 and rc.n_scores == 1
+
+    def test_one_sided_label_is_null_auc(self, spark):
+        from spear_spark.operators.stats import score_auc
+
+        pos_only = spark.createDataFrame(
+            [(float(i), True) for i in range(5)], "s double, y boolean"
+        )
+        [r] = score_auc(pos_only, "s", "y").collect()
+        assert r.auc is None and r.n_pos == 5 and r.n_neg == 0
+
+    def test_grouped_equals_per_group_filters(self, spark):
+        import random
+
+        from spear_spark.operators.stats import score_auc
+
+        rng = random.Random(11)
+        rows = [
+            (round(rng.random(), 2), rng.random() < 0.5, f"g{i % 3}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "s double, y boolean, g string")
+        whole = {r.g: r for r in score_auc(df, "s", "y", "g").collect()}
+        for g in ("g0", "g1", "g2"):
+            [solo] = score_auc(df.filter(F.col("g") == g), "s", "y").collect()
+            got = whole[g]
+            assert (got.n_pos, got.n_neg, got.n_scores, got.auc) == (
+                solo.n_pos, solo.n_neg, solo.n_scores, solo.auc
+            )
+
+    def test_score_decimals_equals_preround(self, spark):
+        import random
+
+        from spear_spark.operators.stats import score_auc
+
+        rng = random.Random(5)
+        rows = [(rng.random(), rng.random() < 0.4) for _ in range(300)]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        [knob] = score_auc(df, "s", "y", score_decimals=1).collect()
+        pre = df.select(F.round("s", 1).alias("s"), "y")
+        [manual] = score_auc(pre, "s", "y").collect()
+        assert (knob.auc, knob.n_scores) == (manual.auc, manual.n_scores)
+        assert knob.n_scores <= 11  # the bounded-grid point of the knob
+
+    def test_null_label_or_nan_score_raises(self, spark):
+        import pytest
+
+        from spear_spark.operators.stats import score_auc
+
+        bad_label = spark.createDataFrame(
+            [(1.0, True), (2.0, None)], "s double, y boolean"
+        )
+        with pytest.raises(Exception, match="score_auc"):
+            score_auc(bad_label, "s", "y").collect()
+        nan_score = spark.createDataFrame(
+            [(1.0, True), (float("nan"), False)], "s double, y boolean"
+        )
+        with pytest.raises(Exception, match="score_auc"):
+            score_auc(nan_score, "s", "y").collect()

@@ -1191,3 +1191,29 @@ def test_char_shingles_match_python_replay(spark, text, n):
         norm[i:i + n] for i in range(max(0, len(norm) - n + 1))
     ))
     assert sorted(row.g) == sorted(want)
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), st.booleans()),
+    min_size=2, max_size=40,
+).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs)))
+def test_score_auc_matches_pairwise_brute_force(spark, rows):
+    """score_auc == the O(n_pos * n_neg) pairwise Mann-Whitney replay
+    for any mixed-label table — heavy ties (6-value score grid),
+    skewed marginals, tiny groups."""
+    from spear_spark.operators.stats import score_auc
+
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], "s double, y boolean"
+    )
+    [r] = score_auc(df, "s", "y").collect()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    num = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert r.n_scores == len(set(s for s, _ in rows))
+    assert abs(r.auc - round(num / (len(pos) * len(neg)), 6)) <= 1e-6
