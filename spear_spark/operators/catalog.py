@@ -6181,3 +6181,60 @@ def p142_score_auc(spark: SparkSession, sf_dir: str) -> SDF:
         "doc_id", text.quality_score("text").alias("q")
     ).join(flags, "doc_id")
     return score_auc(scored, "q", "keep")
+
+
+# ---------------------------------------------------------------------------
+# p143 — token-budget selection (operators.sampling.token_budget_select):
+# greedy quality-first prefix under an 800-token budget per source —
+# the "which docs fill the allocation" step after budget_waterfill
+# splits a global budget across sources.  Monotone int64 cumulative
+# sum makes cum <= budget a clean prefix of the (quality DESC, doc_id)
+# order: deterministic, auditable, no FP in the cut.  One window per
+# source (groups parallelize; the giant-group two-phase form is
+# documented).  Oracle replays the p09 quality CTE and the same
+# window prefix.
+# ---------------------------------------------------------------------------
+@q(
+    "p143_token_budget_select",
+    rf"""
+    WITH qs AS (
+      SELECT doc_id, source, {_TOKS} AS t,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+      FROM documents),
+    qm AS (SELECT doc_id, source,
+                  CAST(len(t) AS BIGINT) AS tokens,
+                  CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits,
+                  nc
+           FROM qs),
+    scored AS (
+      SELECT doc_id, source, tokens,
+             ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+                 + 0.4 * (hits / n_tok)
+                 + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) AS quality
+      FROM qm),
+    c AS (
+      SELECT source, doc_id, tokens, quality,
+             SUM(tokens) OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM scored)
+    SELECT source, doc_id, tokens, quality,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 800 ORDER BY source, doc_id
+    """,
+)
+def p143_token_budget_select(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.sampling import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(text.tokens("text")).cast("long").alias("tokens"),
+        text.quality_score("text").alias("quality"),
+    )
+    return token_budget_select(
+        scored, "doc_id", "tokens", "quality", budget=800, group_col="source"
+    ).orderBy("source", "doc_id")

@@ -697,3 +697,68 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    quality_col: str,
+    budget: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Greedy quality-first document selection under a token budget:
+    within each group, order by (quality DESC, id ASC) and keep the
+    maximal PREFIX whose cumulative token count fits ``budget`` — the
+    "which docs actually fill the allocation" step that follows
+    :func:`budget_waterfill` (waterfill splits a global budget ACROSS
+    sources; this picks the docs WITHIN each source's share).  Returns
+    the selected rows as ``(group?, id, tokens, quality, cum_tokens)``.
+
+    The contract is the PREFIX rule, not knapsack: cumulative tokens
+    are monotone (tokens are validated >= 0), so ``cum <= budget`` is a
+    clean prefix of the quality order — deterministic, auditable, and
+    O(1) to re-verify per row.  A top-quality doc larger than the
+    remaining budget therefore BLOCKS the tail (documented, law-tested)
+    — skip-greedy "fill around it" semantics are sequential state that
+    neither parallelizes nor audits; if oversized docs are routine,
+    pre-filter them (``tokens <= budget``) or chunk them first
+    (:func:`~spear_spark.operators.text.chunk_documents`).
+
+    Contract: tokens NON-NULL and >= 0, quality NON-NULL and non-NaN
+    (in-plan raise) — a NULL would silently reorder the greedy walk.
+
+    Scale shape: ONE window over (group | quality DESC, id) — per-group
+    sorts parallelize across groups, and group = source/lang/day is the
+    normal corpus shape.  For one giant group, run the two-phase form:
+    an approx quality-quantile threshold bounds the candidate set to
+    ~budget tokens, the exact window then runs over candidates only —
+    the same trick :func:`cap_per_group` documents."""
+    if budget < 0:
+        raise ValueError("token_budget_select: budget must be >= 0")
+    t = F.col(tokens_col).cast("long")
+    qual = F.col(quality_col).cast("double")
+    guard = F.when(
+        t.isNull() | (t < 0) | qual.isNull() | F.isnan(qual),
+        F.raise_error(
+            F.lit(
+                "token_budget_select: NULL/negative tokens or NULL/NaN "
+                "quality — the greedy prefix is undefined on such rows"
+            )
+        ).cast("long"),
+    ).otherwise(t)
+    gcols = [group_col] if group_col else []
+    staged = df.select(
+        *gcols,
+        F.col(id_col),
+        guard.alias("tokens"),
+        qual.alias("quality"),
+    )
+    cum = F.sum("tokens").over(
+        Window.partitionBy(*gcols)
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return staged.select(
+        *gcols, id_col, "tokens", "quality", cum.alias("cum_tokens")
+    ).filter(F.col("cum_tokens") <= F.lit(int(budget)))

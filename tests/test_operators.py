@@ -6667,3 +6667,98 @@ class TestScoreAuc:
         )
         with pytest.raises(Exception, match="score_auc"):
             score_auc(nan_score, "s", "y").collect()
+
+
+class TestTokenBudgetSelect:
+    """Laws for greedy quality-first budget selection
+    (sampling.token_budget_select)."""
+
+    def test_prefix_rule_and_budget_respected(self, spark):
+        from spear_spark.operators.sampling import token_budget_select
+
+        rows = [
+            # (id, tokens, quality, group)
+            (1, 100, 0.9, "a"), (2, 100, 0.8, "a"),
+            (3, 100, 0.7, "a"), (4, 100, 0.6, "a"),
+            (5, 50, 0.9, "b"), (6, 260, 0.8, "b"), (7, 10, 0.7, "b"),
+        ]
+        df = spark.createDataFrame(rows, "id long, tokens long, quality double, g string")
+        out = token_budget_select(df, "id", "tokens", "quality", 300, "g")
+        got = {r.g: sorted((x.id, x.cum_tokens) for x in out.filter(F.col("g") == r.g).collect())
+               for r in out.select("g").distinct().collect()}
+        # group a: 3 docs of 100 fit, the 4th would hit 400 > 300
+        assert got["a"] == [(1, 100), (2, 200), (3, 300)]
+        # group b: 50 + 260 = 310 > 300, so doc 6 BLOCKS the tail
+        # (prefix rule: doc 7 is NOT pulled around it)
+        assert got["b"] == [(5, 50)]
+
+    def test_selection_is_exact_python_replay(self, spark):
+        import random
+
+        from spear_spark.operators.sampling import token_budget_select
+
+        rng = random.Random(3)
+        rows = [
+            (i, rng.randint(1, 60), round(rng.random(), 2), f"g{i % 4}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "id long, tokens long, quality double, g string")
+        out = token_budget_select(df, "id", "tokens", "quality", 500, "g")
+        got = sorted((r.g, r.id) for r in out.collect())
+        exp = []
+        for g in {f"g{k}" for k in range(4)}:
+            cum = 0
+            for i, t, q, _ in sorted(
+                (r for r in rows if r[3] == g), key=lambda r: (-r[2], r[0])
+            ):
+                cum += t
+                if cum > 500:
+                    break
+                exp.append((g, i))
+        assert got == sorted(exp)
+
+    def test_composes_with_budget_waterfill(self, spark):
+        """waterfill splits the global budget, select fills each share:
+        total selected tokens <= global budget."""
+        import random
+
+        from spear_spark.operators.sampling import (
+            budget_waterfill,
+            token_budget_select,
+        )
+
+        rng = random.Random(9)
+        rows = [
+            (i, rng.randint(1, 40), round(rng.random(), 2), f"s{i % 3}")
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "id long, tokens long, quality double, s string")
+        alloc = {r.source: r.alloc for r in
+                 budget_waterfill(df, "s", "tokens", 600).collect()}
+        total = 0
+        for src, share in alloc.items():
+            picked = token_budget_select(
+                df.filter(F.col("s") == src), "id", "tokens", "quality",
+                int(share),
+            ).agg(F.coalesce(F.sum("tokens"), F.lit(0))).collect()[0][0]
+            assert picked <= share
+            total += picked
+        assert total <= 600
+
+    def test_null_or_negative_inputs_raise(self, spark):
+        import pytest
+
+        from spear_spark.operators.sampling import token_budget_select
+
+        bad = spark.createDataFrame(
+            [(1, -5, 0.5)], "id long, tokens long, quality double"
+        )
+        with pytest.raises(Exception, match="token_budget_select"):
+            token_budget_select(bad, "id", "tokens", "quality", 100).collect()
+        nanq = spark.createDataFrame(
+            [(1, 5, float("nan"))], "id long, tokens long, quality double"
+        )
+        with pytest.raises(Exception, match="token_budget_select"):
+            token_budget_select(nanq, "id", "tokens", "quality", 100).collect()
+        with pytest.raises(ValueError, match="budget"):
+            token_budget_select(nanq, "id", "tokens", "quality", -1)
