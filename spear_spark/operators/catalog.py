@@ -6238,3 +6238,57 @@ def p143_token_budget_select(spark: SparkSession, sf_dir: str) -> SDF:
     return token_budget_select(
         scored, "doc_id", "tokens", "quality", budget=800, group_col="source"
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p144 — embedding centroid drift (operators.similarity.centroid_drift):
+# per-label L1/L-inf distance between the label centroid and the corpus
+# centroid, plus the max-displacement dimension — the embedding-space
+# member of the drift family (PSI/KS/JSD watch scalars; this watches
+# WHERE each slice sits in vector space).  The p124 exactness device:
+# integer micro-unit quantization + cleared denominators in
+# decimal(38,0)/HUGEINT, so both engines do pure integer arithmetic
+# until one final division.  One posexplode + two-phase (label, dim)
+# aggregate; the global row is a window over the <= |labels|*dim cell
+# table, never a second scan.
+# ---------------------------------------------------------------------------
+@q(
+    "p144_centroid_drift",
+    """
+    WITH q AS (SELECT label,
+                      [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                       for e in embedding] AS qv
+               FROM embeddings),
+    cell AS (SELECT label, d.d AS d,
+                    CAST(SUM(qv[d.d + 1]) AS BIGINT) AS s,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM q, range(0, 64) d(d) GROUP BY 1, 2),
+    tot AS (SELECT d, CAST(SUM(s) AS BIGINT) AS gs, CAST(SUM(n) AS BIGINT) AS nn
+            FROM cell GROUP BY d),
+    diff AS (SELECT label, cell.d AS d, cell.n AS n, tot.nn AS nn,
+                    abs(CAST(cell.s AS HUGEINT) * tot.nn
+                        - CAST(tot.gs AS HUGEINT) * cell.n) AS ad
+             FROM cell JOIN tot USING (d)),
+    agg AS (SELECT label, MIN(n) AS n, MIN(nn) AS nn,
+                   SUM(ad) AS l1q, MAX(ad) AS linfq
+            FROM diff GROUP BY label),
+    top AS (SELECT diff.label, MIN(diff.d) AS top_dim
+            FROM diff JOIN agg ON diff.label = agg.label
+                              AND diff.ad = agg.linfq
+            GROUP BY diff.label)
+    SELECT agg.label, agg.n,
+           ROUND(CAST(agg.l1q AS DOUBLE)
+                 / (CAST(agg.n AS DOUBLE) * CAST(agg.nn AS DOUBLE)
+                    * 1000000.0), 6) + 0.0 AS l1_drift,
+           ROUND(CAST(agg.linfq AS DOUBLE)
+                 / (CAST(agg.n AS DOUBLE) * CAST(agg.nn AS DOUBLE)
+                    * 1000000.0), 6) + 0.0 AS linf_drift,
+           CAST(top.top_dim AS INTEGER) AS top_dim
+    FROM agg JOIN top USING (label) ORDER BY label
+    """,
+)
+def p144_centroid_drift(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_drift(emb, "embedding", "label", dim=64).orderBy(
+        "label"
+    )

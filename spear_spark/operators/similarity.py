@@ -1085,3 +1085,104 @@ def pca_project(
         return F.array(*pcs)
 
     return df.select(F.col(id_col), let_(centered, body).alias("pc"))
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT per-group embedding centroid drift vs the corpus centroid
+    — the linear (mean-embedding) member of the drift family: PSI/KS
+    (p113/p116) watch SCALAR distributions, this watches where each
+    source/label sits in EMBEDDING space, the early-warning signal for
+    "source X started shipping different content" that scalar stats
+    miss.  One row per group: ``(label, n, l1_drift, linf_drift,
+    top_dim)`` — L1/L∞ distance between the group mean and the global
+    mean in original units (rounded), plus the dimension of maximum
+    displacement (min dim on ties, deterministic).
+
+    Exactness: the :func:`embedding_gram_exact` device — components
+    quantize to integer micro-units (``floor(x·scale + 0.5)``), so
+    per-(group, dim) sums are associative int64; the mean comparison
+    clears denominators (``S_gd·N − G_d·n_g`` in decimal(38,0) — int64
+    would overflow at n·N·scale > 2⁶³, routine at corpus scale), so
+    NOTHING floats until the single final division.  Bit-identical at
+    any parallelism and in any engine.  Headroom: |diff| ≤ 2·n·N·scale
+    ~ 10²⁸ at n = N = 10¹¹ — twelve orders below the decimal(38) rim.
+
+    Contract: NULL or wrong-length vectors raise in-plan (a silent
+    skip biases the very means being compared).
+
+    Scale shape: ONE posexplode + two-phase aggregate on (group, dim)
+    — map-side partials collapse the corpus before the exchange, the
+    exchange carries ≤ |groups|·dim cells; the global row is a window
+    over that CELL table (never a second corpus scan), and everything
+    downstream is cell-table-sized."""
+    v = F.col(vec_col)
+    checked = F.when(
+        v.isNull() | (F.size(v) != dim),
+        F.raise_error(
+            F.lit(
+                f"centroid_drift: NULL or wrong-length vector (need "
+                f"{dim} dims) — a silent skip would bias the means"
+            )
+        ).cast("array<double>"),
+    ).otherwise(v.cast("array<double>"))
+    qv = F.transform(
+        checked,
+        lambda e: F.floor(e.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    ex = df.select(F.col(group_col).alias("label"), F.posexplode(qv).alias("d", "_q"))
+    cell = ex.groupBy("label", "d").agg(
+        F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    wd = W.partitionBy("d")
+    dec = "decimal(38,0)"
+    diff = cell.select(
+        "label",
+        "d",
+        "_n",
+        F.sum("_s").over(wd).alias("_gs"),
+        F.sum("_n").over(wd).alias("_nn"),
+        "_s",
+    ).select(
+        "label",
+        "d",
+        "_n",
+        "_nn",
+        F.abs(
+            F.col("_s").cast(dec) * F.col("_nn").cast(dec)
+            - F.col("_gs").cast(dec) * F.col("_n").cast(dec)
+        ).alias("_ad"),
+    )
+    wl = W.partitionBy("label")
+    staged = diff.select("*", F.max("_ad").over(wl).alias("_mx"))
+    agg = staged.groupBy("label").agg(
+        F.min("_n").alias("n"),
+        F.min("_nn").alias("_N"),
+        F.sum("_ad").alias("_l1q"),
+        F.min("_mx").alias("_linfq"),
+        F.min(F.when(F.col("_ad") == F.col("_mx"), F.col("d"))).alias("top_dim"),
+    )
+    denom = (
+        F.col("n").cast("double")
+        * F.col("_N").cast("double")
+        * F.lit(float(scale))
+    )
+    return agg.select(
+        "label",
+        "n",
+        (F.round(F.col("_l1q").cast("double") / denom, decimals) + F.lit(0.0)).alias(
+            "l1_drift"
+        ),
+        (F.round(F.col("_linfq").cast("double") / denom, decimals) + F.lit(0.0)).alias(
+            "linf_drift"
+        ),
+        "top_dim",
+    )

@@ -6762,3 +6762,82 @@ class TestTokenBudgetSelect:
             token_budget_select(nanq, "id", "tokens", "quality", 100).collect()
         with pytest.raises(ValueError, match="budget"):
             token_budget_select(nanq, "id", "tokens", "quality", -1)
+
+
+class TestCentroidDrift:
+    """Laws for the exact quantized centroid drift
+    (similarity.centroid_drift)."""
+
+    def test_matches_numpy_replay_and_partition_invariant(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import centroid_drift
+
+        rng = np.random.default_rng(17)
+        vecs = rng.normal(size=(120, 8)).astype(np.float32)
+        labels = [int(i % 3) for i in range(120)]
+        rows = [(labels[i], [float(x) for x in vecs[i]]) for i in range(120)]
+        df = spark.createDataFrame(rows, "label int, v array<float>")
+        out = {r.label: r for r in centroid_drift(df, "v", "label", 8).collect()}
+        out2 = {r.label: r for r in
+                centroid_drift(df.repartition(7), "v", "label", 8).collect()}
+        q = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+        gsum = q.sum(axis=0).astype(object)
+        N = len(rows)
+        for lbl in (0, 1, 2):
+            mask = np.array(labels) == lbl
+            s = q[mask].sum(axis=0).astype(object)
+            n = int(mask.sum())
+            diff = np.abs(s * N - gsum * n)  # object dtype: exact ints
+            denom = float(n) * float(N) * 1_000_000.0
+            r = out[lbl]
+            assert r.n == n
+            assert abs(r.l1_drift - round(float(sum(diff)) / denom, 6)) <= 1e-9
+            assert abs(r.linf_drift - round(float(max(diff)) / denom, 6)) <= 1e-9
+            assert r.top_dim == int(np.argmax(diff))
+            # bitwise partition invariance (the integer-sum point)
+            r2 = out2[lbl]
+            assert (r.l1_drift, r.linf_drift, r.top_dim) == (
+                r2.l1_drift, r2.linf_drift, r2.top_dim
+            )
+
+    def test_single_group_has_zero_drift(self, spark):
+        from spear_spark.operators.similarity import centroid_drift
+
+        df = spark.createDataFrame(
+            [(0, [0.1, 0.2, 0.3]), (0, [0.4, 0.5, 0.6])], "label int, v array<float>"
+        )
+        [r] = centroid_drift(df, "v", "label", 3).collect()
+        assert r.l1_drift == 0.0 and r.linf_drift == 0.0
+
+    def test_planted_shift_names_the_dimension(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import centroid_drift
+
+        rng = np.random.default_rng(4)
+        base = rng.normal(size=(60, 6)).astype(np.float32)
+        shifted = base.copy()
+        shifted[:, 4] += 5.0  # label 1 drifts hard on dim 4
+        rows = [(0, [float(x) for x in v]) for v in base] + [
+            (1, [float(x) for x in v]) for v in shifted
+        ]
+        df = spark.createDataFrame(rows, "label int, v array<float>")
+        out = {r.label: r for r in centroid_drift(df, "v", "label", 6).collect()}
+        assert out[1].top_dim == 4
+        assert out[1].linf_drift > 2.0  # half the planted 5.0 shift
+        assert out[0].top_dim == 4  # the complement drifts the other way
+
+    def test_null_or_wrong_length_raises(self, spark):
+        import pytest
+
+        from spear_spark.operators.similarity import centroid_drift
+
+        bad = spark.createDataFrame(
+            [(0, [0.1, 0.2]), (1, [0.3])], "label int, v array<float>"
+        )
+        with pytest.raises(Exception, match="centroid_drift"):
+            centroid_drift(bad, "v", "label", 2).collect()
+        null = spark.createDataFrame([(0, None)], "label int, v array<float>")
+        with pytest.raises(Exception, match="centroid_drift"):
+            centroid_drift(null, "v", "label", 2).collect()
