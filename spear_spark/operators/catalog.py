@@ -6292,3 +6292,60 @@ def p144_centroid_drift(spark: SparkSession, sf_dir: str) -> SDF:
     return similarity.centroid_drift(emb, "embedding", "label", dim=64).orderBy(
         "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# p145 — Zipf rank-frequency fit (operators.text.zipf_fit): per-lang
+# OLS of ln(freq) on ln(rank) over the top-100 token ranks — natural
+# text slopes near -1; flat means boilerplate spam, steep means
+# degenerate token domination.  Explode + two-phase (lang, token)
+# count collapses the corpus to the vocab table before the exchange;
+# the rank window runs over the VOCAB table and the fit aggregates
+# <= 100 rows per lang.  Deterministic ranks ((freq DESC, token) ties
+# lexical), identical OLS op order both engines, intercept from the
+# UNROUNDED slope.
+# ---------------------------------------------------------------------------
+@q(
+    "p145_zipf_fit",
+    rf"""
+    WITH tok AS (SELECT lang, unnest({_TOKS}) AS w FROM documents),
+    freq AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+             FROM tok GROUP BY 1, 2),
+    rk AS (SELECT lang, f,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY f DESC, w) AS r
+           FROM freq),
+    t AS (SELECT lang,
+                 ln(CAST(r AS DOUBLE)) AS x,
+                 ln(CAST(f AS DOUBLE)) AS y
+          FROM rk WHERE r <= 100),
+    a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM t GROUP BY lang)
+    SELECT lang AS "group", n_ranks,
+           CASE WHEN n_ranks >= 2
+                 AND CAST(n_ranks AS DOUBLE) * sxx - sx * sx <> 0.0
+                THEN ROUND((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx), 6)
+                     + 0.0 END AS slope,
+           CASE WHEN n_ranks >= 2
+                 AND CAST(n_ranks AS DOUBLE) * sxx - sx * sx <> 0.0
+                THEN ROUND((sy - ((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                                  / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx))
+                                 * sx)
+                           / CAST(n_ranks AS DOUBLE), 6) + 0.0 END AS intercept,
+           CASE WHEN n_ranks >= 2
+                 AND CAST(n_ranks AS DOUBLE) * sxx - sx * sx <> 0.0
+                 AND CAST(n_ranks AS DOUBLE) * syy - sy * sy <> 0.0
+                THEN ROUND((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                           * (CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                           / ((CAST(n_ranks AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n_ranks AS DOUBLE) * syy - sy * sy)), 6)
+                     + 0.0 END AS r2
+    FROM a ORDER BY "group"
+    """,
+)
+def p145_zipf_fit(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_fit(docs, "text", "lang", top_ranks=100).orderBy("group")

@@ -1193,3 +1193,77 @@ def bpe_coverage(
             ).alias("char_token_frac"),
         )
     )
+
+
+def zipf_fit(
+    df,
+    text_col: str,
+    group_col: str,
+    top_ranks: int = 100,
+    decimals: int = 6,
+):
+    """Zipf rank-frequency fit per group: OLS of ln(freq) on ln(rank)
+    over the top ``top_ranks`` token ranks — natural text runs a slope
+    near −1 (Zipf's law), so a slice whose slope collapses toward 0
+    (flat — template/boilerplate spam) or dives steep (a few tokens
+    dominate — degenerate generations) is mis-distributed in a way
+    mean-based stats never show.  One row per group: ``(group,
+    n_ranks, slope, intercept, r2)``; slope/r2 are NULL when the fit
+    is undefined (fewer than 2 ranks, or zero x/y variance).
+
+    Ranks are deterministic: (freq DESC, token ASC) — ties broken
+    lexically, so both engines see the identical (rank, freq) table;
+    the OLS closed form is evaluated with the identical operation
+    order in the oracle.  Intercept uses the UNROUNDED slope.
+
+    Scale shape: explode + ONE two-phase (group, token) count — the
+    map-side combine collapses the corpus to the vocab table before
+    the exchange — then a per-group window over the VOCAB table (the
+    :func:`top_ngrams_per_group` shape), and the fit itself aggregates
+    ≤ ``top_ranks`` rows per group.  For web-scale vocabularies,
+    prefilter the tail (``freq >= k``) before the window — the top
+    ranks are unaffected by construction."""
+    from pyspark.sql.window import Window as W
+
+    if top_ranks < 2:
+        raise ValueError("zipf_fit: top_ranks must be >= 2")
+    tok = df.select(
+        F.col(group_col).alias("group"), F.explode(tokens(text_col)).alias("_w")
+    )
+    freq = tok.groupBy("group", "_w").agg(F.count(F.lit(1)).alias("_f"))
+    w = W.partitionBy("group").orderBy(F.desc("_f"), F.asc("_w"))
+    ranked = freq.select(
+        "group", F.row_number().over(w).alias("_r"), "_f"
+    ).filter(F.col("_r") <= top_ranks)
+    terms = ranked.select(
+        "group",
+        F.log(F.col("_r").cast("double")).alias("_x"),
+        F.log(F.col("_f").cast("double")).alias("_y"),
+    )
+    agg = terms.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    r = F.col("n_ranks").cast("double")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    num = r * F.col("_sxy") - sx * sy
+    den = r * F.col("_sxx") - sx * sx
+    vy = r * F.col("_syy") - sy * sy
+    slope = num / den
+    fit_ok = (F.col("n_ranks") >= 2) & (den != 0.0)
+    return agg.select(
+        "group",
+        "n_ranks",
+        F.when(fit_ok, F.round(slope, decimals) + F.lit(0.0)).alias("slope"),
+        F.when(
+            fit_ok, F.round((sy - slope * sx) / r, decimals) + F.lit(0.0)
+        ).alias("intercept"),
+        F.when(
+            fit_ok & (vy != 0.0),
+            F.round(num * num / (den * vy), decimals) + F.lit(0.0),
+        ).alias("r2"),
+    )

@@ -6841,3 +6841,69 @@ class TestCentroidDrift:
         null = spark.createDataFrame([(0, None)], "label int, v array<float>")
         with pytest.raises(Exception, match="centroid_drift"):
             centroid_drift(null, "v", "label", 2).collect()
+
+
+class TestZipfFit:
+    """Laws for the Zipf rank-frequency OLS (text.zipf_fit)."""
+
+    def test_planted_power_law_recovers_exponent(self, spark):
+        # freq(rank) = round(1000 * rank^-0.8): tokens w1..w40, doc text
+        # repeats token k freq(k) times -> slope ~ -0.8, r2 ~ 1
+        rows = []
+        for k in range(1, 41):
+            f = max(1, round(1000 * k ** -0.8))
+            rows.append((" ".join([f"w{k:02d}"] * f), "g"))
+        df = spark.createDataFrame(rows, "text string, g string")
+        from spear_spark.operators.text import zipf_fit
+
+        [r] = zipf_fit(df, "text", "g", top_ranks=40).collect()
+        assert r.n_ranks == 40
+        assert abs(r.slope - (-0.8)) < 0.02  # rounding of freqs only
+        assert r.r2 > 0.999
+
+    def test_matches_numpy_polyfit(self, spark):
+        import math
+        import random
+
+        import numpy as np
+
+        from spear_spark.operators.text import zipf_fit
+
+        rng = random.Random(23)
+        freqs = sorted((rng.randint(1, 500) for _ in range(30)), reverse=True)
+        toks = [f"t{i:02d}" for i in range(30)]
+        textv = " ".join(
+            " ".join([t] * f) for t, f in zip(toks, freqs)
+        )
+        df = spark.createDataFrame([(textv, "g")], "text string, g string")
+        [r] = zipf_fit(df, "text", "g", top_ranks=30).collect()
+        # replay the DETERMINISTIC rank order: freq desc, token asc
+        ranked = sorted(zip(toks, freqs), key=lambda p: (-p[1], p[0]))
+        x = np.log(np.arange(1, 31, dtype=float))
+        y = np.log(np.array([f for _, f in ranked], dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope - slope) < 1e-5
+        assert abs(r.intercept - intercept) < 1e-5
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r.r2 - corr * corr) < 1e-5
+
+    def test_degenerate_fits_are_null(self, spark):
+        from spear_spark.operators.text import zipf_fit
+
+        # single distinct token -> 1 rank -> undefined fit
+        one = spark.createDataFrame([("a a a", "g")], "text string, g string")
+        [r] = zipf_fit(one, "text", "g").collect()
+        assert r.n_ranks == 1 and r.slope is None and r.r2 is None
+        # all-equal frequencies -> slope exactly 0, zero y-variance -> r2 NULL
+        flat = spark.createDataFrame([("a b c d", "g")], "text string, g string")
+        [rf_] = zipf_fit(flat, "text", "g").collect()
+        assert rf_.slope == 0.0 and rf_.r2 is None
+
+    def test_top_ranks_validation(self, spark):
+        import pytest
+
+        from spear_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame([("a b", "g")], "text string, g string")
+        with pytest.raises(ValueError, match="top_ranks"):
+            zipf_fit(df, "text", "g", top_ranks=1)
