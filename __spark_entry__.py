@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-12 window (7+8+17+18 = 50): the 7 late-round-11 entries with
+# Round-12 window (7+8+5+17+13 = 50): the 7 late-round-11 entries with
 # no driver evidence yet (p127–p133, sequenced by the round-11
 # verdict), the 8 NEW round-12 operators (p134 char-gram-candidate
 # edit-distance pairs — the OCR-noise recall mode; p135 CC-grade
@@ -35,8 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # matrix — one-scan pairwise agreement; p139 packing preview —
 # training-sequence yield per context length; p140 BPE coverage /
 # char-fallback rate; p141 n-way stratified leakage-safe split), the
-# 17 r07-evidence rotations (the oldest rows in the repo after round
-# 11), and the 18 oldest r08-evidence rotations.
+# 5 second-wave round-12 operators (p142-p146), the 17 r07-evidence
+# rotations (the oldest rows in the repo after round 11), and the 13
+# oldest r08-evidence rotations.
 _DRIVER_PRIORITY = [
     # ---- round 12 window ----
     # -- no driver evidence yet (late round 11): cross-source chunk
@@ -54,6 +55,16 @@ _DRIVER_PRIORITY = [
     "p136_bpe_fertility_balanced", "p137_dedup_report_chunks",
     "p138_filter_agreement_matrix", "p139_packing_preview",
     "p140_bpe_coverage", "p141_stratified_split",
+    # -- NEW in round 12, second wave (p142 Mann-Whitney score AUC —
+    #    the continuous-score member of the filter-eval family; p143
+    #    greedy token-budget selection — fills budget_waterfill's
+    #    per-source shares; p144 exact quantized centroid drift —
+    #    embedding-space drift per label; p145 Zipf rank-frequency
+    #    fit per lang; p146 cross-split NEAR-dup leakage — pair-grade
+    #    complement of the p131 audit):
+    "p142_score_auc", "p143_token_budget_select",
+    "p144_centroid_drift", "p145_zipf_fit",
+    "p146_cross_split_neardup",
     # -- the 17 r07-evidence rotations (oldest evidence in the repo):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",
@@ -72,9 +83,7 @@ _DRIVER_PRIORITY = [
     "q17_event_gaps", "q19_sort_nulls",
     "q24_hourly_rollup", "q25_json_extract",
     "q29_asof_last_click", "q43_multigrain_rollup",
-    "q50_sql_dialect", "q51_partitioned_range",
-    "q53_gapfill_hourly", "q58_dialect_extensions",
-    "q68_lateral_topn", "q69_unpivot",
+    "q50_sql_dialect",
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the r08 remainder leads the round-13 window,
@@ -82,7 +91,11 @@ _DRIVER_PRIORITY = [
     # entries are the implicit catalog-order leftovers at the very
     # end — recompute ages from CORRECTNESS_r*.json when sequencing
     # round 13). ----
-    # -- r08 evidence remainder (rotate FIRST in round 13):
+    # -- r08 evidence remainder (rotate FIRST in round 13; the first
+    #    five were displaced from the round-12 window by p142-p146):
+    "q51_partitioned_range", "q53_gapfill_hourly",
+    "q58_dialect_extensions", "q68_lateral_topn",
+    "q69_unpivot",
     "q70_qualify", "q71_listagg",
     "q72_recursive_cte", "q74_stats_aggregates",
     "q75_datetime_functions", "q76_union_by_name",

@@ -6349,3 +6349,47 @@ def p144_centroid_drift(spark: SparkSession, sf_dir: str) -> SDF:
 def p145_zipf_fit(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return text.zipf_fit(docs, "text", "lang", top_ranks=100).orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# p146 — cross-split NEAR-dup leakage (operators.dedup.
+# cross_split_neardup): LSH-verified near-dup pairs that straddle an
+# id-parity train/eval split — the pair-grade complement of the p131
+# group audit, naming each leaked eval doc, its train twin, and the
+# Jaccard as evidence (exact-grade audits pass trivially when the
+# duplication is fuzzy).  Plan = the certified p29 composition (band
+# equi-join + per-candidate exact verify, nothing corpus-quadratic)
+# plus two hash joins against the (id, split) projection.
+# ---------------------------------------------------------------------------
+@q(
+    "p146_cross_split_neardup",
+    _SIG_CTE
+    + f""", bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY c.doc_a, c.doc_b),
+    vp AS (SELECT doc_a, doc_b,
+                  ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+           FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+                      JOIN cnt cb ON doc_b = cb.doc_id
+           WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5),
+    st AS (SELECT doc_id, doc_id % 2 = 1 AS v FROM documents)
+    SELECT CASE WHEN sa.v THEN doc_b ELSE doc_a END AS doc_train,
+           CASE WHEN sa.v THEN doc_a ELSE doc_b END AS doc_eval,
+           jaccard
+    FROM vp JOIN st sa ON doc_a = sa.doc_id
+            JOIN st sb ON doc_b = sb.doc_id
+    WHERE sa.v <> sb.v
+    ORDER BY doc_train, doc_eval
+    """,
+)
+def p146_cross_split_neardup(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_split_neardup(
+        docs, "text", "doc_id", F.col("doc_id") % 2 == 1, threshold=0.5
+    ).orderBy("doc_train", "doc_eval")

@@ -2408,3 +2408,67 @@ def edit_distance_pairs(
         )
         .filter(F.col("rel_edit") <= F.lit(float(max_rel)))
     )
+
+
+def cross_split_neardup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col,
+    threshold: float = 0.5,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate leakage across a train/eval split: LSH-verified
+    near-dup pairs (:func:`lsh_verified_pairs` — MinHash-LSH candidates,
+    exact Jaccard verification) whose two documents sit on OPPOSITE
+    sides — ``(doc_train, doc_eval, jaccard)``, the actionable drop
+    list for the eval side.  This is the pair-grade complement of
+    :func:`split_leakage_report`: the group-key audit answers "is the
+    split clean at granularity X" in aggregate; this names each leaked
+    eval doc and its train twin with the similarity as evidence —
+    exact-grade audits pass trivially on corpora whose duplication is
+    fuzzy (law-tested: a paraphrased plant crosses the split unseen by
+    the exact audit, caught here).
+
+    ``split_col`` is a boolean column/expression (False = train,
+    True = eval), the :func:`split_leakage_report` convention; NULL
+    raises in-plan (an unassigned doc is a split bug, not a skip).
+
+    Scale shape: everything is the :func:`lsh_verified_pairs` plan
+    (band equi-join + per-candidate verify, nothing corpus-quadratic)
+    plus two broadcast-sized hash joins against the (id, split)
+    projection and an orientation projection."""
+    pairs = lsh_verified_pairs(
+        df, text_col, id_col, threshold, k, bands, shingle_n
+    )
+    flag = F.col("_split")
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(
+            split_col.cast("boolean").isNull(),
+            F.raise_error(
+                F.lit(
+                    "cross_split_neardup: NULL split flag — every doc "
+                    "must be assigned a side"
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(split_col.cast("boolean"))
+        .alias("_split"),
+    )
+    joined = (
+        pairs.join(
+            side.select(F.col("_id").alias("doc_a"), flag.alias("_va")), "doc_a"
+        )
+        .join(side.select(F.col("_id").alias("doc_b"), flag.alias("_vb")), "doc_b")
+        .filter(F.col("_va") != F.col("_vb"))
+    )
+    doc_train = F.when(F.col("_va"), F.col("doc_b")).otherwise(F.col("doc_a"))
+    doc_eval = F.when(F.col("_va"), F.col("doc_a")).otherwise(F.col("doc_b"))
+    return joined.select(
+        doc_train.alias("doc_train"),
+        doc_eval.alias("doc_eval"),
+        "jaccard",
+    )

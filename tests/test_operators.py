@@ -6907,3 +6907,75 @@ class TestZipfFit:
         df = spark.createDataFrame([("a b", "g")], "text string, g string")
         with pytest.raises(ValueError, match="top_ranks"):
             zipf_fit(df, "text", "g", top_ranks=1)
+
+
+class TestCrossSplitNeardup:
+    """Laws for pair-grade near-dup split leakage
+    (dedup.cross_split_neardup)."""
+
+    def _corpus(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog while rain "
+                "falls softly on the quiet village roofs tonight")
+        fuzz = base.replace("softly", "gently")  # near-dup, not exact-dup
+        other = ("completely different words about spark shuffles and "
+                 "parquet footers living in their own cluster of text "
+                 "far away from foxes")
+        rows = [(0, base), (1, fuzz), (2, other), (3, "tiny unrelated snippet here")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_catches_fuzzy_leak_the_exact_audit_misses(self, spark):
+        from spear_spark.operators.dedup import (
+            cross_split_neardup,
+            split_leakage_report,
+        )
+
+        df = self._corpus(spark)
+        split = F.col("doc_id") % 2 == 1  # base in train, fuzz in eval
+        exact = split_leakage_report(df, "text", "doc_id", split).collect()
+        assert exact == []  # exact-grade audit is blind to the paraphrase
+        got = cross_split_neardup(df, "text", "doc_id", split).collect()
+        assert [(r.doc_train, r.doc_eval) for r in got] == [(0, 1)]
+        assert got[0].jaccard >= 0.5
+
+    def test_same_side_pairs_are_not_reported(self, spark):
+        from spear_spark.operators.dedup import cross_split_neardup
+
+        df = self._corpus(spark)
+        both_train = F.col("doc_id") >= 2  # base+fuzz both in train
+        assert cross_split_neardup(df, "text", "doc_id", both_train).collect() == []
+
+    def test_safe_split_audits_empty(self, spark):
+        from spear_spark.operators.dedup import cross_split_neardup
+        from spear_spark.operators.sampling import leakage_safe_split
+
+        # duplicate-heavy corpus (5 mutually DISSIMILAR templates, each
+        # exactly duplicated 8x), split built content-aware
+        templates = [
+            "alpha rivers carve deep canyons through ancient red stone walls",
+            "bakers knead warm dough before sunrise in the quiet old shop",
+            "computers exchange packets across oceans via buried glass fiber",
+            "dancers rehearse difficult spins under bright unforgiving lights",
+            "elephants remember distant waterholes after many dry seasons pass",
+        ]
+        rows = [(i, templates[i % 5]) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        split = leakage_safe_split(df, "text", "doc_id", val_frac=0.4)
+        joined = df.join(
+            split.select("doc_id", (F.col("split") == "validation").alias("is_val")),
+            "doc_id",
+        )
+        out = cross_split_neardup(
+            joined, "text", "doc_id", F.col("is_val")
+        ).collect()
+        assert out == []
+
+    def test_null_split_flag_raises(self, spark):
+        import pytest
+
+        from spear_spark.operators.dedup import cross_split_neardup
+
+        df = self._corpus(spark).withColumn(
+            "flag", F.when(F.col("doc_id") < 3, F.col("doc_id") % 2 == 0)
+        )
+        with pytest.raises(Exception, match="cross_split_neardup"):
+            cross_split_neardup(df, "text", "doc_id", F.col("flag")).collect()
