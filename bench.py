@@ -199,6 +199,12 @@ HEADLINE = [
     "p139_packing_preview",
     "p140_bpe_coverage",
     "p141_stratified_split",
+    # round-12 second wave
+    "p142_score_auc",
+    "p143_token_budget_select",
+    "p144_centroid_drift",
+    "p145_zipf_fit",
+    "p146_cross_split_neardup",
 ]
 
 

@@ -768,3 +768,77 @@ class TestWidenNarrowScan:
                 out.rdd.getNumPartitions()
                 == spark.sparkContext.defaultParallelism
             )
+
+
+def test_score_auc_cell_histogram_shape(spark, sf_dir):
+    """p142: the corpus must collapse to the score-value histogram via
+    a two-phase (partial) aggregate BEFORE the window — the global
+    cumulative pass runs over the bounded cell table, and the whole
+    pipeline is JVM-side with no cartesian anywhere."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p142_score_auc"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_token_budget_select_partitioned_window_minimal_read(spark, sf_dir):
+    """p143: the greedy prefix is ONE window partitioned by source
+    (never a SinglePartition global sort — groups parallelize), the
+    scan reads only the three consumed columns, and nothing drops to
+    Python."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, read_schemas
+
+    plan = executed_plan(OPS["p143_token_budget_select"][0](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert set(read_schemas(plan)[0]) == {"doc_id", "source", "text"}
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_centroid_drift_one_scan_two_phase(spark, sf_dir):
+    """p144: one posexplode (Generate) + a two-phase (label, dim)
+    aggregate — the corpus is scanned EXACTLY once; the global row is
+    a window over the cell table, never a second scan; pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p144_centroid_drift"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert "Generate" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_zipf_fit_vocab_window_one_scan(spark, sf_dir):
+    """p145: the (lang, token) count is partial-aggregated (corpus
+    collapses to the vocab table before the exchange), the rank window
+    is partitioned by group (no SinglePartition), one corpus scan, no
+    Python."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p145_zipf_fit"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_cross_split_neardup_keeps_banded_shape(spark, sf_dir):
+    """p146: the split-audit wrapper must not degrade the certified
+    p29 composition — candidates still come from the band-bucket
+    equality join (no CartesianProduct), verification stays JVM-side,
+    and the split join adds hash joins only."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan
+
+    plan = executed_plan(OPS["p146_cross_split_neardup"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
