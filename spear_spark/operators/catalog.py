@@ -6393,3 +6393,94 @@ def p146_cross_split_neardup(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.cross_split_neardup(
         docs, "text", "doc_id", F.col("doc_id") % 2 == 1, threshold=0.5
     ).orderBy("doc_train", "doc_eval")
+
+
+# ---------------------------------------------------------------------------
+# p147 — threshold sweep (operators.stats.threshold_sweep): every
+# operating point of the p09 quality score against the p112 gopher
+# keep — confusion counts + precision/recall/F1 for keep-iff-score>=t
+# at EVERY distinct score, from one descending cumulative window over
+# the score-value histogram (never one pass per threshold).  The
+# "pick the cut" readout completing the filter-eval quartet
+# (p126 pair kappa, p138 kappa matrix, p142 AUC).  Oracle replays the
+# same two CTEs and the same cumulative arithmetic.
+# ---------------------------------------------------------------------------
+@q(
+    "p147_threshold_sweep",
+    rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6)
+               AS mean_word_len,
+             ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len(t), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS stopword_hits
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)),
+    ga AS (
+      SELECT doc_id,
+             (COALESCE(n_words BETWEEN 20 AND 100000, false)
+              AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, false)
+              AND COALESCE(symbol_ratio <= 0.1, false)
+              AND COALESCE(alpha_word_frac >= 0.8, false)
+              AND COALESCE(stopword_hits >= 1, false)) AS y
+      FROM m),
+    qs AS (
+      SELECT doc_id, {_TOKS} AS t,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+      FROM documents),
+    qm AS (SELECT doc_id,
+                  CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits,
+                  nc
+           FROM qs),
+    qq AS (SELECT doc_id,
+                  ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+                      + 0.4 * (hits / n_tok)
+                      + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) AS s
+           FROM qm),
+    cells AS (
+      SELECT s,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM qq JOIN ga USING (doc_id) GROUP BY s),
+    c AS (
+      SELECT s AS threshold,
+             CAST(SUM(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(SUM(neg) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+             CAST(SUM(pos) OVER () - SUM(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fn,
+             CAST(SUM(neg) OVER () - SUM(neg) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tn
+      FROM cells)
+    SELECT threshold, tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) + 0.0
+             AS precision,
+           CASE WHEN tp + fn > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+                     + 0.0 END AS recall,
+           CASE WHEN tp + fn > 0
+                THEN ROUND(CAST(2 * tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE), 6) + 0.0
+                END AS f1
+    FROM c ORDER BY threshold
+    """,
+)
+def p147_threshold_sweep(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import threshold_sweep
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.gopher_rules(
+        docs, "text", "doc_id", min_words=20, min_stopword_hits=1
+    ).select("doc_id", "keep")
+    scored = docs.select(
+        "doc_id", text.quality_score("text").alias("q")
+    ).join(flags, "doc_id")
+    return threshold_sweep(scored, "q", "keep").orderBy("threshold")

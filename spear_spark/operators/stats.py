@@ -1078,3 +1078,90 @@ def score_auc(
         F.round(F.col("_num").cast("double") / denom, decimals) + F.lit(0.0),
     )
     return agg.select(*gcols, "n_pos", "n_neg", "n_scores", auc.alias("auc"))
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    decimals: int = 6,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Full operating-point sweep of a quality score against a boolean
+    reference: one row per distinct score value ``t`` with the
+    confusion counts and precision/recall/F1 of the rule
+    ``keep iff score >= t`` — the "pick the threshold" readout that
+    completes the filter-eval family (:func:`score_auc` says whether
+    the score ranks well AT ALL; this says what each cut actually
+    costs).  Columns: ``(threshold, tp, fp, fn, tn, precision,
+    recall, f1)``; recall/f1 are NULL when positives are absent
+    entirely (undefined, not 0).
+
+    Same engine as :func:`score_auc`: the corpus collapses to the
+    score-value histogram via ONE two-phase aggregate; a single
+    descending cumulative window over the CELL table yields every
+    TP/FP simultaneously (never one pass per candidate threshold —
+    the naive sweep is O(thresholds · corpus)).  All counts are exact
+    int64; ratios are single rounded divisions.
+
+    Contract and scale shape as :func:`score_auc` — labels non-NULL
+    boolean, scores non-NULL/non-NaN (in-plan raise);
+    ``score_decimals`` bounds the cell grid for continuous scores."""
+    from pyspark.sql.window import Window as W
+
+    s = F.col(score_col).cast("double")
+    if score_decimals is not None:
+        s = F.round(s, score_decimals)
+    y = F.col(label_col)
+    guard = F.when(
+        y.isNull() | s.isNull() | F.isnan(s),
+        F.raise_error(
+            F.lit(
+                "threshold_sweep: NULL label or NULL/NaN score — "
+                "coalesce or filter rows first"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(1))
+    cells = (
+        df.select(s.alias("_s"), y.cast("boolean").alias("_y"), guard.alias("_g"))
+        .groupBy("_s")
+        .agg(
+            F.sum(F.when(F.col("_y"), F.col("_g")).otherwise(0)).alias("_pos"),
+            F.sum(F.when(~F.col("_y"), F.col("_g")).otherwise(0)).alias("_neg"),
+        )
+    )
+    w_ge = (
+        W.partitionBy()
+        .orderBy(F.desc("_s"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy()
+    staged = cells.select(
+        F.col("_s").alias("threshold"),
+        F.sum("_pos").over(w_ge).alias("tp"),
+        F.sum("_neg").over(w_ge).alias("fp"),
+        (F.sum("_pos").over(w_all) - F.sum("_pos").over(w_ge)).alias("fn"),
+        (F.sum("_neg").over(w_all) - F.sum("_neg").over(w_ge)).alias("tn"),
+    )
+    p_total = F.col("tp") + F.col("fn")
+    precision = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast(
+        "double"
+    )
+    recall = F.when(
+        p_total > 0, F.col("tp").cast("double") / p_total.cast("double")
+    )
+    f1 = F.when(
+        p_total > 0,
+        (2 * F.col("tp")).cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+    )
+    return staged.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.round(precision, decimals) + F.lit(0.0)).alias("precision"),
+        (F.round(recall, decimals) + F.lit(0.0)).alias("recall"),
+        (F.round(f1, decimals) + F.lit(0.0)).alias("f1"),
+    )

@@ -6979,3 +6979,64 @@ class TestCrossSplitNeardup:
         )
         with pytest.raises(Exception, match="cross_split_neardup"):
             cross_split_neardup(df, "text", "doc_id", F.col("flag")).collect()
+
+
+class TestThresholdSweep:
+    """Laws for the operating-point sweep (stats.threshold_sweep)."""
+
+    def test_matches_python_replay_and_monotone(self, spark):
+        import random
+
+        from spear_spark.operators.stats import threshold_sweep
+
+        rng = random.Random(31)
+        rows = [(round(rng.random(), 1), rng.random() < 0.3) for _ in range(400)]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        out = sorted(threshold_sweep(df, "s", "y").collect(),
+                     key=lambda r: -r.threshold)
+        P = sum(1 for _, y in rows if y)
+        N = len(rows) - P
+        prev_recall = None
+        for r in out:
+            tp = sum(1 for s, y in rows if y and s >= r.threshold)
+            fp = sum(1 for s, y in rows if not y and s >= r.threshold)
+            assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, P - tp, N - fp)
+            assert r.precision == round(tp / (tp + fp), 6)
+            assert r.recall == round(tp / P, 6)
+            assert r.f1 == round(2 * tp / (2 * tp + fp + (P - tp)), 6)
+            # descending threshold -> recall non-decreasing
+            if prev_recall is not None:
+                assert r.recall >= prev_recall
+            prev_recall = r.recall
+        # the loosest threshold keeps everything: recall 1, precision =
+        # base rate
+        loosest = out[-1]
+        assert loosest.recall == 1.0
+        assert loosest.precision == round(P / len(rows), 6)
+
+    def test_perfect_separation_has_f1_one_point(self, spark):
+        from spear_spark.operators.stats import threshold_sweep
+
+        df = spark.createDataFrame(
+            [(float(i), i >= 5) for i in range(10)], "s double, y boolean"
+        )
+        out = {r.threshold: r for r in threshold_sweep(df, "s", "y").collect()}
+        assert out[5.0].f1 == 1.0 and out[5.0].precision == 1.0 and out[5.0].recall == 1.0
+
+    def test_no_positives_recall_f1_null(self, spark):
+        from spear_spark.operators.stats import threshold_sweep
+
+        df = spark.createDataFrame(
+            [(1.0, False), (2.0, False)], "s double, y boolean"
+        )
+        for r in threshold_sweep(df, "s", "y").collect():
+            assert r.recall is None and r.f1 is None and r.precision == 0.0
+
+    def test_guards_raise(self, spark):
+        import pytest
+
+        from spear_spark.operators.stats import threshold_sweep
+
+        df = spark.createDataFrame([(None, True)], "s double, y boolean")
+        with pytest.raises(Exception, match="threshold_sweep"):
+            threshold_sweep(df, "s", "y").collect()
