@@ -6484,3 +6484,59 @@ def p147_threshold_sweep(spark: SparkSession, sf_dir: str) -> SDF:
         "doc_id", text.quality_score("text").alias("q")
     ).join(flags, "doc_id")
     return threshold_sweep(scored, "q", "keep").orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# p148 — Heaps'-law vocabulary growth fit (operators.text.heaps_fit):
+# each source is one (total tokens, distinct tokens) point; OLS of
+# ln(V) on ln(N) across sources recovers the vocabulary-growth
+# exponent, and each source's residual from the line flags template
+# mills (far below) and vocabulary anomalies (far above) — the
+# cross-group complement of p145's within-group Zipf curve.  Corpus
+# collapses to the vocab table in ONE two-phase count; the fit is a
+# window over the 20-row point table.  Identical OLS op order both
+# engines; exact int64 point coordinates.
+# ---------------------------------------------------------------------------
+@q(
+    "p148_heaps_fit",
+    rf"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS w FROM documents),
+    vocab AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    pts AS (SELECT source AS "group",
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM vocab GROUP BY source),
+    s AS (SELECT *,
+                 ln(CAST(n_tokens AS DOUBLE)) AS x,
+                 ln(CAST(vocab AS DOUBLE)) AS y,
+                 CAST(COUNT(*) OVER () AS DOUBLE) AS k,
+                 SUM(ln(CAST(n_tokens AS DOUBLE))) OVER () AS sx,
+                 SUM(ln(CAST(vocab AS DOUBLE))) OVER () AS sy,
+                 SUM(ln(CAST(n_tokens AS DOUBLE))
+                     * ln(CAST(vocab AS DOUBLE))) OVER () AS sxy,
+                 SUM(ln(CAST(n_tokens AS DOUBLE))
+                     * ln(CAST(n_tokens AS DOUBLE))) OVER () AS sxx,
+                 SUM(ln(CAST(vocab AS DOUBLE))
+                     * ln(CAST(vocab AS DOUBLE))) OVER () AS syy
+          FROM pts)
+    SELECT "group", n_tokens, vocab,
+           CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+                THEN ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0.0
+                END AS beta,
+           CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+                 AND k * syy - sy * sy <> 0.0
+                THEN ROUND((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                           / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+                     + 0.0 END AS r2,
+           CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+                THEN ROUND(y - ((sy - ((k * sxy - sx * sy)
+                                       / (k * sxx - sx * sx)) * sx) / k
+                                + ((k * sxy - sx * sy)
+                                   / (k * sxx - sx * sx)) * x), 6) + 0.0
+                END AS residual
+    FROM s ORDER BY "group"
+    """,
+)
+def p148_heaps_fit(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.heaps_fit(docs, "text", "source").orderBy("group")

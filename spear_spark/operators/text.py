@@ -1267,3 +1267,80 @@ def zipf_fit(
             F.round(num * num / (den * vy), decimals) + F.lit(0.0),
         ).alias("r2"),
     )
+
+
+def heaps_fit(
+    df,
+    text_col: str,
+    group_col: str,
+    decimals: int = 6,
+):
+    """Heaps'-law fit across groups: each group (source/shard/day) is
+    one point (N = total tokens, V = distinct tokens); OLS of ln(V) on
+    ln(N) across the points recovers the corpus's vocabulary-growth
+    exponent (natural text: V ≈ K·N^β, β ~ 0.4–0.6), and each group's
+    RESIDUAL from the fitted line is the readout — a source sitting
+    far below the line has too little vocabulary for its size
+    (template/boilerplate mill), far above it is vocabulary-anomalous
+    (spam, encoding junk).  The cross-group complement of
+    :func:`zipf_fit` (which watches ONE group's internal rank curve).
+
+    One row per group: ``(group, n_tokens, vocab, beta, r2,
+    residual)`` — beta/r2 are the shared fit (repeated per row, NULL
+    when the fit is undefined: fewer than 2 groups or zero x-variance);
+    residual = ln(V) − (α + β·ln(N)), NULL when the fit is.
+
+    Scale shape: explode + ONE two-phase (group, token) count —
+    map-side combine collapses the corpus to the vocab table — then a
+    per-group count and a global window over the |groups|-row point
+    table (bounded by design, the fixed_width_histogram posture).
+    Group totals stay exact int64; only the ln/OLS step floats, with
+    the identical operation order in the oracle."""
+    from pyspark.sql.window import Window as W
+
+    tok = df.select(
+        F.col(group_col).alias("group"), F.explode(tokens(text_col)).alias("_w")
+    )
+    vocab = tok.groupBy("group", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    pts = vocab.groupBy("group").agg(
+        F.sum("_c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    x = F.log(F.col("n_tokens").cast("double"))
+    y = F.log(F.col("vocab").cast("double"))
+    w_all = W.partitionBy()
+    staged = pts.select(
+        "group",
+        "n_tokens",
+        "vocab",
+        x.alias("_x"),
+        y.alias("_y"),
+        F.count(F.lit(1)).over(w_all).cast("double").alias("_k"),
+        F.sum(x).over(w_all).alias("_sx"),
+        F.sum(y).over(w_all).alias("_sy"),
+        F.sum(x * y).over(w_all).alias("_sxy"),
+        F.sum(x * x).over(w_all).alias("_sxx"),
+        F.sum(y * y).over(w_all).alias("_syy"),
+    )
+    k = F.col("_k")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    num = k * F.col("_sxy") - sx * sy
+    den = k * F.col("_sxx") - sx * sx
+    vy = k * F.col("_syy") - sy * sy
+    beta = num / den
+    alpha = (sy - beta * sx) / k
+    fit_ok = (k >= 2) & (den != 0.0)
+    return staged.select(
+        "group",
+        "n_tokens",
+        "vocab",
+        F.when(fit_ok, F.round(beta, decimals) + F.lit(0.0)).alias("beta"),
+        F.when(
+            fit_ok & (vy != 0.0),
+            F.round(num * num / (den * vy), decimals) + F.lit(0.0),
+        ).alias("r2"),
+        F.when(
+            fit_ok,
+            F.round(F.col("_y") - (alpha + beta * F.col("_x")), decimals)
+            + F.lit(0.0),
+        ).alias("residual"),
+    )

@@ -7040,3 +7040,65 @@ class TestThresholdSweep:
         df = spark.createDataFrame([(None, True)], "s double, y boolean")
         with pytest.raises(Exception, match="threshold_sweep"):
             threshold_sweep(df, "s", "y").collect()
+
+
+class TestHeapsFit:
+    """Laws for the cross-group Heaps'-law fit (text.heaps_fit)."""
+
+    def test_matches_numpy_polyfit_replay(self, spark):
+        import random
+
+        import numpy as np
+
+        from spear_spark.operators.text import heaps_fit
+
+        rng = random.Random(41)
+        rows = []
+        for g in range(6):
+            for d in range(10 + 5 * g):
+                words = [f"w{rng.randint(0, 40 + 30 * g)}" for _ in range(20)]
+                rows.append((" ".join(words), f"g{g}"))
+        df = spark.createDataFrame(rows, "text string, g string")
+        out = {r.group: r for r in heaps_fit(df, "text", "g").collect()}
+        # python replay of the points
+        pts = {}
+        for t, g in rows:
+            toks = t.lower().strip().split()
+            n, v = pts.get(g, (0, set()))
+            pts[g] = (n + len(toks), v | set(toks))
+        xs = np.log([pts[g][0] for g in sorted(pts)])
+        ys = np.log([len(pts[g][1]) for g in sorted(pts)])
+        beta, alpha = np.polyfit(xs, ys, 1)
+        for i, g in enumerate(sorted(pts)):
+            r = out[g]
+            assert (r.n_tokens, r.vocab) == (pts[g][0], len(pts[g][1]))
+            assert abs(r.beta - beta) < 1e-5
+            assert abs(r.residual - (ys[i] - (alpha + beta * xs[i]))) < 1e-5
+
+    def test_template_mill_sits_below_the_line(self, spark):
+        import random
+
+        from spear_spark.operators.text import heaps_fit
+
+        rng = random.Random(2)
+        rows = []
+        # three diverse sources of growing size
+        for g, ndocs in (("a", 10), ("b", 20), ("c", 40)):
+            for d in range(ndocs):
+                rows.append((" ".join(
+                    f"{g}tok{rng.randint(0, 2000)}" for _ in range(30)
+                ), g))
+        # the mill: as many tokens as c, almost no vocabulary
+        rows += [("spam " * 30, "mill")] * 40
+        df = spark.createDataFrame(rows, "text string, g string")
+        out = {r.group: r for r in heaps_fit(df, "text", "g").collect()}
+        assert out["mill"].residual < -1.0
+        assert all(out[g].residual > out["mill"].residual for g in "abc")
+
+    def test_single_group_fit_is_null(self, spark):
+        from spear_spark.operators.text import heaps_fit
+
+        df = spark.createDataFrame([("a b c", "g")], "text string, g string")
+        [r] = heaps_fit(df, "text", "g").collect()
+        assert r.beta is None and r.r2 is None and r.residual is None
+        assert (r.n_tokens, r.vocab) == (3, 3)
