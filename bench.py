@@ -205,6 +205,8 @@ HEADLINE = [
     "p144_centroid_drift",
     "p145_zipf_fit",
     "p146_cross_split_neardup",
+    "p147_threshold_sweep",
+    "p148_heaps_fit",
 ]
 
 

@@ -1122,25 +1122,72 @@ def centroid_drift(
     exchange carries ≤ |groups|·dim cells; the global row is a window
     over that CELL table (never a second corpus scan), and everything
     downstream is cell-table-sized."""
+    return centroid_drift_from_cells(
+        centroid_cells(df, vec_col, group_col, dim, scale), scale, decimals
+    )
+
+
+def quantized_vec(
+    vec_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+    op: str = "centroid_drift",
+) -> Column:
+    """Integer micro-unit quantization of a vector column with the
+    loud NULL/wrong-length guard — the shared front end of
+    :func:`centroid_cells` and its streaming twin."""
     v = F.col(vec_col)
     checked = F.when(
         v.isNull() | (F.size(v) != dim),
         F.raise_error(
             F.lit(
-                f"centroid_drift: NULL or wrong-length vector (need "
+                f"{op}: NULL or wrong-length vector (need "
                 f"{dim} dims) — a silent skip would bias the means"
             )
         ).cast("array<double>"),
     ).otherwise(v.cast("array<double>"))
-    qv = F.transform(
+    return F.transform(
         checked,
         lambda e: F.floor(e.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
             "long"
         ),
     )
-    ex = df.select(F.col(group_col).alias("label"), F.posexplode(qv).alias("d", "_q"))
-    cell = ex.groupBy("label", "d").agg(
-        F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n")
+
+
+def centroid_cells(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The mergeable integer STATE behind :func:`centroid_drift`:
+    per-(group, dim) quantized component sums ``(label, d, s, n)``.
+    Sums and counts are associative int64, so cell tables from shards,
+    days, or a drained stream (``streaming.centroid_cells_stream``)
+    merge by plain addition per (label, d) and feed
+    :func:`centroid_drift_from_cells` bit-exactly — the sketch posture
+    applied to first moments."""
+    ex = df.select(
+        F.col(group_col).alias("label"),
+        F.posexplode(quantized_vec(vec_col, dim, scale)).alias("d", "_q"),
+    )
+    return ex.groupBy("label", "d").agg(
+        F.sum("_q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def centroid_drift_from_cells(
+    cells: DataFrame,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Finish :func:`centroid_drift` from a ``(label, d, s, n)`` cell
+    table — fresh from :func:`centroid_cells`, or merged across
+    shards/periods by summing s and n per (label, d).  Everything
+    here is cell-table-sized; the corpus never appears."""
+    cell = cells.select(
+        "label", "d", F.col("s").alias("_s"), F.col("n").alias("_n")
     )
     wd = W.partitionBy("d")
     dec = "decimal(38,0)"

@@ -1212,3 +1212,59 @@ def daily_value_bins_stream(
             "c",
         )
     )
+
+
+def centroid_cells_stream(
+    vecs: DataFrame,
+    vec_col: str,
+    group_col: str,
+    ts_col: str = "ts",
+    dim: int = 64,
+    scale: int = 1_000_000,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-DAY streaming centroid cells ``(period, label, d, s, n)`` —
+    the continuous producer for the :func:`spear_spark.operators.
+    similarity.centroid_drift` lifecycle: maintain each day's
+    per-(label, dim) quantized component sums incrementally as
+    embedded documents arrive, persist the tiny finalized cell tables,
+    and answer "has source X drifted over any day range?" later by
+    plain integer merge (SUM s, SUM n per (label, d)) +
+    :func:`~spear_spark.operators.similarity.centroid_drift_from_cells`
+    — without re-embedding or re-scanning anything.  Exactness carries
+    over verbatim: cells are associative int64 sums, so drained
+    streaming output merges bit-identically to the batch
+    :func:`~spear_spark.operators.similarity.centroid_cells` table
+    (batch-equivalence law).
+
+    State bound: |labels|·dim cells per open day — the event-time
+    window + watermark finalize and evict days, the
+    :func:`daily_cm_cells_stream` posture.  The quantize + explode
+    front end is the SAME column expression as batch
+    (:func:`~spear_spark.operators.similarity.quantized_vec`),
+    including the loud NULL/wrong-length guard."""
+    from spear_spark.operators.similarity import quantized_vec
+
+    return (
+        vecs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.col(group_col).alias("label"),
+            F.posexplode(
+                quantized_vec(vec_col, dim, scale, op="centroid_cells_stream")
+            ).alias("d", "_q"),
+        )
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("_w"),
+            "label",
+            "d",
+        )
+        .agg(F.sum("_q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr("unix_micros(_w.start) div 86400000000").alias("period"),
+            "label",
+            "d",
+            "s",
+            "n",
+        )
+    )

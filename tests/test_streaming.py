@@ -1083,3 +1083,69 @@ def test_stateless_projection_ops_are_stream_safe(spark, sf_dir, tmp_path):
         for r in canary_scan(docs, "text", "doc_id", ["key agg", "zz-never"]).collect()
     }
     assert got == want
+
+
+def test_centroid_cells_stream_matches_batch_and_feeds_drift(
+    spark, sf_dir, tmp_path
+):
+    """Drained per-day streaming centroid cells equal the batch per-day
+    cell table cell-for-cell, and the integer merge over periods fed to
+    centroid_drift_from_cells reproduces the batch centroid_drift
+    BITWISE — the full continuous-drift lifecycle."""
+    from spear_spark.operators.similarity import (
+        centroid_cells,
+        centroid_drift,
+        centroid_drift_from_cells,
+        quantized_vec,
+    )
+    from spear_spark.streaming import centroid_cells_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic event times spread over 3 days
+    vecs = emb.select(
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + (F.col("vec_id") % 72) * F.lit(3_600_000_000)
+        ).alias("ts"),
+        F.col("label"),
+        F.col("embedding").alias("v"),
+    )
+    src = str(tmp_path / "vecs")
+    vecs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream_src = spark.readStream.schema(schema).format("parquet").load(src)
+    stream = centroid_cells_stream(stream_src, "v", "label", "ts", dim=64)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("centroid_cells_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("centroid_cells_test")
+    batch_daily = (
+        vecs.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("period"),
+            F.col("label"),
+            F.posexplode(quantized_vec("v", 64)).alias("d", "_q"),
+        )
+        .groupBy("period", "label", "d")
+        .agg(F.sum("_q").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    assert drained.select("period").distinct().count() >= 3
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, batch_daily.collect())
+    )
+    merged = drained.groupBy("label", "d").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+    from_stream = sorted(
+        map(tuple, centroid_drift_from_cells(merged).collect())
+    )
+    batch = sorted(map(tuple, centroid_drift(emb, "embedding", "label", 64).collect()))
+    assert from_stream == batch
+    # and the batch cell table itself merges identically
+    assert sorted(
+        map(tuple, centroid_cells(emb, "embedding", "label", 64).collect())
+    ) == sorted(map(tuple, merged.collect()))
