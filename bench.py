@@ -207,6 +207,7 @@ HEADLINE = [
     "p146_cross_split_neardup",
     "p147_threshold_sweep",
     "p148_heaps_fit",
+    "p149_source_quality_report",
 ]
 
 

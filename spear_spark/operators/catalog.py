@@ -6540,3 +6540,97 @@ def p147_threshold_sweep(spark: SparkSession, sf_dir: str) -> SDF:
 def p148_heaps_fit(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return text.heaps_fit(docs, "text", "source").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# p149 — per-source quality report (operators.stats.
+# source_quality_report): keep rate, mean quality, and WITHIN-SOURCE
+# score-vs-gate AUC for every source in one readout — the
+# drop-or-downweight dashboard.  "src keeps 40%, scores low, and the
+# cheap score can't even rank its docs" is three different problems;
+# this separates them.  Two bounded two-phase aggregates (group
+# confusion + the p142 cell-histogram AUC grouped by source) joined on
+# the 20-row group key.  Oracle replays the p142 CTEs grouped.
+# ---------------------------------------------------------------------------
+@q(
+    "p149_source_quality_report",
+    rf"""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6)
+               AS mean_word_len,
+             ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len(t), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS stopword_hits
+      FROM (SELECT doc_id, source, text, {_TOKS} AS t FROM documents)),
+    ga AS (
+      SELECT doc_id, source,
+             (COALESCE(n_words BETWEEN 20 AND 100000, false)
+              AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, false)
+              AND COALESCE(symbol_ratio <= 0.1, false)
+              AND COALESCE(alpha_word_frac >= 0.8, false)
+              AND COALESCE(stopword_hits >= 1, false)) AS y
+      FROM m),
+    qs AS (
+      SELECT doc_id, {_TOKS} AS t,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+      FROM documents),
+    qm AS (SELECT doc_id,
+                  CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits,
+                  nc
+           FROM qs),
+    qq AS (SELECT doc_id,
+                  ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+                      + 0.4 * (hits / n_tok)
+                      + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) AS s
+           FROM qm),
+    j AS (SELECT ga.source, qq.s, ga.y FROM qq JOIN ga USING (doc_id)),
+    rates AS (
+      SELECT source AS "group",
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS keep_rate,
+             ROUND(SUM(s) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_score
+      FROM j GROUP BY source),
+    cells AS (
+      SELECT source, s,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM j GROUP BY source, s),
+    c AS (
+      SELECT *,
+             SUM(neg) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg AS cnb
+      FROM cells),
+    auc AS (
+      SELECT source AS "group",
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+                  THEN ROUND(CAST(SUM(pos * (2 * cnb + neg)) AS DOUBLE)
+                             / (2.0 * CAST(SUM(pos) AS DOUBLE)
+                                * CAST(SUM(neg) AS DOUBLE)), 6) + 0.0
+                  END AS auc
+      FROM c GROUP BY source)
+    SELECT rates."group", n_docs, keep_rate, mean_score, n_pos, n_neg, auc
+    FROM rates JOIN auc USING ("group") ORDER BY "group"
+    """,
+)
+def p149_source_quality_report(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import source_quality_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.gopher_rules(
+        docs, "text", "doc_id", min_words=20, min_stopword_hits=1
+    ).select("doc_id", "keep")
+    scored = docs.select(
+        "doc_id", "source", text.quality_score("text").alias("q")
+    ).join(flags, "doc_id")
+    return source_quality_report(scored, "q", "keep", "source").orderBy("group")

@@ -1165,3 +1165,78 @@ def threshold_sweep(
         (F.round(recall, decimals) + F.lit(0.0)).alias("recall"),
         (F.round(f1, decimals) + F.lit(0.0)).alias("f1"),
     )
+
+
+def source_quality_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    decimals: int = 6,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Per-source curation dashboard: for each group, the reference
+    filter's keep RATE, the mean score, and the score's within-group
+    AUC against the filter — the one-scan readout a curation run
+    consults before dropping or down-weighting a source ("src7 keeps
+    40%, scores low, AND the cheap score can't even rank its docs" is
+    three different problems).  One row per group: ``(group, n_docs,
+    keep_rate, mean_score, n_pos, n_neg, auc)``; auc NULL when a side
+    is empty (the :func:`score_auc` convention).
+
+    Composition: the confusion-side columns are ONE two-phase
+    aggregate on the group key; the AUC is :func:`score_auc` grouped
+    (the cell histogram on (group, score)); the two bounded aggregates
+    join on the group key — the corpus is scanned once per aggregate,
+    nothing is row-joined.  Guards inherit from :func:`score_auc`
+    (NULL label / NULL-NaN score raise in-plan).
+
+    ``mean_score`` is the mean of the (already rounded-grid) score,
+    rounded — a double sum per group, the same determinism posture as
+    every mean in the stats family."""
+    s = F.col(score_col).cast("double")
+    if score_decimals is not None:
+        s = F.round(s, score_decimals)
+    y = F.col(label_col)
+    guard = F.when(
+        y.isNull() | s.isNull() | F.isnan(s),
+        F.raise_error(
+            F.lit(
+                "source_quality_report: NULL label or NULL/NaN score — "
+                "coalesce or filter rows first"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(1))
+    base = (
+        df.select(
+            F.col(group_col).alias("group"),
+            s.alias("_s"),
+            y.cast("boolean").alias("_y"),
+            guard.alias("_g"),
+        )
+        .groupBy("group")
+        .agg(
+            F.sum("_g").alias("n_docs"),
+            F.sum(F.col("_y").cast("long")).alias("_n_keep"),
+            F.sum("_s").alias("_score_sum"),
+        )
+    )
+    rates = base.select(
+        "group",
+        "n_docs",
+        (
+            F.round(
+                F.col("_n_keep").cast("double") / F.col("n_docs").cast("double"),
+                decimals,
+            )
+            + F.lit(0.0)
+        ).alias("keep_rate"),
+        (
+            F.round(F.col("_score_sum") / F.col("n_docs").cast("double"), decimals)
+            + F.lit(0.0)
+        ).alias("mean_score"),
+    )
+    auc = score_auc(
+        df, score_col, label_col, group_col, decimals, score_decimals
+    ).select(F.col(group_col).alias("group"), "n_pos", "n_neg", "auc")
+    return rates.join(auc, "group")

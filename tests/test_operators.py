@@ -7102,3 +7102,49 @@ class TestHeapsFit:
         [r] = heaps_fit(df, "text", "g").collect()
         assert r.beta is None and r.r2 is None and r.residual is None
         assert (r.n_tokens, r.vocab) == (3, 3)
+
+
+class TestSourceQualityReport:
+    """Laws for the per-source curation dashboard
+    (stats.source_quality_report)."""
+
+    def test_columns_match_their_solo_operators(self, spark):
+        import random
+
+        from spear_spark.operators.stats import score_auc, source_quality_report
+
+        rng = random.Random(13)
+        rows = [
+            (round(rng.random(), 2), rng.random() < 0.5, f"s{i % 3}")
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "q double, keep boolean, src string")
+        report = {r.group: r for r in
+                  source_quality_report(df, "q", "keep", "src").collect()}
+        aucs = {r.src: r for r in score_auc(df, "q", "keep", "src").collect()}
+        for g in ("s0", "s1", "s2"):
+            sub = [r for r in rows if r[2] == g]
+            rep = report[g]
+            assert rep.n_docs == len(sub)
+            assert rep.keep_rate == round(
+                sum(1 for r in sub if r[1]) / len(sub), 6
+            )
+            assert abs(rep.mean_score
+                       - round(sum(r[0] for r in sub) / len(sub), 6)) <= 1e-9
+            # AUC column bit-equals the grouped score_auc operator
+            assert (rep.n_pos, rep.n_neg, rep.auc) == (
+                aucs[g].n_pos, aucs[g].n_neg, aucs[g].auc
+            )
+
+    def test_one_sided_source_gets_null_auc_but_real_rates(self, spark):
+        from spear_spark.operators.stats import source_quality_report
+
+        df = spark.createDataFrame(
+            [(0.9, True, "allkeep"), (0.8, True, "allkeep"),
+             (0.3, True, "mixed"), (0.7, False, "mixed")],
+            "q double, keep boolean, src string",
+        )
+        out = {r.group: r for r in
+               source_quality_report(df, "q", "keep", "src").collect()}
+        assert out["allkeep"].auc is None and out["allkeep"].keep_rate == 1.0
+        assert out["mixed"].auc == 0.0  # the kept doc scores LOWER
