@@ -842,3 +842,44 @@ def test_cross_split_neardup_keeps_banded_shape(spark, sf_dir):
     plan = executed_plan(OPS["p146_cross_split_neardup"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_threshold_sweep_cell_histogram_shape(spark, sf_dir):
+    """p147: same posture as p142 — the corpus collapses to the
+    score-value histogram (partial aggregate) before the descending
+    cumulative window; JVM-side, cartesian-free."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p147_threshold_sweep"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_heaps_fit_vocab_collapse_one_scan(spark, sf_dir):
+    """p148: the (source, token) count is partial-aggregated — the
+    corpus collapses to the vocab table before any exchange; the OLS
+    window runs over the |sources|-row point table; one corpus scan,
+    pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p148_heaps_fit"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_source_quality_report_bounded_join(spark, sf_dir):
+    """p149: the dashboard joins two BOUNDED aggregates on the group
+    key — no corpus-sized join side, no cartesian, pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p149_source_quality_report"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
