@@ -1217,3 +1217,32 @@ def test_score_auc_matches_pairwise_brute_force(spark, rows):
     assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
     assert r.n_scores == len(set(s for s, _ in rows))
     assert abs(r.auc - round(num / (len(pos) * len(neg)), 6)) <= 1e-6
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8), st.booleans()),
+    min_size=4, max_size=50,
+).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs)))
+def test_threshold_sweep_trapezoid_equals_score_auc(spark, rows):
+    """Cross-operator consistency: trapezoid integration of the p147
+    sweep's ROC points (TPR vs FPR, plus the implicit (0,0) corner)
+    reproduces the p142 Mann-Whitney AUC exactly — the two operators
+    are two readings of one curve."""
+    from spear_spark.operators.stats import score_auc, threshold_sweep
+
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], "s double, y boolean"
+    )
+    [a] = score_auc(df, "s", "y").collect()
+    sweep = sorted(threshold_sweep(df, "s", "y").collect(),
+                   key=lambda r: -r.threshold)
+    P = sweep[0].tp + sweep[0].fn
+    N = sweep[0].fp + sweep[0].tn
+    pts = [(0.0, 0.0)] + [(r.fp / N, r.tp / P) for r in sweep]
+    trap = sum(
+        (x1 - x0) * (y0 + y1) / 2
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:])
+    )
+    assert abs(a.auc - round(trap, 6)) <= 2e-6
