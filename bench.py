@@ -208,6 +208,7 @@ HEADLINE = [
     "p147_threshold_sweep",
     "p148_heaps_fit",
     "p149_source_quality_report",
+    "p150_frame_cuts",
 ]
 
 

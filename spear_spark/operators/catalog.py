@@ -6634,3 +6634,63 @@ def p149_source_quality_report(spark: SparkSession, sf_dir: str) -> SDF:
         "doc_id", "source", text.quality_score("text").alias("q")
     ).join(flags, "doc_id")
     return source_quality_report(scored, "q", "keep", "source").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# p150 — scene-cut / frame-difference profile (operators.multimodal.
+# frame_cut_profile): the first ANALYSIS pass on the p133 video
+# plumbing — per consecutive frame pair the exact luma SAD, per clip
+# the pair count, SAD sum/max, and cuts at threshold 5500 (the
+# md5-plane SAD distribution straddles it, so the cut count is
+# per-clip discriminative).  Same shared walker, same loud failure
+# modes; every output an exact int64.  Oracle extends the p133
+# byte-replay with a (frame, byte-position) self-join — consecutive
+# planes, never all pairs.
+# ---------------------------------------------------------------------------
+@q(
+    "p150_frame_cuts",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             2 + ('0x'||substr(md5(COALESCE(text, '')),9,4))::BIGINT % 6 AS n
+      FROM documents),
+    fb AS (
+      SELECT p.doc_id, p.n, f.f AS f,
+             CAST(blk.b AS BIGINT) AS b,
+             md5(CAST(p.doc_id AS VARCHAR)||'_'||CAST(f.f AS VARCHAR)
+                 ||'_'||CAST(blk.b AS VARCHAR)) AS h
+      FROM params p,
+           UNNEST(generate_series(0, CAST(p.n - 1 AS BIGINT))) f(f),
+           UNNEST(generate_series(0, CAST(3 AS BIGINT))) blk(b)),
+    byt AS (
+      SELECT doc_id, n, f, b * 16 + u.p AS pos,
+             ('0x'||substr(h, CAST(2 * u.p + 1 AS INTEGER), 2))::BIGINT AS v
+      FROM fb, UNNEST(generate_series(0, CAST(15 AS BIGINT))) u(p)),
+    sad AS (
+      SELECT a.doc_id, a.f,
+             CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS sad
+      FROM byt a JOIN byt b
+        ON a.doc_id = b.doc_id AND a.pos = b.pos AND b.f = a.f + 1
+      GROUP BY a.doc_id, a.f),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(sad) AS BIGINT) AS sad_sum,
+             CAST(MAX(sad) AS BIGINT) AS sad_max,
+             CAST(SUM(CASE WHEN sad >= 5500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts
+      FROM sad GROUP BY doc_id)
+    SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_frames,
+           COALESCE(a.n_pairs, 0) AS n_pairs,
+           COALESCE(a.sad_sum, 0) AS sad_sum,
+           COALESCE(a.sad_max, 0) AS sad_max,
+           COALESCE(a.n_cuts, 0) AS n_cuts
+    FROM params p LEFT JOIN agg a USING (doc_id) ORDER BY p.doc_id
+    """,
+)
+def p150_frame_cuts(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    clips = multimodal.attach_y4m(docs, "text", "doc_id")
+    return multimodal.frame_cut_profile(
+        clips, "doc_id", "payload", cut_threshold=5500
+    ).orderBy("doc_id")

@@ -668,6 +668,54 @@ def attach_y4m(
     return df.select(F.col(id_col), F.col(source_col)).mapInPandas(build, out_schema)
 
 
+def _y4m_parse(payload, rid: int):
+    """The shared YUV4MPEG2 walker behind :func:`decode_y4m` and
+    :func:`frame_cut_profile`: validates the header, the FRAME
+    markers, and every plane length; returns ``(w, h, fps_num,
+    fps_den, [plane bytes per frame])``.  All five failure modes stay
+    loud and carry the row id."""
+    if payload is None:
+        raise ValueError(
+            f"decode_y4m: NULL payload id={rid} — clean upstream"
+        )
+    b = bytes(payload)
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"decode_y4m: not a YUV4MPEG2 stream id={rid}")
+    w = h = num = den = None
+    cspace = "420jpeg"  # the format's documented default
+    for tok in b[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            cspace = tok[1:]
+    if not all(x and x > 0 for x in (w, h, num, den)):
+        raise ValueError(f"decode_y4m: incomplete header id={rid}")
+    if cspace != "mono":
+        raise ValueError(
+            f"decode_y4m: id={rid} has colorspace "
+            f"{cspace!r} — only Cmono is supported"
+        )
+    plane = w * h
+    pos, planes = nl + 1, []
+    while pos < len(b):
+        marker_end = b.find(b"\n", pos)
+        if marker_end < 0 or not b[pos:marker_end].startswith(b"FRAME"):
+            raise ValueError(
+                f"decode_y4m: bad FRAME marker id={rid} at byte {pos}"
+            )
+        start = marker_end + 1
+        if start + plane > len(b):
+            raise ValueError(f"decode_y4m: truncated frame id={rid}")
+        planes.append(b[start : start + plane])
+        pos = start + plane
+    return w, h, num, den, planes
+
+
 def decode_y4m(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -702,57 +750,10 @@ def decode_y4m(
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
-                    raise ValueError(
-                        f"decode_y4m: NULL payload id={int(rid)} — clean upstream"
-                    )
-                b = bytes(payload)
-                nl = b.find(b"\n")
-                if nl < 0 or not b.startswith(b"YUV4MPEG2"):
-                    raise ValueError(
-                        f"decode_y4m: not a YUV4MPEG2 stream id={int(rid)}"
-                    )
-                w = h = num = den = None
-                cspace = "420jpeg"  # the format's documented default
-                for tok in b[:nl].decode("ascii", "replace").split()[1:]:
-                    if tok[0] == "W":
-                        w = int(tok[1:])
-                    elif tok[0] == "H":
-                        h = int(tok[1:])
-                    elif tok[0] == "F":
-                        num, den = (int(x) for x in tok[1:].split(":"))
-                    elif tok[0] == "C":
-                        cspace = tok[1:]
-                if not all(x and x > 0 for x in (w, h, num, den)):
-                    raise ValueError(
-                        f"decode_y4m: incomplete header id={int(rid)}"
-                    )
-                if cspace != "mono":
-                    raise ValueError(
-                        f"decode_y4m: id={int(rid)} has colorspace "
-                        f"{cspace!r} — only Cmono is supported"
-                    )
-                plane = w * h
-                pos, frames, lsum, lmax = nl + 1, 0, 0, 0
-                while pos < len(b):
-                    marker_end = b.find(b"\n", pos)
-                    if marker_end < 0 or not b[pos:marker_end].startswith(
-                        b"FRAME"
-                    ):
-                        raise ValueError(
-                            f"decode_y4m: bad FRAME marker id={int(rid)} "
-                            f"at byte {pos}"
-                        )
-                    start = marker_end + 1
-                    if start + plane > len(b):
-                        raise ValueError(
-                            f"decode_y4m: truncated frame id={int(rid)}"
-                        )
-                    data = b[start : start + plane]
-                    lsum += sum(data)
-                    lmax = max(lmax, max(data))
-                    frames += 1
-                    pos = start + plane
+                w, h, num, den, planes = _y4m_parse(payload, int(rid))
+                lsum = sum(sum(p) for p in planes)
+                lmax = max((max(p) for p in planes), default=0)
+                frames = len(planes)
                 rows.append(
                     (
                         int(rid), w, h, num, den, frames,
@@ -769,4 +770,71 @@ def decode_y4m(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         decode, out_schema
+    )
+
+
+def frame_cut_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    cut_threshold: int = 2000,
+) -> DataFrame:
+    """Scene-cut / frame-difference profile over parsed YUV4MPEG2
+    clips — the first ANALYSIS pass on top of the p133 decode
+    plumbing: per consecutive frame pair, the sum of absolute luma
+    differences (SAD, the classical cut detector x264's scenecut uses
+    in spirit); per clip, ``(id, n_frames, n_pairs, sad_sum, sad_max,
+    n_cuts)`` with a cut counted when a pair's SAD ≥ ``cut_threshold``.
+    Every output is an exact int64 — a mis-aligned plane or off-by-one
+    frame walk shifts a SAD and shows up as a driver-hash mismatch,
+    never a silent skew.  Single-frame clips emit (1, 0, 0, 0, 0) —
+    no pairs, NOT an error.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` projection over the
+    payload column (the :func:`decode_y4m` posture — same shared
+    walker, same five loud failure modes); no shuffle anywhere, state
+    is two consecutive planes per row."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_frames", LongType()),
+            StructField("n_pairs", LongType()),
+            StructField("sad_sum", LongType()),
+            StructField("sad_max", LongType()),
+            StructField("n_cuts", LongType()),
+        ]
+    )
+    thr = int(cut_threshold)
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _w, _h, _num, _den, planes = _y4m_parse(payload, int(rid))
+                sad_sum = sad_max = n_cuts = 0
+                for a, b in zip(planes, planes[1:]):
+                    sad = sum(abs(x - y) for x, y in zip(a, b))
+                    sad_sum += sad
+                    sad_max = max(sad_max, sad)
+                    n_cuts += sad >= thr
+                rows.append(
+                    (
+                        int(rid),
+                        len(planes),
+                        max(len(planes) - 1, 0),
+                        sad_sum,
+                        sad_max,
+                        n_cuts,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "n_pairs", "sad_sum", "sad_max",
+                    "n_cuts",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        profile, out_schema
     )

@@ -7148,3 +7148,51 @@ class TestSourceQualityReport:
                source_quality_report(df, "q", "keep", "src").collect()}
         assert out["allkeep"].auc is None and out["allkeep"].keep_rate == 1.0
         assert out["mixed"].auc == 0.0  # the kept doc scores LOWER
+
+
+class TestFrameCutProfile:
+    """Laws for the scene-cut SAD profile (multimodal.frame_cut_profile)."""
+
+    @staticmethod
+    def _clip(frames):
+        header = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"
+        buf = bytearray(header)
+        for f in frames:
+            buf.extend(b"FRAME\n")
+            buf.extend(bytes(f))
+        return bytes(buf)
+
+    def test_hand_computed_sads_and_cut_rule(self, spark):
+        from spear_spark.operators.multimodal import frame_cut_profile
+
+        still = [10, 20, 30, 40]
+        jump = [210, 220, 230, 240]  # SAD vs still = 4*200 = 800
+        clips = [
+            (1, self._clip([still, still, jump])),  # sads: 0, 800
+            (2, self._clip([still])),               # single frame
+            (3, self._clip([still, jump, still, jump])),  # 800 x3
+        ]
+        df = spark.createDataFrame(clips, "doc_id long, payload binary")
+        out = {r.doc_id: r for r in
+               frame_cut_profile(df, cut_threshold=500).collect()}
+        assert (out[1].n_frames, out[1].n_pairs, out[1].sad_sum,
+                out[1].sad_max, out[1].n_cuts) == (3, 2, 800, 800, 1)
+        assert (out[2].n_frames, out[2].n_pairs, out[2].sad_sum,
+                out[2].sad_max, out[2].n_cuts) == (1, 0, 0, 0, 0)
+        assert (out[3].n_pairs, out[3].sad_sum, out[3].n_cuts) == (3, 2400, 3)
+        # threshold above every SAD -> zero cuts, same sums
+        out_hi = {r.doc_id: r for r in
+                  frame_cut_profile(df, cut_threshold=10_000).collect()}
+        assert all(r.n_cuts == 0 for r in out_hi.values())
+        assert out_hi[3].sad_sum == 2400
+
+    def test_malformed_payload_raises_with_id(self, spark):
+        import pytest
+
+        from spear_spark.operators.multimodal import frame_cut_profile
+
+        bad = spark.createDataFrame(
+            [(7, b"RIFFnotavideo")], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="YUV4MPEG2"):
+            frame_cut_profile(bad).collect()
