@@ -209,6 +209,8 @@ HEADLINE = [
     "p148_heaps_fit",
     "p149_source_quality_report",
     "p150_frame_cuts",
+    "p151_lang_confusion",
+    "p152_centroid_dispersion",
 ]
 
 

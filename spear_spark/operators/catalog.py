@@ -6694,3 +6694,101 @@ def p150_frame_cuts(spark: SparkSession, sf_dir: str) -> SDF:
     return multimodal.frame_cut_profile(
         clips, "doc_id", "payload", cut_threshold=5500
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p151 — language-ID confusion matrix (operators.text.lang_confusion):
+# labeled lang vs p08's detector, (labeled, detected, n, row share) —
+# the multiclass member of the filter-eval family; a lang leaking into
+# 'und' means the stopword table is starving and a detected-lang
+# filter would silently drop that slice.  One two-phase aggregate
+# collapses the corpus to <= |langs|^2 cells; the share is a window
+# over the cell table.  Oracle reuses the generated p08 scorer CTE.
+# ---------------------------------------------------------------------------
+def _p151_sql() -> str:
+    hits = {
+        lang: (
+            f"CAST(len(list_filter(t, x -> x IN "
+            f"({', '.join(repr(w) for w in text.STOPWORDS[lang])}))) AS DOUBLE) / greatest(len(t), 1)"
+        )
+        for lang in text.LANG_ORDER
+    }
+    scores = ", ".join(f"{expr} AS s_{lang}" for lang, expr in hits.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in text.LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in text.LANG_ORDER
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    scored AS (SELECT doc_id, lang, {scores} FROM toks),
+    det AS (SELECT COALESCE(lang, 'und') AS labeled_lang,
+                   {case} AS detected_lang
+            FROM scored),
+    m AS (SELECT labeled_lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM det GROUP BY 1, 2)
+    SELECT labeled_lang, detected_lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang)
+                        AS DOUBLE), 6) + 0.0 AS row_frac
+    FROM m ORDER BY labeled_lang, detected_lang
+    """
+
+
+@q("p151_lang_confusion", _p151_sql())
+def p151_lang_confusion(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_confusion(docs, "text", "lang").orderBy(
+        "labeled_lang", "detected_lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p152 — within-label embedding dispersion (operators.similarity.
+# centroid_dispersion): exact trace variance + highest-variance dim
+# per label — the scatter complement of p144 (drift says WHERE the
+# centroid moved; this says whether the group COLLAPSED to
+# near-identical embeddings or exploded).  Same integer device:
+# Σq/Σq² associative sums (Σq² in decimal/HUGEINT from the start —
+# int64 dies at ~9e6 vectors), n·Σq²−(Σq)² cleared in decimal, one
+# final division.  One posexplode + one two-phase (label, dim)
+# aggregate.
+# ---------------------------------------------------------------------------
+@q(
+    "p152_centroid_dispersion",
+    """
+    WITH q AS (SELECT label,
+                      [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                       for e in embedding] AS qv
+               FROM embeddings),
+    cell AS (SELECT label, d.d AS d,
+                    CAST(SUM(qv[d.d + 1]) AS BIGINT) AS s,
+                    SUM(CAST(qv[d.d + 1] AS HUGEINT)
+                        * CAST(qv[d.d + 1] AS HUGEINT)) AS sq,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM q, range(0, 64) d(d) GROUP BY 1, 2),
+    vd AS (SELECT label, d, n,
+                  CAST(n AS HUGEINT) * sq
+                  - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS v
+           FROM cell),
+    agg AS (SELECT label, MIN(n) AS n, SUM(v) AS tr, MAX(v) AS top
+            FROM vd GROUP BY label),
+    tp AS (SELECT vd.label, MIN(vd.d) AS top_dim
+           FROM vd JOIN agg ON vd.label = agg.label AND vd.v = agg.top
+           GROUP BY vd.label)
+    SELECT agg.label, agg.n,
+           ROUND(CAST(agg.tr AS DOUBLE)
+                 / (CAST(agg.n AS DOUBLE) * CAST(agg.n AS DOUBLE)
+                    * 1000000000000.0), 6) + 0.0 AS trace_var,
+           CAST(tp.top_dim AS INTEGER) AS top_dim,
+           ROUND(CAST(agg.top AS DOUBLE)
+                 / (CAST(agg.n AS DOUBLE) * CAST(agg.n AS DOUBLE)
+                    * 1000000000000.0), 6) + 0.0 AS top_var
+    FROM agg JOIN tp USING (label) ORDER BY label
+    """,
+)
+def p152_centroid_dispersion(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_dispersion(
+        emb, "embedding", "label", dim=64
+    ).orderBy("label")

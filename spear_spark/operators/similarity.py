@@ -1233,3 +1233,74 @@ def centroid_drift_from_cells(
         ),
         "top_dim",
     )
+
+
+def centroid_dispersion(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT within-group embedding scatter — the variance complement
+    of :func:`centroid_drift`: drift says WHERE a group's centroid
+    moved, dispersion says whether the group COLLAPSED (trace variance
+    → 0 flags a source shipping near-identical embeddings — template
+    mills and stuck encoders — before any dedup pass runs) or
+    exploded (mixed/incoherent content).  One row per group:
+    ``(label, n, trace_var, top_dim, top_var)`` — total biased
+    variance Σ_d Var_d in original units, plus the highest-variance
+    dimension (min dim on ties).
+
+    Exactness: per-(group, dim) Σq and Σq² are associative integer
+    sums — Σq² is summed in decimal(38,0) from the start (int64 dies
+    at n·scale² > 2⁶³, i.e. n ~ 9·10⁶ vectors at the default scale);
+    the variance numerator ``n·Σq² − (Σq)²`` clears denominators in
+    decimal, so nothing floats until the final division by n²·scale².
+    Bit-identical at any parallelism and in any engine.
+
+    Scale shape: the :func:`centroid_cells` plan — one posexplode +
+    ONE two-phase (group, dim) aggregate; everything downstream is
+    cell-table-sized."""
+    ex = df.select(
+        F.col(group_col).alias("label"),
+        F.posexplode(
+            quantized_vec(vec_col, dim, scale, op="centroid_dispersion")
+        ).alias("d", "_q"),
+    )
+    dec = "decimal(38,0)"
+    cell = ex.groupBy("label", "d").agg(
+        F.sum("_q").alias("_s"),
+        F.sum((F.col("_q") * F.col("_q")).cast(dec)).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    vd = (
+        F.col("_n").cast(dec) * F.col("_sq")
+        - F.col("_s").cast(dec) * F.col("_s").cast(dec)
+    )
+    staged = cell.select("label", "d", "_n", vd.alias("_vd"))
+    wl = W.partitionBy("label")
+    staged = staged.select("*", F.max("_vd").over(wl).alias("_mx"))
+    agg = staged.groupBy("label").agg(
+        F.min("_n").alias("n"),
+        F.sum("_vd").alias("_tr"),
+        F.min("_mx").alias("_top"),
+        F.min(F.when(F.col("_vd") == F.col("_mx"), F.col("d"))).alias("top_dim"),
+    )
+    denom = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.lit(float(scale) * float(scale))
+    )
+    return agg.select(
+        "label",
+        "n",
+        (F.round(F.col("_tr").cast("double") / denom, decimals) + F.lit(0.0)).alias(
+            "trace_var"
+        ),
+        "top_dim",
+        (F.round(F.col("_top").cast("double") / denom, decimals) + F.lit(0.0)).alias(
+            "top_var"
+        ),
+    )

@@ -1344,3 +1344,50 @@ def heaps_fit(
             + F.lit(0.0),
         ).alias("residual"),
     )
+
+
+def lang_confusion(
+    df,
+    text_col: str,
+    label_col: str,
+    decimals: int = 6,
+):
+    """Language-ID confusion matrix: labeled language vs
+    :func:`lang_id`'s detection, one row per observed (labeled,
+    detected) pair with the count and the row share (share of that
+    labeled language) — the detector-evaluation readout every lang-id
+    gate needs before its output drives filtering: a 'de' row leaking
+    30% into 'und' means the stopword table is starving, and filtering
+    on detected lang would silently halve German.  The categorical
+    sibling of the filter-eval family (p126/p138/p142/p147 judge
+    boolean/continuous scores; this judges a multiclass labeler).
+
+    Scale shape: ONE two-phase (labeled, detected) aggregate — the
+    corpus collapses to ≤ |langs|² cells before the exchange; the row
+    share is a window over that CELL table.  Counts exact int64; the
+    share is one rounded division."""
+    from pyspark.sql.window import Window as W
+
+    base = df.select(
+        F.coalesce(F.col(label_col).cast("string"), F.lit("und")).alias(
+            "labeled_lang"
+        ),
+        lang_id(text_col).alias("detected_lang"),
+    )
+    m = base.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = W.partitionBy("labeled_lang")
+    return m.select(
+        "labeled_lang",
+        "detected_lang",
+        "n_docs",
+        (
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double"),
+                decimals,
+            )
+            + F.lit(0.0)
+        ).alias("row_frac"),
+    )

@@ -7196,3 +7196,84 @@ class TestFrameCutProfile:
         )
         with pytest.raises(Exception, match="YUV4MPEG2"):
             frame_cut_profile(bad).collect()
+
+
+class TestLangConfusion:
+    """Laws for the lang-id confusion matrix (text.lang_confusion)."""
+
+    def test_hand_built_corpus_counts_and_row_shares(self, spark):
+        from spear_spark.operators.text import lang_confusion
+
+        rows = (
+            # labeled en, detected en (stopword-rich)
+            [("the cat and the dog have fun with that", "en")] * 3
+            # labeled en, detected und (no stopwords anywhere)
+            + [("zzz qqq xxx www", "en")] * 1
+            # labeled de, detected de
+            + [("der hund und die katze sind das nicht", "de")] * 2
+            # NULL label folds to 'und' labeled row
+            + [("the cat and the dog have fun with that", None)] * 1
+        )
+        df = spark.createDataFrame(rows, "text string, lang string")
+        out = {(r.labeled_lang, r.detected_lang): r
+               for r in lang_confusion(df, "text", "lang").collect()}
+        assert out[("en", "en")].n_docs == 3
+        assert out[("en", "und")].n_docs == 1
+        assert out[("en", "en")].row_frac == 0.75
+        assert out[("de", "de")].n_docs == 2 and out[("de", "de")].row_frac == 1.0
+        assert out[("und", "en")].n_docs == 1
+        # row shares sum to 1 per labeled language
+        from collections import defaultdict
+
+        sums = defaultdict(float)
+        for (lab, _), r in out.items():
+            sums[lab] += r.row_frac
+        assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+
+
+class TestCentroidDispersion:
+    """Laws for exact within-group scatter (similarity.centroid_dispersion)."""
+
+    def test_matches_numpy_replay_and_partition_invariant(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import centroid_dispersion
+
+        rng = np.random.default_rng(29)
+        vecs = rng.normal(size=(90, 5)).astype(np.float32)
+        labels = [int(i % 3) for i in range(90)]
+        rows = [(labels[i], [float(x) for x in vecs[i]]) for i in range(90)]
+        df = spark.createDataFrame(rows, "label int, v array<float>")
+        out = {r.label: r for r in
+               centroid_dispersion(df, "v", "label", 5).collect()}
+        out2 = {r.label: r for r in
+                centroid_dispersion(df.repartition(11), "v", "label", 5).collect()}
+        q = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(
+            np.int64
+        ).astype(object)
+        for lbl in (0, 1, 2):
+            sub = q[np.array(labels) == lbl]
+            n = len(sub)
+            vd = [n * sum(int(x) ** 2 for x in sub[:, d])
+                  - sum(int(x) for x in sub[:, d]) ** 2 for d in range(5)]
+            denom = float(n) * float(n) * 1e12
+            r = out[lbl]
+            assert r.n == n
+            assert abs(r.trace_var - round(float(sum(vd)) / denom, 6)) <= 1e-9
+            assert r.top_dim == int(np.argmax(vd))
+            assert abs(r.top_var - round(float(max(vd)) / denom, 6)) <= 1e-9
+            assert (r.trace_var, r.top_dim, r.top_var) == (
+                out2[lbl].trace_var, out2[lbl].top_dim, out2[lbl].top_var
+            )
+
+    def test_collapsed_group_has_zero_variance(self, spark):
+        from spear_spark.operators.similarity import centroid_dispersion
+
+        df = spark.createDataFrame(
+            [(0, [0.5, -0.25, 0.125])] * 7 + [(1, [0.1, 0.2, 0.3]), (1, [0.9, 0.2, 0.3])],
+            "label int, v array<float>",
+        )
+        out = {r.label: r for r in
+               centroid_dispersion(df, "v", "label", 3).collect()}
+        assert out[0].trace_var == 0.0 and out[0].top_var == 0.0
+        assert out[1].trace_var > 0.0 and out[1].top_dim == 0
