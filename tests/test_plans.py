@@ -883,3 +883,31 @@ def test_source_quality_report_bounded_join(spark, sf_dir):
     assert has_partial_aggregation(plan)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_lang_confusion_cell_collapse_one_scan(spark, sf_dir):
+    """p151: the corpus collapses to <= |langs|^2 cells via a partial
+    aggregate before any window; one corpus scan; pure JVM (lang_id is
+    a Column when-chain, never Python)."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p151_lang_confusion"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_centroid_dispersion_one_scan_two_phase(spark, sf_dir):
+    """p152: same posture as p144 — one posexplode + a partial
+    (label, dim) aggregate, one corpus scan, cell-table-sized
+    downstream, pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p152_centroid_dispersion"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert "Generate" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
