@@ -211,6 +211,7 @@ HEADLINE = [
     "p150_frame_cuts",
     "p151_lang_confusion",
     "p152_centroid_dispersion",
+    "p153_dedup_method_report",
 ]
 
 

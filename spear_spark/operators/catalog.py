@@ -6792,3 +6792,73 @@ def p152_centroid_dispersion(spark: SparkSession, sf_dir: str) -> SDF:
     return similarity.centroid_dispersion(
         emb, "embedding", "label", dim=64
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# p153 — dedup method comparison (operators.dedup.dedup_method_report):
+# the what-would-it-cost capstone — exact / LSH-verified-near /
+# CDC-chunk grades side by side as (docs kept, tokens kept, token
+# reduction) over one shared denominator.  Each grade is its certified
+# machinery (p01 hash group, p29 banded verify, p118 chunk ownership)
+# collapsed to a 1-row aggregate before a 3-row union; the corpus
+# total joins as a 1-row broadcast.  Oracle composes the same three
+# certified CTE fragments.
+# ---------------------------------------------------------------------------
+@q(
+    "p153_dedup_method_report",
+    _SIG_CTE
+    + f""", bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY c.doc_a, c.doc_b),
+    drops AS (SELECT DISTINCT doc_b AS did
+              FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+                         JOIN cnt cb ON doc_b = cb.doc_id
+              WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.5),
+    tok AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens FROM tok),
+    ex_keep AS (SELECT MIN(doc_id) AS did FROM documents
+                GROUP BY md5(lower(trim(text)))),
+    ex AS (SELECT 'exact' AS method,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                  CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+           FROM ex_keep JOIN tok ON did = doc_id),
+    near AS (SELECT 'near_lsh' AS method,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                    CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+             FROM tok WHERE doc_id NOT IN (SELECT did FROM drops)),
+    {_cdc_chunk_cte('k', 'documents')},
+    own AS (SELECT kch.doc_id, kch.n_tokens,
+                   MIN(kch.doc_id) OVER (PARTITION BY kch.chunk_hash)
+                     AS first_id
+            FROM kch),
+    perdoc AS (SELECT doc_id,
+                      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                      CAST(SUM(CASE WHEN first_id < doc_id
+                                    THEN n_tokens ELSE 0 END) AS BIGINT)
+                        AS dup_tokens
+               FROM own GROUP BY doc_id),
+    chunk AS (SELECT 'chunk' AS method,
+                     CAST(SUM(CASE WHEN dup_tokens < n_tokens
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_kept,
+                     CAST(SUM(n_tokens - dup_tokens) AS BIGINT)
+                       AS n_tokens_kept
+              FROM perdoc),
+    rows_ AS (SELECT * FROM ex UNION ALL SELECT * FROM near
+              UNION ALL SELECT * FROM chunk)
+    SELECT method, n_docs, n_tokens, n_docs_kept, n_tokens_kept,
+           ROUND(1.0 - CAST(n_tokens_kept AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS token_reduction
+    FROM rows_ CROSS JOIN tot ORDER BY method
+    """,
+)
+def p153_dedup_method_report(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_method_report(docs, "text", "doc_id").orderBy("method")

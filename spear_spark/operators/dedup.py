@@ -2472,3 +2472,104 @@ def cross_split_neardup(
         doc_eval.alias("doc_eval"),
         "jaccard",
     )
+
+
+def dedup_method_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = 12,
+    bands: int = 4,
+    modulus: int = 16,
+) -> DataFrame:
+    """Side-by-side token-reduction forecast for the three dedup
+    GRADES — ``exact`` (document hash, :func:`exact_dedup`),
+    ``near_lsh`` (MinHash-LSH verified, :func:`near_dedup_lsh`'s
+    smaller-id-wins drops), and ``chunk`` (verbatim CDC-chunk
+    ownership, :func:`chunk_dedup_report`) — in one table: ``(method,
+    n_docs, n_tokens, n_docs_kept, n_tokens_kept, token_reduction)``.
+    This is the what-would-it-cost readout a curation run consults
+    BEFORE committing to a grade: exact barely moves on fuzzy corpora,
+    near-dup drops whole documents (recall bounded by the LSH S-curve),
+    chunk keeps every doc but strips re-crawled/boilerplate spans —
+    three different token bills from the same corpus.
+
+    Doc-kept convention: a doc counts as kept when its kept tokens are
+    positive (for the chunk grade: at least one chunk occurrence it
+    owns); token totals use the whitespace token count everywhere, so
+    the three reductions share one denominator.
+
+    Scale shape: each grade is its certified machinery unchanged (the
+    p01 two-phase hash group, the p29 banded join + verify, the p118
+    checkpointed chunk table); each collapses to a 1-ROW aggregate
+    before the 3-row union, and the corpus-total row joins in as a
+    1-row broadcast.  The token projection is checkpointed once and
+    shared."""
+    from spear_spark.operators.text import tokens as _tokens
+
+    nt = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(_tokens(text_col)).cast("long").alias("_nt"),
+    ).localCheckpoint(eager=False)
+    tot = nt.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_nt").alias("n_tokens")
+    )
+
+    keeps = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias("_id")
+    )
+    ex_row = (
+        keeps.join(nt, "_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).alias("n_tokens_kept"),
+        )
+        .select(F.lit("exact").alias("method"), "n_docs_kept", "n_tokens_kept")
+    )
+
+    drops = near_dedup_lsh(
+        df, text_col, id_col, threshold, k, bands
+    ).select(F.col("drop_id").alias("_id"))
+    near_row = (
+        nt.join(drops, "_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).alias("n_tokens_kept"),
+        )
+        .select(
+            F.lit("near_lsh").alias("method"), "n_docs_kept", "n_tokens_kept"
+        )
+    )
+
+    rep = chunk_dedup_report(df, text_col, id_col, modulus)
+    chunk_row = rep.agg(
+        F.coalesce(
+            F.sum(
+                (F.col("dup_tokens") < F.col("n_tokens")).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_docs_kept"),
+        F.coalesce(
+            F.sum(F.col("n_tokens") - F.col("dup_tokens")), F.lit(0)
+        ).alias("n_tokens_kept"),
+    ).select(F.lit("chunk").alias("method"), "n_docs_kept", "n_tokens_kept")
+
+    rows = ex_row.unionByName(near_row).unionByName(chunk_row)
+    out = rows.crossJoin(F.broadcast(tot))
+    return out.select(
+        "method",
+        "n_docs",
+        "n_tokens",
+        "n_docs_kept",
+        "n_tokens_kept",
+        (
+            F.round(
+                F.lit(1.0)
+                - F.col("n_tokens_kept").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("token_reduction"),
+    )

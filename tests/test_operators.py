@@ -7277,3 +7277,86 @@ class TestCentroidDispersion:
                centroid_dispersion(df, "v", "label", 3).collect()}
         assert out[0].trace_var == 0.0 and out[0].top_var == 0.0
         assert out[1].trace_var > 0.0 and out[1].top_dim == 0
+
+
+class TestDedupMethodReport:
+    """Laws for the three-grade dedup cost forecast
+    (dedup.dedup_method_report)."""
+
+    def test_rows_bit_equal_their_certified_operators(self, spark, sf_dir):
+        from spear_spark.operators.dedup import (
+            chunk_dedup_report,
+            dedup_method_report,
+            exact_dedup,
+            near_dedup_lsh,
+        )
+        from spear_spark.operators.text import tokens
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        nt = docs.select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("nt")
+        )
+        out = {r.method: r for r in
+               dedup_method_report(docs, "text", "doc_id").collect()}
+        total_docs = docs.count()
+        total_toks = nt.agg(F.sum("nt")).collect()[0][0]
+        assert all(
+            (r.n_docs, r.n_tokens) == (total_docs, total_toks)
+            for r in out.values()
+        )
+        keeps = exact_dedup(docs, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        ex_toks = keeps.join(nt, "doc_id").agg(F.sum("nt")).collect()[0][0]
+        assert (out["exact"].n_docs_kept, out["exact"].n_tokens_kept) == (
+            keeps.count(), ex_toks
+        )
+        drops = near_dedup_lsh(docs, "text", "doc_id", 0.5).select(
+            F.col("drop_id").alias("doc_id")
+        )
+        kept = nt.join(drops, "doc_id", "left_anti")
+        assert (out["near_lsh"].n_docs_kept, out["near_lsh"].n_tokens_kept) == (
+            kept.count(), kept.agg(F.sum("nt")).collect()[0][0]
+        )
+        rep = chunk_dedup_report(docs, "text", "doc_id")
+        ck = rep.agg(
+            F.sum((F.col("dup_tokens") < F.col("n_tokens")).cast("long")),
+            F.sum(F.col("n_tokens") - F.col("dup_tokens")),
+        ).collect()[0]
+        assert (out["chunk"].n_docs_kept, out["chunk"].n_tokens_kept) == (
+            ck[0], ck[1]
+        )
+
+    def test_planted_grades_order_the_reductions(self, spark):
+        from spear_spark.operators.dedup import dedup_method_report
+
+        base = ("the quick brown fox jumps over the lazy dog while rain "
+                "falls softly on the quiet village roofs tonight and the "
+                "wind keeps moving through the old trees")
+        rows = [
+            (0, base),
+            (1, base),                                  # exact copy
+            (2, base.replace("softly", "gently")),      # near-dup
+            (3, "breaking news header added today " + base),  # re-crawl
+            (4, "a completely different document about parquet file "
+                "footers and shuffle partitions in distributed engines"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.method: r for r in
+               dedup_method_report(df, "text", "doc_id").collect()}
+        # exact catches ONLY the verbatim copy
+        assert out["exact"].n_docs_kept == 4
+        # near-dup catches the copy AND the paraphrase (drops 2 docs)
+        assert out["near_lsh"].n_docs_kept <= 3
+        # chunk grade keeps every doc but strips the most tokens: it
+        # also reclaims the re-crawled body doc 3 shares with doc 0
+        assert out["chunk"].n_docs_kept == 4  # doc 1 owns nothing
+        # both fuzzy grades strip more than exact; chunk is the
+        # CONSERVATIVE grade — near-dup throws whole documents away
+        # (docs 2 and 3 vanish with their unique spans), chunk keeps
+        # doc 3's new header and doc 2's changed words, so it reclaims
+        # fewer tokens than near while keeping strictly more content
+        assert out["near_lsh"].token_reduction > out["exact"].token_reduction
+        assert out["chunk"].token_reduction > out["exact"].token_reduction
+        assert out["chunk"].n_tokens_kept > out["near_lsh"].n_tokens_kept
