@@ -911,3 +911,17 @@ def test_centroid_dispersion_one_scan_two_phase(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dedup_method_report_composed_shape(spark, sf_dir):
+    """p153: the three-grade forecast must not degrade its parts — no
+    CartesianProduct (the near grade stays banded), no Python, and the
+    token projection is checkpointed (ExistingRDD) rather than
+    re-derived per grade."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan
+
+    plan = executed_plan(OPS["p153_dedup_method_report"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "ExistingRDD" in plan
