@@ -1268,3 +1268,93 @@ def centroid_cells_stream(
             "n",
         )
     )
+
+
+BUDGET_GATE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("group", StringType()),
+        StructField("tokens", LongType()),
+        StructField("accepted", BooleanType()),
+        StructField("cum_tokens", LongType()),
+    ]
+)
+_BUDGET_GATE_STATE_SCHEMA = StructType(
+    [StructField("spent", LongType()), StructField("blocked", BooleanType())]
+)
+
+
+def budget_gate_stream(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Streaming per-group token-budget gate — the continuous twin of
+    :func:`spear_spark.operators.sampling.token_budget_select`'s
+    PREFIX rule: docs are admitted in doc-id order (within each
+    micro-batch; across batches, cumulative state carries over) while
+    the group's running token total fits ``budget``; the FIRST
+    overflow blocks the group permanently, exactly the batch prefix
+    contract — a later smaller doc is NOT pulled around the blocker.
+    Emits every doc's verdict: ``(doc_id, group, tokens, accepted,
+    cum_tokens)`` with cum_tokens the running total AFTER the doc (its
+    would-be total when rejected at the blocking row, the spent total
+    unchanged thereafter).
+
+    Equivalence (law-tested): drained over an id-ordered backfill, the
+    accepted set equals ``token_budget_select`` with a CONSTANT
+    quality (whose tie-break is doc-id order) — the arrival-order gate
+    and the batch prefix are one rule.
+
+    State per group: two scalars (spent, blocked) — O(|groups|) total,
+    the cheapest stateful operator in the module.  Rejected docs emit
+    rows rather than vanishing (an audit that silently drops rows
+    can't be reconciled against billing).  NULL/negative token counts
+    raise inside the worker, the batch operator's guard."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if budget < 0:
+        raise ValueError("budget_gate_stream: budget must be >= 0")
+    bud = int(budget)
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("tokens"),
+        F.col(group_col).cast("string").alias("group"),
+    )
+
+    def update(key, pdfs, state):
+        spent, blocked = state.get if state.exists else (0, False)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            if pdf["tokens"].isna().any() or (pdf["tokens"] < 0).any():
+                raise ValueError(
+                    "budget_gate_stream: NULL/negative tokens — the "
+                    "prefix rule is undefined on such rows"
+                )
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            rows = []
+            for rid, nt in zip(pdf["doc_id"], pdf["tokens"]):
+                nt = int(nt)
+                if not blocked and spent + nt <= bud:
+                    spent += nt
+                    rows.append((int(rid), key[0], nt, True, spent))
+                else:
+                    blocked = True
+                    rows.append((int(rid), key[0], nt, False, spent + nt))
+            state.update((int(spent), bool(blocked)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "group", "tokens", "accepted", "cum_tokens"],
+            )
+
+    return staged.groupBy("group").applyInPandasWithState(
+        update,
+        BUDGET_GATE_SCHEMA,
+        _BUDGET_GATE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1149,3 +1149,102 @@ def test_centroid_cells_stream_matches_batch_and_feeds_drift(
     assert sorted(
         map(tuple, centroid_cells(emb, "embedding", "label", 64).collect())
     ) == sorted(map(tuple, merged.collect()))
+
+
+def test_budget_gate_stream_matches_batch_prefix(spark, sf_dir, tmp_path):
+    """Drained over an id-ordered two-file backfill, the streaming
+    budget gate's accepted set equals token_budget_select with a
+    CONSTANT quality (tie-break = id order), per source — including a
+    group whose blocker doc straddles the file boundary (state must
+    carry spent+blocked across batches); rejected docs emit audit rows."""
+    import os
+    import time
+
+    from spear_spark.operators.sampling import token_budget_select
+    from spear_spark.operators.text import tokens
+    from spear_spark.streaming import budget_gate_stream
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size(tokens("text")).cast("long").alias("tokens"),
+            F.col("source"),
+        )
+    )
+    budget = 800
+    batch = token_budget_select(
+        docs.withColumn("q", F.lit(0.0)),
+        "doc_id", "tokens", "q", budget, group_col="source",
+    )
+    want = {(r.source, r.doc_id) for r in batch.collect()}
+    assert want and len(want) < docs.count()  # nontrivial cut
+
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "gate_stream")
+    os.makedirs(src)
+    f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+    docs.filter(F.col("doc_id") < mid).toPandas().to_parquet(f1)
+    time.sleep(1.1)  # FileStreamSource orders batches by mod time
+    docs.filter(F.col("doc_id") >= mid).toPandas().to_parquet(f2)
+    os.utime(f2)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = budget_gate_stream(stream, "doc_id", "tokens", "source", budget)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("budget_gate_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("budget_gate_test").collect()
+    assert len(drained) == docs.count()  # every doc gets a verdict row
+    got = {(r.group, r.doc_id) for r in drained if r.accepted}
+    assert got == want
+    # accepted cum_tokens respect the budget; the blocker's would-be
+    # total exceeds it
+    for r in drained:
+        if r.accepted:
+            assert r.cum_tokens <= budget
+    by_group: dict = {}
+    for r in sorted(drained, key=lambda r: (r.group, r.doc_id)):
+        by_group.setdefault(r.group, []).append(r)
+    for rows in by_group.values():
+        seen_reject = False
+        for r in rows:
+            if seen_reject:
+                assert not r.accepted  # permanent block
+            if not r.accepted:
+                seen_reject = True
+
+
+def test_budget_gate_stream_rejects_bad_tokens(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from spear_spark.streaming import budget_gate_stream
+
+    src = str(tmp_path / "bad_gate")
+    os.makedirs(src)
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [1], "tokens": [-5], "source": ["s"]}
+    ).to_parquet(os.path.join(src, "a.parquet"))
+    schema = "doc_id long, tokens long, source string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = budget_gate_stream(stream, "doc_id", "tokens", "source", 100)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("budget_gate_bad")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="negative tokens|StreamingQuery"):
+        q.awaitTermination()
