@@ -1161,19 +1161,23 @@ def centroid_cells(
     dim: int,
     scale: int = 1_000_000,
 ) -> DataFrame:
-    """The mergeable integer STATE behind :func:`centroid_drift`:
-    per-(group, dim) quantized component sums ``(label, d, s, n)``.
-    Sums and counts are associative int64, so cell tables from shards,
-    days, or a drained stream (``streaming.centroid_cells_stream``)
-    merge by plain addition per (label, d) and feed
-    :func:`centroid_drift_from_cells` bit-exactly — the sketch posture
-    applied to first moments."""
+    """The mergeable integer STATE behind the whole centroid family:
+    per-(group, dim) quantized sums ``(label, d, s, sq, n)`` — first
+    moment, second moment (decimal(38,0): int64 dies at n·scale² >
+    2⁶³, ~9·10⁶ vectors), and count.  All three are associative, so
+    cell tables from shards, days, or a drained stream
+    (``streaming.centroid_cells_stream``) merge by plain addition per
+    (label, d) and feed :func:`centroid_drift_from_cells` AND
+    :func:`centroid_dispersion_from_cells` bit-exactly — one state,
+    both readouts, the sketch posture applied to moments."""
     ex = df.select(
         F.col(group_col).alias("label"),
         F.posexplode(quantized_vec(vec_col, dim, scale)).alias("d", "_q"),
     )
     return ex.groupBy("label", "d").agg(
-        F.sum("_q").alias("s"), F.count(F.lit(1)).alias("n")
+        F.sum("_q").alias("s"),
+        F.sum((F.col("_q") * F.col("_q")).cast("decimal(38,0)")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -1263,17 +1267,27 @@ def centroid_dispersion(
     Scale shape: the :func:`centroid_cells` plan — one posexplode +
     ONE two-phase (group, dim) aggregate; everything downstream is
     cell-table-sized."""
-    ex = df.select(
-        F.col(group_col).alias("label"),
-        F.posexplode(
-            quantized_vec(vec_col, dim, scale, op="centroid_dispersion")
-        ).alias("d", "_q"),
+    return centroid_dispersion_from_cells(
+        centroid_cells(df, vec_col, group_col, dim, scale), scale, decimals
     )
+
+
+def centroid_dispersion_from_cells(
+    cells: DataFrame,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Finish :func:`centroid_dispersion` from a ``(label, d, s, sq,
+    n)`` cell table — fresh from :func:`centroid_cells`, or merged
+    across shards/periods by summing s, sq, n per (label, d).
+    Cell-table-sized; the corpus never appears."""
     dec = "decimal(38,0)"
-    cell = ex.groupBy("label", "d").agg(
-        F.sum("_q").alias("_s"),
-        F.sum((F.col("_q") * F.col("_q")).cast(dec)).alias("_sq"),
-        F.count(F.lit(1)).alias("_n"),
+    cell = cells.select(
+        "label",
+        "d",
+        F.col("s").alias("_s"),
+        F.col("sq").cast(dec).alias("_sq"),
+        F.col("n").alias("_n"),
     )
     vd = (
         F.col("_n").cast(dec) * F.col("_sq")

@@ -1228,10 +1228,13 @@ def centroid_cells_stream(
     similarity.centroid_drift` lifecycle: maintain each day's
     per-(label, dim) quantized component sums incrementally as
     embedded documents arrive, persist the tiny finalized cell tables,
-    and answer "has source X drifted over any day range?" later by
-    plain integer merge (SUM s, SUM n per (label, d)) +
+    and answer BOTH "has source X drifted?" and "has source X
+    collapsed?" over any day range later by plain integer merge
+    (SUM s, sq, n per (label, d)) +
     :func:`~spear_spark.operators.similarity.centroid_drift_from_cells`
-    — without re-embedding or re-scanning anything.  Exactness carries
+    / :func:`~spear_spark.operators.similarity.
+    centroid_dispersion_from_cells` — without re-embedding or
+    re-scanning anything.  Exactness carries
     over verbatim: cells are associative int64 sums, so drained
     streaming output merges bit-identically to the batch
     :func:`~spear_spark.operators.similarity.centroid_cells` table
@@ -1259,12 +1262,17 @@ def centroid_cells_stream(
             "label",
             "d",
         )
-        .agg(F.sum("_q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("_q").alias("s"),
+            F.sum((F.col("_q") * F.col("_q")).cast("decimal(38,0)")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select(
             F.expr("unix_micros(_w.start) div 86400000000").alias("period"),
             "label",
             "d",
             "s",
+            "sq",
             "n",
         )
     )

@@ -1131,20 +1131,38 @@ def test_centroid_cells_stream_matches_batch_and_feeds_drift(
             F.posexplode(quantized_vec("v", 64)).alias("d", "_q"),
         )
         .groupBy("period", "label", "d")
-        .agg(F.sum("_q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("_q").alias("s"),
+            F.sum((F.col("_q") * F.col("_q")).cast("decimal(38,0)")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     assert drained.select("period").distinct().count() >= 3
     assert sorted(map(tuple, drained.collect())) == sorted(
         map(tuple, batch_daily.collect())
     )
     merged = drained.groupBy("label", "d").agg(
-        F.sum("s").alias("s"), F.sum("n").alias("n")
+        F.sum("s").alias("s"), F.sum("sq").alias("sq"), F.sum("n").alias("n")
     )
     from_stream = sorted(
         map(tuple, centroid_drift_from_cells(merged).collect())
     )
     batch = sorted(map(tuple, centroid_drift(emb, "embedding", "label", 64).collect()))
     assert from_stream == batch
+    # ONE state, both readouts: the same merged cells finish to the
+    # batch dispersion bitwise as well
+    from spear_spark.operators.similarity import (
+        centroid_dispersion,
+        centroid_dispersion_from_cells,
+    )
+
+    disp_stream = sorted(
+        map(tuple, centroid_dispersion_from_cells(merged).collect())
+    )
+    disp_batch = sorted(
+        map(tuple, centroid_dispersion(emb, "embedding", "label", 64).collect())
+    )
+    assert disp_stream == disp_batch
     # and the batch cell table itself merges identically
     assert sorted(
         map(tuple, centroid_cells(emb, "embedding", "label", 64).collect())
