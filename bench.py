@@ -212,6 +212,7 @@ HEADLINE = [
     "p151_lang_confusion",
     "p152_centroid_dispersion",
     "p153_dedup_method_report",
+    "p154_score_calibrate",
 ]
 
 

@@ -6862,3 +6862,46 @@ def p152_centroid_dispersion(spark: SparkSession, sf_dir: str) -> SDF:
 def p153_dedup_method_report(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dedup_method_report(docs, "text", "doc_id").orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# p154 — per-source score calibration (operators.stats.score_calibrate):
+# within-source cume_dist percentile of the p09 quality score — the
+# REPAIR for what p149 diagnoses: a fixed raw cut keeps wildly
+# different shares per source; the percentile makes "keep the top
+# half" mean the same thing everywhere.  One window per source
+# (groups parallelize); ties share the cume_dist value in both
+# engines.  Oracle replays the p09 CTE + cume_dist.
+# ---------------------------------------------------------------------------
+@q(
+    "p154_score_calibrate",
+    rf"""
+    WITH qs AS (
+      SELECT doc_id, source, {_TOKS} AS t,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nc
+      FROM documents),
+    qm AS (SELECT doc_id, source,
+                  CAST(greatest(len(t), 1) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS hits,
+                  nc
+           FROM qs),
+    scored AS (
+      SELECT doc_id, source,
+             ROUND(0.3 * LEAST(n_tok / 100.0, 1.0)
+                 + 0.4 * (hits / n_tok)
+                 + 0.3 * LEAST((nc / n_tok) / 8.0, 1.0), 6) AS quality
+      FROM qm)
+    SELECT doc_id, source, quality,
+           ROUND(cume_dist() OVER (PARTITION BY source ORDER BY quality), 6)
+             + 0.0 AS pct
+    FROM scored ORDER BY doc_id
+    """,
+)
+def p154_score_calibrate(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import score_calibrate
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", text.quality_score("text").alias("quality")
+    )
+    return score_calibrate(scored, "quality", "source").orderBy("doc_id")

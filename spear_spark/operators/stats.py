@@ -1240,3 +1240,54 @@ def source_quality_report(
         df, score_col, label_col, group_col, decimals, score_decimals
     ).select(F.col(group_col).alias("group"), "n_pos", "n_neg", "auc")
     return rates.join(auc, "group")
+
+
+def score_calibrate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    out_col: str = "pct",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group percentile calibration of a score: each row gains its
+    within-group cumulative fraction (``cume_dist`` — share of the
+    group scoring ≤ it), so ONE percentile threshold transfers across
+    sources whose raw-score distributions disagree — the fix for
+    "quality ≥ 0.5 keeps 90% of src3 and 4% of src9" when what the mix
+    plan wants is "keep every source's top half".  Appends ``out_col``
+    to the input row (all original columns preserved).
+
+    The p149 dashboard DIAGNOSES mis-calibration (keep rates swing
+    across sources at a fixed cut); this REPAIRS it.  Ties share the
+    cume_dist value (both engines define it as count(peers ≤ v)/n), so
+    the output is engine-exact after rounding.
+
+    Contract: scores NON-NULL and non-NaN (in-plan raise — NaN sorts
+    above everything in Spark and poisons every rank below it).
+
+    Scale shape: ONE window per group ordered by score — per-group
+    sorts parallelize across groups (the :func:`~spear_spark.
+    operators.sampling.token_budget_select` posture).  For a single
+    giant group, bin first (:func:`group_ecdf` over the histogram) and
+    interpolate — documented, not silently substituted."""
+    from pyspark.sql.window import Window as W
+
+    s = F.col(score_col).cast("double")
+    guard = F.when(
+        s.isNull() | F.isnan(s),
+        F.raise_error(
+            F.lit(
+                "score_calibrate: NULL/NaN score — coalesce or filter "
+                "rows first"
+            )
+        ).cast("double"),
+    ).otherwise(s)
+    w = W.partitionBy(group_col).orderBy("_cal_s")
+    return (
+        df.withColumn("_cal_s", guard)
+        .withColumn(
+            out_col,
+            F.round(F.cume_dist().over(w), decimals) + F.lit(0.0),
+        )
+        .drop("_cal_s")
+    )

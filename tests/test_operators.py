@@ -7360,3 +7360,59 @@ class TestDedupMethodReport:
         assert out["near_lsh"].token_reduction > out["exact"].token_reduction
         assert out["chunk"].token_reduction > out["exact"].token_reduction
         assert out["chunk"].n_tokens_kept > out["near_lsh"].n_tokens_kept
+
+
+class TestScoreCalibrate:
+    """Laws for per-group percentile calibration (stats.score_calibrate)."""
+
+    def test_matches_python_cume_dist_with_ties(self, spark):
+        import random
+
+        from spear_spark.operators.stats import score_calibrate
+
+        rng = random.Random(19)
+        rows = [(i, round(rng.random(), 1), f"g{i % 3}") for i in range(150)]
+        df = spark.createDataFrame(rows, "id long, s double, g string")
+        out = score_calibrate(df, "s", "g").collect()
+        by_group: dict = {}
+        for _, s, g in rows:
+            by_group.setdefault(g, []).append(s)
+        for r in out:
+            peers = by_group[r.g]
+            expected = sum(1 for v in peers if v <= r.s) / len(peers)
+            assert r.pct == round(expected, 6)
+        # original columns survive
+        assert {c for c in out[0].asDict()} == {"id", "s", "g", "pct"}
+
+    def test_percentile_threshold_transfers_across_skewed_sources(self, spark):
+        """The repair p149 motivates: a raw cut keeps wildly different
+        shares of a high-scoring and a low-scoring source; the
+        calibrated cut keeps the top half of BOTH."""
+        from spear_spark.operators.stats import score_calibrate
+
+        rows = [(i, 0.8 + (i % 10) / 100.0, "high") for i in range(100)] + [
+            (i + 100, 0.1 + (i % 10) / 100.0, "low") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "id long, s double, g string")
+        raw_keep = df.filter(F.col("s") >= 0.5).groupBy("g").count().collect()
+        raw = {r.g: r["count"] for r in raw_keep}
+        assert raw.get("high", 0) == 100 and raw.get("low", 0) == 0
+        cal = score_calibrate(df, "s", "g")
+        cal_keep = {
+            r.g: r["count"]
+            for r in cal.filter(F.col("pct") > 0.5).groupBy("g").count().collect()
+        }
+        # 10 tied levels of 10 docs each -> cume_dist 0.1..1.0; pct>0.5
+        # keeps the 5 upper levels of BOTH sources
+        assert cal_keep["high"] == 50 and cal_keep["low"] == 50
+
+    def test_nan_raises(self, spark):
+        import pytest
+
+        from spear_spark.operators.stats import score_calibrate
+
+        df = spark.createDataFrame(
+            [(1, float("nan"), "g")], "id long, s double, g string"
+        )
+        with pytest.raises(Exception, match="score_calibrate"):
+            score_calibrate(df, "s", "g").collect()
