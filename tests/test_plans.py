@@ -925,3 +925,16 @@ def test_dedup_method_report_composed_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_score_calibrate_partitioned_window(spark, sf_dir):
+    """p154: one window PARTITIONED by source (never a SinglePartition
+    global sort), minimal read schema, pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, read_schemas
+
+    plan = executed_plan(OPS["p154_score_calibrate"][0](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert set(read_schemas(plan)[0]) == {"doc_id", "source", "text"}
+    assert "EvalPython" not in plan and "InPandas" not in plan
