@@ -1123,7 +1123,9 @@ def centroid_drift(
     over that CELL table (never a second corpus scan), and everything
     downstream is cell-table-sized."""
     return centroid_drift_from_cells(
-        centroid_cells(df, vec_col, group_col, dim, scale), scale, decimals
+        centroid_cells(df, vec_col, group_col, dim, scale, op="centroid_drift"),
+        scale,
+        decimals,
     )
 
 
@@ -1160,6 +1162,7 @@ def centroid_cells(
     group_col: str,
     dim: int,
     scale: int = 1_000_000,
+    op: str = "centroid_cells",
 ) -> DataFrame:
     """The mergeable integer STATE behind the whole centroid family:
     per-(group, dim) quantized sums ``(label, d, s, sq, n)`` — first
@@ -1172,7 +1175,7 @@ def centroid_cells(
     both readouts, the sketch posture applied to moments."""
     ex = df.select(
         F.col(group_col).alias("label"),
-        F.posexplode(quantized_vec(vec_col, dim, scale)).alias("d", "_q"),
+        F.posexplode(quantized_vec(vec_col, dim, scale, op=op)).alias("d", "_q"),
     )
     return ex.groupBy("label", "d").agg(
         F.sum("_q").alias("s"),
@@ -1268,7 +1271,11 @@ def centroid_dispersion(
     ONE two-phase (group, dim) aggregate; everything downstream is
     cell-table-sized."""
     return centroid_dispersion_from_cells(
-        centroid_cells(df, vec_col, group_col, dim, scale), scale, decimals
+        centroid_cells(
+            df, vec_col, group_col, dim, scale, op="centroid_dispersion"
+        ),
+        scale,
+        decimals,
     )
 
 

@@ -1272,6 +1272,11 @@ def score_calibrate(
     interpolate — documented, not silently substituted."""
     from pyspark.sql.window import Window as W
 
+    if "_cal_s" in df.columns:
+        raise ValueError(
+            "score_calibrate: input already has a column named "
+            "'_cal_s' (the operator's staging name) — rename it first"
+        )
     s = F.col(score_col).cast("double")
     guard = F.when(
         s.isNull() | F.isnan(s),
