@@ -213,6 +213,7 @@ HEADLINE = [
     "p152_centroid_dispersion",
     "p153_dedup_method_report",
     "p154_score_calibrate",
+    "p155_hard_negatives",
 ]
 
 

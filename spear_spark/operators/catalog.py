@@ -6905,3 +6905,44 @@ def p154_score_calibrate(spark: SparkSession, sf_dir: str) -> SDF:
         "doc_id", "source", text.quality_score("text").alias("quality")
     )
     return score_calibrate(scored, "quality", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p155 — hard-negative mining (operators.similarity.hard_negatives):
+# per anchor, the top-5 most similar items strictly BELOW the 0.9
+# near-dup ceiling — the contrastive-training batch builder that
+# excludes the false-negative poison (a near-duplicate labeled
+# "negative").  Band filter BEFORE the rank (a post-rank filter
+# silently under-fills k — law-tested); anchors broadcast, one corpus
+# scan, norms once per row.  Oracle: 5-anchor cross join + band +
+# row_number replay.
+# ---------------------------------------------------------------------------
+@q(
+    "p155_hard_negatives",
+    """
+    WITH a AS (SELECT vec_id AS anchor_id, embedding AS qe
+               FROM embeddings ORDER BY vec_id LIMIT 5),
+    s AS (SELECT a.anchor_id, e.vec_id,
+                 ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(a.qe[i] AS DOUBLE))
+                       / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE)))
+                          * SQRT(SUM(CAST(a.qe[i] AS DOUBLE)
+                                     * CAST(a.qe[i] AS DOUBLE)))), 6) AS cos_sim
+          FROM embeddings e CROSS JOIN a CROSS JOIN range(1, 65) r(i)
+          WHERE e.vec_id <> a.anchor_id
+          GROUP BY a.anchor_id, e.vec_id),
+    b AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+          FROM s WHERE cos_sim < 0.9)
+    SELECT anchor_id, vec_id, cos_sim, rnk
+    FROM b WHERE rnk <= 5 ORDER BY anchor_id, rnk
+    """,
+)
+def p155_hard_negatives(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    return similarity.hard_negatives(
+        emb, "embedding", "vec_id", anchors, "aid", "av", k=5, max_sim=0.9
+    ).orderBy("anchor_id", "rnk")

@@ -1325,3 +1325,68 @@ def centroid_dispersion_from_cells(
             "top_var"
         ),
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries_df: DataFrame,
+    q_id: str,
+    q_vec: str,
+    k: int = 10,
+    max_sim: float = 0.95,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    anchor, the k MOST similar corpus items strictly BELOW a
+    near-duplicate ceiling ``max_sim`` — similar enough to be hard,
+    not so similar they are the positive/duplicate in disguise (the
+    classic false-negative poison in contrastive batches; the ceiling
+    is the same threshold a :func:`~spear_spark.operators.dedup.
+    near_dedup_embedding` pass would use, so the two stay consistent).
+    Returns ``(anchor_id, id, cos_sim, rnk)``.
+
+    The band filter applies BEFORE the per-anchor ranking — a
+    post-rank filter would silently return fewer than k rows whenever
+    near-dups crowd the top instead of backfilling with the next-best
+    negatives (law-tested).
+
+    Scale shape: :func:`cosine_topk_batch`'s plan — anchors broadcast,
+    ONE corpus scan for all anchors, corpus norms computed once per
+    row, per-anchor rank window over the banded score set.  For
+    corpus-sized anchor sets, block with IVF cells first (p26) and run
+    this within cells."""
+    base = df.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    qs = queries_df.select(
+        F.col(q_id).alias("_qid"),
+        F.col(q_vec).alias("_qv"),
+        norm(F.col(q_vec)).alias("_qn"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select(
+            F.col("_qid"),
+            F.col("_cid"),
+            F.round(
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < F.lit(float(max_sim)))
+    )
+    w = W.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_qid").alias("anchor_id"),
+            F.col("_cid").alias(id_col),
+            "cos_sim",
+            "rnk",
+        )
+    )

@@ -7416,3 +7416,60 @@ class TestScoreCalibrate:
         )
         with pytest.raises(Exception, match="score_calibrate"):
             score_calibrate(df, "s", "g").collect()
+
+
+class TestHardNegatives:
+    """Laws for band-limited hard-negative mining
+    (similarity.hard_negatives)."""
+
+    def _emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(37)
+        base = rng.normal(size=(40, 6))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+        # plant near-dups of anchor 0: tiny perturbations, cos > 0.99
+        for j, eps in ((100, 1e-3), (101, 2e-3)):
+            v = base[0] + eps * rng.normal(size=6)
+            v /= np.linalg.norm(v)
+            rows.append((j, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, v array<float>"), base
+
+    def test_band_excludes_near_dups_and_backfills_k(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import (
+            cosine_topk_batch,
+            hard_negatives,
+        )
+
+        df, base = self._emb(spark)
+        anchors = df.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("aid"), F.col("v").alias("av")
+        )
+        plain = cosine_topk_batch(df, "v", "vec_id", anchors, "aid", "av", k=5)
+        plain_ids = {r.vec_id for r in plain.collect()}
+        assert {100, 101} <= plain_ids  # near-dups crowd the unbanded top
+        hard = hard_negatives(
+            df, "v", "vec_id", anchors, "aid", "av", k=5, max_sim=0.95
+        ).collect()
+        hard_ids = [r.vec_id for r in hard]
+        assert len(hard_ids) == 5  # the band BACKFILLS to k
+        assert not ({100, 101} & set(hard_ids))
+        assert all(r.cos_sim < 0.95 for r in hard)
+        assert [r.rnk for r in sorted(hard, key=lambda r: r.rnk)] == [1, 2, 3, 4, 5]
+        # and they are exactly the python top-5 below the ceiling
+        sims = {}
+        for r in df.collect():
+            if r.vec_id == 0:
+                continue
+            v = np.array(r.v, dtype=np.float64)
+            a = np.array(base[0], dtype=np.float64)
+            c = round(float(v @ a / (np.linalg.norm(v) * np.linalg.norm(a))), 6)
+            if c < 0.95:
+                sims[r.vec_id] = c
+        want = [i for i, _ in sorted(sims.items(), key=lambda p: (-p[1], p[0]))[:5]]
+        assert sorted(hard, key=lambda r: r.rnk) and [
+            r.vec_id for r in sorted(hard, key=lambda r: r.rnk)
+        ] == want
