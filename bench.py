@@ -214,6 +214,8 @@ HEADLINE = [
     "p153_dedup_method_report",
     "p154_score_calibrate",
     "p155_hard_negatives",
+    "p156_knn_label_purity",
+    "p157_centroid_distance_matrix",
 ]
 
 

@@ -6946,3 +6946,89 @@ def p155_hard_negatives(spark: SparkSession, sf_dir: str) -> SDF:
     return similarity.hard_negatives(
         emb, "embedding", "vec_id", anchors, "aid", "av", k=5, max_sim=0.9
     ).orderBy("anchor_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# p156 — k-NN label purity (operators.similarity.knn_label_purity):
+# per-label share of each anchor's top-5 cosine neighbors carrying the
+# anchor's label, over a 20-anchor evaluation slice — the is-this-
+# embedding-any-good gate before an encoder's output drives curation
+# (purity ~ 1/|labels| = the space is noise for this label).  Anchors
+# broadcast, one corpus scan, deterministic tie-break on id.  Oracle:
+# 20-anchor cross-join + row_number + purity replay.
+# ---------------------------------------------------------------------------
+@q(
+    "p156_knn_label_purity",
+    """
+    WITH a AS (SELECT vec_id AS aid, embedding AS av, label AS alabel
+               FROM embeddings ORDER BY vec_id LIMIT 20),
+    s AS (SELECT a.aid, a.alabel, e.vec_id, e.label AS nlabel,
+                 ROUND(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(a.av[i] AS DOUBLE))
+                       / (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE)))
+                          * SQRT(SUM(CAST(a.av[i] AS DOUBLE)
+                                     * CAST(a.av[i] AS DOUBLE)))), 6) AS cos_sim
+          FROM embeddings e CROSS JOIN a CROSS JOIN range(1, 65) r(i)
+          WHERE e.vec_id <> a.aid
+          GROUP BY a.aid, a.alabel, e.vec_id, e.label),
+    b AS (SELECT *, row_number() OVER (PARTITION BY aid
+                    ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM s),
+    pa AS (SELECT aid, alabel,
+                  CAST(SUM(CASE WHEN nlabel = alabel THEN 1 ELSE 0 END)
+                       AS BIGINT) AS hit,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM b WHERE rnk <= 5 GROUP BY aid, alabel)
+    SELECT alabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) + 0.0
+             AS purity
+    FROM pa GROUP BY alabel ORDER BY label
+    """,
+)
+def p156_knn_label_purity(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.orderBy("vec_id").limit(20)
+    return similarity.knn_label_purity(
+        emb, "embedding", "vec_id", "label", anchors_df=anchors, k=5
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# p157 — centroid distance matrix (operators.similarity.
+# centroid_distance_matrix): exact pairwise L1 between label centroids
+# from the p144 integer cell state — the source-similarity map (two
+# coinciding centroids = redundant sources; the far outlier = the
+# mixture's diversity carrier).  Corpus collapses to cells once; the
+# pair join is a self-join of the bounded cell table on the dim key —
+# groups^2 over CENTROIDS, never data.  Oracle replays cells + the
+# cleared-denominator pair arithmetic in HUGEINT.
+# ---------------------------------------------------------------------------
+@q(
+    "p157_centroid_distance_matrix",
+    """
+    WITH q AS (SELECT label,
+                      [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                       for e in embedding] AS qv
+               FROM embeddings),
+    cell AS (SELECT label, d.d AS d,
+                    CAST(SUM(qv[d.d + 1]) AS BIGINT) AS s,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM q, range(0, 64) d(d) GROUP BY 1, 2),
+    pr AS (SELECT a.label AS label_a, b.label AS label_b, a.d,
+                  abs(CAST(a.s AS HUGEINT) * b.n
+                      - CAST(b.s AS HUGEINT) * a.n) AS ad,
+                  a.n AS na, b.n AS nb
+           FROM cell a JOIN cell b ON a.d = b.d AND a.label < b.label)
+    SELECT label_a, label_b,
+           ROUND(CAST(SUM(ad) AS DOUBLE)
+                 / (CAST(MIN(na) AS DOUBLE) * CAST(MIN(nb) AS DOUBLE)
+                    * 1000000.0), 6) + 0.0 AS l1_dist
+    FROM pr GROUP BY label_a, label_b ORDER BY label_a, label_b
+    """,
+)
+def p157_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_distance_matrix(
+        emb, "embedding", "label", dim=64
+    ).orderBy("label_a", "label_b")

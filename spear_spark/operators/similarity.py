@@ -1390,3 +1390,126 @@ def hard_negatives(
             "rnk",
         )
     )
+
+
+def knn_label_purity(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    anchors_df: DataFrame | None = None,
+    k: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-quality readout: for each anchor, the share of its k
+    nearest neighbors (cosine) that carry the anchor's label, averaged
+    per label — the k-NN purity metric that says whether an embedding
+    column actually clusters by the label you care about BEFORE you
+    spend a training run on it (purity ≈ 1/|labels| means the space is
+    noise for this label; the standard sanity gate on a new encoder).
+    One row per anchor label: ``(label, n_anchors, purity)``.
+
+    ``anchors_df`` defaults to the corpus itself — correct for
+    evaluation sets, QUADRATIC for corpora: at scale pass a sampled
+    anchor table (:func:`~spear_spark.operators.sampling.
+    bottom_k_sample` per label is the stratified shape) or run within
+    IVF cells (p26).  The neighbor ranking is
+    :func:`cosine_topk_batch`'s plan: anchors broadcast, ONE corpus
+    scan, per-anchor rank window; ties break on id, so the neighbor
+    set is deterministic cross-engine."""
+    anchors = anchors_df if anchors_df is not None else df
+    qs = anchors.select(
+        F.col(id_col).alias("_aid"),
+        F.col(vec_col).alias("_av"),
+        F.col(label_col).alias("_alabel"),
+    )
+    nn = cosine_topk_batch(
+        df, vec_col, id_col, qs.select("_aid", "_av"), "_aid", "_av", k=k
+    )
+    labels = df.select(
+        F.col(id_col).alias("_nid"), F.col(label_col).alias("_nlabel")
+    )
+    joined = (
+        nn.select(F.col("_aid"), F.col(id_col).alias("_nid"))
+        .join(labels, "_nid")
+        .join(F.broadcast(qs.select("_aid", "_alabel")), "_aid")
+    )
+    per_anchor = joined.groupBy("_aid", "_alabel").agg(
+        F.sum((F.col("_nlabel") == F.col("_alabel")).cast("long")).alias("_hit"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_anchor.groupBy(F.col("_alabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        (
+            F.round(
+                F.sum("_hit").cast("double") / F.sum("_n").cast("double"),
+                decimals,
+            )
+            + F.lit(0.0)
+        ).alias("purity"),
+    )
+
+
+def centroid_distance_matrix(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT pairwise L1 distance between group centroids — the
+    source-similarity MAP completing the centroid family (p144 drift
+    measures each group against the corpus; this measures groups
+    against EACH OTHER): two sources whose centroids nearly coincide
+    are redundant in embedding space — mirror/scrape candidates to
+    cross-check against p127's verbatim chunk overlap — while a
+    far-outlying source is the mixture's diversity carrier.  One row
+    per unordered pair: ``(label_a, label_b, l1_dist)`` in original
+    units.
+
+    Exactness: the :func:`centroid_cells` integer state; per pair and
+    dim the cleared-denominator difference ``S_ad·n_b − S_bd·n_a`` in
+    decimal(38,0), summed |·| over dims, ONE final division by
+    n_a·n_b·scale.  Scale shape: the corpus collapses to the cell
+    table once; the pair join is a self-join of the ≤ |groups|·dim
+    cell table on the dim key — groups², but over CENTROIDS, never
+    data."""
+    cells = centroid_cells(
+        df, vec_col, group_col, dim, scale, op="centroid_distance_matrix"
+    )
+    dec = "decimal(38,0)"
+    a = cells.select(
+        F.col("label").alias("label_a"),
+        "d",
+        F.col("s").alias("_sa"),
+        F.col("n").alias("_na"),
+    )
+    b = cells.select(
+        F.col("label").alias("label_b"),
+        "d",
+        F.col("s").alias("_sb"),
+        F.col("n").alias("_nb"),
+    )
+    pairs = a.join(b, "d").filter(F.col("label_a") < F.col("label_b"))
+    ad = F.abs(
+        F.col("_sa").cast(dec) * F.col("_nb").cast(dec)
+        - F.col("_sb").cast(dec) * F.col("_na").cast(dec)
+    )
+    agg = pairs.groupBy("label_a", "label_b").agg(
+        F.sum(ad).alias("_l1q"),
+        F.min("_na").alias("_na"),
+        F.min("_nb").alias("_nb"),
+    )
+    denom = (
+        F.col("_na").cast("double")
+        * F.col("_nb").cast("double")
+        * F.lit(float(scale))
+    )
+    return agg.select(
+        "label_a",
+        "label_b",
+        (F.round(F.col("_l1q").cast("double") / denom, decimals) + F.lit(0.0)).alias(
+            "l1_dist"
+        ),
+    )

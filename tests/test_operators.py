@@ -7473,3 +7473,102 @@ class TestHardNegatives:
         assert sorted(hard, key=lambda r: r.rnk) and [
             r.vec_id for r in sorted(hard, key=lambda r: r.rnk)
         ] == want
+
+
+class TestKnnLabelPurity:
+    """Laws for the embedding-quality purity gate
+    (similarity.knn_label_purity)."""
+
+    def test_separable_clusters_pure_and_shuffled_labels_noise(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import knn_label_purity
+
+        rng = np.random.default_rng(41)
+        centers = np.eye(4)[:, :4]  # 4 well-separated unit corners
+        rows, shuffled = [], []
+        for i in range(120):
+            lbl = i % 4
+            v = centers[lbl] + 0.05 * rng.normal(size=4)
+            rows.append((i, lbl, [float(x) for x in v]))
+            shuffled.append((i, int(rng.integers(0, 4)), rows[-1][2]))
+        df = spark.createDataFrame(rows, "vec_id long, label int, v array<float>")
+        out = {r.label: r.purity for r in
+               knn_label_purity(df, "v", "vec_id", "label", k=5).collect()}
+        assert all(p > 0.95 for p in out.values())
+        noisy = spark.createDataFrame(
+            shuffled, "vec_id long, label int, v array<float>"
+        )
+        nout = {r.label: r.purity for r in
+                knn_label_purity(noisy, "v", "vec_id", "label", k=5).collect()}
+        # random labels -> purity collapses toward the 1/|labels| floor
+        assert all(p < 0.6 for p in nout.values())
+
+    def test_anchor_subset_matches_python_replay(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import knn_label_purity
+
+        rng = np.random.default_rng(43)
+        vecs = rng.normal(size=(50, 4))
+        rows = [(i, i % 3, [float(x) for x in vecs[i]]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, label int, v array<float>")
+        anchors = df.filter(F.col("vec_id") < 10)
+        out = {r.label: r for r in knn_label_purity(
+            df, "v", "vec_id", "label", anchors_df=anchors, k=3
+        ).collect()}
+        hits = {0: [0, 0], 1: [0, 0], 2: [0, 0]}
+        for a in range(10):
+            sims = []
+            for j in range(50):
+                if j == a:
+                    continue
+                c = round(float(
+                    vecs[a] @ vecs[j]
+                    / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[j]))
+                ), 6)
+                sims.append((-c, j))
+            for _, j in sorted(sims)[:3]:
+                hits[a % 3][0] += int(j % 3 == a % 3)
+                hits[a % 3][1] += 1
+        for lbl, (h, n) in hits.items():
+            assert out[lbl].purity == round(h / n, 6)
+            assert out[lbl].n_anchors == sum(1 for a in range(10) if a % 3 == lbl)
+
+
+class TestCentroidDistanceMatrix:
+    """Laws for the exact centroid pair map
+    (similarity.centroid_distance_matrix)."""
+
+    def test_matches_numpy_and_triangle_sanity(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import centroid_distance_matrix
+
+        rng = np.random.default_rng(47)
+        vecs = rng.normal(size=(90, 6)).astype(np.float32)
+        labels = [i % 3 for i in range(90)]
+        rows = [(labels[i], [float(x) for x in vecs[i]]) for i in range(90)]
+        df = spark.createDataFrame(rows, "label int, v array<float>")
+        out = {(r.label_a, r.label_b): r.l1_dist for r in
+               centroid_distance_matrix(df, "v", "label", 6).collect()}
+        q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64).astype(object)
+        lab = np.array(labels)
+        for a in range(3):
+            for b in range(a + 1, 3):
+                sa, na = q[lab == a].sum(axis=0), int((lab == a).sum())
+                sb, nb = q[lab == b].sum(axis=0), int((lab == b).sum())
+                want = float(sum(abs(sa * nb - sb * na))) / (na * nb * 1e6)
+                assert abs(out[(a, b)] - round(want, 6)) <= 1e-9
+        assert len(out) == 3  # unordered pairs only
+
+    def test_identical_groups_have_zero_distance(self, spark):
+        from spear_spark.operators.similarity import centroid_distance_matrix
+
+        base = [(0, [0.1, 0.9]), (0, [0.3, 0.7]), (1, [0.1, 0.9]), (1, [0.3, 0.7]),
+                (2, [5.0, 5.0])]
+        df = spark.createDataFrame(base, "label int, v array<float>")
+        out = {(r.label_a, r.label_b): r.l1_dist for r in
+               centroid_distance_matrix(df, "v", "label", 2).collect()}
+        assert out[(0, 1)] == 0.0
+        assert out[(0, 2)] > 1.0 and out[(1, 2)] > 1.0
