@@ -1472,12 +1472,15 @@ def centroid_distance_matrix(
     dim the cleared-denominator difference ``S_ad·n_b − S_bd·n_a`` in
     decimal(38,0), summed |·| over dims, ONE final division by
     n_a·n_b·scale.  Scale shape: the corpus collapses to the cell
-    table once; the pair join is a self-join of the ≤ |groups|·dim
-    cell table on the dim key — groups², but over CENTROIDS, never
-    data."""
+    table ONCE — the bounded cell table is lazily checkpointed so both
+    self-join branches read the materialized RDD instead of each
+    re-scanning the corpus (the repo's measured multi-consumer trap;
+    plan-pinned to one parquet scan) — then the pair join is over
+    ≤ |groups|·dim cells on the dim key: groups², but over CENTROIDS,
+    never data."""
     cells = centroid_cells(
         df, vec_col, group_col, dim, scale, op="centroid_distance_matrix"
-    )
+    ).localCheckpoint(eager=False)
     dec = "decimal(38,0)"
     a = cells.select(
         F.col("label").alias("label_a"),

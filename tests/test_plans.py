@@ -938,3 +938,49 @@ def test_score_calibrate_partitioned_window(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert set(read_schemas(plan)[0]) == {"doc_id", "source", "text"}
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_hard_negatives_broadcast_anchors_one_scan(spark, sf_dir):
+    """p155: anchors broadcast into the score join (no sort-merge, no
+    cartesian surprise beyond the intended broadcast nested loop over
+    5 anchors), rank window partitioned per anchor, pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_broadcast_join
+
+    plan = executed_plan(OPS["p155_hard_negatives"][0](spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_knn_label_purity_broadcast_anchors(spark, sf_dir):
+    """p156: same posture as p155 — the 20-anchor table broadcasts,
+    the corpus is never on the build side, pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_broadcast_join
+
+    plan = executed_plan(OPS["p156_knn_label_purity"][0](spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_centroid_distance_matrix_pairs_over_cells(spark, sf_dir):
+    """p157: the corpus collapses to the (label, dim) cell table via a
+    partial aggregate; the pair join is over CELLS (both join sides
+    aggregate outputs, reading the ONE lazily-checkpointed cell
+    table), exactly ONE corpus scan, no cartesian, no Python, and the
+    final aggregate two-phase."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(
+        OPS["p157_centroid_distance_matrix"][0](spark, sf_dir)
+    )
+    assert has_partial_aggregation(plan)
+    # the corpus scan happened ONCE, at checkpoint materialization —
+    # the executed pair plan touches no parquet at all; both join
+    # branches read the materialized cell RDD
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
