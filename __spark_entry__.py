@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-12 window (7+8+16+17+2 = 50): the 7 late-round-11 entries with
+# Round-12 window (7+8+18+17 = 50): the 7 late-round-11 entries with
 # no driver evidence yet (p127–p133, sequenced by the round-11
 # verdict), the 8 NEW round-12 operators (p134 char-gram-candidate
 # edit-distance pairs — the OCR-noise recall mode; p135 CC-grade
@@ -35,9 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # matrix — one-scan pairwise agreement; p139 packing preview —
 # training-sequence yield per context length; p140 BPE coverage /
 # char-fallback rate; p141 n-way stratified leakage-safe split), the
-# 16 second-wave round-12 operators (p142-p157), the 17 r07-evidence
-# rotations (the oldest rows in the repo after round 11), and the 2
-# oldest r08-evidence rotations.
+# 18 second-wave round-12 operators (p142-p159), and the 17
+# r07-evidence rotations (the oldest rows in the repo after round
+# 11); the whole r08 block now leads the round-13 queue.
 _DRIVER_PRIORITY = [
     # ---- round 12 window ----
     # -- no driver evidence yet (late round 11): cross-source chunk
@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "p152_centroid_dispersion", "p153_dedup_method_report",
     "p154_score_calibrate", "p155_hard_negatives",
     "p156_knn_label_purity", "p157_centroid_distance_matrix",
+    "p158_fleiss_kappa", "p159_lsh_calibration",
     # -- the 17 r07-evidence rotations (oldest evidence in the repo):
     "p50_length_histogram",
     "p51_cdc_upsert", "p52_corpus_surprisal",
@@ -82,10 +83,6 @@ _DRIVER_PRIORITY = [
     "q09_customers_without_orders", "q10_union_bag",
     "q11_intersect_multiset", "q12_except_multiset",
     "q13_distinct", "q14_window_aggregates",
-    # -- the 2 oldest r08-evidence rotations (the rest of the r08
-    #    block moved to lead the round-13 queue as p138-p157 took
-    #    their slots):
-    "p81_group_heavy_hitters", "p84_rolling_distinct",
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the r08 remainder leads the round-13 window,
@@ -95,7 +92,8 @@ _DRIVER_PRIORITY = [
     # round 13). ----
     # -- r08 evidence remainder (rotate FIRST in round 13; the first
     #    r08 block was displaced from the round-12 window by
-    #    p142-p157):
+    #    p142-p159):
+    "p81_group_heavy_hitters", "p84_rolling_distinct",
     "p87_contamination_spans", "p88_cluster_representatives",
     "p89_hll_overlap",
     "p91_mad_outliers", "q17_event_gaps",

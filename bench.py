@@ -216,6 +216,8 @@ HEADLINE = [
     "p155_hard_negatives",
     "p156_knn_label_purity",
     "p157_centroid_distance_matrix",
+    "p158_fleiss_kappa",
+    "p159_lsh_calibration",
 ]
 
 

@@ -7032,3 +7032,153 @@ def p157_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> SDF:
     return similarity.centroid_distance_matrix(
         emb, "embedding", "label", dim=64
     ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# p158 — Fleiss' kappa over the gopher rule ensemble (operators.stats.
+# fleiss_kappa): one chance-corrected agreement number for the six
+# gates as a WHOLE — the go/no-go before treating the ensemble's
+# majority vote as a label (p126/p138 judge pairs; this judges the
+# committee).  Per item only t = #true matters, so Σt and Σt² (exact
+# int64) determine P-bar and Pe — ONE two-phase aggregate.  Oracle
+# replays the p112 flag CTE and the same closed form.
+# ---------------------------------------------------------------------------
+@q(
+    "p158_fleiss_kappa",
+    rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t), 6)
+               AS mean_word_len,
+             ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len(t), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS stopword_hits
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)),
+    fl AS (
+      SELECT (CASE WHEN COALESCE(n_words BETWEEN 20 AND 100000, false)
+                   THEN 1 ELSE 0 END
+            + CASE WHEN COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, false)
+                   THEN 1 ELSE 0 END
+            + CASE WHEN COALESCE(symbol_ratio <= 0.1, false)
+                   THEN 1 ELSE 0 END
+            + CASE WHEN COALESCE(alpha_word_frac >= 0.8, false)
+                   THEN 1 ELSE 0 END
+            + CASE WHEN COALESCE(stopword_hits >= 1, false)
+                   THEN 1 ELSE 0 END) AS t
+      FROM m),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                 CAST(SUM(t) AS BIGINT) AS st,
+                 CAST(SUM(t * t) AS BIGINT) AS st2
+          FROM fl)
+    SELECT n_items, CAST(5 AS INTEGER) AS k,
+           ROUND((2.0 * CAST(st2 AS DOUBLE) - 2.0 * 5.0 * CAST(st AS DOUBLE)
+                  + CAST(n_items AS DOUBLE) * 5.0 * 5.0
+                  - CAST(n_items AS DOUBLE) * 5.0)
+                 / (CAST(n_items AS DOUBLE) * 5.0 * (5.0 - 1.0)), 6) + 0.0
+             AS p_bar,
+           ROUND((CAST(st AS DOUBLE) / (CAST(n_items AS DOUBLE) * 5.0))
+                 * (CAST(st AS DOUBLE) / (CAST(n_items AS DOUBLE) * 5.0))
+                 + (1.0 - CAST(st AS DOUBLE) / (CAST(n_items AS DOUBLE) * 5.0))
+                 * (1.0 - CAST(st AS DOUBLE) / (CAST(n_items AS DOUBLE) * 5.0)),
+                 6) + 0.0 AS p_e,
+           ROUND(CASE WHEN (CAST(st AS DOUBLE) / (CAST(n_items AS DOUBLE) * 5.0))
+                           * (CAST(st AS DOUBLE) / (CAST(n_items AS DOUBLE) * 5.0))
+                           + (1.0 - CAST(st AS DOUBLE)
+                              / (CAST(n_items AS DOUBLE) * 5.0))
+                           * (1.0 - CAST(st AS DOUBLE)
+                              / (CAST(n_items AS DOUBLE) * 5.0)) = 1.0
+                      THEN 1.0
+                      ELSE ((2.0 * CAST(st2 AS DOUBLE)
+                             - 2.0 * 5.0 * CAST(st AS DOUBLE)
+                             + CAST(n_items AS DOUBLE) * 5.0 * 5.0
+                             - CAST(n_items AS DOUBLE) * 5.0)
+                            / (CAST(n_items AS DOUBLE) * 5.0 * (5.0 - 1.0))
+                            - ((CAST(st AS DOUBLE)
+                                / (CAST(n_items AS DOUBLE) * 5.0))
+                               * (CAST(st AS DOUBLE)
+                                  / (CAST(n_items AS DOUBLE) * 5.0))
+                               + (1.0 - CAST(st AS DOUBLE)
+                                  / (CAST(n_items AS DOUBLE) * 5.0))
+                               * (1.0 - CAST(st AS DOUBLE)
+                                  / (CAST(n_items AS DOUBLE) * 5.0))))
+                           / (1.0 - ((CAST(st AS DOUBLE)
+                                      / (CAST(n_items AS DOUBLE) * 5.0))
+                                     * (CAST(st AS DOUBLE)
+                                        / (CAST(n_items AS DOUBLE) * 5.0))
+                                     + (1.0 - CAST(st AS DOUBLE)
+                                        / (CAST(n_items AS DOUBLE) * 5.0))
+                                     * (1.0 - CAST(st AS DOUBLE)
+                                        / (CAST(n_items AS DOUBLE) * 5.0))))
+                 END, 6) + 0.0 AS kappa
+    FROM a
+    """,
+)
+def p158_fleiss_kappa(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import fleiss_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.gopher_rules(
+        docs, "text", "doc_id", min_words=20, min_stopword_hits=1
+    )
+    return fleiss_kappa(
+        flags,
+        ["words_ok", "word_len_ok", "symbol_ok", "alpha_ok", "stopword_ok"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# p159 — MinHash estimator calibration (operators.dedup.
+# lsh_calibration): per estimated-Jaccard bucket (matching signature
+# components / k — an exact 0..k grid), the mean EXACT Jaccard and
+# mean absolute error over the LSH candidate pairs — the measured-on-
+# YOUR-corpus argument for the verify step (folklore says 1/sqrt(k);
+# this says what k=12 actually costs here).  Candidates from the
+# certified banding; estimate one projection over joined signatures;
+# exact the per-candidate intersection; report one bounded aggregate.
+# ---------------------------------------------------------------------------
+_P159_MATCH = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(12)
+)
+
+
+@q(
+    "p159_lsh_calibration",
+    _SIG_CTE
+    + f""", bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    m AS (SELECT c.doc_a, c.doc_b, ({_P159_MATCH}) AS n_match
+          FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                      JOIN sig sb ON sb.doc_id = c.doc_b),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY c.doc_a, c.doc_b),
+    pr AS (SELECT m.n_match,
+                  ROUND(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 6) AS ex
+           FROM m JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+                  JOIN cnt ca ON m.doc_a = ca.doc_id
+                  JOIN cnt cb ON m.doc_b = cb.doc_id)
+    SELECT CAST(n_match AS BIGINT) AS n_match,
+           ROUND(CAST(n_match AS DOUBLE) / 12.0, 6) + 0.0 AS est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(ex) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+             AS mean_exact_jaccard,
+           ROUND(SUM(ABS(CAST(n_match AS DOUBLE) / 12.0 - ex))
+                 / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_abs_err
+    FROM pr GROUP BY n_match ORDER BY n_match
+    """,
+)
+def p159_lsh_calibration(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_calibration(docs, "text", "doc_id", k=12, bands=4).orderBy(
+        "n_match"
+    )

@@ -2573,3 +2573,83 @@ def dedup_method_report(
             + F.lit(0.0)
         ).alias("token_reduction"),
     )
+
+
+def lsh_calibration(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sketch-honesty calibration for the MinHash estimator: over the
+    LSH candidate pairs, bucket by the ESTIMATED Jaccard (matching
+    signature components / k — a 0..k integer grid, so the bucketing
+    is exact) and report the mean EXACT Jaccard and mean absolute
+    error per bucket — ``(n_match, est_jaccard, n_pairs,
+    mean_exact_jaccard, mean_abs_err)``.  This is the table that
+    justifies (or indicts) a chosen k: if the k=12 estimate is ±0.2
+    off at the 0.5 threshold, every unverified LSH dedup decision
+    inherits that error — the quantitative argument for
+    :func:`lsh_verified_pairs`' verify step, measured on YOUR corpus
+    rather than quoted from the 1/√k folklore.
+
+    Scale shape: candidates from the banded equi-join (never
+    all-pairs); the estimate is one projection over the joined
+    signature rows; the exact side is the :func:`lsh_verified_pairs`
+    per-candidate array intersection; the report is ONE two-phase
+    aggregate on the k+1-value bucket grid."""
+    cands = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n).select(
+        "doc_a", "doc_b"
+    )
+    sig = minhash_signatures(df, text_col, id_col, k=k)
+    siga = sig.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)]
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)]
+    )
+    match = None
+    for i in range(k):
+        eq = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long")
+        match = eq if match is None else match + eq
+    shs = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_shs")
+    )
+    a = shs.select(F.col("_id").alias("doc_a"), F.col("_shs").alias("_sa"))
+    b = shs.select(F.col("_id").alias("doc_b"), F.col("_shs").alias("_sb"))
+    pairs = (
+        cands.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", match.alias("n_match"))
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("_u", F.size("_sa") + F.size("_sb") - F.col("_i"))
+        .filter(F.col("_u") > 0)
+        .select(
+            "n_match",
+            F.round(F.col("_i").cast("double") / F.col("_u"), 6).alias("_exact"),
+        )
+    )
+    est = F.col("n_match").cast("double") / F.lit(float(k))
+    return (
+        pairs.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_exact").alias("_se"),
+            F.sum(F.abs(est - F.col("_exact"))).alias("_sae"),
+        )
+        .select(
+            "n_match",
+            (F.round(F.col("n_match").cast("double") / F.lit(float(k)), decimals)
+             + F.lit(0.0)).alias("est_jaccard"),
+            "n_pairs",
+            (F.round(F.col("_se") / F.col("n_pairs").cast("double"), decimals)
+             + F.lit(0.0)).alias("mean_exact_jaccard"),
+            (F.round(F.col("_sae") / F.col("n_pairs").cast("double"), decimals)
+             + F.lit(0.0)).alias("mean_abs_err"),
+        )
+    )

@@ -1296,3 +1296,77 @@ def score_calibrate(
         )
         .drop("_cal_s")
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    flags: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa over k >= 3 boolean raters/filters — the
+    multi-rater generalization closing the agreement family
+    (:func:`filter_agreement` two raters, :func:`filter_agreement_matrix`
+    pairwise, this the ENSEMBLE as a whole): one chance-corrected
+    number for "do my k quality gates behave like one gate or like k
+    coins", the go/no-go before treating a filter ensemble's majority
+    vote as a label.  One row: ``(n_items, k, p_bar, p_e, kappa)``
+    with P̄ the mean per-item agreement, Pe the chance agreement of
+    the pooled marginals, kappa = (P̄−Pe)/(1−Pe) (1.0 by convention
+    when Pe == 1 — unanimous constant raters).
+
+    Exact core: per item only ``t = #true`` matters; P_i =
+    (t² + (k−t)² − k)/(k(k−1)), so Σt and Σt² (exact int64 sums)
+    determine everything — ONE two-phase aggregate over ONE scan, no
+    per-category explosion.  NULL flags raise in-plan (the family
+    contract).
+
+    Scale shape: identical to :func:`filter_agreement` — a global
+    3-sum aggregate; everything after is scalar arithmetic on the
+    1-row result."""
+    flags = list(flags)
+    if len(flags) < 3:
+        raise ValueError(
+            "fleiss_kappa: need k >= 3 raters (use filter_agreement "
+            "for two)"
+        )
+    if len(set(flags)) != len(flags):
+        raise ValueError("fleiss_kappa: duplicate flag names")
+    k = len(flags)
+    cols = [F.col(f) for f in flags]
+    guard = F.when(
+        _or_fold([c.isNull() for c in cols]),
+        F.raise_error(
+            F.lit(
+                "fleiss_kappa: NULL flag — coalesce every rater column "
+                "to booleans first"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(1))
+    t = None
+    for c in cols:
+        t = c.cast("long") if t is None else t + c.cast("long")
+    agg = df.select(t.alias("_t"), guard.alias("_g")).agg(
+        F.sum("_g").alias("n_items"),
+        F.sum("_t").alias("_st"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_st2"),
+    )
+    n = F.col("n_items").cast("double")
+    kk = float(k)
+    st = F.col("_st").cast("double")
+    st2 = F.col("_st2").cast("double")
+    # Σ P_i = Σ (t² + (k−t)² − k) / (k(k−1)) = (2·Σt² − 2k·Σt + n·k² − n·k) / (k(k−1))
+    p_bar = (2.0 * st2 - 2.0 * kk * st + n * kk * kk - n * kk) / (
+        n * kk * (kk - 1.0)
+    )
+    p_true = st / (n * kk)
+    p_e = p_true * p_true + (1.0 - p_true) * (1.0 - p_true)
+    kappa = F.when(p_e == 1.0, F.lit(1.0)).otherwise(
+        (p_bar - p_e) / (1.0 - p_e)
+    )
+    return agg.select(
+        "n_items",
+        F.lit(k).alias("k"),
+        (F.round(p_bar, decimals) + F.lit(0.0)).alias("p_bar"),
+        (F.round(p_e, decimals) + F.lit(0.0)).alias("p_e"),
+        (F.round(kappa, decimals) + F.lit(0.0)).alias("kappa"),
+    )

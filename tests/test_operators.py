@@ -7572,3 +7572,113 @@ class TestCentroidDistanceMatrix:
                centroid_distance_matrix(df, "v", "label", 2).collect()}
         assert out[(0, 1)] == 0.0
         assert out[(0, 2)] > 1.0 and out[(1, 2)] > 1.0
+
+
+class TestFleissKappa:
+    """Laws for multi-rater agreement (stats.fleiss_kappa)."""
+
+    def test_matches_textbook_replay(self, spark):
+        import random
+
+        from spear_spark.operators.stats import fleiss_kappa
+
+        rng = random.Random(53)
+        k = 4
+        rows = [tuple(rng.random() < 0.6 for _ in range(k)) for _ in range(300)]
+        df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean, d boolean")
+        [r] = fleiss_kappa(df, ["a", "b", "c", "d"]).collect()
+        n = len(rows)
+        ts = [sum(row) for row in rows]
+        p_is = [(t * t + (k - t) * (k - t) - k) / (k * (k - 1)) for t in ts]
+        p_bar = sum(p_is) / n
+        p_true = sum(ts) / (n * k)
+        p_e = p_true * p_true + (1 - p_true) * (1 - p_true)
+        kappa = (p_bar - p_e) / (1 - p_e)
+        assert r.n_items == n and r.k == k
+        assert abs(r.p_bar - round(p_bar, 6)) <= 1e-6
+        assert abs(r.p_e - round(p_e, 6)) <= 1e-6
+        assert abs(r.kappa - round(kappa, 6)) <= 1e-6
+
+    def test_unanimous_and_degenerate(self, spark):
+        from spear_spark.operators.stats import fleiss_kappa
+
+        same = spark.createDataFrame(
+            [(i % 2 == 0,) * 3 for i in range(20)],
+            "a boolean, b boolean, c boolean",
+        )
+        [r] = fleiss_kappa(same, ["a", "b", "c"]).collect()
+        assert r.p_bar == 1.0 and r.kappa == 1.0
+        const = spark.createDataFrame(
+            [(True, True, True)] * 5, "a boolean, b boolean, c boolean"
+        )
+        [rc] = fleiss_kappa(const, ["a", "b", "c"]).collect()
+        assert rc.p_e == 1.0 and rc.kappa == 1.0  # convention
+
+    def test_guards(self, spark):
+        import pytest
+
+        from spear_spark.operators.stats import fleiss_kappa
+
+        df = spark.createDataFrame(
+            [(True, None, False)], "a boolean, b boolean, c boolean"
+        )
+        with pytest.raises(Exception, match="fleiss_kappa"):
+            fleiss_kappa(df, ["a", "b", "c"]).collect()
+        with pytest.raises(ValueError, match="k >= 3"):
+            fleiss_kappa(df, ["a", "b"])
+        with pytest.raises(ValueError, match="duplicate"):
+            fleiss_kappa(df, ["a", "a", "b"])
+
+
+class TestLshCalibration:
+    """Laws for the MinHash estimator calibration (dedup.lsh_calibration)."""
+
+    def test_identical_docs_calibrate_to_one(self, spark):
+        from spear_spark.operators.dedup import lsh_calibration
+
+        base = ("the quick brown fox jumps over the lazy dog while rain "
+                "falls softly on the quiet village roofs tonight")
+        df = spark.createDataFrame(
+            [(0, base), (1, base), (2, "totally different words about "
+             "spark shuffles and parquet footers far from foxes")],
+            "doc_id long, text string",
+        )
+        out = lsh_calibration(df, "text", "doc_id").collect()
+        # the identical pair: all 12 components match, exact jaccard 1
+        full = [r for r in out if r.n_match == 12]
+        assert full and full[0].mean_exact_jaccard == 1.0
+        assert full[0].est_jaccard == 1.0 and full[0].mean_abs_err == 0.0
+
+    def test_matches_python_replay_on_fixture(self, spark, sf_dir):
+        from spear_spark.operators.dedup import (
+            lsh_calibration,
+            lsh_verified_pairs,
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+        from spear_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = {r.n_match: r for r in
+               lsh_calibration(docs, "text", "doc_id").collect()}
+        assert out  # the synthetic corpus has candidate pairs
+        # replay: per candidate pair, component matches + exact jaccard
+        sigs = {r.doc_id: [r[f"mh{i}"] for i in range(12)]
+                for r in minhash_signatures(docs, "text", "doc_id", k=12).collect()}
+        cands = [(r.doc_a, r.doc_b) for r in
+                 minhash_lsh_pairs(docs, "text", "doc_id").collect()]
+        exact = {(r.doc_a, r.doc_b): r.jaccard for r in
+                 lsh_verified_pairs(docs, "text", "doc_id", threshold=0.0).collect()}
+        buckets: dict = {}
+        for a, b in cands:
+            m = sum(1 for i in range(12) if sigs[a][i] == sigs[b][i])
+            ex = exact[(a, b)]
+            agg = buckets.setdefault(m, [0, 0.0, 0.0])
+            agg[0] += 1
+            agg[1] += ex
+            agg[2] += abs(m / 12.0 - ex)
+        assert set(buckets) == set(out)
+        for m, (n, se, sae) in buckets.items():
+            assert out[m].n_pairs == n
+            assert abs(out[m].mean_exact_jaccard - round(se / n, 6)) <= 2e-6
+            assert abs(out[m].mean_abs_err - round(sae / n, 6)) <= 2e-6
