@@ -984,3 +984,29 @@ def test_centroid_distance_matrix_pairs_over_cells(spark, sf_dir):
     assert plan.count("ExistingRDD") >= 2
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_fleiss_kappa_single_aggregate(spark, sf_dir):
+    """p158: the committee verdict is ONE two-phase 3-sum aggregate —
+    no per-category explosion, no window, pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p158_fleiss_kappa"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_lsh_calibration_banded_no_cartesian(spark, sf_dir):
+    """p159: candidates still come from the band-bucket equality join
+    (never all-pairs); the estimate/exact joins are hash joins; the
+    report aggregates a k+1-value grid; pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p159_lsh_calibration"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
