@@ -84,6 +84,11 @@ _DRIVER_PRIORITY = [
     "q11_intersect_multiset", "q12_except_multiset",
     "q13_distinct", "q14_window_aggregates",
 
+    # -- NEW but post-window (the round-12 window is full at 50):
+    #    preflight-certified now, leads the round-13 window with the
+    #    displaced r08 block:
+    "p160_journey_ngrams",
+
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the r08 remainder leads the round-13 window,
     # then the r09 block, then the r11 block; the round-10 window's 50

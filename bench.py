@@ -218,6 +218,7 @@ HEADLINE = [
     "p157_centroid_distance_matrix",
     "p158_fleiss_kappa",
     "p159_lsh_calibration",
+    "p160_journey_ngrams",
 ]
 
 

@@ -7182,3 +7182,50 @@ def p159_lsh_calibration(spark: SparkSession, sf_dir: str) -> SDF:
     return dedup.lsh_calibration(docs, "text", "doc_id", k=12, bands=4).orderBy(
         "n_match"
     )
+
+
+# ---------------------------------------------------------------------------
+# p160 — session journey n-grams (operators.profile.journey_ngrams):
+# the top-20 3-step event-type sequences users actually walk, with
+# session counts so one looping user can't impersonate a common path
+# — the pattern miner that precedes funnel design (q79 tests a
+# hypothesized path; this surfaces candidates).  Gap-rule sessions
+# (30 min, the q40/q83 convention), deterministic (ts, event_id)
+# ordering, gram counts via a pre-aggregated (gram, session) pair
+# table, TakeOrdered top-k.  Leads the round-13 window.
+# ---------------------------------------------------------------------------
+@q(
+    "p160_journey_ngrams",
+    """
+    WITH f AS (
+      SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts, event_id AS id,
+             event_type AS t,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY u ORDER BY ts, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM f),
+    g AS (SELECT u, sid,
+                 t || '>' || lead(t, 1) OVER w || '>' || lead(t, 2) OVER w
+                   AS gram,
+                 lead(t, 2) OVER w IS NOT NULL AS full_
+          FROM s WINDOW w AS (PARTITION BY u, sid ORDER BY ts, id)),
+    ps AS (SELECT gram, u, sid, CAST(COUNT(*) AS BIGINT) AS occ
+           FROM g WHERE full_ GROUP BY gram, u, sid)
+    SELECT gram, CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM ps GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20
+    """,
+)
+def p160_journey_ngrams(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.profile import journey_ngrams
+
+    ev = load_table(spark, sf_dir, "events")
+    return journey_ngrams(
+        ev, "user_id", "ts", "event_type", "event_id", gap_minutes=30, n=3,
+        top=20,
+    )

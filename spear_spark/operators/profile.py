@@ -197,3 +197,80 @@ def corpus_health_report(
             *qcols,
         )
     )
+
+
+def journey_ngrams(
+    events,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+    n: int = 3,
+    top: int = 20,
+):
+    """Most common event-type SEQUENCES (n-grams) within sessions —
+    the journey-pattern miner behind funnel design: funnels (q79) test
+    a HYPOTHESIZED sequence; this surfaces the sequences users
+    actually walk, with session counts so a pattern repeated by one
+    looping user can't impersonate a common path.  Sessions follow the
+    standard gap rule (> ``gap_minutes`` of silence per user starts a
+    new session, the q40/q83 convention); ordering ties break on
+    ``id_col`` so the sequences are deterministic cross-engine.
+    Returns the ``top`` rows: ``(gram, n_occurrences, n_sessions)``,
+    count-desc then gram.
+
+    Scale shape: two windows per user partition (lag for the session
+    flag + cumulative sum for the session id — users parallelize),
+    lead projections for the gram, ONE two-phase aggregate on the gram
+    key (distinct-session via a pre-aggregated (gram, session) pair
+    table, never count-distinct over raw rows), and a TakeOrdered heap
+    for the top-k."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    if n < 2:
+        raise ValueError("journey_ngrams: n must be >= 2")
+    gap_us = int(gap_minutes) * 60_000_000
+    wu = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    flagged = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).cast("string").alias("_t"),
+        (
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.lag(F.unix_micros(F.col(ts_col))).over(wu)
+            )
+            > gap_us
+        )
+        .cast("long")
+        .alias("_new"),
+    )
+    ws = W.partitionBy("_u").orderBy("_ts", "_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = flagged.withColumn(
+        "_sid", F.coalesce(F.sum("_new").over(ws), F.lit(0))
+    )
+    wg = W.partitionBy("_u", "_sid").orderBy("_ts", "_id")
+    parts = [F.col("_t")] + [F.lead("_t", i).over(wg) for i in range(1, n)]
+    grams = sess.select(
+        F.col("_u"),
+        F.col("_sid"),
+        F.concat_ws(">", *parts).alias("gram"),
+        parts[-1].isNotNull().alias("_full"),
+    ).filter(F.col("_full"))
+    per_session = grams.groupBy("gram", "_u", "_sid").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    return (
+        per_session.groupBy("gram")
+        .agg(
+            F.sum("_occ").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(top)
+    )

@@ -7682,3 +7682,60 @@ class TestLshCalibration:
             assert out[m].n_pairs == n
             assert abs(out[m].mean_exact_jaccard - round(se / n, 6)) <= 2e-6
             assert abs(out[m].mean_abs_err - round(sae / n, 6)) <= 2e-6
+
+
+class TestJourneyNgrams:
+    """Laws for session journey n-gram mining (profile.journey_ngrams)."""
+
+    def test_hand_built_journeys_and_session_split(self, spark):
+        from datetime import datetime, timedelta
+
+        from spear_spark.operators.profile import journey_ngrams
+
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        m = timedelta(minutes=1)
+
+        rows = []
+        # user 1, one session: a b c a b c  -> a>b>c twice, ONE session
+        for i, t in enumerate("abcabc"):
+            rows.append((1, t0 + i * m, 10 + i, t))
+        # user 2: a b c, then a 2h gap, then a b c -> TWO sessions
+        for i, t in enumerate("abc"):
+            rows.append((2, t0 + i * m, 20 + i, t))
+        for i, t in enumerate("abc"):
+            rows.append((2, t0 + timedelta(hours=2) + i * m, 30 + i, t))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        out = {r.gram: r for r in journey_ngrams(
+            df, "user_id", "ts", "event_type", "event_id", n=3
+        ).collect()}
+        assert out["a>b>c"].n_occurrences == 4
+        # user 1's two occurrences share one session; user 2 has two
+        assert out["a>b>c"].n_sessions == 3
+        # the cross-gap gram b>c>a exists only inside user 1's session
+        assert out["b>c>a"].n_occurrences == 1
+        # no gram spans user 2's 2h gap: c>a>b appears once (user 1)
+        assert out["c>a>b"].n_occurrences == 1
+
+    def test_no_cross_user_grams_and_n_validation(self, spark):
+        from datetime import datetime, timedelta
+
+        import pytest
+
+        from spear_spark.operators.profile import journey_ngrams
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "x"), (1, t0 + timedelta(minutes=1), 2, "y"),
+            (2, t0 + timedelta(minutes=2), 3, "z"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        out = journey_ngrams(
+            df, "user_id", "ts", "event_type", "event_id", n=2
+        ).collect()
+        assert [r.gram for r in out] == ["x>y"]  # never x>y>z across users
+        with pytest.raises(ValueError, match="n must be"):
+            journey_ngrams(df, "user_id", "ts", "event_type", "event_id", n=1)
