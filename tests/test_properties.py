@@ -1246,3 +1246,31 @@ def test_threshold_sweep_trapezoid_equals_score_auc(spark, rows):
         for (x0, y0), (x1, y1) in zip(pts, pts[1:])
     )
     assert abs(a.auc - round(trap, 6)) <= 2e-6
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50),
+              st.integers(min_value=0, max_value=100)),
+    min_size=1, max_size=30,
+), st.integers(min_value=0, max_value=400))
+def test_token_budget_select_matches_python_prefix(spark, rows, budget):
+    """token_budget_select == the pure-Python greedy prefix replay for
+    any (tokens, quality) table — zero-token docs, duplicate
+    qualities (id tie-break), budget 0, budget beyond the corpus."""
+    from spear_spark.operators.sampling import token_budget_select
+
+    table = [(i, t, q / 10.0) for i, (t, q) in enumerate(rows)]
+    df = spark.createDataFrame(table, "id long, tokens long, quality double")
+    got = sorted(
+        (r.id, r.cum_tokens)
+        for r in token_budget_select(df, "id", "tokens", "quality", budget).collect()
+    )
+    exp, cum = [], 0
+    for i, t, q in sorted(table, key=lambda r: (-r[2], r[0])):
+        cum += t
+        if cum > budget:
+            break
+        exp.append((i, cum))
+    assert got == sorted(exp)
