@@ -7166,15 +7166,20 @@ _P159_MATCH = " + ".join(
                   ROUND(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 6) AS ex
            FROM m JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
                   JOIN cnt ca ON m.doc_a = ca.doc_id
-                  JOIN cnt cb ON m.doc_b = cb.doc_id)
+                  JOIN cnt cb ON m.doc_b = cb.doc_id),
+    em AS (SELECT n_match,
+                  CAST(ROUND(ex * 1000000.0, 0) AS BIGINT) AS exm
+           FROM pr)
     SELECT CAST(n_match AS BIGINT) AS n_match,
            ROUND(CAST(n_match AS DOUBLE) / 12.0, 6) + 0.0 AS est_jaccard,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(SUM(ex) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+           ROUND(CAST(SUM(exm) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) + 0.0
              AS mean_exact_jaccard,
-           ROUND(SUM(ABS(CAST(n_match AS DOUBLE) / 12.0 - ex))
-                 / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_abs_err
-    FROM pr GROUP BY n_match ORDER BY n_match
+           ROUND(CAST(SUM(ABS(n_match * 1000000 - 12 * exm)) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 12000000.0), 6) + 0.0
+             AS mean_abs_err
+    FROM em GROUP BY n_match ORDER BY n_match
     """,
 )
 def p159_lsh_calibration(spark: SparkSession, sf_dir: str) -> SDF:

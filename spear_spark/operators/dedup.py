@@ -2634,22 +2634,39 @@ def lsh_calibration(
             F.round(F.col("_i").cast("double") / F.col("_u"), 6).alias("_exact"),
         )
     )
-    est = F.col("n_match").cast("double") / F.lit(float(k))
+    # the per-pair exact jaccard is a 6-dp quantity: lift it onto the
+    # exact integer micro-grid before ANY summation — a double SUM of
+    # rounded jaccards is association-order-dependent and flaked a
+    # 6-dp boundary once (0.965673 vs 0.965672 at sf0.001), the exact
+    # failure mode the p139 integer-space discipline exists for.  The
+    # |error| sum clears the /k denominator too: |k·10⁶·est − k·exm| =
+    # |10⁶·n_match − k·exm| is pure int64.
+    exm = F.round(F.col("_exact") * F.lit(1_000_000.0), 0).cast("long")
+    staged = pairs.select("n_match", exm.alias("_exm"))
+    kf = float(k)
     return (
-        pairs.groupBy("n_match")
+        staged.groupBy("n_match")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("_exact").alias("_se"),
-            F.sum(F.abs(est - F.col("_exact"))).alias("_sae"),
+            F.sum("_exm").alias("_sem"),
+            F.sum(
+                F.abs(F.col("n_match") * F.lit(1_000_000) - F.lit(k) * F.col("_exm"))
+            ).alias("_saem"),
         )
         .select(
             "n_match",
-            (F.round(F.col("n_match").cast("double") / F.lit(float(k)), decimals)
+            (F.round(F.col("n_match").cast("double") / F.lit(kf), decimals)
              + F.lit(0.0)).alias("est_jaccard"),
             "n_pairs",
-            (F.round(F.col("_se") / F.col("n_pairs").cast("double"), decimals)
-             + F.lit(0.0)).alias("mean_exact_jaccard"),
-            (F.round(F.col("_sae") / F.col("n_pairs").cast("double"), decimals)
-             + F.lit(0.0)).alias("mean_abs_err"),
+            (F.round(
+                F.col("_sem").cast("double")
+                / (F.col("n_pairs").cast("double") * F.lit(1_000_000.0)),
+                decimals,
+            ) + F.lit(0.0)).alias("mean_exact_jaccard"),
+            (F.round(
+                F.col("_saem").cast("double")
+                / (F.col("n_pairs").cast("double") * F.lit(kf * 1_000_000.0)),
+                decimals,
+            ) + F.lit(0.0)).alias("mean_abs_err"),
         )
     )
