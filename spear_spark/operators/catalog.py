@@ -6597,7 +6597,9 @@ def p148_heaps_fit(spark: SparkSession, sf_dir: str) -> SDF:
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS keep_rate,
-             ROUND(SUM(s) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_score
+             ROUND(CAST(SUM(CAST(ROUND(s * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) + 0.0
+               AS mean_score
       FROM j GROUP BY source),
     cells AS (
       SELECT source, s,

@@ -1191,9 +1191,9 @@ def source_quality_report(
     nothing is row-joined.  Guards inherit from :func:`score_auc`
     (NULL label / NULL-NaN score raise in-plan).
 
-    ``mean_score`` is the mean of the (already rounded-grid) score,
-    rounded — a double sum per group, the same determinism posture as
-    every mean in the stats family."""
+    ``mean_score`` sums the score on the exact integer micro-grid
+    (scores are 6-dp grid values by the catalog contract) before ONE
+    final division — association-order-proof, the p159 discipline."""
     s = F.col(score_col).cast("double")
     if score_decimals is not None:
         s = F.round(s, score_decimals)
@@ -1207,10 +1207,14 @@ def source_quality_report(
             )
         ).cast("long"),
     ).otherwise(F.lit(1))
+    # scores arrive on a 6-dp grid (the catalog contract): lift them
+    # onto the exact integer micro-grid BEFORE summation — a double
+    # SUM of grid values is association-order-dependent and can
+    # straddle a rounding midpoint (the p159 flake class)
     base = (
         df.select(
             F.col(group_col).alias("group"),
-            s.alias("_s"),
+            F.round(s * F.lit(1_000_000.0), 0).cast("long").alias("_sm"),
             y.cast("boolean").alias("_y"),
             guard.alias("_g"),
         )
@@ -1218,7 +1222,7 @@ def source_quality_report(
         .agg(
             F.sum("_g").alias("n_docs"),
             F.sum(F.col("_y").cast("long")).alias("_n_keep"),
-            F.sum("_s").alias("_score_sum"),
+            F.sum("_sm").alias("_score_sum_m"),
         )
     )
     rates = base.select(
@@ -1232,7 +1236,11 @@ def source_quality_report(
             + F.lit(0.0)
         ).alias("keep_rate"),
         (
-            F.round(F.col("_score_sum") / F.col("n_docs").cast("double"), decimals)
+            F.round(
+                F.col("_score_sum_m").cast("double")
+                / (F.col("n_docs").cast("double") * F.lit(1_000_000.0)),
+                decimals,
+            )
             + F.lit(0.0)
         ).alias("mean_score"),
     )
