@@ -87,7 +87,7 @@ _DRIVER_PRIORITY = [
     # -- NEW but post-window (the round-12 window is full at 50):
     #    preflight-certified now, leads the round-13 window with the
     #    displaced r08 block:
-    "p160_journey_ngrams",
+    "p160_journey_ngrams", "p161_volume_autocorr",
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the r08 remainder leads the round-13 window,

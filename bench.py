@@ -219,6 +219,7 @@ HEADLINE = [
     "p158_fleiss_kappa",
     "p159_lsh_calibration",
     "p160_journey_ngrams",
+    "p161_volume_autocorr",
 ]
 
 

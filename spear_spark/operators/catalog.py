@@ -7236,3 +7236,57 @@ def p160_journey_ngrams(spark: SparkSession, sf_dir: str) -> SDF:
         ev, "user_id", "ts", "event_type", "event_id", gap_minutes=30, n=3,
         top=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# p161 — daily-volume autocorrelation (operators.stats.volume_autocorr):
+# Pearson r of the daily event count against itself at lags 1..7 —
+# the seasonality detector that tells the p99 volume monitor whether a
+# Monday dip is rhythm or incident.  Corpus collapses to the epoch-day
+# count table in ONE two-phase count; the lag join is a self-join of
+# that bounded table; the five correlation sums run in decimal/HUGEINT
+# (day counts at scale overflow int64 products).  Queued with p160 to
+# lead round 13.
+# ---------------------------------------------------------------------------
+@q(
+    "p161_volume_autocorr",
+    """
+    WITH d AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS p,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    pr AS (
+      SELECT l.lag, a.n AS x, b.n AS y
+      FROM d a, d b, UNNEST(generate_series(1, 7)) l(lag)
+      WHERE b.p = a.p + l.lag),
+    agg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pr GROUP BY lag)
+    SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                 AND CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+                THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / SQRT((CAST(n_pairs AS DOUBLE)
+                                   * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n_pairs AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6) + 0.0
+                END AS r
+    FROM agg ORDER BY lag
+    """,
+)
+def p161_volume_autocorr(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import volume_autocorr
+
+    ev = load_table(spark, sf_dir, "events")
+    return volume_autocorr(ev, "ts", max_lag=7)

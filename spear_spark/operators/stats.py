@@ -1378,3 +1378,77 @@ def fleiss_kappa(
         (F.round(p_e, decimals) + F.lit(0.0)).alias("p_e"),
         (F.round(kappa, decimals) + F.lit(0.0)).alias("kappa"),
     )
+
+
+def volume_autocorr(
+    df: DataFrame,
+    ts_col: str,
+    max_lag: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Autocorrelation of the DAILY EVENT VOLUME at lags 1..max_lag —
+    the seasonality detector behind ingest monitoring: a strong lag-7
+    peak says the feed breathes weekly (so a Monday dip is rhythm, not
+    an incident), while a collapsed lag-1 says day-to-day volume is
+    noise and the p99-style anomaly thresholds need widening.  One row
+    per lag: ``(lag, n_pairs, r)`` — Pearson r over (day t, day t+lag)
+    count pairs restricted to days BOTH present (gaps pair with
+    nothing; they are the p99 family's business); r is NULL when fewer
+    than 2 pairs or a side has zero variance.
+
+    Exactness: daily counts are exact int64; all five correlation sums
+    run in decimal(38,0) (day counts at corpus scale reach 10⁹, whose
+    products overflow int64), so only the final sqrt/division floats —
+    identical op order in the oracle.
+
+    Scale shape: ONE two-phase count on the epoch-day key collapses
+    the corpus to the day table (≤ a few thousand rows for years);
+    the lag join is a self-join of that BOUNDED table on period+lag
+    (via one explode of the 1..max_lag literal array), and the
+    correlation is an aggregate per lag over ≤ |days| rows."""
+    if max_lag < 1:
+        raise ValueError("volume_autocorr: max_lag must be >= 1")
+    days = (
+        df.select(
+            F.expr(f"unix_micros({ts_col}) div 86400000000").alias("_p")
+        )
+        .groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    lags = F.explode(
+        F.array(*[F.lit(i) for i in range(1, int(max_lag) + 1)])
+    ).alias("lag")
+    left = days.select(F.col("_p"), F.col("_n").alias("_x")).select(
+        "*", lags
+    )
+    right = days.select(
+        F.col("_p").alias("_p2"), F.col("_n").alias("_y")
+    )
+    pairs = left.join(
+        right, F.col("_p2") == F.col("_p") + F.col("lag")
+    )
+    dec = "decimal(38,0)"
+    x, y = F.col("_x").cast(dec), F.col("_y").cast(dec)
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    k = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    num = k * sxy - sx * sy
+    vx = k * sxx - sx * sx
+    vy = k * syy - sy * sy
+    r = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0.0) & (vy > 0.0),
+        F.round(num / F.sqrt(vx * vy), decimals) + F.lit(0.0),
+    )
+    return agg.select("lag", "n_pairs", r.alias("r")).orderBy("lag")

@@ -7739,3 +7739,69 @@ class TestJourneyNgrams:
         assert [r.gram for r in out] == ["x>y"]  # never x>y>z across users
         with pytest.raises(ValueError, match="n must be"):
             journey_ngrams(df, "user_id", "ts", "event_type", "event_id", n=1)
+
+
+class TestVolumeAutocorr:
+    """Laws for daily-volume autocorrelation (stats.volume_autocorr)."""
+
+    def test_weekly_rhythm_peaks_at_lag_seven(self, spark):
+        from datetime import datetime, timedelta
+
+        from spear_spark.operators.stats import volume_autocorr
+
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        # 8 weeks of a strong weekly pattern: weekday volume d%7+1
+        eid = 0
+        for day in range(56):
+            for _ in range((day % 7) * 5 + 3):
+                rows.append((eid, t0 + timedelta(days=day, minutes=eid % 60)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        out = {r.lag: r for r in volume_autocorr(df, "ts", max_lag=7).collect()}
+        assert out[7].r == 1.0  # exact weekly period
+        assert out[7].n_pairs == 49
+        assert all(out[l].r < 0.9 for l in range(1, 7))
+
+    def test_matches_numpy_and_gap_days_pair_nothing(self, spark):
+        from datetime import datetime, timedelta
+
+        import numpy as np
+
+        from spear_spark.operators.stats import volume_autocorr
+
+        rng = np.random.default_rng(59)
+        t0 = datetime(2024, 3, 1)
+        counts = {d: int(rng.integers(1, 30)) for d in range(20) if d != 9}
+        rows = []
+        eid = 0
+        for d, n in counts.items():
+            for _ in range(n):
+                rows.append((eid, t0 + timedelta(days=d, seconds=eid % 3600)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        out = {r.lag: r for r in volume_autocorr(df, "ts", max_lag=3).collect()}
+        for lag in (1, 2, 3):
+            pairs = [(counts[d], counts[d + lag]) for d in counts
+                     if d + lag in counts]
+            xs = np.array([p[0] for p in pairs], dtype=float)
+            ys = np.array([p[1] for p in pairs], dtype=float)
+            want = float(np.corrcoef(xs, ys)[0, 1])
+            assert out[lag].n_pairs == len(pairs)  # day 9's gap pairs nothing
+            assert abs(out[lag].r - round(want, 6)) <= 1e-6
+
+    def test_degenerate_variance_is_null(self, spark):
+        from datetime import datetime, timedelta
+
+        import pytest
+
+        from spear_spark.operators.stats import volume_autocorr
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(i, t0 + timedelta(days=i % 5, hours=1)) for i in range(25)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        # constant 5 events/day -> zero variance -> NULL r
+        out = {r.lag: r for r in volume_autocorr(df, "ts", max_lag=2).collect()}
+        assert out[1].r is None and out[1].n_pairs == 4
+        with pytest.raises(ValueError, match="max_lag"):
+            volume_autocorr(df, "ts", max_lag=0)
