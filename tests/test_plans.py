@@ -1010,3 +1010,35 @@ def test_lsh_calibration_banded_no_cartesian(spark, sf_dir):
     assert has_partial_aggregation(plan)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_journey_ngrams_user_windows_takeordered(spark, sf_dir):
+    """p160: session flag + gram windows partition by user (never
+    SinglePartition over events), the top-k is a TakeOrdered heap, the
+    gram tally partial-aggregates, pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import (
+        executed_plan,
+        has_partial_aggregation,
+        has_take_ordered,
+    )
+
+    plan = executed_plan(OPS["p160_journey_ngrams"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert has_take_ordered(plan)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_volume_autocorr_bounded_day_table(spark, sf_dir):
+    """p161: the corpus collapses to the epoch-day count table via a
+    partial aggregate inside the checkpoint job — the executed lag
+    plan touches no parquet; both join sides read the materialized
+    day RDD; no cartesian beyond the 7-literal lag explode, pure
+    JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan
+
+    plan = executed_plan(OPS["p161_volume_autocorr"][0](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("ExistingRDD") >= 2
+    assert "EvalPython" not in plan and "InPandas" not in plan
