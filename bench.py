@@ -220,6 +220,7 @@ HEADLINE = [
     "p159_lsh_calibration",
     "p160_journey_ngrams",
     "p161_volume_autocorr",
+    "p162_ivf_recall_curve",
 ]
 
 

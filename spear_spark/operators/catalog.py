@@ -7290,3 +7290,86 @@ def p161_volume_autocorr(spark: SparkSession, sf_dir: str) -> SDF:
 
     ev = load_table(spark, sf_dir, "events")
     return volume_autocorr(ev, "ts", max_lag=7)
+
+
+# ---------------------------------------------------------------------------
+# p162 — IVF recall curve (operators.similarity.ivf_recall_curve):
+# recall@5 of the deterministic IVF index vs brute-force truth at
+# probe depths 1..4, averaged over 10 anchors — the measured "how many
+# cells buy 95% recall ON MY DATA" curve; the p159 honesty posture
+# applied to the ANN family (the test-suite recall contracts pin
+# points; this certifies the whole curve).  One assignment projection,
+# broadcast anchors/cell-ranks, a sequence(rc, max) explode instead of
+# per-depth rescans, rank windows over probed candidates only.
+# Queued with p160/p161 to lead round 13.
+# ---------------------------------------------------------------------------
+@q(
+    "p162_ivf_recall_curve",
+    f"""
+    WITH cents AS (
+      SELECT ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci FROM
+        (SELECT vec_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8) c0),
+    anch AS (SELECT vec_id AS aid, embedding AS av
+             FROM embeddings ORDER BY vec_id DESC LIMIT 10),
+    dist AS (
+      SELECT e.vec_id, c.ci, {_D2.format(a='e.embedding')} AS d2
+      FROM embeddings e CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+      GROUP BY e.vec_id, c.ci),
+    assigned AS (SELECT vec_id, ci AS cell FROM
+      (SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+       FROM dist) t WHERE rn = 1),
+    adist AS (
+      SELECT a.aid, c.ci, {_D2.format(a='a.av')} AS d2
+      FROM anch a CROSS JOIN cents c CROSS JOIN range(1, 65) r(i)
+      GROUP BY a.aid, c.ci),
+    cellrank AS (SELECT aid, ci,
+                        ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d2, ci) AS rc
+                 FROM adist),
+    sims AS (
+      SELECT a.aid, e.vec_id,
+        ROUND(SUM(CAST(e.embedding[i] AS DOUBLE)*CAST(a.av[i] AS DOUBLE)) /
+          (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) *
+           SQRT(SUM(CAST(a.av[i] AS DOUBLE)*CAST(a.av[i] AS DOUBLE)))), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN anch a CROSS JOIN range(1, 65) r(i)
+      WHERE e.vec_id <> a.aid GROUP BY a.aid, e.vec_id),
+    truth AS (SELECT aid, vec_id FROM
+      (SELECT aid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos_sim DESC, vec_id) AS rn
+       FROM sims) t WHERE rn <= 5),
+    cand AS (SELECT s.aid, s.vec_id, s.cos_sim, cr.rc
+             FROM sims s JOIN assigned asg ON asg.vec_id = s.vec_id
+                         JOIN cellrank cr ON cr.aid = s.aid AND cr.ci = asg.cell
+             WHERE cr.rc <= 4),
+    pp AS (SELECT aid, vec_id, cos_sim, p.p AS n_probe
+           FROM cand, UNNEST(generate_series(CAST(rc AS BIGINT),
+                                             CAST(4 AS BIGINT))) p(p)),
+    ivtop AS (SELECT aid, vec_id, n_probe FROM
+      (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid, n_probe
+                 ORDER BY cos_sim DESC, vec_id) AS rn FROM pp) t
+      WHERE rn <= 5),
+    hits AS (SELECT iv.n_probe, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM ivtop iv JOIN truth t
+               ON t.aid = iv.aid AND t.vec_id = iv.vec_id
+             GROUP BY iv.n_probe)
+    SELECT CAST(n_probe AS INTEGER) AS n_probe,
+           CAST(10 AS INTEGER) AS n_anchors, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / 50.0, 6) + 0.0 AS recall_at_k
+    FROM hits ORDER BY n_probe
+    """,
+)
+def p162_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ends = sorted(
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).unionAll(
+            emb.select("vec_id", "embedding")
+            .orderBy(F.col("vec_id").desc())
+            .limit(10)
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    centroids = [list(map(float, r["embedding"])) for r in ends[:8]]
+    anchors = [(int(r["vec_id"]), list(map(float, r["embedding"])))
+               for r in ends[8:]]
+    return similarity.ivf_recall_curve(
+        emb, "embedding", "vec_id", anchors, centroids, k=5, max_probe=4
+    )

@@ -1516,3 +1516,113 @@ def centroid_distance_matrix(
             "l1_dist"
         ),
     )
+
+
+def ivf_recall_curve(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    anchors: Sequence[tuple[int, Sequence[float]]],
+    centroids: Sequence[Sequence[float]],
+    k: int = 5,
+    max_probe: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """The n_probe tuning curve for a deterministic IVF index:
+    recall@k of :func:`ann_topk_ivf_fixed` against the brute-force
+    truth, per probe depth 1..max_probe, averaged over the anchor set
+    — ``(n_probe, n_anchors, n_hits, recall_at_k)``.  This is the
+    measured answer to "how many cells must I probe for 95% recall ON
+    MY DATA" — the p159 honesty posture applied to the ANN family
+    (test-suite recall contracts pin single points; this emits the
+    whole curve as a certifiable table).
+
+    Anchors and centroids are driver-side literals (the p26
+    convention — both are a few KB); everything corpus-sized stays
+    distributed: ONE cell-assignment projection, the brute truth via
+    the broadcast-anchor batch ranker, candidates via a broadcast
+    hash join on the cell key, and a per-(anchor, probe) rank window
+    over the candidate set (bounded by the probed cells).  A
+    candidate in the anchor's rc-th nearest cell is eligible at every
+    probe depth >= rc — one ``sequence(rc, max_probe)`` explode, no
+    per-depth rescans.  All ranks tie-break on id; recall is a ratio
+    of exact counts."""
+    if not anchors:
+        raise ValueError("ivf_recall_curve: need at least one anchor")
+    if max_probe < 1 or max_probe > len(centroids):
+        raise ValueError(
+            "ivf_recall_curve: max_probe must be in 1..len(centroids)"
+        )
+    spark = df.sparkSession
+    n_anchors = len(anchors)
+    aset = [(int(a), [float(x) for x in v]) for a, v in anchors]
+
+    qs = spark.createDataFrame(
+        [(a, v) for a, v in aset], f"_aid long, _av array<double>"
+    )
+    truth = cosine_topk_batch(
+        df, vec_col, id_col, qs, "_aid", "_av", k=k
+    ).select(F.col("_aid"), F.col(id_col).alias("_tid"))
+
+    ranks = []
+    for a, v in aset:
+        order = nearest_cells(v, centroids, len(centroids))
+        ranks += [(a, int(c), rc + 1) for rc, c in enumerate(order)]
+    cellrank = spark.createDataFrame(ranks, "_aid long, _cell int, _rc int")
+
+    assigned = ivf_assign_fixed(df, vec_col, centroids).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+        F.col("_cell").cast("int").alias("_cell"),
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(cellrank.filter(F.col("_rc") <= max_probe)), "_cell"
+        )
+        .join(F.broadcast(qs.withColumn("_qn", norm(F.col("_av")))), "_aid")
+        .filter(F.col("_cid") != F.col("_aid"))
+        .select(
+            "_aid",
+            "_cid",
+            "_rc",
+            F.round(
+                dot(F.col("_cv"), F.col("_av")) / (F.col("_cn") * F.col("_qn")),
+                6,
+            ).alias("_cos"),
+        )
+    )
+    per_probe = cand.select(
+        "_aid",
+        "_cid",
+        "_cos",
+        F.explode(
+            F.sequence(F.col("_rc"), F.lit(int(max_probe)))
+        ).alias("n_probe"),
+    )
+    w = W.partitionBy("_aid", "n_probe").orderBy(
+        F.col("_cos").desc(), F.col("_cid")
+    )
+    topk = per_probe.withColumn("_rnk", F.row_number().over(w)).filter(
+        F.col("_rnk") <= k
+    )
+    hits = topk.join(
+        truth,
+        (topk._aid == truth._aid) & (topk._cid == truth._tid),
+        "left_semi",
+    )
+    denom = float(n_anchors * k)
+    return (
+        hits.groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            F.lit(n_anchors).alias("n_anchors"),
+            "n_hits",
+            (
+                F.round(F.col("n_hits").cast("double") / F.lit(denom), decimals)
+                + F.lit(0.0)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("n_probe")
+    )

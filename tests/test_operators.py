@@ -7805,3 +7805,84 @@ class TestVolumeAutocorr:
         assert out[1].r is None and out[1].n_pairs == 4
         with pytest.raises(ValueError, match="max_lag"):
             volume_autocorr(df, "ts", max_lag=0)
+
+
+class TestIvfRecallCurve:
+    """Laws for the IVF n_probe tuning curve
+    (similarity.ivf_recall_curve)."""
+
+    def test_monotone_and_full_probe_is_exact(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import ivf_recall_curve
+
+        rng = np.random.default_rng(61)
+        vecs = rng.normal(size=(80, 6))
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+        centroids = [[float(x) for x in vecs[i]] for i in range(4)]
+        anchors = [(i, [float(x) for x in vecs[i]]) for i in range(70, 76)]
+        out = sorted(
+            ivf_recall_curve(df, "v", "vec_id", anchors, centroids,
+                             k=4, max_probe=4).collect(),
+            key=lambda r: r.n_probe,
+        )
+        assert [r.n_probe for r in out] == [1, 2, 3, 4]
+        recalls = [r.recall_at_k for r in out]
+        assert recalls == sorted(recalls)  # monotone in probe depth
+        # probing EVERY cell = brute force: recall exactly 1
+        assert recalls[-1] == 1.0
+        assert out[-1].n_hits == len(anchors) * 4
+
+    def test_matches_python_replay(self, spark):
+        import numpy as np
+
+        from spear_spark.operators.similarity import ivf_recall_curve
+
+        rng = np.random.default_rng(67)
+        vecs = rng.normal(size=(50, 4))
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+        centroids = [[float(x) for x in vecs[i]] for i in range(3)]
+        anchors = [(i, [float(x) for x in vecs[i]]) for i in (45, 46, 47)]
+        k = 3
+        out = {r.n_probe: r.n_hits for r in ivf_recall_curve(
+            df, "v", "vec_id", anchors, centroids, k=k, max_probe=2
+        ).collect()}
+
+        def cos(a, b):
+            return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+        def d2(a, b):
+            return round(float(((a - b) ** 2).sum()), 6)
+
+        cells = {i: min(range(3), key=lambda c: (d2(vecs[i], np.array(centroids[c])), c))
+                 for i in range(50)}
+        want = {1: 0, 2: 0}
+        for aid, _ in anchors:
+            a = vecs[aid]
+            order = sorted(range(3), key=lambda c: (d2(a, np.array(centroids[c])), c))
+            sims = sorted(
+                ((-cos(a, vecs[j]), j) for j in range(50) if j != aid)
+            )
+            truth = {j for _, j in sims[:k]}
+            for p in (1, 2):
+                probed = set(order[:p])
+                cand = sorted(
+                    ((-cos(a, vecs[j]), j) for j in range(50)
+                     if j != aid and cells[j] in probed)
+                )
+                want[p] += len({j for _, j in cand[:k]} & truth)
+        assert out == want
+
+    def test_validation(self, spark):
+        import pytest
+
+        from spear_spark.operators.similarity import ivf_recall_curve
+
+        df = spark.createDataFrame([(0, [0.1, 0.2])], "vec_id long, v array<float>")
+        with pytest.raises(ValueError, match="anchor"):
+            ivf_recall_curve(df, "v", "vec_id", [], [[0.0, 0.0]])
+        with pytest.raises(ValueError, match="max_probe"):
+            ivf_recall_curve(df, "v", "vec_id", [(0, [0.1, 0.2])],
+                             [[0.0, 0.0]], max_probe=2)
