@@ -1606,8 +1606,11 @@ def ivf_recall_curve(
     topk = per_probe.withColumn("_rnk", F.row_number().over(w)).filter(
         F.col("_rnk") <= k
     )
+    # truth is n_anchors·k rows by construction — broadcast it; the
+    # post-window estimate otherwise defaults the semi join to
+    # sort-merge against the candidate set
     hits = topk.join(
-        truth,
+        F.broadcast(truth),
         (topk._aid == truth._aid) & (topk._cid == truth._tid),
         "left_semi",
     )

@@ -1042,3 +1042,18 @@ def test_volume_autocorr_bounded_day_table(spark, sf_dir):
     assert plan.count("Scan parquet") == 0
     assert plan.count("ExistingRDD") >= 2
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ivf_recall_curve_broadcast_probes(spark, sf_dir):
+    """p162: anchors and cell-ranks broadcast into the candidate join
+    (no sort-merge against the corpus), the probe fan-out is one
+    explode (no per-depth rescans — exactly one parquet scan feeds the
+    candidate side besides the truth ranker's), pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_broadcast_join
+
+    plan = executed_plan(OPS["p162_ivf_recall_curve"][0](spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2
+    assert "EvalPython" not in plan and "InPandas" not in plan
