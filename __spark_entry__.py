@@ -88,7 +88,7 @@ _DRIVER_PRIORITY = [
     #    preflight-certified now, leads the round-13 window with the
     #    displaced r08 block:
     "p160_journey_ngrams", "p161_volume_autocorr",
-    "p162_ivf_recall_curve",
+    "p162_ivf_recall_curve", "p163_readability",
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the r08 remainder leads the round-13 window,

@@ -221,6 +221,7 @@ HEADLINE = [
     "p160_journey_ngrams",
     "p161_volume_autocorr",
     "p162_ivf_recall_curve",
+    "p163_readability",
 ]
 
 

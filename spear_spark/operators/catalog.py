@@ -7373,3 +7373,46 @@ def p162_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> SDF:
     return similarity.ivf_recall_curve(
         emb, "embedding", "vec_id", anchors, centroids, k=5, max_probe=4
     )
+
+
+# ---------------------------------------------------------------------------
+# p163 — readability / Flesch-Kincaid (operators.text.readability):
+# per-source grade estimate from three exact integer tallies (words,
+# [.!?]+ sentence runs floored at 1/doc, [aeiouy]+ syllable runs) —
+# the complexity axis p09 doesn't carry; a curriculum or mix plan
+# distinguishes simple-wiki from legalese here.  No sum-order surface
+# at all: integers in, three single double ops out.  One projection +
+# one two-phase aggregate.  Queued with p160-p162 to lead round 13.
+# ---------------------------------------------------------------------------
+@q(
+    "p163_readability",
+    rf"""
+    WITH t AS (
+      SELECT source,
+             CAST(len({_TOKS}) AS BIGINT) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS y
+      FROM documents),
+    a AS (SELECT source AS "group",
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(w) AS BIGINT) AS n_words,
+                 CAST(SUM(s) AS BIGINT) AS n_sentences,
+                 CAST(SUM(y) AS BIGINT) AS n_syllables
+          FROM t GROUP BY source HAVING SUM(w) > 0)
+    SELECT "group", n_docs, n_words, n_sentences, n_syllables,
+           ROUND(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+             + 0.0 AS words_per_sentence,
+           ROUND(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             + 0.0 AS syllables_per_word,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                 - 15.59, 6) + 0.0 AS fk_grade
+    FROM a ORDER BY "group"
+    """,
+)
+def p163_readability(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.readability(docs, "text", "source").orderBy("group")

@@ -1391,3 +1391,67 @@ def lang_confusion(
             + F.lit(0.0)
         ).alias("row_frac"),
     )
+
+
+def readability(
+    df,
+    text_col: str,
+    group_col: str,
+    decimals: int = 6,
+):
+    """Per-group Flesch-Kincaid grade estimate from three exact integer
+    tallies — words (whitespace tokens), sentences (maximal ``[.!?]+``
+    runs, floored at one per doc), and syllables (maximal vowel runs
+    ``[aeiouy]+`` in the lowercased text — the classic heuristic;
+    vowel runs cannot cross whitespace, so the count decomposes per
+    word) — the complexity axis the p09 quality score does not carry:
+    two sources can match on length/stopword profile while one is
+    grade-4 simple wikipedia and the other grade-14 legalese, and a
+    curriculum (p105) or mix plan wants to know.  One row per group:
+    ``(group, n_docs, n_words, n_sentences, n_syllables,
+    words_per_sentence, syllables_per_word, fk_grade)`` with
+    FK = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+
+    Exactness: the three tallies are associative int64 sums — the
+    ratios and the FK line are single double operations on exact
+    integers (identical op order in the oracle), so there is no
+    sum-order surface at all (the p159 discipline by construction).
+    Groups with zero words are dropped (their absence is the signal).
+
+    Scale shape: pure projection (three regexp counts per row) + ONE
+    two-phase aggregate on the group key."""
+    c = F.col(text_col)
+    words = F.size(tokens(text_col)).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syllables = F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")).cast("long")
+    agg = (
+        df.select(
+            F.col(group_col).alias("group"),
+            words.alias("_w"),
+            sentences.alias("_s"),
+            syllables.alias("_y"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_s").alias("n_sentences"),
+            F.sum("_y").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.round(wps, decimals) + F.lit(0.0)).alias("words_per_sentence"),
+        (F.round(spw, decimals) + F.lit(0.0)).alias("syllables_per_word"),
+        (F.round(fk, decimals) + F.lit(0.0)).alias("fk_grade"),
+    )

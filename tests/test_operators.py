@@ -7886,3 +7886,74 @@ class TestIvfRecallCurve:
         with pytest.raises(ValueError, match="max_probe"):
             ivf_recall_curve(df, "v", "vec_id", [(0, [0.1, 0.2])],
                              [[0.0, 0.0]], max_probe=2)
+
+
+class TestReadability:
+    """Laws for the Flesch-Kincaid estimate (text.readability)."""
+
+    def test_hand_computed_tallies_and_grade(self, spark):
+        from spear_spark.operators.text import readability
+
+        # "the cat sat. it ran!" -> 5 words, 2 sentences,
+        # syllable runs: e, a, a, i, a = 5
+        df = spark.createDataFrame(
+            [("the cat sat. it ran!", "g")], "text string, g string"
+        )
+        [r] = readability(df, "text", "g").collect()
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+        wps, spw = 5 / 2, 5 / 5
+        assert r.words_per_sentence == round(wps, 6)
+        assert r.syllables_per_word == round(spw, 6)
+        assert r.fk_grade == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+        # no terminator -> floors at one sentence per doc
+        [r2] = readability(
+            spark.createDataFrame([("no punctuation here", "g")],
+                                  "text string, g string"),
+            "text", "g",
+        ).collect()
+        assert r2.n_sentences == 1
+
+    def test_legalese_grades_above_simple_prose(self, spark):
+        from spear_spark.operators.text import readability
+
+        simple = " ".join(["the cat sat on the mat. it was fun."] * 10)
+        legal = " ".join(
+            ["notwithstanding heretofore enumerated considerations "
+             "the aforementioned indemnification obligations survive "
+             "termination of this agreement indefinitely."] * 10
+        )
+        df = spark.createDataFrame(
+            [(simple, "simple"), (legal, "legal")], "text string, g string"
+        )
+        out = {r.group: r for r in readability(df, "text", "g").collect()}
+        assert out["legal"].fk_grade > out["simple"].fk_grade + 5
+        assert out["legal"].syllables_per_word > out["simple"].syllables_per_word
+
+    def test_matches_python_replay(self, spark):
+        import random
+        import re
+
+        from spear_spark.operators.text import readability
+
+        rng = random.Random(71)
+        vocab = ["cat", "extraordinary", "run", "beautiful", "it", "syzygy"]
+        rows = []
+        for i in range(60):
+            words = [rng.choice(vocab) for _ in range(rng.randint(3, 15))]
+            t = " ".join(words) + rng.choice([".", "!", "?", ""])
+            rows.append((t, f"g{i % 3}"))
+        df = spark.createDataFrame(rows, "text string, g string")
+        out = {r.group: r for r in readability(df, "text", "g").collect()}
+        tallies: dict = {}
+        for t, g in rows:
+            w = len(t.lower().strip().split())
+            s = max(len(re.findall(r"[.!?]+", t)), 1)
+            y = len(re.findall(r"[aeiouy]+", t.lower()))
+            a = tallies.setdefault(g, [0, 0, 0, 0])
+            a[0] += 1; a[1] += w; a[2] += s; a[3] += y
+        for g, (nd, w, s, y) in tallies.items():
+            r = out[g]
+            assert (r.n_docs, r.n_words, r.n_sentences, r.n_syllables) == (
+                nd, w, s, y
+            )
+            assert r.fk_grade == round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 6)

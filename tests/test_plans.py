@@ -1057,3 +1057,15 @@ def test_ivf_recall_curve_broadcast_probes(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 2
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_readability_single_aggregate(spark, sf_dir):
+    """p163: three regexp tallies in one projection + one two-phase
+    aggregate on the group key; one scan; pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p163_readability"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
