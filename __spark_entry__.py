@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = [
     #    displaced r08 block:
     "p160_journey_ngrams", "p161_volume_autocorr",
     "p162_ivf_recall_curve", "p163_readability",
+    "p164_volume_gini",
 
     # ---- below the fold (order = evidence age, so future rotations
     # stay mechanical: the r08 remainder leads the round-13 window,

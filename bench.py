@@ -222,6 +222,7 @@ HEADLINE = [
     "p161_volume_autocorr",
     "p162_ivf_recall_curve",
     "p163_readability",
+    "p164_volume_gini",
 ]
 
 

@@ -7416,3 +7416,38 @@ def p162_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> SDF:
 def p163_readability(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     return text.readability(docs, "text", "source").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# p164 — volume Gini (operators.stats.volume_gini): concentration of
+# corpus volume across sources in one number (0 = even, ->1 = one
+# source is the corpus) — the imbalance monitor a mix plan checks
+# before/after rebalancing.  Corpus collapses to the 20-row source
+# table in one two-phase count; the sorted closed form runs over that
+# bounded table with an exact int64 numerator; the only FP op is the
+# final division.  Queued with p160-p163 to lead round 13.
+# ---------------------------------------------------------------------------
+@q(
+    "p164_volume_gini",
+    """
+    WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS x
+                 FROM documents GROUP BY source),
+    rk AS (SELECT x,
+                  ROW_NUMBER() OVER (ORDER BY x, source) AS i,
+                  COUNT(*) OVER () AS n
+           FROM per)
+    SELECT CAST(MIN(n) AS BIGINT) AS n_groups,
+           CAST(SUM(x) AS BIGINT) AS total,
+           CASE WHEN MIN(n) >= 2 AND SUM(x) > 0
+                THEN ROUND(CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
+                           / (CAST(MIN(n) AS DOUBLE)
+                              * CAST(SUM(x) AS DOUBLE)), 6) + 0.0
+                END AS gini
+    FROM rk
+    """,
+)
+def p164_volume_gini(spark: SparkSession, sf_dir: str) -> SDF:
+    from spear_spark.operators.stats import volume_gini
+
+    docs = load_table(spark, sf_dir, "documents")
+    return volume_gini(docs, "source")

@@ -1452,3 +1452,75 @@ def volume_autocorr(
         F.round(num / F.sqrt(vx * vy), decimals) + F.lit(0.0),
     )
     return agg.select("lag", "n_pairs", r.alias("r")).orderBy("lag")
+
+
+def volume_gini(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Gini coefficient of volume concentration across groups — the
+    one-number mixture-imbalance readout (0 = perfectly even, →1 = one
+    source is the corpus): the first thing a mix plan (p101) or
+    balanced-shard pass (p53) checks before and after rebalancing, and
+    the monitor that notices one crawler quietly becoming half the
+    feed.  One row: ``(n_groups, total, gini)``; gini is NULL for a
+    single group (undefined spread).
+
+    Computed from the sorted closed form Σ(2i − n − 1)·xᵢ / (n·Σx)
+    with ranks ordered (volume, group) — deterministic ties — and the
+    numerator an exact int64 sum over the GROUP table (weights are
+    counts or non-negative int64 weights; in-plan raise otherwise),
+    so the single final division is the only FP op.
+
+    Scale shape: ONE two-phase count/sum on the group key collapses
+    the corpus to the |groups|-row table; the rank window and the
+    closed-form sum run over that bounded table (the
+    fixed_width_histogram posture)."""
+    from pyspark.sql.window import Window as W
+
+    w = (
+        F.count(F.lit(1)).alias("_x")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).alias("_x")
+    )
+    per = df.groupBy(F.col(group_col).alias("_g")).agg(w)
+    bad = F.col("_x").isNull() | (F.col("_x") < 0)
+    guarded = per.select(
+        "_g",
+        F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "volume_gini: NULL/negative group weight — the "
+                    "closed form needs non-negative volumes"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("_x"))
+        .alias("_x"),
+    )
+    wr = W.partitionBy().orderBy("_x", "_g")
+    wall = W.partitionBy()
+    ranked = guarded.select(
+        "_x",
+        F.row_number().over(wr).alias("_i"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    term = (2 * F.col("_i") - F.col("_n") - 1).cast("long") * F.col("_x")
+    agg = ranked.groupBy().agg(
+        F.min("_n").alias("n_groups"),
+        F.sum("_x").alias("total"),
+        F.sum(term).alias("_num"),
+    )
+    gini = F.when(
+        (F.col("n_groups") >= 2) & (F.col("total") > 0),
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("n_groups").cast("double") * F.col("total").cast("double")),
+            decimals,
+        )
+        + F.lit(0.0),
+    )
+    return agg.select("n_groups", "total", gini.alias("gini"))

@@ -7957,3 +7957,55 @@ class TestReadability:
                 nd, w, s, y
             )
             assert r.fk_grade == round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 6)
+
+
+class TestVolumeGini:
+    """Laws for volume concentration (stats.volume_gini)."""
+
+    def test_even_zero_concentrated_high_and_replay(self, spark):
+        import random
+
+        from spear_spark.operators.stats import volume_gini
+
+        even = spark.createDataFrame(
+            [(i, f"s{i % 4}") for i in range(40)], "id long, g string"
+        )
+        [r] = volume_gini(even, "g").collect()
+        assert r.gini == 0.0 and r.n_groups == 4 and r.total == 40
+        # one source holds ~everything: gini near (n-1)/n
+        skew = spark.createDataFrame(
+            [(i, "big") for i in range(97)] + [(100, "a"), (101, "b"), (102, "c")],
+            "id long, g string",
+        )
+        [rs] = volume_gini(skew, "g").collect()
+        assert rs.gini > 0.7
+        # python replay on random volumes
+        rng = random.Random(73)
+        rows = [(i, f"g{rng.randint(0, 5)}") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        [rr] = volume_gini(df, "g").collect()
+        from collections import Counter
+
+        xs = sorted(Counter(g for _, g in rows).items(),
+                    key=lambda p: (p[1], p[0]))
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, (_, x) in enumerate(xs))
+        assert rr.gini == round(num / (n * sum(x for _, x in xs)), 6)
+
+    def test_weighted_mode_and_guards(self, spark):
+        import pytest
+
+        from spear_spark.operators.stats import volume_gini
+
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 10), ("b", 80)], "g string, w long"
+        )
+        [r] = volume_gini(df, "g", weight_col="w").collect()
+        # volumes (20, 80): gini = (2*1-3)*20+(2*2-3)*80 over 2*100
+        assert r.gini == round(((-1) * 20 + 1 * 80) / (2 * 100), 6)
+        single = spark.createDataFrame([("a", 5)], "g string, w long")
+        [rs] = volume_gini(single, "g", weight_col="w").collect()
+        assert rs.gini is None
+        neg = spark.createDataFrame([("a", -1), ("b", 2)], "g string, w long")
+        with pytest.raises(Exception, match="volume_gini"):
+            volume_gini(neg, "g", weight_col="w").collect()

@@ -1069,3 +1069,16 @@ def test_readability_single_aggregate(spark, sf_dir):
     assert has_partial_aggregation(plan)
     assert plan.count("Scan parquet") == 1
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_volume_gini_bounded_closed_form(spark, sf_dir):
+    """p164: the corpus collapses to the source table via a partial
+    aggregate; the rank window and closed-form sum run over that
+    bounded table; one scan, pure JVM."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+    from spear_spark.plans import executed_plan, has_partial_aggregation
+
+    plan = executed_plan(OPS["p164_volume_gini"][0](spark, sf_dir))
+    assert has_partial_aggregation(plan)
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
