@@ -24,96 +24,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-12 window (7+8+18+17 = 50): the 7 late-round-11 entries with
-# no driver evidence yet (p127–p133, sequenced by the round-11
-# verdict), the 8 NEW round-12 operators (p134 char-gram-candidate
-# edit-distance pairs — the OCR-noise recall mode; p135 CC-grade
-# leakage-safe split — constructor and audit at one granularity;
-# p136 fertility-balanced BPE — integer-reweighted word mass closes
-# p129's per-language gap; p137 chunk-grade dedup report — per-source
-# retention at verbatim-chunk granularity; p138 filter-ensemble kappa
-# matrix — one-scan pairwise agreement; p139 packing preview —
-# training-sequence yield per context length; p140 BPE coverage /
-# char-fallback rate; p141 n-way stratified leakage-safe split), the
-# 18 second-wave round-12 operators (p142-p159), and the 17
-# r07-evidence rotations (the oldest rows in the repo after round
-# 11); the whole r08 block now leads the round-13 queue.
+# Round-13 window (5+26+18+1 = 50): the 5 late-round-12 operators
+# with no driver evidence yet (p160 journey n-grams, p161 volume
+# autocorrelation, p162 IVF n_probe recall curve, p163 per-source
+# readability, p164 volume Gini — p160/p161/p164 also carry round-13
+# guard fixes per ADVICE, so fresh certification is mandatory), the
+# full r08-evidence rotation (26 + 18 entries — the oldest driver
+# rows left in the repo, last certified round 8), and the head of the
+# r09 block (p92) to fill slot 50.
 _DRIVER_PRIORITY = [
-    # ---- round 12 window ----
-    # -- no driver evidence yet (late round 11): cross-source chunk
-    #    overlap, REAL-parser audio (stdlib-wave PCM round trip),
-    #    per-language BPE fertility, source token yield, split-leakage
-    #    audit, edit-distance-verified near-dups, REAL-container video
-    #    (YUV4MPEG2 walker)
-    "p127_source_chunk_overlap", "p128_audio_decode",
-    "p129_bpe_fertility", "p130_source_token_yield",
-    "p131_split_leakage", "p132_edit_distance_pairs",
-    "p133_video_decode",
-    # -- NEW in round 12 (each oracle-paired + law-tested; verified
-    #    MATCH at sf0.001/0.01 in-session):
-    "p134_edit_distance_char", "p135_leakage_split_cc",
-    "p136_bpe_fertility_balanced", "p137_dedup_report_chunks",
-    "p138_filter_agreement_matrix", "p139_packing_preview",
-    "p140_bpe_coverage", "p141_stratified_split",
-    # -- NEW in round 12, second wave (p142 Mann-Whitney score AUC —
-    #    the continuous-score member of the filter-eval family; p147
-    #    threshold sweep — every operating point of the score; p148
-    #    Heaps-law vocab growth fit across sources; p143
-    #    greedy token-budget selection — fills budget_waterfill's
-    #    per-source shares; p144 exact quantized centroid drift —
-    #    embedding-space drift per label; p145 Zipf rank-frequency
-    #    fit per lang; p146 cross-split NEAR-dup leakage — pair-grade
-    #    complement of the p131 audit):
-    "p142_score_auc", "p143_token_budget_select",
-    "p144_centroid_drift", "p145_zipf_fit",
-    "p146_cross_split_neardup", "p147_threshold_sweep",
-    "p148_heaps_fit", "p149_source_quality_report",
-    "p150_frame_cuts", "p151_lang_confusion",
-    "p152_centroid_dispersion", "p153_dedup_method_report",
-    "p154_score_calibrate", "p155_hard_negatives",
-    "p156_knn_label_purity", "p157_centroid_distance_matrix",
-    "p158_fleiss_kappa", "p159_lsh_calibration",
-    # -- the 17 r07-evidence rotations (oldest evidence in the repo):
-    "p50_length_histogram",
-    "p51_cdc_upsert", "p52_corpus_surprisal",
-    "p53_balanced_shards", "p54_cross_source_dups",
-    "p56_cluster_balanced_sample", "p57_leakage_safe_split",
-    "p58_normalize_text", "q06_forecast_revenue",
-    "q07_customer_orders_left", "q08_nation_coverage",
-    "q09_customers_without_orders", "q10_union_bag",
-    "q11_intersect_multiset", "q12_except_multiset",
-    "q13_distinct", "q14_window_aggregates",
-
-    # -- NEW but post-window (the round-12 window is full at 50):
-    #    preflight-certified now, leads the round-13 window with the
-    #    displaced r08 block:
+    # ---- round 13 window (5 + 26 + 18 + 1 = 50) ----
+    # -- NEW/no-driver-evidence (added late round 12, preflight-only;
+    #    p160/p161/p164 additionally have round-13 Spark-side guard
+    #    fixes per ADVICE, so they MUST re-certify this round):
     "p160_journey_ngrams", "p161_volume_autocorr",
     "p162_ivf_recall_curve", "p163_readability",
     "p164_volume_gini",
-
-    # ---- below the fold (order = evidence age, so future rotations
-    # stay mechanical: the r08 remainder leads the round-13 window,
-    # then the r09 block, then the r11 block; the round-10 window's 50
-    # entries are the implicit catalog-order leftovers at the very
-    # end — recompute ages from CORRECTNESS_r*.json when sequencing
-    # round 13). ----
-    # -- r08 evidence remainder (rotate FIRST in round 13; the first
-    #    r08 block was displaced from the round-12 window by
-    #    p142-p159):
+    # -- r08-evidence rotation, part 1 (oldest driver rows in the
+    #    repo — last certified round 8):
     "p81_group_heavy_hitters", "p84_rolling_distinct",
     "p87_contamination_spans", "p88_cluster_representatives",
-    "p89_hll_overlap",
-    "p91_mad_outliers", "q17_event_gaps",
-    "q19_sort_nulls", "q24_hourly_rollup",
-    "q25_json_extract", "q29_asof_last_click",
-    "q43_multigrain_rollup", "q50_sql_dialect",
-    "q51_partitioned_range", "q53_gapfill_hourly",
-    "q58_dialect_extensions", "q68_lateral_topn",
-    "q69_unpivot",
+    "p89_hll_overlap", "p91_mad_outliers",
+    "q17_event_gaps", "q19_sort_nulls",
+    "q24_hourly_rollup", "q25_json_extract",
+    "q29_asof_last_click", "q43_multigrain_rollup",
+    "q50_sql_dialect", "q51_partitioned_range",
+    "q53_gapfill_hourly", "q58_dialect_extensions",
+    "q68_lateral_topn", "q69_unpivot",
     "q70_qualify", "q71_listagg",
     "q72_recursive_cte", "q74_stats_aggregates",
     "q75_datetime_functions", "q76_union_by_name",
     "q77_group_by_all", "q78_semi_anti_join",
+    # -- r08-evidence rotation, part 2:
     "p06_embedding_nn", "p07_cosine_topk",
     "p08_lang_id", "p09_quality_score",
     "p10_token_stats", "p11_fingerprint",
@@ -123,59 +65,87 @@ _DRIVER_PRIORITY = [
     "p63_bpe_pair_counts", "p64_srp_signatures",
     "p66_quality_funnel", "p67_centroid_shift",
     "p70_bigram_lm", "q01_pricing_summary",
-    # -- r09 evidence (round-9 window, minus the two re-certified
-    #    plan-changed entries which sit in the round-10 window):
-    "p92_contamination_intervals", "p93_cm_source_overlap",
-    "p94_rolling_densified", "p83_health_report",
-    "p82_rolling_sketch", "p85_repeated_ngrams",
-    "p86_hist_merge", "p78_cm_merge",
-    "p79_hll_merge", "p05_ngram_jaccard",
-    "p74_containment_pairs", "p90_prefix_jaccard",
-    "q02_filter_topk", "q03_shipping_priority",
-    "q04_theta_join", "q05_self_join_pairs",
-    "q15_top3_per_nation", "q16_range_frame",
-    "q20_scalar_functions", "q23_select_no_from",
-    "q26_rollup", "q27_pivot_segments",
-    "q28_word_counts", "q30_right_join",
-    "q31_cross_join", "q32_named_window",
-    "q35_complex_types", "q37_string_functions",
-    "q39_cube", "q41_ranking_functions",
-    "q46_rand_sample", "q47_local_relation",
-    "q48_cast_matrix", "q49_udaf_surfaces",
-    "q52_untapped_segments", "q73_array_functions",
-    "q80_retention_cohorts", "q81_interval_range_frame",
-    "p95_ngram_novelty", "p96_source_cosine",
-    "p97_max_dup_span", "p98_length_ecdf",
-    "p99_volume_anomalies", "p100_training_order",
-    "p101_mix_schedule", "p102_dedup_report",
-    "p104_source_jsd", "p105_curriculum_order",
-    # -- r11 evidence (the round-11 window: the late-r10 certs, the
-    #    nine round-11 operators, and that round's rotations):
-    "p113_psi_drift", "p114_kcenter_coreset",
-    "p115_canary_scan", "p116_ks_drift",
-    "p117_cdc_chunks", "p118_chunk_dedup",
-    "p119_chunk_decontaminate", "p120_dsir_weights",
-    "p121_kcenter_2pass", "p122_semdedup_sampled_fit",
-    "p123_dsir_sample", "p124_embedding_gram",
-    "p125_boilerplate_chunks", "p126_filter_agreement",
-    "q66_part_promotion", "q67_grouping_sets",
-    "q79_event_funnel", "q82_symmetric_range_frame",
-    "q83_session_window", "p77_kmeans_lloyd",
-    "p80_group_distinct", "p72_pagerank_convergence",
-    "p65_mix_reweight", "p02_minhash_signatures",
-    "p03_minhash_lsh_pairs", "p04_simhash",
-    "p18_clean_corpus", "p19_simhash_near_pairs",
-    "p31_repetition_stats", "p32_heavy_hitters",
-    "p34_zorder_key", "p35_priority_sample",
-    "p36_token_typicality", "p37_incremental_dedup",
-    "p38_decontaminate", "p39_embedding_outliers",
-    "p41_skew_profile", "p42_chunk_documents",
-    "p43_global_row_numbers", "q59_local_supplier_volume",
-    "q60_volume_shipping", "q61_market_share",
-    "q62_returned_items", "p17_range_join",
-    "p33_distinct_sketch", "p40_redact_pii",
-    "p45_asof_nearest", "p46_interval_overlap",
-    "p48_segment_dedup", "p49_token_entropy",
+    # -- head of the r09 block (fills the 50th slot):
+    "p92_contamination_intervals",
+
+    # ---- below the fold (evidence-age order: the r09 remainder, then
+    # the r10 block, then r11, then the round-12 window entries which
+    # hold the freshest rows — recompute from CORRECTNESS_r*.json when
+    # sequencing round 14). ----
+    "p127_source_chunk_overlap", "p128_audio_decode",
+    "p129_bpe_fertility", "p130_source_token_yield",
+    "p131_split_leakage", "p132_edit_distance_pairs",
+    "p133_video_decode", "p134_edit_distance_char",
+    "p135_leakage_split_cc", "p136_bpe_fertility_balanced",
+    "p137_dedup_report_chunks", "p138_filter_agreement_matrix",
+    "p139_packing_preview", "p140_bpe_coverage",
+    "p141_stratified_split", "p142_score_auc",
+    "p143_token_budget_select", "p144_centroid_drift",
+    "p145_zipf_fit", "p146_cross_split_neardup",
+    "p147_threshold_sweep", "p148_heaps_fit",
+    "p149_source_quality_report", "p150_frame_cuts",
+    "p151_lang_confusion", "p152_centroid_dispersion",
+    "p153_dedup_method_report", "p154_score_calibrate",
+    "p155_hard_negatives", "p156_knn_label_purity",
+    "p157_centroid_distance_matrix", "p158_fleiss_kappa",
+    "p159_lsh_calibration", "p50_length_histogram",
+    "p51_cdc_upsert", "p52_corpus_surprisal",
+    "p53_balanced_shards", "p54_cross_source_dups",
+    "p56_cluster_balanced_sample", "p57_leakage_safe_split",
+    "p58_normalize_text", "q06_forecast_revenue",
+    "q07_customer_orders_left", "q08_nation_coverage",
+    "q09_customers_without_orders", "q10_union_bag",
+    "q11_intersect_multiset", "q12_except_multiset",
+    "q13_distinct", "q14_window_aggregates",
+    "p93_cm_source_overlap", "p94_rolling_densified",
+    "p83_health_report", "p82_rolling_sketch",
+    "p85_repeated_ngrams", "p86_hist_merge",
+    "p78_cm_merge", "p79_hll_merge",
+    "p05_ngram_jaccard", "p74_containment_pairs",
+    "p90_prefix_jaccard", "q02_filter_topk",
+    "q03_shipping_priority", "q04_theta_join",
+    "q05_self_join_pairs", "q15_top3_per_nation",
+    "q16_range_frame", "q20_scalar_functions",
+    "q23_select_no_from", "q26_rollup",
+    "q27_pivot_segments", "q28_word_counts",
+    "q30_right_join", "q31_cross_join",
+    "q32_named_window", "q35_complex_types",
+    "q37_string_functions", "q39_cube",
+    "q41_ranking_functions", "q46_rand_sample",
+    "q47_local_relation", "q48_cast_matrix",
+    "q49_udaf_surfaces", "q52_untapped_segments",
+    "q73_array_functions", "q80_retention_cohorts",
+    "q81_interval_range_frame", "p95_ngram_novelty",
+    "p96_source_cosine", "p97_max_dup_span",
+    "p98_length_ecdf", "p99_volume_anomalies",
+    "p100_training_order", "p101_mix_schedule",
+    "p102_dedup_report", "p104_source_jsd",
+    "p105_curriculum_order", "p113_psi_drift",
+    "p114_kcenter_coreset", "p115_canary_scan",
+    "p116_ks_drift", "p117_cdc_chunks",
+    "p118_chunk_dedup", "p119_chunk_decontaminate",
+    "p120_dsir_weights", "p121_kcenter_2pass",
+    "p122_semdedup_sampled_fit", "p123_dsir_sample",
+    "p124_embedding_gram", "p125_boilerplate_chunks",
+    "p126_filter_agreement", "q66_part_promotion",
+    "q67_grouping_sets", "q79_event_funnel",
+    "q82_symmetric_range_frame", "q83_session_window",
+    "p77_kmeans_lloyd", "p80_group_distinct",
+    "p72_pagerank_convergence", "p65_mix_reweight",
+    "p02_minhash_signatures", "p03_minhash_lsh_pairs",
+    "p04_simhash", "p18_clean_corpus",
+    "p19_simhash_near_pairs", "p31_repetition_stats",
+    "p32_heavy_hitters", "p34_zorder_key",
+    "p35_priority_sample", "p36_token_typicality",
+    "p37_incremental_dedup", "p38_decontaminate",
+    "p39_embedding_outliers", "p41_skew_profile",
+    "p42_chunk_documents", "p43_global_row_numbers",
+    "q59_local_supplier_volume", "q60_volume_shipping",
+    "q61_market_share", "q62_returned_items",
+    "p17_range_join", "p33_distinct_sketch",
+    "p40_redact_pii", "p45_asof_nearest",
+    "p46_interval_overlap", "p48_segment_dedup",
+    "p49_token_entropy",
 ]
 
 

@@ -7038,8 +7038,10 @@ def p157_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> SDF:
 
 # ---------------------------------------------------------------------------
 # p158 — Fleiss' kappa over the gopher rule ensemble (operators.stats.
-# fleiss_kappa): one chance-corrected agreement number for the six
-# gates as a WHOLE — the go/no-go before treating the ensemble's
+# fleiss_kappa): one chance-corrected agreement number for the five
+# rule gates as a WHOLE (the derived 'keep' column is excluded — it
+# is their conjunction, not a sixth rater) — the go/no-go before
+# treating the ensemble's
 # majority vote as a label (p126/p138 judge pairs; this judges the
 # committee).  Per item only t = #true matters, so Σt and Σt² (exact
 # int64) determine P-bar and Pe — ONE two-phase aggregate.  Oracle

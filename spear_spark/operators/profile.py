@@ -220,6 +220,11 @@ def journey_ngrams(
     Returns the ``top`` rows: ``(gram, n_occurrences, n_sessions)``,
     count-desc then gram.
 
+    Contract: event types NON-NULL and free of the ``'>'`` separator
+    (in-plan raise — concat_ws would silently skip a NULL, collapsing
+    ``a>NULL>b`` into ``a>b``, and an embedded ``'>'`` would collide
+    distinct sequences).
+
     Scale shape: two windows per user partition (lag for the session
     flag + cumulative sum for the session id — users parallelize),
     lead projections for the gram, ONE two-phase aggregate on the gram
@@ -232,12 +237,27 @@ def journey_ngrams(
     if n < 2:
         raise ValueError("journey_ngrams: n must be >= 2")
     gap_us = int(gap_minutes) * 60_000_000
+    # In-plan guard (the loud-guard convention): a NULL event type
+    # would be silently SKIPPED by concat_ws — collapsing "a>NULL>b"
+    # into "a>b" while the oracle's || propagates NULL — and a '>'
+    # inside a type would collide distinct sequences into one gram.
+    t = F.col(type_col).cast("string")
+    t_guard = F.when(
+        t.isNull() | t.contains(">"),
+        F.raise_error(
+            F.lit(
+                "journey_ngrams: NULL event type or '>' inside a "
+                "type — coalesce/clean the type column first (the "
+                "gram separator must be unambiguous)"
+            )
+        ).cast("string"),
+    ).otherwise(t)
     wu = W.partitionBy(user_col).orderBy(ts_col, id_col)
     flagged = events.select(
         F.col(user_col).alias("_u"),
         F.col(ts_col).alias("_ts"),
         F.col(id_col).alias("_id"),
-        F.col(type_col).cast("string").alias("_t"),
+        t_guard.alias("_t"),
         (
             (
                 F.unix_micros(F.col(ts_col))

@@ -1285,6 +1285,12 @@ def score_calibrate(
             "score_calibrate: input already has a column named "
             "'_cal_s' (the operator's staging name) — rename it first"
         )
+    if out_col in df.columns:
+        raise ValueError(
+            f"score_calibrate: input already has a column named "
+            f"{out_col!r} — withColumn would silently overwrite it; "
+            f"pass a different out_col or rename the input column"
+        )
     s = F.col(score_col).cast("double")
     guard = F.when(
         s.isNull() | F.isnan(s),
@@ -1408,9 +1414,18 @@ def volume_autocorr(
     correlation is an aggregate per lag over ≤ |days| rows."""
     if max_lag < 1:
         raise ValueError("volume_autocorr: max_lag must be >= 1")
+    # FLOOR division on the epoch-day bucket (exact integer form:
+    # pmod is non-negative, so e - pmod(e, L) is exactly divisible) —
+    # Spark `div` truncates toward zero, which would merge days -0
+    # and +0 for pre-1970 timestamps while the DuckDB oracle's `//`
+    # floors them apart.
     days = (
         df.select(
-            F.expr(f"unix_micros({ts_col}) div 86400000000").alias("_p")
+            F.expr(
+                f"(unix_micros({ts_col})"
+                f" - pmod(unix_micros({ts_col}), 86400000000))"
+                " div 86400000000"
+            ).alias("_p")
         )
         .groupBy("_p")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1480,11 +1495,30 @@ def volume_gini(
     fixed_width_histogram posture)."""
     from pyspark.sql.window import Window as W
 
-    w = (
-        F.count(F.lit(1)).alias("_x")
-        if weight_col is None
-        else F.sum(F.col(weight_col).cast("long")).alias("_x")
-    )
+    if weight_col is None:
+        w = F.count(F.lit(1)).alias("_x")
+    else:
+        # Per-ROW guard before the sum: SUM silently skips NULL and
+        # cast('long') silently truncates fractional weights, so both
+        # must raise here for the documented contract to hold.
+        wd = F.col(weight_col).cast("double")
+        row_bad = (
+            F.col(weight_col).isNull()
+            | F.isnan(wd)
+            | (wd < 0.0)
+            | (wd != F.floor(wd))
+        )
+        guarded_w = F.when(
+            row_bad,
+            F.raise_error(
+                F.lit(
+                    "volume_gini: NULL/NaN/negative/fractional weight "
+                    "— the closed form needs non-negative integer "
+                    "volumes"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(weight_col).cast("long"))
+        w = F.sum(guarded_w).alias("_x")
     per = df.groupBy(F.col(group_col).alias("_g")).agg(w)
     bad = F.col("_x").isNull() | (F.col("_x") < 0)
     guarded = per.select(

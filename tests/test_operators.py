@@ -7417,6 +7417,23 @@ class TestScoreCalibrate:
         with pytest.raises(Exception, match="score_calibrate"):
             score_calibrate(df, "s", "g").collect()
 
+    def test_out_col_collision_raises(self, spark):
+        """withColumn would silently overwrite a pre-existing out_col
+        — must raise like the '_cal_s' staging check (round-13 ADVICE
+        fix)."""
+        import pytest
+
+        from spear_spark.operators.stats import score_calibrate
+
+        df = spark.createDataFrame(
+            [(1, 0.5, "g", 0.9)], "id long, s double, g string, pct double"
+        )
+        with pytest.raises(ValueError, match="score_calibrate"):
+            score_calibrate(df, "s", "g")
+        # a different out_col works
+        out = score_calibrate(df, "s", "g", out_col="cal").collect()
+        assert out[0].cal == 1.0 and out[0].pct == 0.9
+
 
 class TestHardNegatives:
     """Laws for band-limited hard-negative mining
@@ -7740,6 +7757,35 @@ class TestJourneyNgrams:
         with pytest.raises(ValueError, match="n must be"):
             journey_ngrams(df, "user_id", "ts", "event_type", "event_id", n=1)
 
+    def test_null_or_separator_event_type_raises(self, spark):
+        """concat_ws would silently SKIP a NULL type (collapsing
+        a>NULL>b into a>b) and an embedded '>' would collide distinct
+        sequences — both raise in-plan (round-13 ADVICE fix)."""
+        from datetime import datetime, timedelta
+
+        import pytest
+
+        from spear_spark.operators.profile import journey_ngrams
+
+        t0 = datetime(2024, 1, 1)
+        m = timedelta(minutes=1)
+        nul = spark.createDataFrame(
+            [(1, t0, 1, "a"), (1, t0 + m, 2, None), (1, t0 + 2 * m, 3, "b")],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        )
+        with pytest.raises(Exception, match="journey_ngrams"):
+            journey_ngrams(
+                nul, "user_id", "ts", "event_type", "event_id", n=3
+            ).collect()
+        sep = spark.createDataFrame(
+            [(1, t0, 1, "a"), (1, t0 + m, 2, "b>c"), (1, t0 + 2 * m, 3, "d")],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        )
+        with pytest.raises(Exception, match="journey_ngrams"):
+            journey_ngrams(
+                sep, "user_id", "ts", "event_type", "event_id", n=3
+            ).collect()
+
 
 class TestVolumeAutocorr:
     """Laws for daily-volume autocorrelation (stats.volume_autocorr)."""
@@ -7805,6 +7851,29 @@ class TestVolumeAutocorr:
         assert out[1].r is None and out[1].n_pairs == 4
         with pytest.raises(ValueError, match="max_lag"):
             volume_autocorr(df, "ts", max_lag=0)
+
+    def test_pre_epoch_days_floor_not_truncate(self, spark):
+        """Day bucketing must FLOOR like the DuckDB oracle's `//` —
+        truncation toward zero would merge the day before the epoch
+        with the epoch day itself (round-13 ADVICE fix)."""
+        from datetime import datetime, timedelta
+
+        from spear_spark.operators.stats import volume_autocorr
+
+        t0 = datetime(1969, 12, 31, 12, 0, 0)  # day -1
+        rows = []
+        eid = 0
+        # days -1..3 with volumes 1..5: a perfectly linear ramp has
+        # r == 1.0 at lag 1 ONLY if all five days stay distinct;
+        # truncation would fuse days -1 and 0 into volume 3.
+        for d, n in enumerate((1, 2, 3, 4, 5)):
+            for _ in range(n):
+                rows.append((eid, t0 + timedelta(days=d, minutes=eid % 30)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        out = {r.lag: r for r in volume_autocorr(df, "ts", max_lag=1).collect()}
+        assert out[1].n_pairs == 4  # five distinct days, not four
+        assert out[1].r == 1.0
 
 
 class TestIvfRecallCurve:
@@ -8009,3 +8078,28 @@ class TestVolumeGini:
         neg = spark.createDataFrame([("a", -1), ("b", 2)], "g string, w long")
         with pytest.raises(Exception, match="volume_gini"):
             volume_gini(neg, "g", weight_col="w").collect()
+
+    def test_null_and_fractional_weights_raise(self, spark):
+        """SUM silently skips NULL and cast('long') silently truncates
+        fractionals — both must raise per the documented contract
+        (round-13 ADVICE fix)."""
+        import pytest
+
+        from spear_spark.operators.stats import volume_gini
+
+        nul = spark.createDataFrame(
+            [("a", 1), ("b", None)], "g string, w long"
+        )
+        with pytest.raises(Exception, match="volume_gini"):
+            volume_gini(nul, "g", weight_col="w").collect()
+        frac = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.5)], "g string, w double"
+        )
+        with pytest.raises(Exception, match="volume_gini"):
+            volume_gini(frac, "g", weight_col="w").collect()
+        # integral doubles are fine (the cast is lossless)
+        ok = spark.createDataFrame(
+            [("a", 20.0), ("b", 80.0)], "g string, w double"
+        )
+        [r] = volume_gini(ok, "g", weight_col="w").collect()
+        assert r.total == 100
