@@ -24,6 +24,9 @@ optimizer / executor are all replaced wholesale by Spark SQL + Catalyst
   SimHash / n-gram Jaccard / embedding cosine), similarity search,
   text analysis, multimodal column plumbing.
 * ``streaming`` — Structured Streaming helpers over the events table.
+* ``sql_builder`` — expression → spear-dialect SQL emission (the
+  reference's ``Expression.sql`` / ``ExpressionSQLBuilderSuite``
+  surface), with a reparse-equality round-trip law.
 """
 
 from spear_spark.context import Context, get_spark

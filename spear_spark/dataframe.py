@@ -183,6 +183,16 @@ class DataFrame:
     def columns(self) -> list[str]:
         return self.df.columns
 
+    def to_sql(self, col: Column) -> str:
+        """spear-dialect SQL text of an expression resolved against
+        this frame's schema — the reference's ``Expression.sql``
+        surface (``ExpressionSQLBuilderSuite.scala``); see
+        :mod:`spear_spark.sql_builder` for the emission rules and the
+        round-trip law."""
+        from spear_spark.sql_builder import to_sql
+
+        return to_sql(col, self.df)
+
     def __getitem__(self, name: str) -> Column:
         return self.df[name]
 
