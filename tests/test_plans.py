@@ -1082,3 +1082,85 @@ def test_volume_gini_bounded_closed_form(spark, sf_dir):
     assert has_partial_aggregation(plan)
     assert plan.count("Scan parquet") == 1
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Catalog-wide standing regression net (round-13 VERDICT item 5): the
+# per-query pins above prove individual shapes; this sweep proves the
+# NEGATIVE globally — no headline query plans a single-partition
+# shuffle unless it is on the explicit, justified allowlist below.
+# ---------------------------------------------------------------------------
+
+# Queries where an `Exchange SinglePartition` is a DELIBERATE bounded-
+# table step: the exchange input is already collapsed by aggregation to
+# a domain-bounded table (groups / histogram bins / buckets / sources /
+# langs / sketch registers — never data-proportional rows), so the
+# single task touches O(domain) rows regardless of corpus size.  The
+# values are the maximum allowed count of SinglePartition exchanges in
+# the query's physical plan.  Adding a NEW entry here requires the same
+# justification — a SinglePartition exchange over raw rows is the
+# single-task bottleneck this net exists to catch.
+_SINGLE_PARTITION_ALLOWED = {
+    # global closed-form / ECDF / rank steps over per-group aggregates
+    "p164_volume_gini": 1,       # rank window over the |sources| table
+    "p50_length_histogram": 1,   # cumulative share over |bins|
+    "p52_corpus_surprisal": 1,   # corpus totals over |vocab-cap| rows
+    "p94_rolling_densified": 1,  # gapfill spine over |days|
+    "p86_hist_merge": 1,         # merged histogram over |bins|
+    "p113_psi_drift": 1,         # PSI over |bins| per source-pair
+    "p116_ks_drift": 2,          # two ECDF windows over |bins|
+    "p120_dsir_weights": 2,      # importance ratios over |buckets|
+    "p123_dsir_sample": 2,       # same bucket tables as p120
+    "p124_embedding_gram": 1,    # Gram matrix rows = dim² (bounded)
+    "p126_filter_agreement": 1,  # 2×2 agreement cells
+    "p138_filter_agreement_matrix": 1,  # k×k kappa cells
+    "p142_score_auc": 1,         # single-row AUC reduction
+    "p147_threshold_sweep": 1,   # operating points over |thresholds|
+    "p148_heaps_fit": 1,         # log-log fit over |sources| rows
+    "p153_dedup_method_report": 4,  # three method grades + union report
+    "p158_fleiss_kappa": 1,      # single-row kappa reduction
+    "p27_tfidf_topterms": 1,     # idf over the capped term table
+    "p28_bm25": 2,               # corpus avgdl + idf constants
+    "p32_heavy_hitters": 1,      # CM sketch registers (fixed width)
+    "p33_distinct_sketch": 1,    # HLL registers (fixed 2^p)
+    "p36_token_typicality": 1,   # corpus token totals (capped vocab)
+    "p41_skew_profile": 1,       # per-key histogram over |buckets|
+    "p65_mix_reweight": 1,       # mix shares over |sources|
+    "p66_quality_funnel": 1,     # funnel stages (fixed gate count)
+    "p68_budget_waterfill": 1,   # waterfill over |sources|
+    "p70_bigram_lm": 1,          # vocab-capped LM table
+    "p106_dup_cluster_profile": 1,  # profile over cluster-size bins
+    # relational headliners with a deliberate global step
+    "q06_forecast_revenue": 1,   # regression over |months| aggregates
+    "q22_top_supplier_cte": 1,   # global max over |suppliers| totals
+    "q52_untapped_segments": 1,  # global avg scalar broadcast
+    "q53_gapfill_hourly": 1,     # hour spine over |hours|
+    "q55_promo_revenue": 1,      # single-row promo share
+    "q56_disjunctive_join": 1,   # global scalar threshold
+    "q58_dialect_extensions": 1, # global agg ORDER BY (dialect pin)
+    "q64_important_stock": 1,    # global threshold scalar
+    "q79_event_funnel": 1,       # funnel stages (fixed step count)
+}
+
+
+def test_catalog_sweep_no_unpinned_single_partition_exchange(spark, sf_dir):
+    """Every catalog query's physical plan is free of SinglePartition
+    shuffles except the justified bounded-table steps pinned above —
+    and none of those may GROW extra single-partition stages.  This
+    turns the individual plan pins into a standing net: a regression
+    that serializes any headline query onto one task fails here even
+    if its values still match the oracle.  (Planning only — no jobs
+    run; the shape is data-size-independent.)"""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    bad: list[str] = []
+    for name, fn in qs.items():
+        plan = executed_plan(fn(spark, sf_dir), run=False)
+        n = plan.count("Exchange SinglePartition")
+        if n > _SINGLE_PARTITION_ALLOWED.get(name, 0):
+            bad.append(f"{name}: {n} > {_SINGLE_PARTITION_ALLOWED.get(name, 0)}")
+    assert not bad, (
+        "unpinned SinglePartition exchange(s) — either restore the "
+        f"partitioned plan or justify an allowlist entry: {bad}"
+    )
