@@ -13,13 +13,22 @@ replica candidates exploded quadratically in the replica count, and
 p29 measured 15x at 10x — a workload change, not a scaling flaw.)
 
 Times p05 (df-capped n-gram Jaccard), p19 (SimHash pigeonhole
-near-pairs) and p29 (LSH-verified near-dedup) at 1x and 10x and prints
-the wall-time ratio per op.  Linear-ish growth (ratio ~= 10, modulo
-fixed per-query overhead which deflates the ratio at these sizes)
-means the banded pair spaces are binding; a super-linear ratio would
-flag a quadratic stage.  Results are recorded in docs/DESIGN.md.
+near-pairs), p29 (LSH-verified near-dedup) and p134 (char-gram LSH +
+Levenshtein verify) at 1x and 10x and prints the wall-time ratio per
+op.  Linear-ish growth (ratio ~= 10, modulo fixed per-query overhead
+which deflates the ratio at these sizes) means the banded pair spaces
+are binding; a super-linear ratio would flag a quadratic stage.
 
-Run: python scripts/dedup_scaleup.py  (quiet machine; ~2 min)
+Round 13 adds the embedding family (VERDICT r12 #6): p109/p122
+SemDeDup timed at 1x (k=8) vs 10x (k=80 — the paper's "raise k with
+the corpus" regime; a fixed k would measure the within-cell quadratic
+by construction, a workload change, not a scaling flaw).  Embedding
+replicas use per-replica SIGNED CYCLIC ROTATIONS (orthogonal, so each
+replica's internal cosine structure is exact while cross-replica
+geometry decorrelates) — the vector analog of the alphabet rotation.
+Results are recorded in docs/DESIGN.md.
+
+Run: python scripts/dedup_scaleup.py  (quiet machine; ~15 min)
 """
 
 from __future__ import annotations
@@ -77,7 +86,41 @@ OPS = {
     "p29_lsh_verified_pairs": lambda d: dedup.lsh_verified_pairs(
         d, "text", "doc_id", threshold=0.5
     ),
+    "p134_edit_distance_char": lambda d: dedup.edit_distance_pairs(
+        d, "text", "doc_id", max_rel=0.3, k=12, bands=4,
+        candidates="char", char_n=7,
+    ),
 }
+
+EMB_DIM = 64
+
+
+def replicate_embeddings(emb, reps: int):
+    """reps copies under per-replica signed cyclic rotations (see
+    module docstring); rep 0 is the identity."""
+
+    def xform(r):
+        if r == 0:
+            return F.col("embedding")
+        shifted = F.concat(
+            F.slice(F.col("embedding"), r + 1, EMB_DIM - r),
+            F.slice(F.col("embedding"), 1, r),
+        )
+        signs = F.array(
+            *[
+                F.lit(-1.0 if (i * 7 + r) % 3 == 0 else 1.0).cast("float")
+                for i in range(EMB_DIM)
+            ]
+        )
+        return F.zip_with(shifted, signs, lambda x, s: (x * s).cast("float"))
+
+    copies = F.array(
+        *[F.struct(F.lit(r).alias("rep"), xform(r).alias("v")) for r in range(reps)]
+    )
+    return emb.withColumn("_c", F.explode(copies)).select(
+        (F.col("vec_id") + F.col("_c.rep") * F.lit(10_000_000)).alias("vec_id"),
+        F.col("_c.v").alias("embedding"),
+    )
 
 
 def main() -> None:
@@ -137,6 +180,36 @@ def main() -> None:
         f"{REPS}x={times[f'{REPS}x']:.2f}s ratio={ratio:.1f} "
         f"({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
     )
+
+    # --- SemDeDup family (p109 full fit / p122 sampled fit) ----------
+    # k scales with the corpus (8 -> 8*REPS), the published regime;
+    # fit corpora: p109 fits on the full input, p122 on the even-id
+    # half (the catalog's sampled-fit shape).
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    emb1 = replicate_embeddings(emb, 1).localCheckpoint()
+    embN = replicate_embeddings(emb, REPS).localCheckpoint()
+    print(f"embedding rows: base={emb1.count()} big={embN.count()}")
+    for name, fit in (
+        ("p109_semdedup(full fit)", lambda d: None),
+        ("p122_semdedup(sampled fit)", lambda d: d.filter(F.col("vec_id") % 2 == 0)),
+    ):
+        times = {}
+        for label, d, k in (("1x", emb1, 8), (f"{REPS}x", embN, 8 * REPS)):
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dedup.semdedup(
+                    d, "embedding", "vec_id", k=k, threshold=0.35,
+                    tol=0.3, max_iters=50, fit_on=fit(d),
+                ).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times[label] = statistics.median(runs)
+        ratio = times[f"{REPS}x"] / times["1x"]
+        print(
+            f"{name}: 1x(k=8)={times['1x']:.2f}s "
+            f"{REPS}x(k={8 * REPS})={times[f'{REPS}x']:.2f}s ratio={ratio:.1f} "
+            f"({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
+        )
     spark.stop()
 
 
