@@ -233,6 +233,47 @@ class TestRoundTrip:
         for e in corpus:
             check_round_trip(e, df, order=["g", "a"])
 
+    def test_window_frame_shapes(self, df):
+        """The reference's ``WindowSpecSuite.scala`` frame matrix
+        ('rows window frame' / 'range window frame': both-unbounded,
+        n-preceding-to-current, current-to-n-following, BOTH bounds
+        preceding, BOTH bounds following) plus its partition-only /
+        order-only spec variants — each shape must survive the
+        emit→reparse→re-emit fixpoint with identical values."""
+        frames = [
+            (W.unboundedPreceding, W.unboundedFollowing),
+            (-10, W.currentRow),
+            (W.currentRow, 10),
+            (-2, -1),
+            (1, 2),
+        ]
+        for lo, hi in frames:
+            check_round_trip(
+                F.sum("a").over(
+                    W.partitionBy("g").orderBy("a").rowsBetween(lo, hi)
+                ),
+                df,
+                order=["g", "a"],
+            )
+            check_round_trip(
+                F.sum("a").over(
+                    W.partitionBy("g").orderBy("a").rangeBetween(lo, hi)
+                ),
+                df,
+                order=["g", "a"],
+            )
+        # spec variants: no partition / no order (WindowSpecSuite
+        # 'window spec'; Spark requires ORDER BY for ranking and for
+        # bounded RANGE, so the unordered variants use SUM over an
+        # unbounded or ROWS frame)
+        check_round_trip(F.sum("a").over(W.partitionBy("g")), df, order=["g", "a"])
+        check_round_trip(
+            F.sum("a").over(W.partitionBy("g").rowsBetween(-1, 1)),
+            df,
+            order=["g", "a"],
+        )
+        check_round_trip(F.sum("a").over(W.orderBy("a")), df, order=["g", "a"])
+
     def test_facade_to_sql_method(self, spark):
         """``DataFrame.to_sql`` — the facade surface of the emitter."""
         from spear_spark.dataframe import DataFrame as SpearDF
