@@ -27,6 +27,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -295,16 +298,105 @@ def l2sq(a: Column, b: Column, decimals: int = 6) -> Column:
     )
 
 
-def ivf_assign_fixed(
+# k*dim above which the literal-centroid assignment expression stops
+# being a win: past ~2k nodes the generated method exceeds the JVM's
+# 64KB codegen limit, Spark falls back to INTERPRETED eval, and the
+# O(n*k*d) per-row fold runs ~100x slower — measured 0.9s (k=8) ->
+# 6.4s (k=80) on the SAME 2000x64 corpus, which made the r13 semdedup
+# 10x scale-up super-linear (17-20x) until the vectorized path below.
+_VECTORIZED_ASSIGN_CELLS = 2048
+
+
+def _ivf_assign_vectorized(
     df: DataFrame, vec_col: str, centroids: Sequence[Sequence[float]]
+) -> DataFrame:
+    """Arrow-vectorized IVF assignment: the centroid matrix rides the
+    closure once (k x d float64, KB-to-MB scale) and each Arrow batch
+    computes ALL distances as one BLAS call — ||x-c||² expanded to
+    x·x - 2 x·c + c·c so the n x k distance block is a single matmul,
+    clipped at 0 (the expansion can go -1e-14 for exact-duplicate
+    vectors; the direct form can't go negative).  Same contract as the
+    literal path: round(d², 6dp) then argmin with first-index
+    tie-break (``np.argmin`` takes the first minimum — the documented
+    lowest-index rule).  The one behavioral delta is the rounding rule
+    AT an exact 5e-7 boundary of d² (numpy rounds half-even, the JVM
+    half-up) — measure-zero, the :func:`nearest_cells` epsilon
+    posture, and law-tested equal to the literal path on real data.
+
+    This is the SemDeDup-paper-regime path (k=50k at web scale): the
+    literal expression tree is linear in k*d and hits interpreted
+    fallback, while BLAS does n*k*d multiply-adds at memory bandwidth.
+    Row chunks bound the n x k block to ~160 MB regardless of k."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] == 0:
+        raise ValueError("ivf_assign_fixed: centroids must be a non-empty k x d matrix")
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
+        )
+        if len(X) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        if X.ndim != 2 or X.shape[1] != C.shape[1]:
+            raise ValueError(
+                f"ivf_assign_fixed: vector dim mismatch or NULL vector in "
+                f"batch (got shape {X.shape}, centroids {C.shape})"
+            )
+        out = np.empty(len(X), dtype=np.int32)
+        step = max(1, int(2e7) // C.shape[0])  # ~160MB f64 n x k block
+        for i in range(0, len(X), step):
+            xs = X[i : i + step]
+            d2 = (xs * xs).sum(axis=1)[:, None] - 2.0 * (xs @ C.T) + c_sq[None, :]
+            d2 = np.round(np.maximum(d2, 0.0), 6)
+            out[i : i + step] = np.argmin(d2, axis=1)
+        return pd.Series(out)
+
+    return df.withColumn("_cell", _assign(F.col(vec_col)))
+
+
+def ivf_assign_fixed(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    impl: str = "auto",
 ) -> DataFrame:
     """IVF cell assignment against *fixed* centroids (vs the KMeans fit
     in :func:`ivf_assign`): cell = argmin rounded squared L2 distance,
     ties to the lower centroid index — fully deterministic, so the
     assignment (and therefore the partition layout it drives) is
     oracle-checkable and reproducible across runs and engines.
-    Pure-Column: one projection, no shuffle; at scale the ``_cell``
-    column becomes the write-partitioning key so probes prune the scan."""
+
+    Two implementations behind one contract (``impl`` = ``"auto"`` |
+    ``"literal"`` | ``"vectorized"``):
+
+    * ``literal`` — pure-Column: the k x d centroid matrix unrolls as
+      literals into one projection, no shuffle, no Python; exact
+      sequential-fold arithmetic, the oracle-replayable form.  Right
+      up to ~2k expression nodes, after which codegen falls back to
+      interpreted eval and per-row cost explodes (see
+      ``_VECTORIZED_ASSIGN_CELLS``).
+    * ``vectorized`` — Arrow-batched numpy BLAS
+      (:func:`_ivf_assign_vectorized`): the paper-regime path for
+      large k where the literal tree is unplannable.  Same rounding +
+      tie-break contract, law-tested equal.
+
+    ``auto`` picks by k*d.  Still one narrow projection either way; at
+    scale the ``_cell`` column becomes the write-partitioning key so
+    probes prune the scan."""
+    k = len(centroids)
+    d = len(centroids[0]) if k else 0
+    if impl == "auto":
+        impl = "vectorized" if k * d > _VECTORIZED_ASSIGN_CELLS else "literal"
+    if impl == "vectorized":
+        return _ivf_assign_vectorized(df, vec_col, centroids)
+    if impl != "literal":
+        raise ValueError(
+            f"ivf_assign_fixed: impl must be auto|literal|vectorized, got {impl!r}"
+        )
     dists = [
         F.struct(
             l2sq(F.col(vec_col), vec_lit(c)).alias("d"),
@@ -519,9 +611,13 @@ def kmeans_lloyd(
     moving clustering.  Rounded means make every iteration — and so
     the stop round — reproducible at any parallelism.
 
-    Plan note: centroids re-enter each round as k×dims literals
-    (~512 expression nodes at the catalog's 8×64 — well under the
-    measured plan-bloat threshold documented at ``srp_signature_exact``).
+    Plan note: centroids re-enter each round through
+    :func:`ivf_assign_fixed`'s auto dispatch — k×dims literals at the
+    catalog's 8×64 (~512 expression nodes, well under the measured
+    plan-bloat threshold documented at ``srp_signature_exact``), the
+    Arrow/BLAS vectorized path once k×dims crosses
+    ``_VECTORIZED_ASSIGN_CELLS`` (the paper's large-k regime, where
+    the literal tree would fall back to interpreted eval).
 
     Returns the final per-cell table (cell, n_assigned, centroid);
     ``info`` (optional dict) receives ``iterations``, ``drifts`` and

@@ -829,6 +829,44 @@ class TestIvfFixed:
         probe = similarity.nearest_cells(cents[0], cents, 2)
         assert len(probe) == 2 and probe[0] == 0  # query IS centroid 0
 
+    def test_ivf_assign_vectorized_matches_literal(self, spark, sf_dir):
+        """The large-k scale path (Arrow/BLAS ``impl='vectorized'``)
+        must reproduce the literal-centroid path's assignments exactly
+        — same rounded-L2 argmin, same first-index tie-break —
+        including at a k*d above the auto-dispatch threshold and with
+        an exact-duplicate vector (where the BLAS expansion's
+        cancellation risk is worst: d2 computed as x·x - 2x·c + c·c
+        instead of a direct non-negative sum)."""
+        from spear_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        rows = emb.orderBy("vec_id").limit(40).select("embedding").collect()
+        for k in (8, 40):  # below and above _VECTORIZED_ASSIGN_CELLS
+            cents = [list(map(float, r.embedding)) for r in rows[:k]]
+            lit = sorted(
+                (r.vec_id, r["_cell"])
+                for r in similarity.ivf_assign_fixed(
+                    emb, "embedding", cents, impl="literal"
+                ).collect()
+            )
+            vec = sorted(
+                (r.vec_id, r["_cell"])
+                for r in similarity.ivf_assign_fixed(
+                    emb, "embedding", cents, impl="vectorized"
+                ).collect()
+            )
+            assert lit == vec
+        # auto dispatch: k*d = 8*64 = 512 stays literal (no Python in
+        # the plan), k*d = 40*64 = 2560 goes vectorized
+        small = similarity.ivf_assign_fixed(
+            emb, "embedding", [list(map(float, r.embedding)) for r in rows[:8]]
+        )
+        big = similarity.ivf_assign_fixed(
+            emb, "embedding", [list(map(float, r.embedding)) for r in rows[:40]]
+        )
+        assert "ArrowEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+
 
 class TestRelevance:
     def test_tfidf_known_values(self, ctx):
