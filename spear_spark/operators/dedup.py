@@ -770,19 +770,104 @@ def near_dedup_jaccard(
     )
 
 
+def _near_dedup_embedding_vectorized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Per-block gram-matrix verify: ONE shuffle of (id, vec) on the
+    block key, then each block's pairwise cosines come out of a single
+    normalized BLAS matmul (row-chunked to ~160MB blocks), rounded at
+    6dp like the Column fold and reduced to (drop_id, keep_id) with
+    the identical min-keep rule (ids sorted ascending, first qualifying
+    row index IS the min keep id).  Replaces the fold path's TWO
+    corpus shuffles + interpreted per-pair higher-order cosine
+    (HigherOrderFunction expressions are CodegenFallback — measured
+    the dominant semdedup cost once assignment was vectorized).
+
+    Needs the whole block in one pandas group — callers must bound
+    block sizes (semdedup does, by raising k with the corpus); the
+    fold path remains the unbounded-block-safe form.  Zero-norm
+    vectors raise (the fold path's ANSI divide error, loudly)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def gram(pdf):
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        if n < 2:
+            return pd.DataFrame(
+                {"drop_id": ids[:0], "keep_id": ids[:0]}
+            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]],
+            dtype=np.float64,
+        )
+        norms = np.sqrt((X * X).sum(axis=1))
+        if (norms == 0.0).any():
+            raise ValueError(
+                "near_dedup_embedding: zero-norm vector — cosine is "
+                "undefined; clean zero vectors upstream"
+            )
+        Xh = X / norms[:, None]
+        best = np.full(n, n, dtype=np.int64)  # first qualifying row per column
+        cols = np.arange(n)[None, :]
+        step = max(1, int(2e7) // n)
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            G = np.round(Xh[s:e] @ Xh.T, 6)
+            M = (G >= thr) & (np.arange(s, e)[:, None] < cols)
+            hit = M.any(axis=0)
+            first = np.where(hit, s + M.argmax(axis=0), n)
+            best = np.minimum(best, first)
+        drops = np.nonzero(best < n)[0]
+        return pd.DataFrame({"drop_id": ids[drops], "keep_id": ids[best[drops]]})
+
+    return (
+        df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInPandas(gram, f"drop_id {id_type}, keep_id {id_type}")
+    )
+
+
 def near_dedup_embedding(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     block_col: str,
     threshold: float = 0.9,
+    impl: str = "fold",
 ) -> DataFrame:
     """Embedding-cosine near-dedup within blocks: drop the larger id of
     every pair with cosine ≥ threshold.  Returns (drop_id, keep_id).
     Blocking (label / LSH bucket / IVF cell) bounds the pair space.
     Contract: vectors must be non-zero — cosine against a zero-norm
     vector is 0/0, an ANSI divide-by-zero in both engines (filter or
-    impute upstream)."""
+    impute upstream).
+
+    ``impl``: ``"fold"`` (default) verifies each pair with the
+    pure-Column cosine fold — streams arbitrarily large blocks, the
+    oracle-replayable form; ``"vectorized"`` computes each block's
+    gram matrix in one Arrow/BLAS pass
+    (:func:`_near_dedup_embedding_vectorized`) — one corpus shuffle
+    instead of two and no interpreted per-pair fold, but requires
+    bounded blocks (law-tested drop-set-equal on real embeddings;
+    rounding parity at 6dp, same first-index min-keep)."""
+    if impl == "vectorized":
+        return _near_dedup_embedding_vectorized(
+            df, vec_col, id_col, block_col, threshold
+        )
+    if impl != "fold":
+        raise ValueError(
+            f"near_dedup_embedding: impl must be fold|vectorized, got {impl!r}"
+        )
     from spear_spark.operators.similarity import cosine
 
     a = df.select(
@@ -1965,6 +2050,7 @@ def semdedup(
     init_centroids=None,
     fit_on: DataFrame | None = None,
     info: dict | None = None,
+    verify: str = "vectorized",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     dedup at embedding scale — k-means-cluster the embedding space,
@@ -2001,7 +2087,14 @@ def semdedup(
     ``fit_on=df`` is law-tested bitwise-equal to the default, and
     drops stay SOUND under any fit corpus — the fit only moves cell
     boundaries (which pairs get compared), never the exact-cosine
-    verify."""
+    verify.
+
+    ``verify`` selects the within-cell verify implementation
+    (:func:`near_dedup_embedding`'s ``impl``): ``"vectorized"``
+    (default — cells are bounded here BY CONSTRUCTION, so the
+    one-shuffle per-cell gram matrix is always safe and removes the
+    interpreted per-pair cosine fold) or ``"fold"`` (the
+    pure-Column pair stream, drop-set-equal by law)."""
     from spear_spark.operators.similarity import ivf_assign_fixed, kmeans_lloyd
 
     if info is None:
@@ -2012,7 +2105,9 @@ def semdedup(
         init_centroids=init_centroids, info=info,
     )
     assigned = ivf_assign_fixed(df, vec_col, info["centroids"])
-    return near_dedup_embedding(assigned, vec_col, id_col, "_cell", threshold)
+    return near_dedup_embedding(
+        assigned, vec_col, id_col, "_cell", threshold, impl=verify
+    )
 
 
 def canary_scan(

@@ -4572,6 +4572,49 @@ class TestSemDedup:
         ).filter(F.col("c") >= 0.3).collect()}
         assert all((keep, drop) in pairs for drop, keep in got.items())
 
+    def test_vectorized_verify_drop_set_equals_fold(self, spark, sf_dir):
+        """The gram-matrix verify (one Arrow/BLAS matmul per block) is
+        drop-set-equal to the pure-Column cosine fold — same 6dp
+        rounding, same ascending-id first-hit min-keep rule — across
+        thresholds on real embeddings, both through the raw
+        near_dedup_embedding surface (label blocks) and end-to-end
+        through semdedup (IVF cells, where vectorized is the
+        default)."""
+        from spear_spark.operators.dedup import near_dedup_embedding, semdedup
+        from spear_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        for th in (0.2, 0.35, 0.9):
+            fold = sorted(
+                (r.drop_id, r.keep_id)
+                for r in near_dedup_embedding(
+                    emb, "embedding", "vec_id", "label", threshold=th
+                ).collect()
+            )
+            vec = sorted(
+                (r.drop_id, r.keep_id)
+                for r in near_dedup_embedding(
+                    emb, "embedding", "vec_id", "label", threshold=th,
+                    impl="vectorized",
+                ).collect()
+            )
+            assert fold == vec
+        sem_fold = sorted(
+            (r.drop_id, r.keep_id)
+            for r in semdedup(
+                emb, "embedding", "vec_id", k=8, threshold=0.3, verify="fold"
+            ).collect()
+        )
+        sem_vec = sorted(
+            (r.drop_id, r.keep_id)
+            for r in semdedup(
+                emb, "embedding", "vec_id", k=8, threshold=0.3
+            ).collect()
+        )
+        assert sem_fold and sem_fold == sem_vec
+
     def test_planted_exact_duplicates_always_drop(self, spark, sf_dir):
         """Identical vectors assign to identical cells (deterministic
         argmin), so an exact duplicate can never escape across a
