@@ -90,6 +90,9 @@ OPS = {
         d, "text", "doc_id", max_rel=0.3, k=12, bands=4,
         candidates="char", char_n=7,
     ),
+    "p90_prefix_jaccard": lambda d: dedup.jaccard_prefix_pairs(
+        d, "text", "doc_id", threshold=0.5
+    ),
 }
 
 EMB_DIM = 64

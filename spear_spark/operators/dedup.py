@@ -776,6 +776,7 @@ def _near_dedup_embedding_vectorized(
     id_col: str,
     block_col: str,
     threshold: float,
+    chunk_budget: int = int(2e7),
 ) -> DataFrame:
     """Per-block gram-matrix verify: ONE shuffle of (id, vec) on the
     block key, then each block's pairwise cosines come out of a single
@@ -819,7 +820,7 @@ def _near_dedup_embedding_vectorized(
         Xh = X / norms[:, None]
         best = np.full(n, n, dtype=np.int64)  # first qualifying row per column
         cols = np.arange(n)[None, :]
-        step = max(1, int(2e7) // n)
+        step = max(1, int(chunk_budget) // n)
         for s in range(0, n, step):
             e = min(s + step, n)
             G = np.round(Xh[s:e] @ Xh.T, 6)

@@ -308,7 +308,10 @@ _VECTORIZED_ASSIGN_CELLS = 2048
 
 
 def _ivf_assign_vectorized(
-    df: DataFrame, vec_col: str, centroids: Sequence[Sequence[float]]
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    chunk_budget: int = int(2e7),
 ) -> DataFrame:
     """Arrow-vectorized IVF assignment: the centroid matrix rides the
     closure once (k x d float64, KB-to-MB scale) and each Arrow batch
@@ -347,7 +350,7 @@ def _ivf_assign_vectorized(
                 f"batch (got shape {X.shape}, centroids {C.shape})"
             )
         out = np.empty(len(X), dtype=np.int32)
-        step = max(1, int(2e7) // C.shape[0])  # ~160MB f64 n x k block
+        step = max(1, int(chunk_budget) // C.shape[0])  # ~160MB f64 n x k block
         for i in range(0, len(X), step):
             xs = X[i : i + step]
             d2 = (xs * xs).sum(axis=1)[:, None] - 2.0 * (xs @ C.T) + c_sq[None, :]

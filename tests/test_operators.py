@@ -4615,6 +4615,50 @@ class TestSemDedup:
         )
         assert sem_fold and sem_fold == sem_vec
 
+    def test_vectorized_chunked_paths_equal_unchunked(self, spark, sf_dir):
+        """The row-chunked BLAS paths (gram verify and IVF assignment)
+        are only exercised past ~4.5k rows per block at the default
+        ~160MB budget, so force a tiny ``chunk_budget`` and pin that
+        multi-chunk results equal single-chunk ones — the triangle
+        mask with GLOBAL row offsets and the per-chunk argmin merge
+        are the error-prone parts."""
+        from spear_spark.operators.dedup import (
+            _near_dedup_embedding_vectorized,
+            near_dedup_embedding,
+        )
+        from spear_spark.operators.similarity import _ivf_assign_vectorized
+
+        emb = self._emb(spark, sf_dir).withColumn("_one", F.lit(1))
+        for th in (0.2, 0.35):
+            one = sorted(
+                (r.drop_id, r.keep_id)
+                for r in near_dedup_embedding(
+                    emb, "embedding", "vec_id", "_one", threshold=th,
+                    impl="vectorized",
+                ).collect()
+            )
+            # budget of 64 doubles -> step of 64//n = 1 row per chunk
+            many = sorted(
+                (r.drop_id, r.keep_id)
+                for r in _near_dedup_embedding_vectorized(
+                    emb, "embedding", "vec_id", "_one", th, chunk_budget=64
+                ).collect()
+            )
+            assert one and one == many
+        rows = emb.orderBy("vec_id").limit(40).select("embedding").collect()
+        cents = [list(map(float, r.embedding)) for r in rows]
+        one = sorted(
+            (r.vec_id, r["_cell"])
+            for r in _ivf_assign_vectorized(emb, "embedding", cents).collect()
+        )
+        many = sorted(
+            (r.vec_id, r["_cell"])
+            for r in _ivf_assign_vectorized(
+                emb, "embedding", cents, chunk_budget=40
+            ).collect()
+        )
+        assert one == many
+
     def test_planted_exact_duplicates_always_drop(self, spark, sf_dir):
         """Identical vectors assign to identical cells (deterministic
         argmin), so an exact duplicate can never escape across a
