@@ -1164,3 +1164,22 @@ def test_catalog_sweep_no_unpinned_single_partition_exchange(spark, sf_dir):
         "unpinned SinglePartition exchange(s) — either restore the "
         f"partitioned plan or justify an allowlist entry: {bad}"
     )
+
+
+def test_semdedup_plan_shape_vectorized_verify(spark, sf_dir):
+    """p109's round-13 shape, pinned: the within-cell verify is the
+    per-cell gram matrix (FlatMapGroupsInPandas on the cell key — ONE
+    corpus exchange feeds it), not the fold path's pair join (which
+    carried a second corpus exchange plus a broadcast of the whole
+    assigned table and evaluated the interpreted higher-order cosine
+    per pair).  The assignment itself stays pure-Column at the
+    catalog's k=8 (no Arrow stage before the grouping)."""
+    from spear_spark.operators.catalog import QUERIES as OPS
+
+    plan = executed_plan(OPS["p109_semdedup"][0](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # exactly one Arrow stage: the gram verify (k=8 assignment must
+    # remain the literal projection)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "ArrowEvalPython" not in plan
