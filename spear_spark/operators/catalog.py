@@ -5439,7 +5439,14 @@ def p127_source_chunk_overlap(spark: SparkSession, sf_dir: str) -> SDF:
 def p128_audio_decode(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     wavs = multimodal.attach_wav(docs, "text", "doc_id")
-    return multimodal.decode_wav(wavs, "doc_id", "payload").orderBy("doc_id")
+    # materialize the per-clip stats before the global sort: orderBy's
+    # range-partitioning SAMPLING pass would otherwise re-run the whole
+    # synth+decode pipeline a second time (measured 12s -> ~7s at sf0.1)
+    return (
+        multimodal.decode_wav(wavs, "doc_id", "payload")
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5662,7 +5669,12 @@ def p132_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> SDF:
 def p133_video_decode(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     clips = multimodal.attach_y4m(docs, "text", "doc_id")
-    return multimodal.decode_y4m(clips, "doc_id", "payload").orderBy("doc_id")
+    # stats-before-sort: see p128 (sampling pass re-runs the decode)
+    return (
+        multimodal.decode_y4m(clips, "doc_id", "payload")
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6693,9 +6705,12 @@ def p149_source_quality_report(spark: SparkSession, sf_dir: str) -> SDF:
 def p150_frame_cuts(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     clips = multimodal.attach_y4m(docs, "text", "doc_id")
-    return multimodal.frame_cut_profile(
-        clips, "doc_id", "payload", cut_threshold=5500
-    ).orderBy("doc_id")
+    # stats-before-sort: see p128 (sampling pass re-runs the decode)
+    return (
+        multimodal.frame_cut_profile(clips, "doc_id", "payload", cut_threshold=5500)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
