@@ -15,6 +15,17 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+def _sorted(df: SDF, *cols) -> SDF:
+    """Determinism sort for catalog results, with the result table
+    materialized FIRST (lazy localCheckpoint): a global orderBy plans a
+    RangePartitioning whose sampling pass otherwise re-runs the whole
+    narrow tail of the query - broadcast-join verifies, pandas stages,
+    decode pipelines - a second time (measured 2x on p134/p128 before
+    the fix).  Catalog outputs are small report/pair tables, so the
+    checkpoint is a few KB-MB of executor memory."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 from spear_spark.operators import dedup, multimodal, similarity, text
 from spear_spark.sources import load_table
 
@@ -435,9 +446,10 @@ def p13_near_dedup(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p14_embedding_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.near_dedup_embedding(
-        emb, "embedding", "vec_id", "label", threshold=0.35
-    ).orderBy("drop_id")
+    return _sorted(
+        dedup.near_dedup_embedding(emb, "embedding", "vec_id", "label", threshold=0.35),
+        "drop_id",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3644,8 +3656,9 @@ def p89_hll_overlap(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p90_prefix_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
-        "doc_a", "doc_b"
+    return _sorted(
+        dedup.jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5),
+        "doc_a", "doc_b",
     )
 
 
@@ -4175,8 +4188,8 @@ def p101_mix_schedule(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p102_dedup_report(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.dedup_report(docs, "text", "doc_id", "source", threshold=0.5).orderBy(
-        "source"
+    return _sorted(
+        dedup.dedup_report(docs, "text", "doc_id", "source", threshold=0.5), "source"
     )
 
 
@@ -4475,10 +4488,13 @@ def _p109_oracle(rounds: int = _P77_STOP_ROUND) -> str:
 def p109_semdedup(spark: SparkSession, sf_dir: str) -> SDF:
     emb = load_table(spark, sf_dir, "embeddings")
     info: dict = {}
-    out = dedup.semdedup(
-        emb, "embedding", "vec_id",
-        k=8, threshold=_P109_THRESHOLD, tol=0.3, max_iters=10, info=info,
-    ).orderBy("drop_id")
+    out = _sorted(
+        dedup.semdedup(
+            emb, "embedding", "vec_id",
+            k=8, threshold=_P109_THRESHOLD, tol=0.3, max_iters=10, info=info,
+        ),
+        "drop_id",
+    )
     assert info["iterations"] == _P77_STOP_ROUND, (
         f"p109: Lloyd converged in {info['iterations']} rounds, oracle "
         f"unrolls {_P77_STOP_ROUND} (drifts {info.get('drifts')})"
@@ -5140,11 +5156,14 @@ def p122_semdedup_sampled_fit(spark: SparkSession, sf_dir: str) -> SDF:
     emb = load_table(spark, sf_dir, "embeddings")
     fit = emb.filter(F.col("vec_id") % 2 == 0)
     info: dict = {}
-    out = dedup.semdedup(
-        emb, "embedding", "vec_id",
-        k=8, threshold=_P109_THRESHOLD, tol=0.3, max_iters=10,
-        fit_on=fit, info=info,
-    ).orderBy("drop_id")
+    out = _sorted(
+        dedup.semdedup(
+            emb, "embedding", "vec_id",
+            k=8, threshold=_P109_THRESHOLD, tol=0.3, max_iters=10,
+            fit_on=fit, info=info,
+        ),
+        "drop_id",
+    )
     assert info["iterations"] == _P77_STOP_ROUND, (
         f"p122: Lloyd converged in {info['iterations']} rounds, oracle "
         f"unrolls {_P77_STOP_ROUND} (drifts {info.get('drifts')})"
@@ -5622,9 +5641,10 @@ def p131_split_leakage(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p132_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.edit_distance_pairs(
-        docs, "text", "doc_id", max_rel=0.2, k=12, bands=4
-    ).orderBy("doc_a", "doc_b")
+    return _sorted(
+        dedup.edit_distance_pairs(docs, "text", "doc_id", max_rel=0.2, k=12, bands=4),
+        "doc_a", "doc_b",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5733,10 +5753,13 @@ _CBANDS_SQL = " UNION ALL ".join(
 )
 def p134_edit_distance_char(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.edit_distance_pairs(
-        docs, "text", "doc_id", max_rel=0.3, k=12, bands=4,
-        candidates="char", char_n=7,
-    ).orderBy("doc_a", "doc_b")
+    return _sorted(
+        dedup.edit_distance_pairs(
+            docs, "text", "doc_id", max_rel=0.3, k=12, bands=4,
+            candidates="char", char_n=7,
+        ),
+        "doc_a", "doc_b",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5793,9 +5816,10 @@ def p135_leakage_split_cc(spark: SparkSession, sf_dir: str) -> SDF:
     keyed = docs.join(labels, "doc_id", "left").withColumn(
         "_g", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     )
-    return leakage_safe_split(
-        keyed, "text", "doc_id", val_frac=0.3, group_key=F.col("_g")
-    ).orderBy("doc_id")
+    return _sorted(
+        leakage_safe_split(keyed, "text", "doc_id", val_frac=0.3, group_key=F.col("_g")),
+        "doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5902,10 +5926,13 @@ def p136_bpe_fertility_balanced(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p137_dedup_report_chunks(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.dedup_report(
-        docs, "text", "doc_id", "source",
-        chunk_grade=True, chunk_modulus=16, min_chunk_tokens=3,
-    ).orderBy("source")
+    return _sorted(
+        dedup.dedup_report(
+            docs, "text", "doc_id", "source",
+            chunk_grade=True, chunk_modulus=16, min_chunk_tokens=3,
+        ),
+        "source",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6878,7 +6905,7 @@ def p152_centroid_dispersion(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def p153_dedup_method_report(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.dedup_method_report(docs, "text", "doc_id").orderBy("method")
+    return _sorted(dedup.dedup_method_report(docs, "text", "doc_id"), "method")
 
 
 # ---------------------------------------------------------------------------

@@ -1173,10 +1173,17 @@ def test_semdedup_plan_shape_vectorized_verify(spark, sf_dir):
     carried a second corpus exchange plus a broadcast of the whole
     assigned table and evaluated the interpreted higher-order cosine
     per pair).  The assignment itself stays pure-Column at the
-    catalog's k=8 (no Arrow stage before the grouping)."""
-    from spear_spark.operators.catalog import QUERIES as OPS
+    catalog's k=8 (no Arrow stage before the grouping).  Pinned on the
+    operator itself — the catalog entry hides this stage behind the
+    materialize-before-sort checkpoint."""
+    from spear_spark.operators.dedup import semdedup
+    from spear_spark.sources import load_table
 
-    plan = executed_plan(OPS["p109_semdedup"][0](spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = executed_plan(
+        semdedup(emb, "embedding", "vec_id", k=8, threshold=0.35, tol=0.3,
+                 max_iters=10)
+    )
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     # exactly one Arrow stage: the gram verify (k=8 assignment must
