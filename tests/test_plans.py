@@ -378,7 +378,15 @@ def test_shingle_df_is_two_phase_count_not_window(spark, sf_dir):
         assert "ShuffledHashJoin" in plan, name
         assert has_partial_aggregation(plan), name
 
-    plan = executed_plan(OPS["p90_prefix_jaccard"][0](spark, sf_dir))
+    # p90 pinned on the operator itself — the catalog entry hides the
+    # pipeline behind the materialize-before-sort checkpoint
+    from spear_spark.operators.dedup import jaccard_prefix_pairs
+    from spear_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(
+        jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5)
+    )
     assert "windowspecdefinition(s#" not in plan
     # the only window left is the per-doc rarest-first rank (bounded by
     # one document's shingle set)
