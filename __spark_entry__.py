@@ -24,54 +24,95 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   1. new queries (no CORRECTNESS row yet),
 #   2. queries whose Spark side or oracle changed this round,
 #   3. stale-evidence rotations, oldest rounds first.
-# Round-13 window (5+26+18+1 = 50): the 5 late-round-12 operators
-# with no driver evidence yet (p160 journey n-grams, p161 volume
-# autocorrelation, p162 IVF n_probe recall curve, p163 per-source
-# readability, p164 volume Gini — p160/p161/p164 also carry round-13
-# guard fixes per ADVICE, so fresh certification is mandatory), the
-# full r08-evidence rotation (26 + 18 entries — the oldest driver
-# rows left in the repo, last certified round 8), and the head of the
-# r09 block (p92) to fill slot 50.
+# Round-14 window (47 + 3 = 50): no new queries and no Spark-side result
+# changes this round (catalog is closed per VERDICT r13), so the whole
+# window is the stale-evidence rotation — the full r09-evidence block
+# (47 entries, the oldest driver rows left in the repo) plus the first
+# 3 entries of the r10 block to fill the window.
 _DRIVER_PRIORITY = [
-    # ---- round 13 window (5 + 26 + 18 + 1 = 50) ----
-    # -- NEW/no-driver-evidence (added late round 12, preflight-only;
-    #    p160/p161/p164 additionally have round-13 Spark-side guard
-    #    fixes per ADVICE, so they MUST re-certify this round):
-    "p160_journey_ngrams", "p161_volume_autocorr",
-    "p162_ivf_recall_curve", "p163_readability",
-    "p164_volume_gini",
-    # -- r08-evidence rotation, part 1 (oldest driver rows in the
-    #    repo — last certified round 8):
-    "p81_group_heavy_hitters", "p84_rolling_distinct",
-    "p87_contamination_spans", "p88_cluster_representatives",
-    "p89_hll_overlap", "p91_mad_outliers",
-    "q17_event_gaps", "q19_sort_nulls",
-    "q24_hourly_rollup", "q25_json_extract",
-    "q29_asof_last_click", "q43_multigrain_rollup",
-    "q50_sql_dialect", "q51_partitioned_range",
-    "q53_gapfill_hourly", "q58_dialect_extensions",
-    "q68_lateral_topn", "q69_unpivot",
-    "q70_qualify", "q71_listagg",
-    "q72_recursive_cte", "q74_stats_aggregates",
-    "q75_datetime_functions", "q76_union_by_name",
-    "q77_group_by_all", "q78_semi_anti_join",
-    # -- r08-evidence rotation, part 2:
-    "p06_embedding_nn", "p07_cosine_topk",
-    "p08_lang_id", "p09_quality_score",
-    "p10_token_stats", "p11_fingerprint",
-    "p47_kmeans_step", "p55_quantize_embeddings",
-    "p59_pagerank", "p60_winsorized_stats",
-    "p61_zscore_outliers", "p62_top_ngrams_per_lang",
-    "p63_bpe_pair_counts", "p64_srp_signatures",
-    "p66_quality_funnel", "p67_centroid_shift",
-    "p70_bigram_lm", "q01_pricing_summary",
-    # -- head of the r09 block (fills the 50th slot):
-    "p92_contamination_intervals",
+    # ---- round 14 window (47 + 3 = 50) ----
+    # -- r09-evidence rotation (all 47 rows last certified round 9):
+    "p05_ngram_jaccard", "p100_training_order",
+    "p101_mix_schedule", "p102_dedup_report",
+    "p104_source_jsd", "p105_curriculum_order",
+    "p74_containment_pairs", "p78_cm_merge",
+    "p79_hll_merge", "p82_rolling_sketch",
+    "p83_health_report", "p85_repeated_ngrams",
+    "p86_hist_merge", "p90_prefix_jaccard",
+    "p93_cm_source_overlap", "p94_rolling_densified",
+    "p95_ngram_novelty", "p96_source_cosine",
+    "p97_max_dup_span", "p98_length_ecdf",
+    "p99_volume_anomalies", "q02_filter_topk",
+    "q03_shipping_priority", "q04_theta_join",
+    "q05_self_join_pairs", "q15_top3_per_nation",
+    "q16_range_frame", "q20_scalar_functions",
+    "q23_select_no_from", "q26_rollup",
+    "q27_pivot_segments", "q28_word_counts",
+    "q30_right_join", "q31_cross_join",
+    "q32_named_window", "q35_complex_types",
+    "q37_string_functions", "q39_cube",
+    "q41_ranking_functions", "q46_rand_sample",
+    "q47_local_relation", "q48_cast_matrix",
+    "q49_udaf_surfaces", "q52_untapped_segments",
+    "q73_array_functions", "q80_retention_cohorts",
+    "q81_interval_range_frame",
+    # -- head of the r10 block (fills slots 48-50):
+    "p01_dedup_exact", "p103_distinct_ngrams",
+    "p106_dup_cluster_profile",
 
-    # ---- below the fold (evidence-age order: the r09 remainder, then
-    # the r10 block, then r11, then the round-12 window entries which
-    # hold the freshest rows — recompute from CORRECTNESS_r*.json when
-    # sequencing round 14). ----
+    # ---- below the fold (strict evidence-age order: r10 remainder,
+    # then r11, r12, and the round-13 window which holds the freshest
+    # rows — recompute from CORRECTNESS_r*.json when sequencing
+    # round 15). ----
+    "p107_cap_per_group", "p108_mad_outliers_approx",
+    "p109_semdedup", "p110_bpe_learn",
+    "p111_bpe_segment", "p112_gopher_rules",
+    "p12_multimodal_decode", "p13_near_dedup",
+    "p14_embedding_dedup", "p15_rolling_hash",
+    "p16_winnowing", "p20_batch_topk",
+    "p21_dup_clusters", "p22_salted_join",
+    "p23_sequence_packing", "p24_stratified_sample",
+    "p25_group_quantiles", "p26_ann_ivf",
+    "p27_tfidf_topterms", "p28_bm25",
+    "p29_lsh_verified_dedup", "p30_bottom_k_sample",
+    "p44_source_mix", "p68_budget_waterfill",
+    "p69_image_ahash_pairs", "p71_pagerank_weighted",
+    "p73_histogram_quantiles", "p75_bloom_decontaminate",
+    "p76_sparse_cosine_pairs", "q18_big_spenders",
+    "q21_aggregate_library", "q22_top_supplier_cte",
+    "q33_order_count_distribution", "q34_large_quantity_orders",
+    "q36_small_quantity_revenue", "q38_multi_distinct",
+    "q40_sessionize", "q42_arithmetic_edges",
+    "q44_min_price_supplier", "q45_waiting_suppliers",
+    "q54_priority_check", "q55_promo_revenue",
+    "q56_disjunctive_join", "q57_ship_lag_buckets",
+    "q63_product_profit", "q64_important_stock",
+    "q65_parts_supplier_relationship",
+    "p02_minhash_signatures", "p03_minhash_lsh_pairs",
+    "p04_simhash", "p113_psi_drift",
+    "p114_kcenter_coreset", "p115_canary_scan",
+    "p116_ks_drift", "p117_cdc_chunks",
+    "p118_chunk_dedup", "p119_chunk_decontaminate",
+    "p120_dsir_weights", "p121_kcenter_2pass",
+    "p122_semdedup_sampled_fit", "p123_dsir_sample",
+    "p124_embedding_gram", "p125_boilerplate_chunks",
+    "p126_filter_agreement", "p17_range_join",
+    "p18_clean_corpus", "p19_simhash_near_pairs",
+    "p31_repetition_stats", "p32_heavy_hitters",
+    "p33_distinct_sketch", "p34_zorder_key",
+    "p35_priority_sample", "p36_token_typicality",
+    "p37_incremental_dedup", "p38_decontaminate",
+    "p39_embedding_outliers", "p40_redact_pii",
+    "p41_skew_profile", "p42_chunk_documents",
+    "p43_global_row_numbers", "p45_asof_nearest",
+    "p46_interval_overlap", "p48_segment_dedup",
+    "p49_token_entropy", "p65_mix_reweight",
+    "p72_pagerank_convergence", "p77_kmeans_lloyd",
+    "p80_group_distinct", "q59_local_supplier_volume",
+    "q60_volume_shipping", "q61_market_share",
+    "q62_returned_items", "q66_part_promotion",
+    "q67_grouping_sets", "q79_event_funnel",
+    "q82_symmetric_range_frame", "q83_session_window",
     "p127_source_chunk_overlap", "p128_audio_decode",
     "p129_bpe_fertility", "p130_source_token_yield",
     "p131_split_leakage", "p132_edit_distance_pairs",
@@ -97,55 +138,31 @@ _DRIVER_PRIORITY = [
     "q09_customers_without_orders", "q10_union_bag",
     "q11_intersect_multiset", "q12_except_multiset",
     "q13_distinct", "q14_window_aggregates",
-    "p93_cm_source_overlap", "p94_rolling_densified",
-    "p83_health_report", "p82_rolling_sketch",
-    "p85_repeated_ngrams", "p86_hist_merge",
-    "p78_cm_merge", "p79_hll_merge",
-    "p05_ngram_jaccard", "p74_containment_pairs",
-    "p90_prefix_jaccard", "q02_filter_topk",
-    "q03_shipping_priority", "q04_theta_join",
-    "q05_self_join_pairs", "q15_top3_per_nation",
-    "q16_range_frame", "q20_scalar_functions",
-    "q23_select_no_from", "q26_rollup",
-    "q27_pivot_segments", "q28_word_counts",
-    "q30_right_join", "q31_cross_join",
-    "q32_named_window", "q35_complex_types",
-    "q37_string_functions", "q39_cube",
-    "q41_ranking_functions", "q46_rand_sample",
-    "q47_local_relation", "q48_cast_matrix",
-    "q49_udaf_surfaces", "q52_untapped_segments",
-    "q73_array_functions", "q80_retention_cohorts",
-    "q81_interval_range_frame", "p95_ngram_novelty",
-    "p96_source_cosine", "p97_max_dup_span",
-    "p98_length_ecdf", "p99_volume_anomalies",
-    "p100_training_order", "p101_mix_schedule",
-    "p102_dedup_report", "p104_source_jsd",
-    "p105_curriculum_order", "p113_psi_drift",
-    "p114_kcenter_coreset", "p115_canary_scan",
-    "p116_ks_drift", "p117_cdc_chunks",
-    "p118_chunk_dedup", "p119_chunk_decontaminate",
-    "p120_dsir_weights", "p121_kcenter_2pass",
-    "p122_semdedup_sampled_fit", "p123_dsir_sample",
-    "p124_embedding_gram", "p125_boilerplate_chunks",
-    "p126_filter_agreement", "q66_part_promotion",
-    "q67_grouping_sets", "q79_event_funnel",
-    "q82_symmetric_range_frame", "q83_session_window",
-    "p77_kmeans_lloyd", "p80_group_distinct",
-    "p72_pagerank_convergence", "p65_mix_reweight",
-    "p02_minhash_signatures", "p03_minhash_lsh_pairs",
-    "p04_simhash", "p18_clean_corpus",
-    "p19_simhash_near_pairs", "p31_repetition_stats",
-    "p32_heavy_hitters", "p34_zorder_key",
-    "p35_priority_sample", "p36_token_typicality",
-    "p37_incremental_dedup", "p38_decontaminate",
-    "p39_embedding_outliers", "p41_skew_profile",
-    "p42_chunk_documents", "p43_global_row_numbers",
-    "q59_local_supplier_volume", "q60_volume_shipping",
-    "q61_market_share", "q62_returned_items",
-    "p17_range_join", "p33_distinct_sketch",
-    "p40_redact_pii", "p45_asof_nearest",
-    "p46_interval_overlap", "p48_segment_dedup",
-    "p49_token_entropy",
+    "p06_embedding_nn", "p07_cosine_topk",
+    "p08_lang_id", "p09_quality_score",
+    "p10_token_stats", "p11_fingerprint",
+    "p160_journey_ngrams", "p161_volume_autocorr",
+    "p162_ivf_recall_curve", "p163_readability",
+    "p164_volume_gini", "p47_kmeans_step",
+    "p55_quantize_embeddings", "p59_pagerank",
+    "p60_winsorized_stats", "p61_zscore_outliers",
+    "p62_top_ngrams_per_lang", "p63_bpe_pair_counts",
+    "p64_srp_signatures", "p66_quality_funnel",
+    "p67_centroid_shift", "p70_bigram_lm",
+    "p81_group_heavy_hitters", "p84_rolling_distinct",
+    "p87_contamination_spans", "p88_cluster_representatives",
+    "p89_hll_overlap", "p91_mad_outliers",
+    "p92_contamination_intervals", "q01_pricing_summary",
+    "q17_event_gaps", "q19_sort_nulls",
+    "q24_hourly_rollup", "q25_json_extract",
+    "q29_asof_last_click", "q43_multigrain_rollup",
+    "q50_sql_dialect", "q51_partitioned_range",
+    "q53_gapfill_hourly", "q58_dialect_extensions",
+    "q68_lateral_topn", "q69_unpivot",
+    "q70_qualify", "q71_listagg",
+    "q72_recursive_cte", "q74_stats_aggregates",
+    "q75_datetime_functions", "q76_union_by_name",
+    "q77_group_by_all", "q78_semi_anti_join",
 ]
 
 
