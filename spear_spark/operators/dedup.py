@@ -781,17 +781,31 @@ def _near_dedup_embedding_vectorized(
     """Per-block gram-matrix verify: ONE shuffle of (id, vec) on the
     block key, then each block's pairwise cosines come out of a single
     normalized BLAS matmul (row-chunked to ~160MB blocks), rounded at
-    6dp like the Column fold and reduced to (drop_id, keep_id) with
-    the identical min-keep rule (ids sorted ascending, first qualifying
-    row index IS the min keep id).  Replaces the fold path's TWO
-    corpus shuffles + interpreted per-pair higher-order cosine
-    (HigherOrderFunction expressions are CodegenFallback — measured
-    the dominant semdedup cost once assignment was vectorized).
+    6dp and reduced to (drop_id, keep_id) with the fold path's rule
+    (pairs masked on strict id inequality — ids sorted ascending, so
+    the first qualifying row index IS the min keep id, and equal-id
+    pairs emit nothing, exactly like the fold's ``ida < idb`` join).
+    Replaces the fold path's TWO corpus shuffles + interpreted
+    per-pair higher-order cosine (HigherOrderFunction expressions are
+    CodegenFallback — measured the dominant semdedup cost once
+    assignment was vectorized).
 
-    Needs the whole block in one pandas group — callers must bound
-    block sizes (semdedup does, by raising k with the corpus); the
-    fold path remains the unbounded-block-safe form.  Zero-norm
-    vectors raise (the fold path's ANSI divide error, loudly)."""
+    Rounding delta vs the fold path (known failure signature for
+    testdata regeneration): ``np.round`` is half-EVEN while Spark's
+    ``F.round`` is half-UP, and the normalized matmul reassociates the
+    FP ops vs the per-pair fold — a cosine landing on an exact 5e-7
+    boundary of the threshold can therefore classify differently.
+    Measure-zero on real embeddings and law-tested drop-set-equal on
+    the shipped testdata, but if p109/p122 ever oracle-mismatch after
+    a data regen, check boundary cosines FIRST (same posture as
+    :func:`spear_spark.operators.similarity._ivf_assign_vectorized`).
+
+    Contract: ids must be non-NULL (a NULL raises loudly here; the
+    fold's ``ida < idb`` would silently drop such rows).  Needs the
+    whole block in one pandas group — callers must bound block sizes
+    (semdedup does, by raising k with the corpus); the fold path
+    remains the unbounded-block-safe form.  Zero-norm vectors raise
+    (the fold path's ANSI divide error, loudly)."""
     import numpy as np
     import pandas as pd
 
@@ -800,6 +814,11 @@ def _near_dedup_embedding_vectorized(
 
     def gram(pdf):
         n = len(pdf)
+        if pdf[id_col].isna().any():
+            raise ValueError(
+                "near_dedup_embedding: NULL id in block — ids must be "
+                "non-NULL (the fold path would silently drop such rows)"
+            )
         ids = pdf[id_col].to_numpy()
         if n < 2:
             return pd.DataFrame(
@@ -819,12 +838,17 @@ def _near_dedup_embedding_vectorized(
             )
         Xh = X / norms[:, None]
         best = np.full(n, n, dtype=np.int64)  # first qualifying row per column
-        cols = np.arange(n)[None, :]
+        # Mask on strict id inequality, not row index: with duplicate id
+        # values an index mask would emit a drop_id == keep_id self-pair
+        # the fold path's ida < idb never produces.  ids are sorted, so
+        # ids[row] < ids[col] still implies row < col and the first
+        # qualifying row index remains the min keep id.
+        cols_ids = ids[None, :]
         step = max(1, int(chunk_budget) // n)
         for s in range(0, n, step):
             e = min(s + step, n)
             G = np.round(Xh[s:e] @ Xh.T, 6)
-            M = (G >= thr) & (np.arange(s, e)[:, None] < cols)
+            M = (G >= thr) & (ids[s:e][:, None] < cols_ids)
             hit = M.any(axis=0)
             first = np.where(hit, s + M.argmax(axis=0), n)
             best = np.minimum(best, first)
@@ -859,8 +883,10 @@ def near_dedup_embedding(
     gram matrix in one Arrow/BLAS pass
     (:func:`_near_dedup_embedding_vectorized`) — one corpus shuffle
     instead of two and no interpreted per-pair fold, but requires
-    bounded blocks (law-tested drop-set-equal on real embeddings;
-    rounding parity at 6dp, same first-index min-keep)."""
+    bounded blocks (law-tested drop-set-equal on real embeddings; same
+    min-keep rule; rounding AT an exact 5e-7 threshold boundary can
+    differ — np.round half-even vs F.round half-up, FP reassociation —
+    see the vectorized helper's docstring for the failure signature)."""
     if impl == "vectorized":
         return _near_dedup_embedding_vectorized(
             df, vec_col, id_col, block_col, threshold

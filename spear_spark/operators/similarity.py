@@ -339,6 +339,14 @@ def _ivf_assign_vectorized(
 
     @pandas_udf("int")
     def _assign(vs: pd.Series) -> pd.Series:
+        # NULL check must precede the np.asarray conversion: float(None)
+        # inside the comprehension raises a bare TypeError that would
+        # otherwise mask this descriptive error.
+        if vs.isna().any():
+            raise ValueError(
+                "ivf_assign_fixed: NULL vector in batch — filter or impute "
+                "NULL embeddings upstream"
+            )
         X = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
         )
@@ -346,7 +354,7 @@ def _ivf_assign_vectorized(
             return pd.Series(np.empty(0, dtype=np.int32))
         if X.ndim != 2 or X.shape[1] != C.shape[1]:
             raise ValueError(
-                f"ivf_assign_fixed: vector dim mismatch or NULL vector in "
+                f"ivf_assign_fixed: vector dim mismatch or ragged vectors in "
                 f"batch (got shape {X.shape}, centroids {C.shape})"
             )
         out = np.empty(len(X), dtype=np.int32)
