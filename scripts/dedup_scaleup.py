@@ -46,34 +46,12 @@ from spear_spark.context import get_spark
 from spear_spark.operators import dedup
 from spear_spark.sources import load_table
 
+# shared with tests/test_scaleup.py so the measured corpus and the
+# pinned corpus cannot drift (ADVICE r13)
+from tests.scaleup_harness import replicate_docs, replicate_embeddings
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SCALEUP_REPS", "10"))
-
-
-ALPHA = "abcdefghijklmnopqrstuvwxyz"
-
-
-def replicate(docs, reps: int):
-    """reps isomorphic copies: ids shifted into disjoint ranges, text
-    passed through a per-replica alphabet rotation (a char bijection —
-    replica-internal structure preserved, cross-replica token/shingle
-    overlap destroyed)."""
-    copies = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("rep"),
-                F.translate(F.col("text"), ALPHA, ALPHA[i:] + ALPHA[:i]).alias("t"),
-            )
-            for i in range(reps)
-        ]
-    )
-    return (
-        docs.withColumn("_c", F.explode(copies))
-        .select(
-            (F.col("doc_id") + F.col("_c.rep") * F.lit(10_000_000)).alias("doc_id"),
-            F.col("_c.t").alias("text"),
-        )
-    )
 
 
 OPS = {
@@ -95,37 +73,6 @@ OPS = {
     ),
 }
 
-EMB_DIM = 64
-
-
-def replicate_embeddings(emb, reps: int):
-    """reps copies under per-replica signed cyclic rotations (see
-    module docstring); rep 0 is the identity."""
-
-    def xform(r):
-        if r == 0:
-            return F.col("embedding")
-        shifted = F.concat(
-            F.slice(F.col("embedding"), r + 1, EMB_DIM - r),
-            F.slice(F.col("embedding"), 1, r),
-        )
-        signs = F.array(
-            *[
-                F.lit(-1.0 if (i * 7 + r) % 3 == 0 else 1.0).cast("float")
-                for i in range(EMB_DIM)
-            ]
-        )
-        return F.zip_with(shifted, signs, lambda x, s: (x * s).cast("float"))
-
-    copies = F.array(
-        *[F.struct(F.lit(r).alias("rep"), xform(r).alias("v")) for r in range(reps)]
-    )
-    return emb.withColumn("_c", F.explode(copies)).select(
-        (F.col("vec_id") + F.col("_c.rep") * F.lit(10_000_000)).alias("vec_id"),
-        F.col("_c.v").alias("embedding"),
-    )
-
-
 def main() -> None:
     spark = get_spark(
         app_name="dedup_scaleup",
@@ -134,8 +81,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    base = replicate(docs, 1).localCheckpoint()  # isolate op time from scan/gen
-    big = replicate(docs, REPS).localCheckpoint()
+    base = replicate_docs(docs, 1).localCheckpoint()  # isolate op time from scan/gen
+    big = replicate_docs(docs, REPS).localCheckpoint()
     print(f"rows: base={base.count()} big={big.count()}")
 
     for name, op in OPS.items():
@@ -163,9 +110,9 @@ def main() -> None:
     hot = F.when(
         F.col("doc_id") % 2 == 0, F.concat(F.lit(header + " "), F.col("text"))
     ).otherwise(F.col("text"))
-    base_hot = replicate(docs, 1).select("doc_id", hot.alias("text")).localCheckpoint()
+    base_hot = replicate_docs(docs, 1).select("doc_id", hot.alias("text")).localCheckpoint()
     big_hot = (
-        replicate(docs, REPS).select("doc_id", hot.alias("text")).localCheckpoint()
+        replicate_docs(docs, REPS).select("doc_id", hot.alias("text")).localCheckpoint()
     )
     times = {}
     for label, d in (("1x", base_hot), (f"{REPS}x", big_hot)):

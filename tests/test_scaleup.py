@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from spear_spark.sources import load_table
 
+from tests.scaleup_harness import ID_SHIFT, replicate_docs, replicate_embeddings
+
 
 def test_aggregates_scale_linearly(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -33,33 +35,6 @@ def test_join_cardinality_scales(spark, sf_dir):
     assert big == 10 * base
 
 
-_ALPHA = "abcdefghijklmnopqrstuvwxyz"
-
-
-def _replicate_docs(docs, reps):
-    """reps ISOMORPHIC copies of the corpus: ids shifted into disjoint
-    ranges, text passed through a per-replica alphabet rotation.  A
-    character bijection preserves replica-internal structure exactly
-    (exact dups stay exact dups, distinct tokens stay distinct,
-    Jaccard values and per-replica shingle document frequencies are
-    invariant) while destroying cross-replica token/shingle overlap —
-    so "10x" is genuinely 10x more corpus, not 9 planted near-dups
-    per doc."""
-    copies = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("rep"),
-                F.translate(F.col("text"), _ALPHA, _ALPHA[i:] + _ALPHA[:i]).alias("t"),
-            )
-            for i in range(reps)
-        ]
-    )
-    return docs.withColumn("_c", F.explode(copies)).select(
-        (F.col("doc_id") + F.col("_c.rep") * F.lit(10_000_000)).alias("doc_id"),
-        F.col("_c.t").alias("text"),
-    )
-
-
 def test_exact_dedup_scales_linearly(spark, sf_dir):
     """10 perturbed replicas -> exactly 10x the keep decisions: exact-dup
     groups are replica-local by construction, so the hash-groupBy path
@@ -68,7 +43,7 @@ def test_exact_dedup_scales_linearly(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = exact_dedup(docs, "text", "doc_id").count()
-    big = exact_dedup(_replicate_docs(docs, 10), "text", "doc_id").count()
+    big = exact_dedup(replicate_docs(docs, 10), "text", "doc_id").count()
     assert big == 10 * base
 
 
@@ -85,7 +60,7 @@ def test_simhash_pairs_scale_at_least_linearly(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base_pairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).count()
-    big = _replicate_docs(docs, 10)
+    big = replicate_docs(docs, 10)
     big_pairs_df = simhash_near_pairs(big, "text", "doc_id", max_hamming=3)
     # the rep-0 copy is byte-identical to the base corpus, so its pairs
     # must survive verbatim inside the 10x run (banding loses nothing
@@ -106,7 +81,7 @@ def test_jaccard_pairs_scale_exactly_linearly(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = ngram_jaccard_pairs(docs, "text", "doc_id", max_df=64).count()
     big = ngram_jaccard_pairs(
-        _replicate_docs(docs, 10), "text", "doc_id", max_df=64
+        replicate_docs(docs, 10), "text", "doc_id", max_df=64
     ).count()
     assert big == 10 * base
 
@@ -231,7 +206,7 @@ def test_segment_dedup_scales_linearly(spark, sf_dir):
     base = segment_dedup(docs, "text", "doc_id").agg(
         F.sum("n_kept").alias("k"), F.sum("n_segments").alias("s")
     ).collect()[0]
-    big = segment_dedup(_replicate_docs(docs, 10), "text", "doc_id").agg(
+    big = segment_dedup(replicate_docs(docs, 10), "text", "doc_id").agg(
         F.sum("n_kept").alias("k"), F.sum("n_segments").alias("s")
     ).collect()[0]
     assert big.s == 10 * base.s
@@ -304,7 +279,7 @@ def test_surprisal_shifts_by_log2_reps_under_replication(spark, sf_dir):
     }
     big = {
         r["doc_id"]: r["surprisal_bits"]
-        for r in corpus_surprisal(_replicate_docs(docs, 10), "text", "doc_id").collect()
+        for r in corpus_surprisal(replicate_docs(docs, 10), "text", "doc_id").collect()
     }
     shift = math.log2(10)
     for doc_id, s in base.items():  # replica 0 keeps original ids
@@ -750,7 +725,7 @@ def test_jaccard_df_cap_neutralizes_boilerplate_skew(spark):
 
 def test_edit_distance_char_pairs_scale_linearly(spark, sf_dir):
     """p134's scale law under 10x isomorphic replication (alphabet
-    rotation — see _replicate_docs).  Levenshtein is invariant under a
+    rotation — see replicate_docs).  Levenshtein is invariant under a
     character bijection, so every replica carries exactly the base
     corpus's true near-pair set; rotation makes cross-replica texts
     differ in ~every alphabetic character, pushing their relative edit
@@ -770,7 +745,7 @@ def test_edit_distance_char_pairs_scale_linearly(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = edit_distance_pairs(docs, "text", "doc_id", **kw).count()
     big = edit_distance_pairs(
-        _replicate_docs(docs, 10), "text", "doc_id", **kw
+        replicate_docs(docs, 10), "text", "doc_id", **kw
     ).select("doc_a", "doc_b").collect()
     shift = 10_000_000
     rep0 = sum(1 for r in big if r.doc_a < shift and r.doc_b < shift)
@@ -795,44 +770,6 @@ def test_edit_distance_char_pairs_scale_linearly(spark, sf_dir):
     assert len(big) <= 10 * brute
 
 
-_EMB_DIM = 64
-_EMB_SHIFT = 10_000_000
-
-
-def _replicate_embeddings(emb, reps):
-    """reps copies of the embedding corpus under per-replica SIGNED
-    CYCLIC ROTATIONS (shift coordinates by r, flip a deterministic
-    sign pattern): a signed permutation is orthogonal, so every
-    replica's internal cosine structure is preserved exactly while
-    cross-replica geometry decorrelates.  rep 0 is the identity (byte-
-    identical to the base corpus).  Built with slice+zip_with, not 64
-    element_at's per replica — the per-element form blows the 64KB
-    codegen method limit at 10 replicas."""
-
-    def xform(r):
-        if r == 0:
-            return F.col("embedding")
-        shifted = F.concat(
-            F.slice(F.col("embedding"), r + 1, _EMB_DIM - r),
-            F.slice(F.col("embedding"), 1, r),
-        )
-        signs = F.array(
-            *[
-                F.lit(-1.0 if (i * 7 + r) % 3 == 0 else 1.0).cast("float")
-                for i in range(_EMB_DIM)
-            ]
-        )
-        return F.zip_with(shifted, signs, lambda x, s: (x * s).cast("float"))
-
-    copies = F.array(
-        *[F.struct(F.lit(r).alias("rep"), xform(r).alias("v")) for r in range(reps)]
-    )
-    return emb.withColumn("_c", F.explode(copies)).select(
-        (F.col("vec_id") + F.col("_c.rep") * F.lit(_EMB_SHIFT)).alias("vec_id"),
-        F.col("_c.v").alias("embedding"),
-    )
-
-
 def test_semdedup_frozen_fit_preserves_base_drops_at_10x(spark, sf_dir):
     """p109/p122's deploy shape at 10x: fit on the BASE corpus (the
     ``fit_on`` knob — frozen centroids), assign + verify the 10x
@@ -853,7 +790,7 @@ def test_semdedup_frozen_fit_preserves_base_drops_at_10x(spark, sf_dir):
     )
     assert base, "expected a non-empty base drop list"
     big = semdedup(
-        _replicate_embeddings(emb, 10),
+        replicate_embeddings(emb, 10),
         "embedding",
         "vec_id",
         k=8,
@@ -865,7 +802,7 @@ def test_semdedup_frozen_fit_preserves_base_drops_at_10x(spark, sf_dir):
     rep0 = sorted(
         (r.drop_id, r.keep_id)
         for r in big
-        if r.drop_id < _EMB_SHIFT and r.keep_id < _EMB_SHIFT
+        if r.drop_id < ID_SHIFT and r.keep_id < ID_SHIFT
     )
     assert rep0 == base
 
@@ -895,6 +832,6 @@ def test_semdedup_pair_space_scales_linearly_with_k(spark, sf_dir):
         return sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
 
     s1 = pair_space(emb, 8)
-    s10 = pair_space(_replicate_embeddings(emb, 10).localCheckpoint(), 80)
+    s10 = pair_space(replicate_embeddings(emb, 10).localCheckpoint(), 80)
     assert s1 > 0
     assert s10 <= 15 * s1, (s1, s10)
