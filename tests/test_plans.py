@@ -1151,14 +1151,85 @@ _SINGLE_PARTITION_ALLOWED = {
 }
 
 
+# Nodes that collapse cardinality to O(domain) before a global step:
+# any aggregate flavor, or a top-k heap (bounded by its limit).
+_BOUNDING_NODES = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "AggregateInPandas",
+)
+
+
+def _unbounded_single_partition_exchanges(plan: str) -> list[str]:
+    """Exchanges in ``plan`` whose input is NOT provably bounded: an
+    ``Exchange SinglePartition`` with a ``Scan parquet`` descendant
+    reachable without crossing an aggregate/limit node.  Walks the
+    treeString indentation (each ``+-``/``:-`` marker column is the
+    node depth) and checks every exchange→scan PATH, so a join under
+    the exchange with one aggregated side and one raw side is still
+    flagged.  Non-parquet leaves (LocalTableScan, Range, checkpointed
+    ``Scan ExistingRDD``) are bounded by construction here — the raw
+    corpus only enters via parquet."""
+    import re as _re
+
+    offenders: list[str] = []
+    # stack of (marker_col, is_exchange_spn, is_bounding, header)
+    stack: list[tuple[int, bool, bool, str]] = []
+    for line in plan.splitlines():
+        m = _re.search(r"[+:]- ", line)
+        col = m.start() if m else -1
+        text = line[m.end() :] if m else line
+        while stack and stack[-1][0] >= col >= 0:
+            stack.pop()
+        is_spn = text.startswith("Exchange SinglePartition")
+        is_bounding = any(b in text for b in _BOUNDING_NODES)
+        if "Scan parquet" in text:
+            # for each SPN ancestor, require a bounding node strictly
+            # between it and this scan on the ancestor path
+            for i, (_c, spn, _b, hdr) in enumerate(stack):
+                if spn and not any(b for (_c2, _s2, b, _h2) in stack[i + 1 :]):
+                    offenders.append(hdr.strip()[:80])
+        stack.append((col, is_spn, is_bounding, text))
+    return offenders
+
+
+def test_unbounded_spn_checker_self_test(spark, sf_dir):
+    """The boundedness checker itself must flag a raw-scan-fed
+    ``repartition(1)`` and clear an aggregate-bounded global step —
+    otherwise the catalog sweep below could go vacuously green on a
+    treeString format change."""
+    from spear_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = executed_plan(li.repartition(1).select("l_orderkey"), run=False)
+    assert _unbounded_single_partition_exchanges(raw), (
+        "checker failed to flag a raw-scan-fed SinglePartition exchange"
+    )
+    ok = executed_plan(
+        li.groupBy("l_returnflag").count().repartition(1), run=False
+    )
+    assert ok.count("Exchange SinglePartition") == 1
+    assert not _unbounded_single_partition_exchanges(ok), (
+        "checker flagged an aggregate-bounded SinglePartition exchange"
+    )
+
+
 def test_catalog_sweep_no_unpinned_single_partition_exchange(spark, sf_dir):
     """Every catalog query's physical plan is free of SinglePartition
     shuffles except the justified bounded-table steps pinned above —
-    and none of those may GROW extra single-partition stages.  This
-    turns the individual plan pins into a standing net: a regression
-    that serializes any headline query onto one task fails here even
-    if its values still match the oracle.  (Planning only — no jobs
-    run; the shape is data-size-independent.)"""
+    and none of those may GROW extra single-partition stages.  Each
+    ALLOWED exchange is additionally verified bounded structurally:
+    an aggregate/limit node must sit between the exchange and every
+    parquet scan beneath it, so a refactor cannot keep the pinned
+    count while quietly feeding the single task raw corpus rows
+    (round-13 VERDICT watch item).  This turns the individual plan
+    pins into a standing net: a regression that serializes any
+    headline query onto one task fails here even if its values still
+    match the oracle.  (Planning only — no jobs run; the shape is
+    data-size-independent.)"""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
@@ -1168,9 +1239,14 @@ def test_catalog_sweep_no_unpinned_single_partition_exchange(spark, sf_dir):
         n = plan.count("Exchange SinglePartition")
         if n > _SINGLE_PARTITION_ALLOWED.get(name, 0):
             bad.append(f"{name}: {n} > {_SINGLE_PARTITION_ALLOWED.get(name, 0)}")
+            continue
+        unbounded = _unbounded_single_partition_exchanges(plan)
+        if unbounded:
+            bad.append(f"{name}: raw-scan-fed SinglePartition {unbounded}")
     assert not bad, (
-        "unpinned SinglePartition exchange(s) — either restore the "
-        f"partitioned plan or justify an allowlist entry: {bad}"
+        "unpinned or unbounded SinglePartition exchange(s) — either "
+        "restore the partitioned plan or justify an allowlist entry "
+        f"(and keep its input aggregate-bounded): {bad}"
     )
 
 
