@@ -58,10 +58,21 @@ def get_spark(
 
 
 class Context:
-    """User-facing session handle mirroring ``spear.Context``."""
+    """User-facing session handle mirroring ``spear.Context``.
 
-    def __init__(self, spark: SparkSession | None = None):
-        self.spark = spark or get_spark()
+    Like the reference (``Context.scala:12-16``), the engine-backing
+    component can be booted from settings: when no ``spark`` session is
+    passed, the :data:`spear_spark.config.SESSION_FACTORY` key names
+    the factory callable (default :func:`get_spark`).  The reference
+    selects its QueryCompiler class this way; here the compiler is
+    Catalyst, so the selectable component is the session factory."""
+
+    def __init__(self, spark: SparkSession | None = None, settings: "Settings | None" = None):
+        if spark is None:
+            from spear_spark.config import Settings, resolve_session_factory
+
+            spark = resolve_session_factory(settings or Settings())()
+        self.spark = spark
 
     # -- entry points (Context.scala:18-40) --------------------------------
 
