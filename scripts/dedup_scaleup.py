@@ -48,7 +48,11 @@ from spear_spark.sources import load_table
 
 # shared with tests/test_scaleup.py so the measured corpus and the
 # pinned corpus cannot drift (ADVICE r13)
-from tests.scaleup_harness import replicate_docs, replicate_embeddings
+from tests.scaleup_harness import (
+    attach_base_column,
+    replicate_docs,
+    replicate_embeddings,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SCALEUP_REPS", "10"))
@@ -72,6 +76,7 @@ OPS = {
         d, "text", "doc_id", threshold=0.5
     ),
 }
+
 
 def main() -> None:
     spark = get_spark(
@@ -130,6 +135,46 @@ def main() -> None:
         f"{REPS}x={times[f'{REPS}x']:.2f}s ratio={ratio:.1f} "
         f"({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
     )
+
+    # --- report family (p102/p137/p153, VERDICT r13 #3) --------------
+    # dedup_report needs the group column the replicator drops;
+    # re-attach it by base id.  Invariant pins for these live in
+    # tests/test_scaleup.py (exact per-source linearity for the Jaccard
+    # grade, zero cross-replica chunk pairs, per-grade laws for the
+    # method report); this section measures the wall-time ratio.
+    docs_src = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    base_src = attach_base_column(
+        replicate_docs(docs, 1), docs_src, "source"
+    ).localCheckpoint()
+    big_src = attach_base_column(
+        replicate_docs(docs, REPS), docs_src, "source"
+    ).localCheckpoint()
+    report_ops = {
+        "p102_dedup_report": lambda d: dedup.dedup_report(
+            d, "text", "doc_id", "source", threshold=0.5
+        ),
+        "p137_dedup_report_chunks": lambda d: dedup.dedup_report(
+            d, "text", "doc_id", "source",
+            chunk_grade=True, chunk_modulus=16, min_chunk_tokens=3,
+        ),
+        "p153_dedup_method_report": lambda d: dedup.dedup_method_report(
+            d, "text", "doc_id"
+        ),
+    }
+    for name, op in report_ops.items():
+        times = {}
+        for label, d in (("1x", base_src), (f"{REPS}x", big_src)):
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                op(d).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times[label] = statistics.median(runs)
+        ratio = times[f"{REPS}x"] / times["1x"]
+        print(
+            f"{name}: 1x={times['1x']:.2f}s {REPS}x={times[f'{REPS}x']:.2f}s "
+            f"ratio={ratio:.1f} ({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
+        )
 
     # --- SemDeDup family (p109 full fit / p122 sampled fit) ----------
     # k scales with the corpus (8 -> 8*REPS), the published regime;

@@ -78,3 +78,17 @@ def replicate_embeddings(emb, reps: int):
         (F.col("vec_id") + F.col("_c.rep") * F.lit(ID_SHIFT)).alias("vec_id"),
         F.col("_c.v").alias("embedding"),
     )
+
+
+def attach_base_column(replicated, base, col: str, id_col: str = "doc_id"):
+    """Re-attach a base-table column (e.g. ``source``) to replicated
+    rows: every replica id is ``base_id + rep * ID_SHIFT``, so the base
+    row is recovered with a pmod join.  Used by the report-family
+    scale-up (p102/p137/p153), whose per-group accounting needs the
+    group column the replicators drop."""
+    key = base.select(F.col(id_col).alias("_bid"), F.col(col))
+    return (
+        replicated.join(
+            key, F.pmod(F.col(id_col), F.lit(ID_SHIFT)) == F.col("_bid")
+        ).drop("_bid")
+    )
