@@ -1182,6 +1182,11 @@ def _unbounded_single_partition_exchanges(plan: str) -> list[str]:
         m = _re.search(r"[+:]- ", line)
         col = m.start() if m else -1
         text = line[m.end() :] if m else line
+        if col < 0:
+            # a marker-less line is a new tree root (the main plan head
+            # or a "===== Subqueries =====" section) — ancestors from
+            # the previous tree must not leak across
+            stack.clear()
         while stack and stack[-1][0] >= col >= 0:
             stack.pop()
         is_spn = text.startswith("Exchange SinglePartition")
