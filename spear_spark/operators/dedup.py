@@ -853,7 +853,15 @@ def _near_dedup_embedding_vectorized(
             first = np.where(hit, s + M.argmax(axis=0), n)
             best = np.minimum(best, first)
         drops = np.nonzero(best < n)[0]
-        return pd.DataFrame({"drop_id": ids[drops], "keep_id": ids[best[drops]]})
+        out = pd.DataFrame({"drop_id": ids[drops], "keep_id": ids[best[drops]]})
+        # one row per distinct drop id, min keep — the fold's
+        # groupBy(drop_id).min(keep) semantics.  Without this, two
+        # qualifying rows SHARING an id would emit two identical drop
+        # rows where the fold emits one.  (Duplicate ids split across
+        # DIFFERENT blocks still emit one row per block; the fold's
+        # global groupBy would merge those — co-block them or keep ids
+        # unique for bit-for-bit parity.)
+        return out.groupby("drop_id", as_index=False).min()
 
     return (
         df.select(F.col(block_col), F.col(id_col), F.col(vec_col))

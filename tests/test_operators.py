@@ -4615,6 +4615,52 @@ class TestSemDedup:
         )
         assert sem_fold and sem_fold == sem_vec
 
+    def test_vectorized_matches_fold_on_duplicate_and_null_degenerates(
+        self, spark, sf_dir
+    ):
+        """ADVICE r13: the gram verify's pair mask must match the fold
+        path BIT-FOR-BIT on degenerate ids.  Duplicate id values: the
+        fold's strict ``ida < idb`` join emits nothing for an equal-id
+        pair, so the vectorized id-inequality mask must too (an index
+        mask would emit a drop_id == keep_id self-pair).  NULL ids:
+        the vectorized path raises its descriptive contract error
+        rather than an opaque object-dtype argsort TypeError."""
+        import pytest as _pytest
+
+        from spear_spark.operators.dedup import near_dedup_embedding
+
+        emb = self._emb(spark, sf_dir).withColumn("_one", F.lit(1))
+        # two rows share one id AND one vector (cosine 1.0 >= any thr),
+        # plus the real corpus on top
+        v0 = emb.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
+        dup = spark.createDataFrame(
+            [(999_999, list(v0), 1), (999_999, list(v0), 1)],
+            "vec_id long, embedding array<float>, _one int",
+        )
+        both = emb.unionByName(dup)
+        for impl in ("fold", "vectorized"):
+            got = sorted(
+                (r.drop_id, r.keep_id)
+                for r in near_dedup_embedding(
+                    both, "embedding", "vec_id", "_one", threshold=0.3,
+                    impl=impl,
+                ).collect()
+            )
+            assert all(d != k for d, k in got), (impl, "self-pair emitted")
+            if impl == "fold":
+                fold = got
+        assert got == fold  # identical drop sets on the degenerate corpus
+
+        null_ids = spark.createDataFrame(
+            [(None, list(v0), 1), (7, list(v0), 1), (8, list(v0), 1)],
+            "vec_id long, embedding array<float>, _one int",
+        )
+        with _pytest.raises(Exception, match="NULL id"):
+            near_dedup_embedding(
+                null_ids, "embedding", "vec_id", "_one", threshold=0.3,
+                impl="vectorized",
+            ).collect()
+
     def test_vectorized_chunked_paths_equal_unchunked(self, spark, sf_dir):
         """The row-chunked BLAS paths (gram verify and IVF assignment)
         are only exercised past ~4.5k rows per block at the default
