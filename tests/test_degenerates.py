@@ -1,0 +1,124 @@
+"""Degenerate-corpus net: empty input, single row, empty/whitespace-only
+text.  At 100 TB these are not edge cases — empty partitions, blank
+documents, and stray single-row groups occur constantly, and an operator
+that crashes or silently mis-counts on them takes the whole pipeline
+down.  Every pin here asserts the BEHAVIOR measured on the shipped tree
+(round 14), so a refactor that changes empty-input semantics fails
+loudly instead of shipping a new convention by accident."""
+
+import pytest
+
+from spear_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def empty(spark):
+    return spark.createDataFrame([], "doc_id long, source string, text string")
+
+
+@pytest.fixture(scope="module")
+def single(spark):
+    return spark.createDataFrame(
+        [(1, "a", "hello world foo")], "doc_id long, source string, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def blanky(spark):
+    """Two blank-ish docs (empty + whitespace-only) and one exact-dup
+    pair of real text."""
+    return spark.createDataFrame(
+        [
+            (1, "a", ""),
+            (2, "a", "   "),
+            (3, "b", "one two three four five"),
+            (4, "b", "one two three four five"),
+        ],
+        "doc_id long, source string, text string",
+    )
+
+
+_PAIR_OPS = {
+    "ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d, "text", "doc_id", max_df=64),
+    "simhash": lambda d: dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=3),
+    "lsh_verified": lambda d: dedup.lsh_verified_pairs(d, "text", "doc_id", threshold=0.5),
+    "edit_distance_char": lambda d: dedup.edit_distance_pairs(
+        d, "text", "doc_id", max_rel=0.3, k=12, bands=4, candidates="char", char_n=7
+    ),
+    "prefix_jaccard": lambda d: dedup.jaccard_prefix_pairs(d, "text", "doc_id", threshold=0.5),
+}
+
+
+def test_pair_ops_empty_and_single_emit_nothing(empty, single):
+    """No corpus → no pairs; one doc → no pairs.  A phantom pair here
+    would mean a self-join leaking the diagonal or a banding stage
+    inventing a candidate from nothing."""
+    for name, op in _PAIR_OPS.items():
+        assert op(empty).count() == 0, name
+        assert op(single).count() == 0, name
+
+
+def test_exact_dedup_keeps_blank_texts_as_one_group_each(empty, single, blanky):
+    """Empty string and whitespace-only are DIFFERENT normalized keys
+    from each other?  No — exact_dedup keys on md5(lower(trim(text))),
+    so "" and "   " both trim to "" and form ONE group: 4 docs → 1
+    blank keeper + 1 real-text keeper = 2 survivors (measured, pinned).
+    Empty corpus → 0; single doc → 1."""
+    assert dedup.exact_dedup(empty, "text", "doc_id").count() == 0
+    assert dedup.exact_dedup(single, "text", "doc_id").count() == 1
+    kept = sorted(
+        r.keep_id for r in dedup.exact_dedup(blanky, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3]  # min-id keeper per group: blank group, text group
+
+
+def test_dedup_report_empty_and_single(empty, single):
+    """Report over nothing is an empty table (no groups — NOT a zero
+    row); over one doc it is one fully-retained group."""
+    kw = dict(threshold=0.5)
+    assert dedup.dedup_report(empty, "text", "doc_id", "source", **kw).count() == 0
+    rows = dedup.dedup_report(single, "text", "doc_id", "source", **kw).collect()
+    assert len(rows) == 1 and rows[0]["retention"] == 1.0
+    ck = dict(chunk_grade=True, chunk_modulus=16, min_chunk_tokens=3)
+    assert dedup.dedup_report(empty, "text", "doc_id", "source", **ck).count() == 0
+
+
+def test_dedup_method_report_empty_corpus_convention(empty):
+    """The 3-row method report survives an empty corpus: n_docs/kept
+    counts are 0, token totals and reductions are NULL (SQL sum-of-
+    nothing), never a division error.  Pinned so the empty convention
+    can't silently flip to zeros or NaN."""
+    rows = {r["method"]: r for r in dedup.dedup_method_report(empty, "text", "doc_id").collect()}
+    assert set(rows) == {"exact", "near_lsh", "chunk"}
+    for r in rows.values():
+        assert r["n_docs"] == 0 and r["n_docs_kept"] == 0
+        assert r["n_tokens"] is None and r["token_reduction"] is None
+
+
+def test_blank_texts_flow_through_report_and_gopher(blanky, empty):
+    """Blank docs are normal rows, not errors: the dedup report counts
+    them against their source, and the Gopher gate rejects them with
+    keep=False rather than raising.  Note the deliberate convention
+    split pinned here: the REPORT's exact stage keys on RAW md5(text)
+    (byte-sensitive, per its docstring), so "" and "   " are two
+    distinct exact keeps — while exact_dedup's normalized
+    md5(lower(trim(text))) key merges them (previous test)."""
+    rep = {r["source"]: r for r in dedup.dedup_report(
+        blanky, "text", "doc_id", "source", threshold=0.5).collect()}
+    assert rep["a"]["n_docs"] == 2 and rep["a"]["n_exact_kept"] == 2
+    assert rep["b"]["n_docs"] == 2 and rep["b"]["n_final_kept"] == 1
+    g = {r["doc_id"]: r for r in text.gopher_rules(blanky, "text", "doc_id").collect()}
+    assert len(g) == 4
+    assert g[1]["keep"] is False and g[2]["keep"] is False
+    assert text.gopher_rules(empty, "text", "doc_id").count() == 0
+
+
+def test_readability_closed_form_on_blank_group(blanky, empty):
+    """Per-source readability over a group of blank docs stays exact:
+    zero syllables, the closed-form FK grade goes sharply negative
+    (floor of the formula) instead of NaN/crash."""
+    rows = {r["group"]: r for r in text.readability(blanky, "text", "source").collect()}
+    assert rows["a"]["n_syllables"] == 0
+    assert rows["a"]["fk_grade"] < 0  # formula floor, not NaN
+    assert rows["a"]["fk_grade"] == rows["a"]["fk_grade"]  # not NaN
+    assert text.readability(empty, "text", "source").count() == 0
