@@ -7,6 +7,7 @@ down.  Every pin here asserts the BEHAVIOR measured on the shipped tree
 loudly instead of shipping a new convention by accident."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from spear_spark.operators import dedup, text
 
@@ -122,3 +123,73 @@ def test_readability_closed_form_on_blank_group(blanky, empty):
     assert rows["a"]["fk_grade"] < 0  # formula floor, not NaN
     assert rows["a"]["fk_grade"] == rows["a"]["fk_grade"]  # not NaN
     assert text.readability(empty, "text", "source").count() == 0
+
+
+class TestSimilarityDegenerates:
+    """Same net over the embedding surfaces: empty fits fail LOUDLY
+    (a silent empty centroid table would poison every downstream
+    assignment), k > n and all-identical corpora stop early instead
+    of padding or looping."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_empty_fits_raise_descriptively(self, spark):
+        from spear_spark.operators.similarity import kcenter_coreset, kmeans_lloyd
+
+        empty = self._mk(spark, [])
+        with pytest.raises(ValueError, match="empty"):
+            kmeans_lloyd(empty, "embedding", "vec_id", k=4, tol=0.3, max_iters=5)
+        with pytest.raises(ValueError, match="empty"):
+            kcenter_coreset(empty, "embedding", "vec_id", k=3)
+
+    def test_k_beyond_corpus_stops_early(self, spark):
+        """k=8 over 3 orthogonal points: Lloyd keeps the 3 occupied
+        cells, the greedy traversal selects all 3 then stops — no
+        padding rows, no infinite loop."""
+        from spear_spark.operators.similarity import kcenter_coreset, kmeans_lloyd
+
+        few = self._mk(
+            spark,
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        )
+        assert kmeans_lloyd(few, "embedding", "vec_id", k=8, tol=0.3, max_iters=5).count() == 3
+        sel = kcenter_coreset(few, "embedding", "vec_id", k=8).collect()
+        assert sorted(r.vec_id for r in sel) == [0, 1, 2]
+
+    def test_all_identical_corpus_collapses(self, spark):
+        """Five copies of one vector: one cluster, a 1-row coreset
+        (every remaining point is distance 0 from the seed), and both
+        near-dedup impls drop the four non-min ids onto the min id."""
+        from spear_spark.operators.dedup import near_dedup_embedding, semdedup
+        from spear_spark.operators.similarity import kcenter_coreset, kmeans_lloyd
+
+        same = self._mk(spark, [(i, [1.0, 2.0, 3.0]) for i in range(5)]).withColumn(
+            "_b", F.lit(1)
+        )
+        assert kmeans_lloyd(same, "embedding", "vec_id", k=3, tol=0.3, max_iters=5).count() == 1
+        assert kcenter_coreset(same, "embedding", "vec_id", k=3).count() == 1
+        for impl in ("fold", "vectorized"):
+            drops = sorted(
+                (r.drop_id, r.keep_id)
+                for r in near_dedup_embedding(
+                    same, "embedding", "vec_id", "_b", threshold=0.3, impl=impl
+                ).collect()
+            )
+            assert drops == [(1, 0), (2, 0), (3, 0), (4, 0)], impl
+        assert semdedup(same.drop("_b"), "embedding", "vec_id", k=2, threshold=0.3).count() == 4
+
+    def test_single_vector_corpus(self, spark):
+        """One vector: semdedup drops nothing; brute-force top-k
+        returns the one row; IVF assignment over an empty corpus is an
+        empty table, not an error."""
+        from spear_spark.operators.dedup import semdedup
+        from spear_spark.operators.similarity import cosine_topk, ivf_assign_fixed
+
+        one = self._mk(spark, [(1, [1.0, 0.0, 0.0])])
+        assert semdedup(one, "embedding", "vec_id", k=1, threshold=0.3).count() == 0
+        got = cosine_topk(one, "embedding", "vec_id", [1.0, 0.0, 0.0], k=5).collect()
+        assert len(got) == 1 and got[0].vec_id == 1
+        assert ivf_assign_fixed(
+            self._mk(spark, []), "embedding", [[1.0, 0.0, 0.0]]
+        ).count() == 0
