@@ -193,3 +193,28 @@ class TestSimilarityDegenerates:
         assert ivf_assign_fixed(
             self._mk(spark, []), "embedding", [[1.0, 0.0, 0.0]]
         ).count() == 0
+
+
+def test_sketch_and_fit_surfaces_on_empty_corpus(spark, empty):
+    """Sketches and corpus-fit surfaces over nothing: HLL estimates
+    0.0 from empty registers (one row — the sketch exists, the set is
+    empty); heavy hitters, Zipf/Heaps fits, and BPE learning emit
+    empty tables; volume_gini keeps the single-row global-aggregate
+    shape with NULLs (Gini over no groups — and over ONE group, where
+    the formula is 0/0 — is undefined, and the NULL convention must
+    not silently flip to 0.0 or NaN)."""
+    from spear_spark.operators import sketch, stats
+    from pyspark.sql import functions as F2
+
+    assert sketch.cm_heavy_hitters(empty, "text", min_count=1).count() == 0
+    hll = sketch.hll_distinct(empty, F2.col("text")).collect()
+    assert len(hll) == 1 and hll[0][0] == 0.0
+    assert text.zipf_fit(empty, "text", "source").count() == 0
+    assert text.heaps_fit(empty, "text", "source").count() == 0
+    assert text.bpe_learn(empty, "text", n_merges=5).count() == 0
+    g = stats.volume_gini(empty, "source").collect()
+    assert len(g) == 1 and g[0]["gini"] is None
+    one = spark.createDataFrame([(1, "a", "x"), (2, "a", "y")],
+                                "doc_id long, source string, text string")
+    g1 = stats.volume_gini(one, "source").collect()
+    assert len(g1) == 1 and g1[0]["gini"] is None
