@@ -28,6 +28,11 @@ from typing import Any, Callable, Generic, TypeVar
 
 T = TypeVar("T")
 
+#: Distinct no-default sentinel so ``default=None`` stays expressible
+#: as a legitimate optional-key default (``None`` resolves as-is,
+#: skipping conversion) rather than colliding with "no default set".
+_NO_DEFAULT: Any = object()
+
 
 class SettingsValidationError(ValueError):
     """Raised when a configured value fails its key's conversion or
@@ -44,7 +49,7 @@ class Key(Generic[T]):
         self,
         name: str,
         convert: Callable[[Any], T],
-        default: T | None = None,
+        default: Any = _NO_DEFAULT,
         validator: Callable[[T], bool] | None = None,
     ):
         self.name = name
@@ -89,12 +94,16 @@ class Settings:
             raw = self._values[key.name]
         elif key.env_name in os.environ:
             raw = os.environ[key.env_name]
-        elif key.default is not None:
+        elif key.default is not _NO_DEFAULT:
             raw = key.default
         else:
             raise SettingsValidationError(
                 f"settings key {key.name} has no configured value and no default"
             )
+        if raw is None:
+            # None means "optional key, unset" — never fed through the
+            # converter (int(None)/str(None) would mangle it)
+            return None  # type: ignore[return-value]
         try:
             value = key.convert(raw)
             if key.validator is not None and not key.validator(value):

@@ -68,6 +68,14 @@ class Context:
     Catalyst, so the selectable component is the session factory."""
 
     def __init__(self, spark: SparkSession | None = None, settings: "Settings | None" = None):
+        if spark is not None and settings is not None:
+            # settings only select the session factory; with a session
+            # already in hand they would be silently ignored (e.g. an
+            # invalid SESSION_FACTORY path would never be validated)
+            raise ValueError(
+                "Context: pass either an explicit spark session or "
+                "settings (which boot one via SESSION_FACTORY), not both"
+            )
         if spark is None:
             from spear_spark.config import Settings, resolve_session_factory
 

@@ -801,11 +801,14 @@ def _near_dedup_embedding_vectorized(
     :func:`spear_spark.operators.similarity._ivf_assign_vectorized`).
 
     Contract: ids must be non-NULL (a NULL raises loudly here; the
-    fold's ``ida < idb`` would silently drop such rows).  Needs the
-    whole block in one pandas group — callers must bound block sizes
-    (semdedup does, by raising k with the corpus); the fold path
-    remains the unbounded-block-safe form.  Zero-norm vectors raise
-    (the fold path's ANSI divide error, loudly)."""
+    fold's ``ida < idb`` would silently drop such rows).  NULL block
+    keys emit nothing — filtered before the groupBy to match the fold
+    path, whose USING-join on the block column never matches NULL
+    (groupBy alone would treat NULL as a real block and verify it).
+    Needs the whole block in one pandas group — callers must bound
+    block sizes (semdedup does, by raising k with the corpus); the
+    fold path remains the unbounded-block-safe form.  Zero-norm
+    vectors raise (the fold path's ANSI divide error, loudly)."""
     import numpy as np
     import pandas as pd
 
@@ -865,6 +868,9 @@ def _near_dedup_embedding_vectorized(
 
     return (
         df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
+        # fold parity: its USING-join on the block column never matches
+        # NULL, so NULL-block rows must not form a verify group here
+        .filter(F.col(block_col).isNotNull())
         .groupBy(block_col)
         .applyInPandas(gram, f"drop_id {id_type}, keep_id {id_type}")
     )

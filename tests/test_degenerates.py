@@ -179,6 +179,30 @@ class TestSimilarityDegenerates:
             assert drops == [(1, 0), (2, 0), (3, 0), (4, 0)], impl
         assert semdedup(same.drop("_b"), "embedding", "vec_id", k=2, threshold=0.3).count() == 4
 
+    def test_null_block_rows_emit_nothing_both_impls(self, spark):
+        """NULL block keys: the fold path's USING-join never matches
+        NULL, so such rows emit no drop pairs — the vectorized path
+        must agree (a bare groupBy would treat NULL as a real block
+        and verify it, a silent impl-knob divergence)."""
+        from pyspark.sql import functions as F2
+
+        from spear_spark.operators.dedup import near_dedup_embedding
+
+        df = self._mk(
+            spark,
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]), (4, [1.0, 0.0])],
+        ).withColumn(
+            "_b",
+            F2.when(F2.col("vec_id") <= 1, F2.lit("a")).otherwise(F2.lit(None)),
+        )
+        for impl in ("fold", "vectorized"):
+            assert (
+                near_dedup_embedding(
+                    df, "embedding", "vec_id", "_b", threshold=0.3, impl=impl
+                ).count()
+                == 0
+            ), impl
+
     def test_single_vector_corpus(self, spark):
         """One vector: semdedup drops nothing; brute-force top-k
         returns the one row; IVF assignment over an empty corpus is an

@@ -1152,13 +1152,20 @@ _SINGLE_PARTITION_ALLOWED = {
 
 
 # Nodes that collapse cardinality to O(domain) before a global step:
-# any aggregate flavor, or a top-k heap (bounded by its limit).
+# any aggregate flavor, or a limit/top-k (bounded by its limit).  The
+# limit family needs all three spellings: a df.limit(n) over a raw scan
+# plans GlobalLimit <- Exchange SinglePartition <- LocalLimit <- Scan,
+# where the only bounding node BETWEEN the exchange and the scan is the
+# LocalLimit (GlobalLimit sits above the exchange, outside the checked
+# path); CollectLimit is the single-node form under a direct collect.
 _BOUNDING_NODES = (
     "HashAggregate",
     "ObjectHashAggregate",
     "SortAggregate",
     "TakeOrderedAndProject",
     "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
     "AggregateInPandas",
 )
 
@@ -1180,13 +1187,26 @@ def _unbounded_single_partition_exchanges(plan: str) -> list[str]:
     stack: list[tuple[int, bool, bool, str]] = []
     for line in plan.splitlines():
         m = _re.search(r"[+:]- ", line)
-        col = m.start() if m else -1
-        text = line[m.end() :] if m else line
-        if col < 0:
-            # a marker-less line is a new tree root (the main plan head
-            # or a "===== Subqueries =====" section) — ancestors from
-            # the previous tree must not leak across
-            stack.clear()
+        if m:
+            col = m.start()
+            text = line[m.end() :]
+        else:
+            stripped = line.lstrip()
+            indent = len(line) - len(stripped)
+            text = stripped
+            if indent == 0:
+                # a column-0 marker-less line is a new tree root (the
+                # main plan head or a "===== Subqueries =====" header) —
+                # ancestors from the previous tree must not leak across
+                col = -1
+                stack.clear()
+            else:
+                # an INDENTED marker-less line is a section-local root
+                # (AQE prints "== Final Plan ==" children this way);
+                # its own children carry markers at exactly this indent
+                # column, so record depth one left of them to stay on
+                # the ancestor stack until a true sibling arrives
+                col = indent - 1
         while stack and stack[-1][0] >= col >= 0:
             stack.pop()
         is_spn = text.startswith("Exchange SinglePartition")
@@ -1219,6 +1239,28 @@ def test_unbounded_spn_checker_self_test(spark, sf_dir):
     assert ok.count("Exchange SinglePartition") == 1
     assert not _unbounded_single_partition_exchanges(ok), (
         "checker flagged an aggregate-bounded SinglePartition exchange"
+    )
+    # a limit is bounded too: df.limit(n) plans GlobalLimit <-
+    # Exchange SinglePartition <- LocalLimit <- Scan, and the only
+    # bounding node INSIDE the checked path is the LocalLimit
+    lim = executed_plan(li.limit(5), run=False)
+    if "Exchange SinglePartition" in lim:
+        assert not _unbounded_single_partition_exchanges(lim), (
+            "checker flagged a limit-bounded SinglePartition exchange"
+        )
+    # AQE's "== Final Plan ==" section prints its root node indented
+    # WITHOUT a +- marker; the walker must still track it as an
+    # ancestor (a format-shape regression here would silently
+    # under-detect on executed plans)
+    aqe = (
+        "AdaptiveSparkPlan isFinalPlan=true\n"
+        "+- == Final Plan ==\n"
+        "   Exchange SinglePartition, REPARTITION_BY_NUM, [plan_id=9]\n"
+        "   +- Scan parquet [l_orderkey#1L]\n"
+    )
+    assert _unbounded_single_partition_exchanges(aqe), (
+        "checker missed a raw-scan-fed exchange printed as an "
+        "indented marker-less AQE section root"
     )
 
 

@@ -55,6 +55,14 @@ def test_missing_key_without_default_raises():
         Settings()[nodefault]
 
 
+def test_none_default_means_optional_not_missing():
+    # default=None is a legitimate "optional, unset" default — distinct
+    # from no-default (above) and never fed through the converter
+    opt = Key("spear_spark.test-opt", int, default=None)
+    assert Settings()[opt] is None
+    assert Settings().with_value(opt, "5")[opt] == 5
+
+
 def _sentinel_factory():
     return "SENTINEL-SESSION"
 
@@ -71,6 +79,10 @@ def test_context_boots_session_factory_from_settings(spark):
     assert Context(settings=s).spark == "SENTINEL-SESSION"
     # an explicit session wins — no factory boot
     assert Context(spark=spark).spark is spark
+    # both at once is a contract error: the settings' factory would be
+    # silently ignored (an invalid path never validated), so refuse
+    with pytest.raises(ValueError, match="not both"):
+        Context(spark=spark, settings=s)
 
 
 def test_unimportable_factory_raises_descriptively():
