@@ -205,6 +205,82 @@ def main() -> None:
             f"{REPS}x(k={8 * REPS})={times[f'{REPS}x']:.2f}s ratio={ratio:.1f} "
             f"({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
         )
+    # --- graph + leakage-split families (p59/p131/p135) --------------
+    # Structural pins (per-copy rank invariance, leak-free-at-10x,
+    # audit sensitivity counts) live in tests/test_scaleup.py; this
+    # section measures the wall-time ratio.  PageRank replicates the
+    # bipartite graph as 10 DISJOINT copies (suffixed node ids) — the
+    # per-iteration join/aggregate must scale with the edge count, not
+    # couple across components.
+    from spear_spark.operators import graph
+    from spear_spark.operators.sampling import leakage_safe_split
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    pset = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pset.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pset.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    e1 = edges.localCheckpoint()
+    eN = (
+        edges.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(REPS)]))
+        )
+        .select(
+            F.concat_ws("_", "src", F.col("rep").cast("string")).alias("src"),
+            F.concat_ws("_", "dst", F.col("rep").cast("string")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    print(f"edge rows: base={e1.count()} big={eN.count()}")
+    verb1 = replicate_docs(docs, 1).localCheckpoint()
+    verbN = (
+        docs.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(REPS)]))
+        )
+        .select((F.col("doc_id") * 16 + F.col("rep")).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    fam_ops = (
+        (
+            "p59_pagerank(5 iters)",
+            lambda d: graph.pagerank(d, "src", "dst", iters=5, edges_distinct=True),
+            (e1, eN),
+        ),
+        (
+            "p135_leakage_safe_split(content key)",
+            lambda d: leakage_safe_split(d, "text", "doc_id", val_frac=0.3),
+            (verb1, verbN),
+        ),
+        (
+            "p131_split_leakage(exact audit)",
+            lambda d: dedup.split_leakage_report(
+                d, "text", "doc_id", F.col("doc_id") % 2 == 1
+            ),
+            (verb1, verbN),
+        ),
+    )
+    for name, op, (d1, dN) in fam_ops:
+        times = {}
+        for label, d in (("1x", d1), (f"{REPS}x", dN)):
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                op(d).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times[label] = statistics.median(runs)
+        ratio = times[f"{REPS}x"] / times["1x"]
+        print(
+            f"{name}: 1x={times['1x']:.2f}s {REPS}x={times[f'{REPS}x']:.2f}s "
+            f"ratio={ratio:.1f} ({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
+        )
     spark.stop()
 
 

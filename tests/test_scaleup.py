@@ -952,3 +952,106 @@ def test_dedup_method_report_scales_per_grade_at_10x(spark, sf_dir):
     for col in ("n_docs_kept", "n_tokens_kept"):
         lo, hi = 9.5 * base["chunk"][col], 10.5 * base["chunk"][col]
         assert lo <= big["chunk"][col] <= hi, (col, base["chunk"][col], big["chunk"][col])
+
+
+def test_pagerank_per_copy_invariance_at_10x(spark, sf_dir):
+    """p59/p72's scale law under 10x disjoint graph replication: ten
+    isomorphic copies of the bipartite customer-supplier graph (node
+    ids suffixed per replica) iterate through the SAME rounded map, so
+    (a) all ten copies produce bit-identical rank vectors — any
+    cross-copy drift would mean the iteration stopped being
+    component-local (a phantom global coupling); (b) each copy's ranks
+    equal the base graph's divided by 10 within per-round rounding
+    (init 1/n and base (1-d)/n are the only places total n enters, and
+    both are linear); (c) total mass stays 1 — the symmetrized graph
+    has no danglers, so the damped map conserves the rank sum up to
+    the 9dp per-round rounding.  The weighted/converged variants share
+    the same ``_iterate`` core, so the law transfers."""
+    from spear_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    e = p.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        p.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    base = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, "src", "dst", iters=5, edges_distinct=True).collect()
+    }
+    e10 = e.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select(
+        F.concat_ws("_", "src", F.col("rep").cast("string")).alias("src"),
+        F.concat_ws("_", "dst", F.col("rep").cast("string")).alias("dst"),
+    )
+    big = pagerank(e10, "src", "dst", iters=5, edges_distinct=True).collect()
+    assert len(big) == 10 * len(base) > 0
+
+    per_local: dict[str, set] = {}
+    for r in big:
+        local, _, _rep = r["node"].rpartition("_")
+        per_local.setdefault(local, set()).add(r["rank"])
+    assert set(per_local) == set(base)
+    drifted = {k: v for k, v in per_local.items() if len(v) != 1}
+    assert not drifted, f"cross-copy rank drift: {dict(list(drifted.items())[:3])}"
+    for local, ranks in per_local.items():
+        assert abs(next(iter(ranks)) - base[local] / 10) <= 2e-6, local
+    assert abs(sum(r["rank"] for r in big) - 1.0) < 2e-3
+
+
+def test_leakage_split_family_laws_at_10x(spark, sf_dir):
+    """p131/p135's scale law under 10x VERBATIM duplication (ids
+    doc_id*16+r, texts unchanged — every base doc becomes a 10-copy
+    exact-dup group spanning both id parities).  Three laws: (a) the
+    content-keyed constructor stays leak-free — auditing
+    ``leakage_safe_split``'s output at the same granularity returns
+    ZERO rows however duplicated the corpus gets, the guarantee that
+    must not erode with volume; (b) the split is real (validation
+    share near val_frac), so (a) isn't vacuously all-train; (c) the
+    audit's SENSITIVITY scales exactly: an id-parity split leaks
+    every content group — exactly |distinct normalized texts| report
+    rows, each with n_train == n_val (5 odd + 5 even ids per base
+    doc) and the row totals summing to the whole 10x corpus."""
+    from spear_spark.operators.dedup import split_leakage_report
+    from spear_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = (
+        docs.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+        )
+        .select((F.col("doc_id") * 16 + F.col("rep")).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    n_rep = rep.count()
+
+    split = leakage_safe_split(rep, "text", "doc_id", val_frac=0.3)
+    joined = rep.join(split.select("doc_id", "split"), "doc_id")
+    assert (
+        split_leakage_report(
+            joined, "text", "doc_id", F.col("split") == F.lit("validation")
+        ).count()
+        == 0
+    )
+    val_frac = split.filter(F.col("split") == "validation").count() / n_rep
+    assert 0.15 < val_frac < 0.45, val_frac
+
+    leaked = split_leakage_report(
+        rep, "text", "doc_id", F.col("doc_id") % 2 == 1
+    ).collect()
+    n_groups = (
+        docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("k"))
+        .distinct()
+        .count()
+    )
+    assert len(leaked) == n_groups > 0
+    assert all(r["n_train"] == r["n_val"] for r in leaked)
+    assert sum(r["n_train"] + r["n_val"] for r in leaked) == n_rep
