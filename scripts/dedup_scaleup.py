@@ -281,6 +281,55 @@ def main() -> None:
             f"{name}: 1x={times['1x']:.2f}s {REPS}x={times[f'{REPS}x']:.2f}s "
             f"ratio={ratio:.1f} ({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
         )
+    # --- k-center family (p114/p121) ---------------------------------
+    # Structural pin (bit-identical selection under verbatim 10x
+    # duplication) lives in tests/test_scaleup.py; this measures the
+    # wall-time ratio.  Both are <= linear by construction: the direct
+    # traversal is k-1 full-corpus projection+argmax passes, the 2-pass
+    # form is Lloyd's per-round corpus aggregate + a bounded pass 2.
+    from spear_spark.operators.similarity import (
+        kcenter_coreset,
+        kcenter_coreset_2pass,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    emb1 = emb.localCheckpoint()
+    embN = (
+        emb.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(REPS)]))
+        )
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint()
+    )
+    kc_ops = (
+        (
+            "p114_kcenter_coreset(k=6)",
+            lambda d: kcenter_coreset(d, "embedding", "vec_id", k=6),
+        ),
+        (
+            "p121_kcenter_2pass(k=4, 8 cells)",
+            lambda d: kcenter_coreset_2pass(
+                d, "embedding", "vec_id", k=4, n_cells=8, tol=0.3, max_iters=10
+            ),
+        ),
+    )
+    for name, op in kc_ops:
+        times = {}
+        for label, d in (("1x", emb1), (f"{REPS}x", embN)):
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                op(d).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            times[label] = statistics.median(runs)
+        ratio = times[f"{REPS}x"] / times["1x"]
+        print(
+            f"{name}: 1x={times['1x']:.2f}s {REPS}x={times[f'{REPS}x']:.2f}s "
+            f"ratio={ratio:.1f} ({'OK <= linear' if ratio <= REPS * 1.3 else 'SUPER-LINEAR'})"
+        )
     spark.stop()
 
 

@@ -1055,3 +1055,66 @@ def test_leakage_split_family_laws_at_10x(spark, sf_dir):
     assert len(leaked) == n_groups > 0
     assert all(r["n_train"] == r["n_val"] for r in leaked)
     assert sum(r["n_train"] + r["n_val"] for r in leaked) == n_rep
+
+
+def test_kcenter_family_verbatim_10x_invariance(spark, sf_dir):
+    """p114/p121's scale law under 10x VERBATIM duplication (same
+    vectors, ids + rep*ID_SHIFT — rep 0 keeps the original ids, which
+    stay the per-copy minima).  Direct traversal: duplicating points
+    changes neither the distinct vector set nor any rounded distance,
+    and every min-id tie-break resolves to the rep-0 copy, so the
+    selection table is BIT-IDENTICAL to the base run — seed, winner
+    ids, and d2 trajectory.  2-pass: first_k_centroids picks the same
+    8 seed vectors (rep-0 ids sort first), each Lloyd round's
+    per-(cell, dim) mean is the mean of the same multiset duplicated
+    10x, so the fit converges in the SAME number of rounds to
+    centroids equal within the 6dp rounding, and pass 2's selection
+    over that bounded table replays the same (sel_round, cell)
+    sequence with d2 within rounding slack.  Any divergence means the
+    traversal or the fit picked up a volume dependence (partition-
+    order nondeterminism, unrounded comparisons) that 100x data would
+    amplify."""
+    from spear_spark.operators.similarity import (
+        kcenter_coreset,
+        kcenter_coreset_2pass,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rep = (
+        emb.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+        )
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(ID_SHIFT)).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint()
+    )
+
+    base = kcenter_coreset(emb, "embedding", "vec_id", k=6).orderBy("sel_round").collect()
+    big = kcenter_coreset(rep, "embedding", "vec_id", k=6).orderBy("sel_round").collect()
+    assert len(base) == 6 and any(r["d2"] > 0 for r in base)
+    assert [tuple(r) for r in big] == [tuple(r) for r in base]
+
+    info_b: dict = {}
+    info_r: dict = {}
+    b2 = (
+        kcenter_coreset_2pass(
+            emb, "embedding", "vec_id", k=4, n_cells=8, tol=0.3,
+            max_iters=10, info=info_b,
+        )
+        .orderBy("sel_round")
+        .collect()
+    )
+    r2 = (
+        kcenter_coreset_2pass(
+            rep, "embedding", "vec_id", k=4, n_cells=8, tol=0.3,
+            max_iters=10, info=info_r,
+        )
+        .orderBy("sel_round")
+        .collect()
+    )
+    assert info_b["iterations"] == info_r["iterations"]
+    assert [r["vec_id"] for r in b2] == [r["vec_id"] for r in r2]
+    assert len(b2) == 4 and any(r["d2"] > 0 for r in b2)
+    assert max(abs(a["d2"] - b["d2"]) for a, b in zip(b2, r2)) <= 5e-6
