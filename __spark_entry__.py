@@ -62,8 +62,14 @@ _DRIVER_PRIORITY = [
 
     # ---- below the fold (strict evidence-age order: r10 remainder,
     # then r11, r12, and the round-13 window which holds the freshest
-    # rows — recompute from CORRECTNESS_r*.json when sequencing
-    # round 15). ----
+    # rows).  Round-15 sequencing PRE-COMPUTED from CORRECTNESS_r01-r13
+    # + the r14 window above: once r14 certifies, evidence ages are
+    # 47 rows at r10 and 50 each at r11/r12/r13/r14, and the 47-row r10
+    # block + the 3-row r11 head are EXACTLY the next 50 entries below —
+    # so the round-15 window is a pure rotation: move positions 51-100
+    # of this list to the top (verify against CORRECTNESS_r14.json
+    # before trusting; recompute only if the driver certifies a
+    # different set). ----
     "p107_cap_per_group", "p108_mad_outliers_approx",
     "p109_semdedup", "p110_bpe_learn",
     "p111_bpe_segment", "p112_gopher_rules",
