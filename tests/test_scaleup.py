@@ -1118,3 +1118,63 @@ def test_kcenter_family_verbatim_10x_invariance(spark, sf_dir):
     assert [r["vec_id"] for r in b2] == [r["vec_id"] for r in r2]
     assert len(b2) == 4 and any(r["d2"] > 0 for r in b2)
     assert max(abs(a["d2"] - b["d2"]) for a, b in zip(b2, r2)) <= 5e-6
+
+
+def test_cluster_representatives_verbatim_10x_law(spark, sf_dir):
+    """p88's scale law under 10x VERBATIM duplication (ids doc_id*16+r,
+    texts unchanged): copies of a doc pair at Jaccard 1.0, so every
+    base cluster — singletons included — becomes ONE big cluster
+    holding all ten copies of each member.  quality_score depends only
+    on the text, so the per-cluster argmax sees the same best score
+    and its (score DESC, id ASC) struct tie-break must resolve to the
+    rep-0 copy of the base winner: the big table must equal the base
+    table mapped (cluster_id*16, keep_id*16, same keep_score,
+    n_members*10).  Any drift means the two-phase MAX(struct) argmax
+    picked up a volume or partition-order dependence."""
+    from spear_spark.operators.dedup import (
+        cluster_representatives,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from spear_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def reps(d):
+        pairs = ngram_jaccard_pairs(d, "text", "doc_id").filter(
+            F.col("jaccard") >= 0.5
+        )
+        labels = connected_components(pairs)
+        scores = d.select("doc_id", quality_score("text").alias("score"))
+        return {
+            r["cluster_id"]: (r["keep_id"], r["keep_score"], r["n_members"])
+            for r in cluster_representatives(labels, scores).collect()
+        }
+
+    base = reps(docs)
+    big = reps(
+        docs.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+        ).select((F.col("doc_id") * 16 + F.col("rep")).alias("doc_id"), "text")
+    )
+    # base singletons never reach cluster_representatives (CC only
+    # labels docs that matched something) but their 10-copy groups DO
+    # appear in big — so big's key set is every base doc's cluster.
+    assert len(base) > 0
+    mapped = {
+        cid * 16: (kid * 16, ks, n * 10) for cid, (kid, ks, n) in base.items()
+    }
+    # big's cluster count = base clusters + one 10-copy cluster per
+    # base SINGLETON (CC only labels docs that matched something, so
+    # singletons are absent from base but their copy-groups pair up)
+    n_docs = docs.count()
+    n_in_base_clusters = sum(n for _, (_, _, n) in base.items())
+    n_singletons = n_docs - n_in_base_clusters
+    assert len(big) == len(base) + n_singletons
+    for cid, want in mapped.items():
+        assert big[cid] == want, (cid, big[cid], want)
+    # every big cluster not mapped from a base cluster is a singleton
+    # 10-copy group: keep = its own min id, 10 members
+    for cid, (kid, ks, n) in big.items():
+        if cid not in mapped:
+            assert kid == cid and n == 10, (cid, kid, n)
