@@ -242,3 +242,30 @@ def test_sketch_and_fit_surfaces_on_empty_corpus(spark, empty):
                                 "doc_id long, source string, text string")
     g1 = stats.volume_gini(one, "source").collect()
     assert len(g1) == 1 and g1[0]["gini"] is None
+
+
+def test_graph_family_degenerates(spark):
+    """Graph-family conventions: pagerank REFUSES an empty edge list
+    (iterating over zero nodes returns an empty rank table that reads
+    as 'no data' when the real cause is an upstream join bug — the
+    empty-fit loud-raise convention); connected_components emits
+    NOTHING for an empty edge set AND for self-loop-only input (the
+    u != v filter drops loops — a doc paired only with itself is a
+    singleton, and the labeling contract is 'only docs that matched
+    something'; every caller coalesces missing labels to the doc's own
+    id, so loops must not mint one-member clusters)."""
+    import pytest as _pytest
+
+    from spear_spark.operators.dedup import connected_components
+    from spear_spark.operators.graph import pagerank
+
+    empty_e = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty_e, "src", "dst", iters=2)
+
+    empty_p = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty_p).count() == 0
+    loops = spark.createDataFrame(
+        [(1, 1), (2, 2)], "doc_a long, doc_b long"
+    )
+    assert connected_components(loops).count() == 0
