@@ -323,24 +323,28 @@ def sparse_cosine_pairs(
         .agg(F.array_sort(F.collect_list("d")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    pair = postings.select(
+    # Pair combinations via two chained codegen Generates (posexplode
+    # anchor + explode of the strictly-after slice) — the nested
+    # transform/flatten/slice HOF form is CodegenFallback (interpreted)
+    # and materializes the full per-list pair array first; see the
+    # measured A/B at dedup._shingle_pair_intersections (same rewrite,
+    # rows verified identical).
+    anchors = postings.select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
+    pair = anchors.select(
+        F.col("a"),
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ds"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
+            F.slice(
+                F.col("ds"),
+                F.col("i") + F.lit(2),
+                F.greatest(F.size("ds") - F.col("i") - 1, F.lit(0)),
             )
-        ).alias("p")
+        ).alias("b"),
     )
     out = (
         pair.groupBy(
-            F.col("p.a._id").alias("doc_a"), F.col("p.b._id").alias("doc_b")
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
         )
-        .agg(F.round(F.sum(F.col("p.a._u") * F.col("p.b._u")), decimals).alias("cos_sim"))
+        .agg(F.round(F.sum(F.col("a._u") * F.col("b._u")), decimals).alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
     )
     if top:
