@@ -645,12 +645,21 @@ def kmeans_lloyd(
     )
     if not cur:
         raise ValueError("kmeans_lloyd: no centroids (empty input?)")
+    # Materialize the vector column ONCE for the round loop (lazy
+    # localCheckpoint; round 1's collect is the materializing action):
+    # every Lloyd round otherwise re-runs the full scan + projection
+    # subtree behind `df` — at 100 TB that is max_iters corpus re-reads
+    # where one suffices (Spark MLlib's KMeans caches its input for the
+    # same reason, guide §5), and locally it is the dominant per-round
+    # cost.  Only the narrow (vec) projection is held — MEMORY_AND_DISK,
+    # so an over-memory corpus spills rather than OOMs.
+    work = df.select(F.col(vec_col)).localCheckpoint(eager=False)
     converged = False
     iters_run = 0
     drift = None
     for _ in range(max_iters):
         iters_run += 1
-        step = kmeans_lloyd_step(df, vec_col, cur, decimals).collect()
+        step = kmeans_lloyd_step(work, vec_col, cur, decimals).collect()
         new = [list(c) for c in cur]  # dead cells keep their centroid
         for r in step:
             new[r["cell"]] = [float(x) for x in r["centroid"]]
@@ -673,7 +682,7 @@ def kmeans_lloyd(
     if info is not None:
         info["iterations"] = iters_run
         info["centroids"] = cur
-    return kmeans_lloyd_step(df, vec_col, cur, decimals)
+    return kmeans_lloyd_step(work, vec_col, cur, decimals)
 
 
 def quantize_embeddings(
@@ -918,12 +927,15 @@ def kcenter_coreset(
     """
     if k < 1:
         raise ValueError("kcenter_coreset: k must be >= 1")
-    seed_rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col))
-        .limit(1)
-        .collect()
+    # One (id, vec) projection materialized for the whole traversal
+    # (lazy localCheckpoint; the seed fetch is the materializing
+    # action): each of the k−1 farthest-point rounds otherwise re-runs
+    # the scan + projection behind `df` — k corpus re-reads where one
+    # suffices, the same round-loop caching as kmeans_lloyd.
+    work = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+        eager=False
     )
+    seed_rows = work.orderBy(F.col(id_col)).limit(1).collect()
     if not seed_rows:
         raise ValueError("kcenter_coreset: empty input")
     chosen_ids = [int(seed_rows[0][id_col])]
@@ -936,7 +948,7 @@ def kcenter_coreset(
             F.col(vec_col), vec_lit(chosen_vecs[0]), decimals
         )
         far = (
-            df.select(F.col(id_col), F.col(vec_col), mind.alias("_d"))
+            work.select(F.col(id_col), F.col(vec_col), mind.alias("_d"))
             .orderBy(F.desc("_d"), F.col(id_col))
             .limit(1)
             .collect()
