@@ -710,11 +710,12 @@ def connected_components(
         # materializing action, so each round is ONE job (star shuffles
         # + signature) instead of two (eager checkpoint, then a second
         # job re-scanning the cached blocks just for the signature) —
-        # at scale that is one fewer pass over the edge set per round,
-        # locally it halves the per-round job overhead (measured ~2×
-        # on the CC-family fn() phase).  The next round's multi-consumer
-        # reads (bidir union + min join) then hit the already-
-        # materialized blocks exactly as before.
+        # at scale that is one fewer pass over the edge set per round.
+        # Locally the wall delta is small (~2% on p102/p135, the edge
+        # sets converge in 2 rounds); the job-count halving is the
+        # structural evidence.  The next round's multi-consumer reads
+        # (bidir union + min join) then hit the already-materialized
+        # blocks exactly as before.
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # order-independent edge-set signature; bit_xor never overflows
         # (SUM of hashes would trip ANSI long-overflow on big edge sets)
