@@ -201,8 +201,21 @@ def minhash_lsh_pairs(
     ``char_n`` switches to character-gram signatures (see
     :func:`minhash_signatures`)."""
     assert k % bands == 0
-    r = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, shingle_n, char_n=char_n)
+    return _lsh_pairs_from_sig(sig, id_col, k, bands)
+
+
+def _lsh_pairs_from_sig(
+    sig: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Banded candidate pairs from an EXISTING signature table
+    (``mh0..mh{k-1}`` columns) — factored out of
+    :func:`minhash_lsh_pairs` so a composition that also consumes the
+    signatures directly (:func:`lsh_calibration`'s per-pair match
+    count) can compute the corpus-proportional signature pipeline ONCE
+    and feed both branches, instead of re-running the shingle explode
+    + k-way MIN aggregate per consumer."""
+    r = k // bands
     # ONE pass over the signatures: explode an array of (band, hash)
     # structs.  A union of per-band selects would re-evaluate the whole
     # signature pipeline (shingle explode + k minhash aggregates) once
@@ -2782,11 +2795,16 @@ def lsh_calibration(
     all-pairs); the estimate is one projection over the joined
     signature rows; the exact side is the :func:`lsh_verified_pairs`
     per-candidate array intersection; the report is ONE two-phase
-    aggregate on the k+1-value bucket grid."""
-    cands = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n).select(
-        "doc_a", "doc_b"
-    )
-    sig = minhash_signatures(df, text_col, id_col, k=k)
+    aggregate on the k+1-value bucket grid.  The signature table is
+    computed ONCE (lazy ``localCheckpoint``) and feeds both the banded
+    candidate join (via :func:`_lsh_pairs_from_sig`) and the per-pair
+    match-count columns — the pre-r14 form called
+    :func:`minhash_lsh_pairs` and :func:`minhash_signatures`
+    separately, running the corpus-proportional shingle explode +
+    k-way MIN aggregate twice."""
+    sig = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    sig = sig.localCheckpoint(eager=False)
+    cands = _lsh_pairs_from_sig(sig, id_col, k, bands).select("doc_a", "doc_b")
     siga = sig.select(
         F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)]
     )
