@@ -739,6 +739,73 @@ def bpe_learn(
     )
 
 
+def _merge_list_of(merges) -> list:
+    """Normalize a merge table (``bpe_learn`` DataFrame or iterable of
+    (left, right) pairs in rank order) into the bounded driver-side
+    list shipped in encoder task closures."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(merges, DataFrame):
+        return [
+            (r["left"], r["right"])
+            for r in merges.select("rank", "left", "right").orderBy("rank").collect()
+        ]
+    return [(a, b) for a, b in merges]
+
+
+def _bpe_word_piece_stats(word_counts, merges):
+    """Per-WORD encoder statistics: given a word-grain relation whose
+    ``w`` column holds pre-token words (e.g. the (group, w, count)
+    aggregate of a corpus), run the :func:`bpe_apply` merge loop once
+    per distinct word per batch and APPEND ``n_pieces`` /
+    ``n_char_pieces`` to the input rows.
+
+    This is the vocabulary-grain core of the count-only tokenizer
+    readouts (:func:`bpe_fertility`, :func:`bpe_coverage`): the BPE
+    segmentation of a word depends only on the word, so corpus text
+    never needs to cross the JVM→Python boundary — only the
+    word-count table does (vocabulary-sized, ≪ corpus at any scale).
+    Appending to the aggregated rows (rather than encoding a distinct
+    word table and joining back) keeps the plan at the groupBy
+    exchanges alone; the per-batch cache collapses duplicate words
+    across groups exactly like :func:`bpe_apply`'s."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    merge_list = _merge_list_of(merges)
+    schema = StructType(
+        list(word_counts.schema.fields)
+        + [
+            StructField("n_pieces", LongType()),
+            StructField("n_char_pieces", LongType()),
+        ]
+    )
+
+    def stats_batches(batches):
+        cache: dict[str, tuple] = {}
+
+        def enc_stats(w):
+            got = cache.get(w)
+            if got is None:
+                syms = tuple(w)
+                for a, b in merge_list:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_pair(syms, a, b)
+                got = cache[w] = (
+                    len(syms),
+                    sum(1 for s in syms if len(s) == 1),
+                )
+            return got
+
+        for pdf in batches:
+            stats = [enc_stats(w) for w in pdf["w"]]
+            pdf["n_pieces"] = [s[0] for s in stats]
+            pdf["n_char_pieces"] = [s[1] for s in stats]
+            yield pdf
+
+    return word_counts.mapInPandas(stats_batches, schema)
+
+
 def bpe_apply(df, text_col: str, merges, out_col: str = "bpe_tokens"):
     """Encode ``text_col`` with a learned BPE merge table (the output
     of :func:`bpe_learn`, or an iterable of (left, right) pairs in
@@ -760,13 +827,7 @@ def bpe_apply(df, text_col: str, merges, out_col: str = "bpe_tokens"):
 
     if out_col in df.columns:
         raise ValueError(f"bpe_apply: column {out_col!r} already exists")
-    if isinstance(merges, DataFrame):
-        merge_list = [
-            (r["left"], r["right"])
-            for r in merges.select("rank", "left", "right").orderBy("rank").collect()
-        ]
-    else:
-        merge_list = [(a, b) for a, b in merges]
+    merge_list = _merge_list_of(merges)
     schema = StructType(
         df.schema.fields + [StructField(out_col, ArrayType(StringType()))]
     )
@@ -1015,33 +1076,53 @@ def bpe_fertility(
     a letters-only cleaner) are dropped rather than dividing by zero
     — their absence from the report IS the signal.
 
-    Scale shape: the encode is :func:`bpe_apply`'s Arrow-batched
-    projection (merge table in the task closure, per-batch word
-    cache); the metrics are one more narrow projection and ONE
-    two-phase aggregate on the group key.  Integer sums → two exact
-    divisions, rounded."""
+    Scale shape (r14): the token count routes through the VOCABULARY,
+    not the corpus — BPE segmentation is a pure function of the word,
+    so ``n_tokens(group) = Σ_w count(group, w) · |enc(w)|``.  One
+    codegen JVM (group, word) count (pre-tokens =
+    ``regexp_extract_all(lower(text), BPE_PATTERN)``, the
+    :func:`bpe_learn` pipeline — JVM/Python regex parity is pinned by
+    ``re.ASCII`` there), one Arrow-batched encode of the DISTINCT
+    word table (:func:`_bpe_word_piece_stats` — vocabulary-sized, so
+    corpus text never crosses the Python boundary; the pre-r14 form
+    shipped every document through ``mapInPandas``), one vocab-grain
+    join, ONE two-phase aggregate per branch.  Integer sums → two
+    exact divisions, rounded."""
     from pyspark.sql import functions as F
 
-    enc = bpe_apply(df.select(group_col, text_col), text_col, merges)
-    staged = enc.select(
+    wc = (
+        df.select(
+            F.col(group_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0
+                )
+            ).alias("w"),
+        )
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tok = (
+        _bpe_word_piece_stats(wc, merges)
+        .groupBy(group_col)
+        .agg(F.sum(F.col("_c") * F.col("n_pieces")).alias("n_tokens"))
+    )
+    doc = df.select(
         F.col(group_col),
         F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0).alias("_ws"),
-        F.size("bpe_tokens").alias("_t"),
-    )
-    m = staged.select(
+    ).select(
         group_col,
         F.size("_ws").alias("_w"),
         F.length(F.concat_ws("", F.col("_ws"))).alias("_c"),
-        "_t",
     )
     return (
-        m.groupBy(group_col)
+        doc.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_w").alias("n_words"),
-            F.sum("_t").alias("n_tokens"),
             F.sum("_c").alias("n_chars"),
         )
+        .join(tok, group_col, "left")
         .filter((F.col("n_words") > 0) & (F.col("n_tokens") > 0))
         .select(
             group_col,
@@ -1165,20 +1246,35 @@ def bpe_coverage(
     an out-of-distribution group shows strictly higher fallback than
     the group the vocabulary was trained on.
 
-    Scale shape: :func:`bpe_apply`'s Arrow-batched projection, one
-    explode, ONE two-phase aggregate on the group key.  Groups whose
+    Scale shape (r14): the :func:`bpe_fertility` vocabulary route —
+    one codegen JVM (group, word) count, one Arrow-batched encode of
+    the DISTINCT word table (:func:`_bpe_word_piece_stats`; corpus
+    text never crosses the Python boundary), one vocab-grain join,
+    ONE two-phase aggregate — ``n_tokens = Σ count·|enc(w)|``,
+    ``n_char_tokens = Σ count·|{s ∈ enc(w) : |s|=1}|``.  Groups whose
     every document is NULL/empty produce no row (nothing was
     tokenized — absence is the signal, the :func:`bpe_fertility`
     convention)."""
     from pyspark.sql import functions as F
 
-    enc = bpe_apply(df.select(group_col, text_col), text_col, merges)
-    toks = enc.select(F.col(group_col), F.explode("bpe_tokens").alias("_t"))
+    wc = (
+        df.select(
+            F.col(group_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0
+                )
+            ).alias("w"),
+        )
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     return (
-        toks.groupBy(group_col)
+        _bpe_word_piece_stats(wc, merges)
+        .groupBy(group_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum((F.length("_t") == 1).cast("long")).alias("n_char_tokens"),
+            F.sum(F.col("_c") * F.col("n_pieces")).alias("n_tokens"),
+            F.sum(F.col("_c") * F.col("n_char_pieces")).alias("n_char_tokens"),
         )
         .select(
             group_col,
