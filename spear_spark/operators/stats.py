@@ -931,14 +931,17 @@ def filter_agreement_matrix(
     staged = df.select(
         *[c.alias(f"_f{i}") for i, c in enumerate(cols)], guard.alias("_g")
     )
-    aggs = [F.sum("_g").alias("n")]
+    # one F.expr parse per aggregate (3·k(k−1)/2 + 1 Py4J calls) vs
+    # ~8 Column-operator round-trips each — same expressions, same
+    # plan, a fraction of the driver construction time
+    aggs = [F.expr("sum(_g) AS n")]
     for i in range(k):
         for j in range(i + 1, k):
-            a, b = F.col(f"_f{i}"), F.col(f"_f{j}")
+            a, b = f"_f{i}", f"_f{j}"
             aggs += [
-                F.sum((a & b).cast("long")).alias(f"_b_{i}_{j}"),
-                F.sum((a & ~b).cast("long")).alias(f"_ao_{i}_{j}"),
-                F.sum((~a & b).cast("long")).alias(f"_bo_{i}_{j}"),
+                F.expr(f"sum(CAST(({a} AND {b}) AS BIGINT)) AS _b_{i}_{j}"),
+                F.expr(f"sum(CAST(({a} AND NOT {b}) AS BIGINT)) AS _ao_{i}_{j}"),
+                F.expr(f"sum(CAST((NOT {a} AND {b}) AS BIGINT)) AS _bo_{i}_{j}"),
             ]
     one = staged.agg(*aggs)
     # Stage every pair's derived scalars as FLAT columns in one
@@ -947,44 +950,50 @@ def filter_agreement_matrix(
     # structs inside a Generate blows whole-stage codegen past the
     # 64 KB method limit (observed InternalCompilerException fallback);
     # over flat references the explode is a trivial method.
+    #
+    # Both post-aggregate projections are built as SQL STRINGS parsed
+    # once in the JVM (selectExpr/expr), not as Column-object trees:
+    # the pair loop otherwise issues thousands of Py4J round-trips
+    # (~15 Column calls × 4 columns × k(k−1)/2 pairs) and the
+    # DataFrame construction alone cost ~2.3 s of driver time per
+    # bench run at k=9 — pure fn-phase overhead the executors never
+    # see.  The parsed expressions are identical, so the analyzed
+    # plan (and the result) is unchanged.
     derived = []
     for i in range(k):
         for j in range(i + 1, k):
-            n = F.col("n")
-            both = F.col(f"_b_{i}_{j}")
-            aonly = F.col(f"_ao_{i}_{j}")
-            bonly = F.col(f"_bo_{i}_{j}")
-            neither = n - both - aonly - bonly
-            nd = n.cast("double")
-            po = (both + neither) / nd
-            pa = (both + aonly) / nd
-            pb = (both + bonly) / nd
-            pe = pa * pb + (1 - pa) * (1 - pb)
-            kappa = F.when(pe == 1.0, F.lit(1.0)).otherwise((po - pe) / (1 - pe))
+            b, ao, bo = f"_b_{i}_{j}", f"_ao_{i}_{j}", f"_bo_{i}_{j}"
+            neither = f"(n - {b} - {ao} - {bo})"
+            po = f"(({b} + {neither}) / CAST(n AS DOUBLE))"
+            pa = f"(({b} + {ao}) / CAST(n AS DOUBLE))"
+            pb = f"(({b} + {bo}) / CAST(n AS DOUBLE))"
+            pe = f"({pa} * {pb} + (1 - {pa}) * (1 - {pb}))"
+            kappa = (
+                f"(CASE WHEN {pe} = 1.0D THEN 1.0D "
+                f"ELSE ({po} - {pe}) / (1 - {pe}) END)"
+            )
             derived += [
-                neither.alias(f"_ne_{i}_{j}"),
-                (F.round(po, decimals) + F.lit(0.0)).alias(f"_po_{i}_{j}"),
-                (F.round(pe, decimals) + F.lit(0.0)).alias(f"_pe_{i}_{j}"),
-                (F.round(kappa, decimals) + F.lit(0.0)).alias(f"_ka_{i}_{j}"),
+                f"{neither} AS _ne_{i}_{j}",
+                f"(round({po}, {decimals}) + 0.0D) AS _po_{i}_{j}",
+                f"(round({pe}, {decimals}) + 0.0D) AS _pe_{i}_{j}",
+                f"(round({kappa}, {decimals}) + 0.0D) AS _ka_{i}_{j}",
             ]
-    flat = one.select("*", *derived)
-    pair_structs = [
-        F.struct(
-            F.lit(flags[i]).alias("filter_a"),
-            F.lit(flags[j]).alias("filter_b"),
-            F.col("n").alias("n"),
-            F.col(f"_b_{i}_{j}").alias("n_both"),
-            F.col(f"_ao_{i}_{j}").alias("n_a_only"),
-            F.col(f"_bo_{i}_{j}").alias("n_b_only"),
-            F.col(f"_ne_{i}_{j}").alias("n_neither"),
-            F.col(f"_po_{i}_{j}").alias("po"),
-            F.col(f"_pe_{i}_{j}").alias("pe"),
-            F.col(f"_ka_{i}_{j}").alias("kappa"),
-        )
+    flat = one.selectExpr("*", *derived)
+    def _slit(name: str) -> str:
+        # flag names become SQL string literals in the struct labels
+        return name.replace("\\", "\\\\").replace("'", "\\'")
+
+    pair_structs = ", ".join(
+        f"struct('{_slit(flags[i])}' AS filter_a, '{_slit(flags[j])}' AS filter_b, "
+        f"n AS n, _b_{i}_{j} AS n_both, _ao_{i}_{j} AS n_a_only, "
+        f"_bo_{i}_{j} AS n_b_only, _ne_{i}_{j} AS n_neither, "
+        f"_po_{i}_{j} AS po, _pe_{i}_{j} AS pe, _ka_{i}_{j} AS kappa)"
         for i in range(k)
         for j in range(i + 1, k)
-    ]
-    return flat.select(F.explode(F.array(*pair_structs)).alias("_p")).select("_p.*")
+    )
+    return flat.select(
+        F.explode(F.expr(f"array({pair_structs})")).alias("_p")
+    ).select("_p.*")
 
 
 
