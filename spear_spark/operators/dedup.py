@@ -177,6 +177,17 @@ def minhash_signatures(
         else char_shingles(text_col, char_n)
     )
     base = df.select(F.col(id_col), grams.alias("_shs"))
+    return _minhash_sig_from_arrays(base, id_col, k)
+
+
+def _minhash_sig_from_arrays(base: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Signature aggregate over an EXISTING (id, ``_shs`` shingle-array)
+    staging — factored out of :func:`minhash_signatures` so compositions
+    that also consume the shingle arrays directly
+    (:func:`lsh_verified_pairs`' exact verify) can compute the
+    corpus-proportional shingle transform ONCE and feed both the
+    signature pipeline and the array consumers.  Identical expressions
+    to the inline form — only the staging boundary differs."""
     hv = base.select(F.col(id_col), F.explode("_shs").alias("_s")).select(
         F.col(id_col), (h64(F.col("_s")) % MERSENNE31).alias("_hv")
     )
@@ -985,11 +996,27 @@ def lsh_verified_pairs(
     Scale: signatures are a projection; the band self-join is an
     equi-join on (band, hash); verification is two hash joins keyed on
     doc id against the shingle-array projection.  No stage is quadratic
-    in corpus size."""
-    cands = minhash_lsh_pairs(df, text_col, id_col, k, bands, shingle_n).select(
-        "doc_a", "doc_b"
+    in corpus size.
+
+    The (id, shingle-array) staging is computed ONCE behind a lazy
+    ``localCheckpoint`` and feeds all three consumers — the signature
+    pipeline and both verify sides.  Without it the shingle transform
+    (lower/trim + per-position substrings + array_distinct, the ~50×
+    work amplifier over the scan) runs three times per query: Catalyst
+    prunes each reference into a specialized copy, so ReuseExchange
+    never fires.  The staging is corpus-sized (MEMORY_AND_DISK — an
+    over-memory corpus spills; on a real cluster this is the signature
+    stage-out write every 100 TB dedup pipeline already does)."""
+    shs = (
+        _widen_narrow_scan(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingles(text_col, shingle_n).alias("_shs"),
+        )
+        .localCheckpoint(eager=False)
     )
-    shs = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_shs"))
+    sig = _minhash_sig_from_arrays(shs, "_id", k)
+    cands = _lsh_pairs_from_sig(sig, "_id", k, bands).select("doc_a", "doc_b")
     a = shs.select(F.col("_id").alias("doc_a"), F.col("_shs").alias("sa"))
     b = shs.select(F.col("_id").alias("doc_b"), F.col("_shs").alias("sb"))
     # materialize the intersection size once (repeated interpreted
@@ -1867,11 +1894,24 @@ def dedup_report(
         )
     ids = F.col(id_col)
     hashed = df.select(group_col, id_col, F.md5(F.col(text_col)).alias("_h"))
-    first = hashed.groupBy("_h").agg(F.min(id_col).alias("_kid"))
+    # ONE md5 pass for the exact stage: min(struct(id, group)) picks the
+    # min-id row per hash AND carries its group (ids are the struct's
+    # leading field, so lexicographic struct-min == min(id); group rides
+    # along) — the former groupBy-min + join-back re-read the corpus-md5
+    # subtree a second time just to recover the group column.  The
+    # result feeds TWO consumers (the survivor semi-join into pair
+    # generation, and the label join below), so it is materialized once
+    # behind a lazy localCheckpoint (narrow (group, id) rows —
+    # MEMORY_AND_DISK, spills instead of OOMing); without it each
+    # consumer would re-run the full corpus md5 aggregate.
     exact_kept = (
-        hashed.join(first, "_h")
-        .filter(ids == F.col("_kid"))
-        .select(group_col, id_col)
+        hashed.groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col(group_col))).alias("_m"))
+        .select(
+            F.col(f"_m.{group_col}").alias(group_col),
+            F.col(f"_m.{id_col}").alias(id_col),
+        )
+        .localCheckpoint(eager=False)
     )
     survivors = df.join(
         exact_kept.select(id_col), id_col, "semi"
