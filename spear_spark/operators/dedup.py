@@ -281,7 +281,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     """Per-doc SimHash fingerprint over distinct tokens: bit b of the
     fingerprint is the majority vote of bit b across token hashes.
     Single explode + one groupBy (partial aggregation collapses the
-    token fan-out map-side)."""
+    token fan-out map-side).
+
+    Deliberately NOT widened (`_widen_narrow_scan`), unlike
+    :func:`minhash_signatures`: measured at sf0.1 (interleaved A/B on
+    p19, 6 paired reps) the widen made the query 3.02 vs 2.54 s median
+    — the corpus-text repartition costs more than the single-task
+    signature stage saves, because the downstream banding runs over
+    DISTINCT fingerprints (2 949 at sf0.1) so the sig stage is a small
+    share of the query.  At real scale the input arrives in many splits
+    and the widen would be a no-op anyway."""
     toks = F.array_distinct(tokens(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
         "th", h32(F.col("tok"))
@@ -679,6 +688,27 @@ def _small_star(e: DataFrame) -> DataFrame:
     d = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v")).distinct()
+    return _small_star_directed(d)
+
+
+def _small_star_directed(d: DataFrame) -> DataFrame:
+    """Small-star core over an ALREADY large→small directed,
+    duplicate-free edge set — exactly the shape :func:`_large_star`
+    emits (its output (u', v') = (v, m) always has u' > v' because
+    m ≤ u < v, and it ends in ``.distinct()``), so the CC round loop
+    composes this directly and skips :func:`_small_star`'s
+    re-orientation + re-distinct.  Measured honestly
+    (plans/r14/cc_round_{before,after}.txt): Catalyst had ALREADY
+    collapsed the redundant distinct — exchange and aggregate counts
+    are identical (11 exchanges either way) — so the only plan delta
+    is the removed per-row ``greatest``/``least`` evaluations in the
+    round's join conditions and projections (6 expression sites → 0).
+    A/B at sf0.1 accordingly neutral (p102 7.71→7.41 s, p135
+    5.52→5.49 s medians); kept for the simpler round plan, not claimed
+    as a shuffle win.  (Also measured: additionally dropping
+    _large_star's own distinct and letting the final distinct absorb
+    the duplicates is WORSE — p135 5.52→6.78 s — the duplicate fan-out
+    through the join costs more than the dedup saves.  Kept.)"""
     m = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u by construction
     rewired = (
         d.join(m, "u")
@@ -740,7 +770,11 @@ def connected_components(
         # structural evidence.  The next round's multi-consumer reads
         # (bidir union + min join) then hit the already-materialized
         # blocks exactly as before.
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # _large_star output is already large→small directed and
+        # distinct, so the small-star half skips its re-orientation +
+        # re-distinct (see _small_star_directed for the measured,
+        # expression-level-only effect).
+        e = _small_star_directed(_large_star(e)).localCheckpoint(eager=False)
         # order-independent edge-set signature; bit_xor never overflows
         # (SUM of hashes would trip ANSI long-overflow on big edge sets)
         sig = tuple(

@@ -1665,7 +1665,18 @@ def ivf_recall_curve(
     candidate in the anchor's rc-th nearest cell is eligible at every
     probe depth >= rc — one ``sequence(rc, max_probe)`` explode, no
     per-depth rescans.  All ranks tie-break on id; recall is a ratio
-    of exact counts."""
+    of exact counts.
+
+    The (anchor, doc) cosines are scored ONCE (r14): the brute-force
+    truth needs every corpus×anchor cosine anyway, so the scored
+    relation (id, cell, anchor, cos — lazily checkpointed, n·|anchors|
+    narrow rows, MEMORY_AND_DISK) feeds BOTH the truth ranking and the
+    probed-cell candidate set.  The pre-r14 form ran the interpreted
+    64-term cosine fold twice (full corpus via
+    :func:`cosine_topk_batch`, probed subset again for candidates) and
+    scanned + cell-assigned the corpus in two separate passes.  Same
+    expressions, same rounding, same tie-breaks — result unchanged by
+    construction."""
     if not anchors:
         raise ValueError("ivf_recall_curve: need at least one anchor")
     if max_probe < 1 or max_probe > len(centroids):
@@ -1679,9 +1690,6 @@ def ivf_recall_curve(
     qs = spark.createDataFrame(
         [(a, v) for a, v in aset], f"_aid long, _av array<double>"
     )
-    truth = cosine_topk_batch(
-        df, vec_col, id_col, qs, "_aid", "_av", k=k
-    ).select(F.col("_aid"), F.col(id_col).alias("_tid"))
 
     ranks = []
     for a, v in aset:
@@ -1695,22 +1703,30 @@ def ivf_recall_curve(
         norm(F.col(vec_col)).alias("_cn"),
         F.col("_cell").cast("int").alias("_cell"),
     )
-    cand = (
-        assigned.join(
-            F.broadcast(cellrank.filter(F.col("_rc") <= max_probe)), "_cell"
-        )
-        .join(F.broadcast(qs.withColumn("_qn", norm(F.col("_av")))), "_aid")
+    scored = (
+        assigned.crossJoin(F.broadcast(qs.withColumn("_qn", norm(F.col("_av")))))
         .filter(F.col("_cid") != F.col("_aid"))
         .select(
             "_aid",
             "_cid",
-            "_rc",
+            "_cell",
             F.round(
                 dot(F.col("_cv"), F.col("_av")) / (F.col("_cn") * F.col("_qn")),
                 6,
             ).alias("_cos"),
         )
+        .localCheckpoint(eager=False)
     )
+    w_truth = W.partitionBy("_aid").orderBy(F.col("_cos").desc(), F.col("_cid"))
+    truth = (
+        scored.withColumn("_trnk", F.row_number().over(w_truth))
+        .filter(F.col("_trnk") <= k)
+        .select(F.col("_aid"), F.col("_cid").alias("_tid"))
+    )
+    cand = scored.join(
+        F.broadcast(cellrank.filter(F.col("_rc") <= max_probe)),
+        ["_aid", "_cell"],
+    ).select("_aid", "_cid", "_rc", "_cos")
     per_probe = cand.select(
         "_aid",
         "_cid",
