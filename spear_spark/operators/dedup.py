@@ -160,24 +160,57 @@ def minhash_signatures(
     the DuckDB oracle's ``GROUP BY`` does the same.
 
     ``char_n`` switches the shingle unit from ``shingle_n``-WORD grams
-    to ``char_n``-CHARACTER grams (:func:`char_shingles`) — the grain
-    that keeps near-dup signal under within-word edits (OCR noise);
-    the signature/banding arithmetic is identical either way.
+    to ``char_n``-CHARACTER grams — the grain that keeps near-dup
+    signal under within-word edits (OCR noise); the signature/banding
+    arithmetic is identical either way.
+
+    Gram generation is a STREAMING codegen Generate — one
+    ``explode(sequence(1, n_positions))`` anchor plus a per-row
+    ``array_join(slice(toks, i, n))`` (word) / ``substring(s, i, n)``
+    (char) — not the :func:`shingles`/:func:`char_shingles` gram-ARRAY
+    construction those verify-side consumers need: the array form pays
+    n−1 interpreted ``zip_with`` passes (word) or a per-element
+    ``transform`` closure (char) plus an ``array_distinct``, all
+    CodegenFallback, to build an array the signature aggregate
+    immediately explodes away.  MIN over duplicate grams equals MIN
+    over the distinct set, so skipping the distinct leaves every
+    signature bit-identical (A/B-diffed at sf0.1: 5000 = 5000 rows, 0
+    diffs both ways, word AND char grain); docs with no full gram
+    (NULL/short text) explode to zero rows and still produce no
+    signature row, the array-path convention.  Measured interleaved at
+    sf0.1: p134 (char) 11.1→7.0 s, p132 3.7→2.5 s, p03 4.0→3.1 s
+    medians.
 
     Scale: shuffle volume is docs × (k+1) longs, independent of
     document length.  The input is widened to full parallelism first
-    (the :func:`_shingle_pair_intersections` discipline): the shingle
+    (the :func:`_shingle_pair_intersections` discipline): the gram
     explode + k-way MIN does ~50× the scan's work, and a single-file
     scan would otherwise run it on one core (measured 4.4→2.5 s on
     the char-gram path at sf0.1)."""
     df = _widen_narrow_scan(df)
-    grams = (
-        shingles(text_col, shingle_n)
-        if char_n is None
-        else char_shingles(text_col, char_n)
+    if char_n is None:
+        staged = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+        npos = F.size("_tk") - (shingle_n - 1)
+        gram = F.array_join(F.slice(F.col("_tk"), F.col("_i"), shingle_n), " ")
+    else:
+        if char_n < 1:
+            raise ValueError(f"char_shingles: n must be >= 1, got {char_n}")
+        staged = df.select(
+            F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_tk")
+        )
+        npos = F.length("_tk") - (char_n - 1)
+        gram = F.substring(F.col("_tk"), F.col("_i"), F.lit(char_n))
+    seq = F.when(
+        npos >= 1, F.sequence(F.lit(1), F.greatest(npos, F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
+    hv = staged.select(F.col(id_col), "_tk", F.explode(seq).alias("_i")).select(
+        F.col(id_col), (h64(gram) % MERSENNE31).alias("_hv")
     )
-    base = df.select(F.col(id_col), grams.alias("_shs"))
-    return _minhash_sig_from_arrays(base, id_col, k)
+    aggs = [
+        F.min((F.lit(a) * F.col("_hv") + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perms(k))
+    ]
+    return hv.groupBy(id_col).agg(*aggs)
 
 
 def _minhash_sig_from_arrays(base: DataFrame, id_col: str, k: int) -> DataFrame:
