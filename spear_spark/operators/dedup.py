@@ -1481,6 +1481,48 @@ def ngram_list(text: Column | str, n: int) -> Column:
     return let_(tokens(text), lambda toks: ngram_list_from_tokens(toks, n))
 
 
+def ngram_positions(
+    df: DataFrame,
+    keep: list,
+    toks: Column,
+    n: int,
+    gram_alias: str = "gram",
+    pos_alias: str | None = None,
+) -> DataFrame:
+    """Exploded positional token n-grams as ROWS — ``(keep…, [pos0,]
+    gram)`` with multiplicity, one row per n-gram position — via a
+    streaming codegen Generate: an ``explode(sequence(1, size−n+1))``
+    anchor plus a per-output-row ``array_join(slice(toks, i, n), ' ')``.
+    Row-for-row identical to ``F.[pos]explode(ngram_list_from_tokens(
+    toks, n))`` (A/B-diffed at sf0.1/n=8: 235 481 = 235 481 gram rows,
+    0 diffs both ways, with and without the position column), but the
+    gram-ARRAY construction — n−1 interpreted ``zip_with`` passes
+    building ~n²/2 token copies per position, all CodegenFallback,
+    materialized only for the Generate to take apart — is replaced by
+    codegen expressions.  Measured 2.25→1.23 s median on the health
+    report's 8-gram tally stage at sf0.1.
+
+    ``pos_alias`` adds a 0-based position column (``posexplode``
+    parity) for free — the anchor index IS the position.  ``toks`` may
+    be any expression (it is staged as a real column before the
+    Generate, so the gram projection reads a computed value, never
+    re-evaluating a tokenizer per output row); ``keep`` columns must
+    carry distinct output names.  Docs with no full n-gram (NULL /
+    short text) explode to zero rows — the gram-array convention."""
+    staged = df.select(*keep, toks.alias("_ng_t"))
+    keep_names = [c for c in staged.columns if c != "_ng_t"]
+    npos = F.size("_ng_t") - (n - 1)
+    seq = F.when(
+        npos >= 1, F.sequence(F.lit(1), F.greatest(npos, F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
+    anchored = staged.select(*keep_names, "_ng_t", F.explode(seq).alias("_ng_i"))
+    gram = F.array_join(F.slice(F.col("_ng_t"), F.col("_ng_i"), n), " ")
+    cols: list = list(keep_names)
+    if pos_alias is not None:
+        cols.append((F.col("_ng_i") - 1).alias(pos_alias))
+    return anchored.select(*cols, gram.alias(gram_alias))
+
+
 def repeated_ngram_profile(
     df: DataFrame, text_col: str, id_col: str, n: int = 8
 ) -> DataFrame:
@@ -1514,9 +1556,7 @@ def repeated_ngram_profile(
         raise ValueError(f"repeated_ngram_profile: n must be >= 2, got {n}")
 
     per_doc_hash = (
-        df.select(
-            F.col(id_col), F.explode(ngram_list(text_col, n)).alias("gram")
-        )
+        ngram_positions(df, [F.col(id_col)], tokens(text_col), n)
         .select(F.col(id_col), h64(F.col("gram")).alias("hv"))
         .groupBy(id_col, "hv")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1567,7 +1607,7 @@ def ngram_novelty_profile(
         raise ValueError(f"ngram_novelty_profile: n must be >= 2, got {n}")
 
     per_doc_hash = (
-        df.select(F.col(id_col), F.explode(ngram_list(text_col, n)).alias("gram"))
+        ngram_positions(df, [F.col(id_col)], tokens(text_col), n)
         .select(F.col(id_col), h64(F.col("gram")).alias("hv"))
         .groupBy(id_col, "hv")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1619,10 +1659,7 @@ def max_dup_span(
     from pyspark.sql.window import Window as W
 
     pos = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(ngram_list(text_col, n)).alias("pos0", "gram"),
-        )
+        ngram_positions(df, [F.col(id_col)], tokens(text_col), n, pos_alias="pos0")
         .select(
             F.col(id_col), (F.col("pos0") + 1).alias("pos"), h64(F.col("gram")).alias("hv")
         )
@@ -1671,9 +1708,12 @@ def contamination_spans(
     (:func:`ngram_list` keeps multiplicity and position) + a
     broadcast LEFT SEMI hash join; corpus rows never shuffle and no
     aggregation state exists at all."""
-    c = corpus_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(ngram_list(text_col, n)).alias("pos0", "gram"),
+    c = ngram_positions(
+        corpus_df,
+        [F.col(id_col).alias("doc_id")],
+        tokens(text_col),
+        n,
+        pos_alias="pos0",
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     b = benchmark_df.select(
         F.explode(shingles(text_col, n)).alias("gram")

@@ -37,7 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spear_spark.operators.dedup import h64, ngram_list_from_tokens
+from spear_spark.operators.dedup import h64, ngram_positions
 from spear_spark.operators.sketch import (
     CM_DEPTH,
     CM_WIDTH,
@@ -154,10 +154,7 @@ def corpus_health_report(
     # token arrays; the corpus total per hash is a second two-phase SUM
     # joined back shuffle_hash (build side = vocabulary-sized totals).
     gh = (
-        arrs.select(
-            F.col(group_col),
-            F.explode(ngram_list_from_tokens(F.col("_t"), ngram_n)).alias("gram"),
-        )
+        ngram_positions(arrs, [F.col(group_col)], F.col("_t"), ngram_n)
         .select(F.col(group_col), h64(F.col("gram")).alias("hv"))
         .groupBy(group_col, "hv")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -576,16 +576,14 @@ def distinct_ngram_stats(df, text_col: str, group_col: str, max_n: int = 3):
     """
     from pyspark.sql import functions as F
 
-    from spear_spark.operators.dedup import ngram_list_from_tokens
+    from spear_spark.operators.dedup import ngram_positions
 
     staged = df.select(
         F.col(group_col), tokens(F.col(text_col)).alias("_toks")
     ).localCheckpoint(eager=False)
     levels = [
-        staged.select(
-            F.col(group_col),
-            F.lit(n).alias("n"),
-            F.explode(ngram_list_from_tokens(F.col("_toks"), n)).alias("gram"),
+        ngram_positions(
+            staged, [F.col(group_col), F.lit(n).alias("n")], F.col("_toks"), n
         )
         for n in range(1, max_n + 1)
     ]
