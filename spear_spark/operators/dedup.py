@@ -1880,6 +1880,14 @@ def jaccard_prefix_pairs(
     pref = ranked.filter(F.col("rk") <= F.least(plen, F.col("n"))).select(
         "id", "n", "s", "rk"
     )
+    # NOT checkpointed before the self-join, unlike _lsh_pairs_from_sig:
+    # ReuseExchange cannot unify the two sides, so the posting explode +
+    # df-count join + rank window do run twice — but an A/B of a lazy
+    # localCheckpoint here measured p90 4.2→8.0 s median (6 paired reps,
+    # −3.1 s paired-diff): the blocking materialization + row-based
+    # rescan + lost AQE planning across the boundary cost far more than
+    # the duplicated pipeline, whose inputs are the already-checkpointed
+    # shingle arrays.  Cheap duplicate beats expensive stage-out here.
     t = float(threshold)
     # PPJoin position filter: both docs rank their shingles in the SAME
     # global (df, s) order, so a pair meeting on the token at ranks
