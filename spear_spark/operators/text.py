@@ -995,12 +995,20 @@ def cdc_chunks(
     / :func:`~spear_spark.operators.dedup.segment_dedup`-style
     keeps, or group on it for a chunk-frequency boilerplate profile.
 
-    Scale shape: one pure-Column projection (tokenize → per-token
-    hash → boundary positions → slices, all inside one ``let_``-bound
-    expression tree) + posexplode — no shuffle, no Python, the same
-    Exchange-free class as the quality gate; a downstream chunk-hash
-    groupBy is the only exchange any consumer pays.  Empty documents
-    produce zero rows."""
+    Scale shape (r15): boundary detection is ONE fused HOF pass (the
+    per-token md5 evaluated inline in the position filter — no
+    intermediate hash array), and chunk-text assembly is a streaming
+    codegen Generate: ``posexplode`` of the per-doc boundary array
+    plus a per-chunk ``concat_ws(slice(toks, …))`` — the
+    :func:`~spear_spark.operators.dedup.ngram_positions` recipe.  The
+    pre-r15 form built the chunk ARRAY with an interpreted ``zip_with``
+    (CodegenFallback, one closure call per chunk copying every token)
+    after a separate ``transform`` hash pass; boundary positions,
+    chunk text, hashes and multiplicities are identical (pinned by
+    ``tests/test_codegen_chunk_identity.py``).  Still no shuffle, no
+    Python — the same Exchange-free class as the quality gate; a
+    downstream chunk-hash groupBy is the only exchange any consumer
+    pays.  Empty documents produce zero rows."""
     from pyspark.sql import functions as F
 
     from spear_spark.functions import let_
@@ -1009,42 +1017,65 @@ def cdc_chunks(
     if modulus < 1:
         raise ValueError("cdc_chunks: modulus must be >= 1")
 
-    def body(toks: Column) -> Column:
-        n = F.size(toks)
-        hs = F.transform(toks, h32)
-
-        def chunks_of(hs_b: Column) -> Column:
-            cut = F.filter(
-                F.sequence(F.lit(1), n),
-                lambda i: F.element_at(hs_b, i) % modulus == 0,
-            )
-            # last chunk always ends at n (append n unless already a cut)
-            ends = F.when(
-                (F.size(cut) > 0) & (F.element_at(cut, -1) == n), cut
-            ).otherwise(F.concat(cut, F.array(n)))
-            starts = F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1))
-            return F.zip_with(
-                starts,
-                ends,
-                lambda s, e: F.concat_ws(" ", F.slice(toks, s + 1, e - s)),
-            )
-
-        return F.when(n > 0, let_(hs, chunks_of)).otherwise(
-            F.array().cast("array<string>")
-        )
-
     # blank/whitespace-only docs yield zero rows (tokens('') is [''],
-    # which would otherwise emit one empty chunk)
-    chunked = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col), let_(tokens(F.col(text_col)), body).alias("_chunks")
+    # which would otherwise emit one empty chunk); after this filter
+    # the token array always has >= 1 element, so `ends` is never
+    # empty and the old array-form's when(n > 0) guard is vacuous.
+    toked = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
-    return chunked.select(
+    n = F.size(F.col("_toks"))
+    # one pass: position i (1-based) is a boundary iff its token's
+    # 32-bit hash ≡ 0 (mod modulus) — h32 inline, no hash array
+    cut = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: h32(F.element_at(F.col("_toks"), i)) % modulus == 0,
+    )
+    # last chunk always ends at n (append n unless already a cut);
+    # let_-bound so the filter pass runs once per row, not 3x
+    ends = let_(
+        cut,
+        lambda c: F.when(
+            (F.size(c) > 0) & (F.element_at(c, -1) == n), c
+        ).otherwise(F.concat(c, F.array(n))),
+    )
+    staged = toked.select(F.col(id_col), "_toks", ends.alias("_ends"))
+    # posexplode_OUTER, deliberately: a plain posexplode triggers
+    # InferFiltersFromGenerate, which injects size(_ends) > 0 AND
+    # isnotnull(_ends) below the Generate — predicate pushdown then
+    # inlines the ENTIRE boundary expression (with the tokenizer
+    # re-inlined per element_at access) into a per-row scan Filter,
+    # re-running the whole hash pass a second time per document
+    # (measured 3x slower; the pre-r15 array form paid the same
+    # duplicated filter).  The rule skips outer generates, and after
+    # the blank-doc filter `_ends` is provably non-null and non-empty
+    # (n >= 1 ⇒ at least the appended end), so outer emits exactly the
+    # same rows.
+    anchored = staged.select(
         id_col,
-        F.posexplode("_chunks").alias("chunk_idx", "chunk_text"),
-    ).select(
+        "_toks",
+        "_ends",
+        F.posexplode_outer("_ends").alias("chunk_idx", "_end"),
+    )
+    # chunk j spans tokens (ends[j-1], ends[j]]; posexplode's 0-based
+    # pos makes the previous end a 1-based element_at lookup
+    start = F.when(F.col("chunk_idx") == 0, F.lit(0)).otherwise(
+        F.element_at(F.col("_ends"), F.col("chunk_idx"))
+    )
+    built = anchored.select(
         id_col,
         "chunk_idx",
-        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+        # tokens are \s+-split and non-empty, so the slice length IS
+        # the old size(split(chunk_text, ' ')) (identity-tested)
+        (F.col("_end") - start).alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), start + F.lit(1), F.col("_end") - start)
+        ).alias("chunk_text"),
+    )
+    return built.select(
+        id_col,
+        "chunk_idx",
+        "n_tokens",
         F.md5("chunk_text").alias("chunk_hash"),
         "chunk_text",
     )
