@@ -124,6 +124,47 @@ class Settings:
         return Settings({**self._values, name: value})
 
 
+#: How corpus-sized intermediates are staged for multi-consumer /
+#: round-loop reuse (the lsh_verified_pairs / lsh_calibration /
+#: dedup_report / ivf_recall_curve / kmeans_lloyd / kcenter_coreset
+#: staging sites).  ``local`` (default): lazy ``localCheckpoint`` —
+#: executor-local blocks, MEMORY_AND_DISK, fastest, but NOT
+#: fault-tolerant: the blocks have no lineage, so losing one executor
+#: mid-query kills the job unrecoverably.  ``reliable``: a reliable
+#: ``checkpoint()`` into ``SparkContext.setCheckpointDir`` storage
+#: (HDFS/object store on a cluster) — survives executor loss at the
+#: cost of a write+read round-trip; the right setting for long-running
+#: 100 TB jobs where a lost executor must not waste hours of work.
+STAGING_MODE: Key[str] = Key(
+    "spear_spark.staging-mode",
+    str,
+    default="local",
+    validator=lambda v: v in ("local", "reliable"),
+)
+
+
+def stage_for_reuse(df: Any, eager: bool = False, settings: "Settings | None" = None):
+    """Materialize a DataFrame for reuse per ``STAGING_MODE``
+    (resolved from ``settings`` or the environment/default layers).
+
+    In ``reliable`` mode the session must have a checkpoint directory
+    configured (``SparkContext.setCheckpointDir``) — raising here with
+    the key's name beats Spark's late, opaque failure inside the job.
+    """
+    s = settings if settings is not None else Settings()
+    mode = s[STAGING_MODE]
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise SettingsValidationError(
+            f"settings key {STAGING_MODE.name} is 'reliable' but the "
+            "SparkContext has no checkpoint directory — call "
+            "spark.sparkContext.setCheckpointDir(<durable path>) first"
+        )
+    return df.checkpoint(eager=eager)
+
+
 #: The component Context boots from settings.  Reference analog:
 #: ``spear.query-compiler.class`` selecting the QueryCompiler
 #: implementation (``Context.scala:12-16``); here the compiler is

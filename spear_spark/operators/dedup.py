@@ -1074,13 +1074,13 @@ def lsh_verified_pairs(
     never fires.  The staging is corpus-sized (MEMORY_AND_DISK — an
     over-memory corpus spills; on a real cluster this is the signature
     stage-out write every 100 TB dedup pipeline already does)."""
-    shs = (
-        _widen_narrow_scan(df)
-        .select(
+    from spear_spark.config import stage_for_reuse
+
+    shs = stage_for_reuse(
+        _widen_narrow_scan(df).select(
             F.col(id_col).alias("_id"),
             shingles(text_col, shingle_n).alias("_shs"),
         )
-        .localCheckpoint(eager=False)
     )
     sig = _minhash_sig_from_arrays(shs, "_id", k)
     cands = _lsh_pairs_from_sig(sig, "_id", k, bands).select("doc_a", "doc_b")
@@ -1888,6 +1888,15 @@ def jaccard_prefix_pairs(
     # rescan + lost AQE planning across the boundary cost far more than
     # the duplicated pipeline, whose inputs are the already-checkpointed
     # shingle arrays.  Cheap duplicate beats expensive stage-out here.
+    # ALSO measured and rejected (r15): replacing the self-join with
+    # the _shingle_pair_intersections posting-list recipe (groupBy(s) +
+    # array_sort(collect_list(struct(id, n, rk))) + two chained pair
+    # Generates — runs the prefix pipeline ONCE) was row-identical
+    # (256 = 256 candidates, 0 diffs both ways at sf0.1) but 2× SLOWER
+    # (2.77 → 5.57 s median, 5 paired reps on a quiet box): the
+    # per-shingle struct-list aggregation costs more than the second
+    # pipeline evaluation, whose input is the checkpointed shingle
+    # arrays.  scripts/ab_p90_postings.py reproduces both variants.
     t = float(threshold)
     # PPJoin position filter: both docs rank their shingles in the SAME
     # global (df, s) order, so a pair meeting on the token at ranks
@@ -2019,14 +2028,15 @@ def dedup_report(
     # behind a lazy localCheckpoint (narrow (group, id) rows —
     # MEMORY_AND_DISK, spills instead of OOMing); without it each
     # consumer would re-run the full corpus md5 aggregate.
-    exact_kept = (
+    from spear_spark.config import stage_for_reuse
+
+    exact_kept = stage_for_reuse(
         hashed.groupBy("_h")
         .agg(F.min(F.struct(F.col(id_col), F.col(group_col))).alias("_m"))
         .select(
             F.col(f"_m.{group_col}").alias(group_col),
             F.col(f"_m.{id_col}").alias(id_col),
         )
-        .localCheckpoint(eager=False)
     )
     survivors = df.join(
         exact_kept.select(id_col), id_col, "semi"
@@ -2957,8 +2967,10 @@ def lsh_calibration(
     :func:`minhash_lsh_pairs` and :func:`minhash_signatures`
     separately, running the corpus-proportional shingle explode +
     k-way MIN aggregate twice."""
+    from spear_spark.config import stage_for_reuse
+
     sig = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
-    sig = sig.localCheckpoint(eager=False)
+    sig = stage_for_reuse(sig)
     cands = _lsh_pairs_from_sig(sig, id_col, k, bands).select("doc_a", "doc_b")
     siga = sig.select(
         F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)]

@@ -653,7 +653,9 @@ def kmeans_lloyd(
     # same reason, guide §5), and locally it is the dominant per-round
     # cost.  Only the narrow (vec) projection is held — MEMORY_AND_DISK,
     # so an over-memory corpus spills rather than OOMs.
-    work = df.select(F.col(vec_col)).localCheckpoint(eager=False)
+    from spear_spark.config import stage_for_reuse
+
+    work = stage_for_reuse(df.select(F.col(vec_col)))
     converged = False
     iters_run = 0
     drift = None
@@ -932,9 +934,9 @@ def kcenter_coreset(
     # action): each of the k−1 farthest-point rounds otherwise re-runs
     # the scan + projection behind `df` — k corpus re-reads where one
     # suffices, the same round-loop caching as kmeans_lloyd.
-    work = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
-        eager=False
-    )
+    from spear_spark.config import stage_for_reuse
+
+    work = stage_for_reuse(df.select(F.col(id_col), F.col(vec_col)))
     seed_rows = work.orderBy(F.col(id_col)).limit(1).collect()
     if not seed_rows:
         raise ValueError("kcenter_coreset: empty input")
@@ -1703,7 +1705,9 @@ def ivf_recall_curve(
         norm(F.col(vec_col)).alias("_cn"),
         F.col("_cell").cast("int").alias("_cell"),
     )
-    scored = (
+    from spear_spark.config import stage_for_reuse
+
+    scored = stage_for_reuse(
         assigned.crossJoin(F.broadcast(qs.withColumn("_qn", norm(F.col("_av")))))
         .filter(F.col("_cid") != F.col("_aid"))
         .select(
@@ -1715,7 +1719,6 @@ def ivf_recall_curve(
                 6,
             ).alias("_cos"),
         )
-        .localCheckpoint(eager=False)
     )
     w_truth = W.partitionBy("_aid").orderBy(F.col("_cos").desc(), F.col("_cid"))
     truth = (

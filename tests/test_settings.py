@@ -93,3 +93,48 @@ def test_unimportable_factory_raises_descriptively():
     with pytest.raises(SettingsValidationError, match="session-factory"):
         Settings()  # construction fine...
         _ = s2[SESSION_FACTORY]  # ...but the dotted-path validator fires
+
+
+def test_staging_mode_validator():
+    from spear_spark.config import STAGING_MODE
+
+    s = Settings()
+    assert s[STAGING_MODE] == "local"
+    assert s.with_value(STAGING_MODE, "reliable")[STAGING_MODE] == "reliable"
+    with pytest.raises(SettingsValidationError, match="staging-mode"):
+        s.with_value(STAGING_MODE, "both")[STAGING_MODE]
+
+
+def test_stage_for_reuse_local_default(spark):
+    from spear_spark.config import stage_for_reuse
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    staged = stage_for_reuse(df)
+    # localCheckpoint truncates lineage to an RDD scan
+    assert staged.count() == 100
+    assert "LogicalRDD" in staged._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_stage_for_reuse_reliable_requires_checkpoint_dir(spark, tmp_path):
+    from spear_spark.config import STAGING_MODE, stage_for_reuse
+
+    df = spark.range(10)
+    reliable = Settings().with_value(STAGING_MODE, "reliable")
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(SettingsValidationError, match="checkpoint directory"):
+            stage_for_reuse(df, settings=reliable)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    staged = stage_for_reuse(df, eager=True, settings=reliable)
+    assert staged.count() == 10
+    # reliable checkpoint also reads back as an RDD scan, but its
+    # blocks live in the checkpoint dir (survives executor loss)
+    assert "LogicalRDD" in staged._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_stage_for_reuse_env_layer(spark, monkeypatch):
+    from spear_spark.config import STAGING_MODE, stage_for_reuse
+
+    monkeypatch.setenv(STAGING_MODE.env_name, "nonsense")
+    df = spark.range(5)
+    with pytest.raises(SettingsValidationError, match="staging-mode"):
+        stage_for_reuse(df)
