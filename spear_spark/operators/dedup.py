@@ -194,7 +194,7 @@ def minhash_signatures(
         gram = F.array_join(F.slice(F.col("_tk"), F.col("_i"), shingle_n), " ")
     else:
         if char_n < 1:
-            raise ValueError(f"char_shingles: n must be >= 1, got {char_n}")
+            raise ValueError(f"minhash_signatures: char_n must be >= 1, got {char_n}")
         staged = df.select(
             F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_tk")
         )
@@ -2022,7 +2022,14 @@ def dedup_report(
     # min-id row per hash AND carries its group (ids are the struct's
     # leading field, so lexicographic struct-min == min(id); group rides
     # along) — the former groupBy-min + join-back re-read the corpus-md5
-    # subtree a second time just to recover the group column.  The
+    # subtree a second time just to recover the group column.
+    # CONTRACT: id_col must be non-null — struct comparison sorts a
+    # NULL leading field FIRST, so a NULL-id row would win its hash's
+    # keeper slot and then drop out of the semi/label joins, silently
+    # shrinking survivor counts (the old min(id) ignored NULLs).  The
+    # rest of dedup_report already assumes non-null ids (the retention
+    # join keys on them); this aggregate makes the assumption
+    # load-bearing.  The
     # result feeds TWO consumers (the survivor semi-join into pair
     # generation, and the label join below), so it is materialized once
     # behind a lazy localCheckpoint (narrow (group, id) rows —
@@ -2960,31 +2967,37 @@ def lsh_calibration(
     all-pairs); the estimate is one projection over the joined
     signature rows; the exact side is the :func:`lsh_verified_pairs`
     per-candidate array intersection; the report is ONE two-phase
-    aggregate on the k+1-value bucket grid.  The signature table is
-    computed ONCE (lazy ``localCheckpoint``) and feeds both the banded
-    candidate join (via :func:`_lsh_pairs_from_sig`) and the per-pair
-    match-count columns — the pre-r14 form called
-    :func:`minhash_lsh_pairs` and :func:`minhash_signatures`
-    separately, running the corpus-proportional shingle explode +
-    k-way MIN aggregate twice."""
+    aggregate on the k+1-value bucket grid.  The (id, shingle-array)
+    staging is computed ONCE (r15, the :func:`lsh_verified_pairs`
+    pattern — the r14 form still built the exact-verify arrays twice,
+    once per verify side) and feeds the signature aggregate and both
+    verify sides; the signature table is itself staged and feeds the
+    banded candidate join (via :func:`_lsh_pairs_from_sig`) and the
+    two per-pair match-count projections.  Shingle semantics note
+    (pre-r14 fix, recorded here): estimate and exact sides both use
+    ``shingle_n`` — callers passing a non-default ``shingle_n``
+    before r14 got a k-gram estimate graded against 3-gram exact
+    Jaccard, so their estimates shift after the fix."""
     from spear_spark.config import stage_for_reuse
 
-    sig = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
-    sig = stage_for_reuse(sig)
-    cands = _lsh_pairs_from_sig(sig, id_col, k, bands).select("doc_a", "doc_b")
+    shs = stage_for_reuse(
+        _widen_narrow_scan(df).select(
+            F.col(id_col).alias("_id"),
+            shingles(text_col, shingle_n).alias("_shs"),
+        )
+    )
+    sig = stage_for_reuse(_minhash_sig_from_arrays(shs, "_id", k))
+    cands = _lsh_pairs_from_sig(sig, "_id", k, bands).select("doc_a", "doc_b")
     siga = sig.select(
-        F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)]
+        F.col("_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)]
     )
     sigb = sig.select(
-        F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)]
+        F.col("_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)]
     )
     match = None
     for i in range(k):
         eq = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long")
         match = eq if match is None else match + eq
-    shs = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_shs")
-    )
     a = shs.select(F.col("_id").alias("doc_a"), F.col("_shs").alias("_sa"))
     b = shs.select(F.col("_id").alias("doc_b"), F.col("_shs").alias("_sb"))
     pairs = (

@@ -1678,7 +1678,13 @@ def ivf_recall_curve(
     :func:`cosine_topk_batch`, probed subset again for candidates) and
     scanned + cell-assigned the corpus in two separate passes.  Same
     expressions, same rounding, same tie-breaks — result unchanged by
-    construction."""
+    construction.
+
+    Scale note: the staged scored relation is |anchors| x n rows of
+    executor state (narrow — 3 ids + a double).  Anchor sets are
+    calibration probes (dozens), not query workloads; for |anchors|
+    approaching corpus scale, run the curve in anchor batches rather
+    than raising executor storage."""
     if not anchors:
         raise ValueError("ivf_recall_curve: need at least one anchor")
     if max_probe < 1 or max_probe > len(centroids):
