@@ -549,10 +549,22 @@ def _shingle_pair_intersections(
         # document-frequency tally, once for the posting explode); a lazy
         # local checkpoint pays the string-side shingling exactly once.
         base = base.localCheckpoint(eager=False)
+    # explode_OUTER + isnotnull, deliberately (r15): a plain explode of
+    # the staged `shs` attribute triggers InferFiltersFromGenerate,
+    # whose size(shs) > 0 filter gets alias-substituted down the pure
+    # projection chain onto the SCAN — re-evaluating the entire shingle
+    # transform (the ~50x amplifier) a second time per document
+    # (plan-verified: a 1.3k-char Filter node carrying the full
+    # zip_with chain).  The rule skips outer generates; shingle arrays
+    # are never null and never contain null elements (concat of
+    # non-null tokens, overhang trimmed by the final slice), so
+    # outer + isnotnull(s) is row-identical: the only extra generate
+    # rows are the empty-array docs' single null-gram row, which the
+    # filter drops exactly as the inner explode dropped the doc.
     sh = base.select(
         F.struct(F.col("id"), F.size("shs").alias("n")).alias("d"),
-        F.explode("shs").alias("s"),
-    )
+        F.explode_outer("shs").alias("s"),
+    ).filter(F.col("s").isNotNull())
     if max_df is not None:
         # df-cap BEFORE collect_list materializes the posting list — a
         # df-millions stop-shingle must never become one giant in-memory

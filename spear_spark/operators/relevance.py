@@ -33,10 +33,18 @@ def term_doc_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     """Per-(doc, term) frequency table: the shared base aggregate.
     The token array is materialized in its own projection *before* the
     explode (generator-adjacent expressions re-evaluate per output row
-    otherwise — see dedup.shingles)."""
+    otherwise — see dedup.shingles).  explode_OUTER + isnotnull (r15):
+    a plain explode of the staged attribute triggers
+    InferFiltersFromGenerate, whose size/isnotnull filter gets
+    alias-substituted onto the scan, re-running the tokenizer split
+    twice more per document (plan-verified); split() elements are
+    never null (tokens('') is ['']), so outer + isnotnull(term) is
+    row-identical — only NULL-text docs gain a null-term generate row,
+    dropped exactly as the inner explode dropped the doc."""
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     return (
-        toks.select(id_col, F.explode("_toks").alias("term"))
+        toks.select(id_col, F.explode_outer("_toks").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
